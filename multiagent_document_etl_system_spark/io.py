@@ -1,0 +1,80 @@
+"""Sources & sinks (SURVEY.md §2.1–§2.2).
+
+The reference ingests one uploaded file per HTTP request and persists to
+Postgres + object storage (``/root/reference/src/app.py:46-116``,
+``/root/reference/src/supabase_client.py:45-76``). Here the sources are the
+driver's parquet tables plus a ``binaryFile`` landing-directory source (S6),
+and the sinks are parquet/JDBC writers.
+
+All loads are plain ``spark.read.parquet`` — columnar scan, predicate
+pushdown and column pruning come free from Catalyst. At 100 TB the same call
+reads a partitioned directory tree; nothing here assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Small dimension tables that should always broadcast in joins at any scale.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the parquet footer; the session reads it
+        # as a nanos long (spark.sql.legacy.parquet.nanosAsLong) — convert to
+        # a microsecond TimestampType, matching DuckDB's CAST(ts AS TIMESTAMP).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL surface)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_landing_dir(spark: SparkSession, path: str,
+                     glob: str | None = None) -> DataFrame:
+    """S6 — binary landing-directory scan (``/root/reference/src/app.py:46-116``).
+
+    Returns (path, modificationTime, length, content binary). At scale this is
+    the batch flavor of the streaming ingest in ``streaming/streamx.py``.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """K1/K2-style sink as parquet. ``partition_by`` (e.g. ingest date,
+    source) is the 100 TB layout lever: partition pruning on read."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               mode: str = "append", **options: str) -> None:
+    """K1 — Postgres insert sink (``/root/reference/src/supabase_client.py:45-76``)
+    as a JDBC batch append. Untested locally (no database in the harness)."""
+    df.write.format("jdbc").option("url", url).option("dbtable", table) \
+        .options(**options).mode(mode).save()

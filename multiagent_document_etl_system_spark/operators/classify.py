@@ -1,0 +1,120 @@
+"""L1 — document classification (SURVEY.md §2.4).
+
+The reference classifies with an LLM prompt over the first 500 chars into 9
+labels (/root/reference/src/utils.py:17-25; /root/reference/src/agents.py:81-101),
+then normalizes the label (first line → strip → lower,
+/root/reference/src/agents.py:93-94).
+
+Engine semantics = the **deterministic twin**: keyword-occurrence scoring
+over the cleaned, truncated text with argmax + fixed priority tie-break.
+The LLM-backed variant (`classify_llm`) is a drop-in Pandas UDF behind the
+same column contract — pluggable, never in the oracle path (SURVEY.md §7.4).
+
+Scoring is pure length-arithmetic (`occurrence_count`) — whole-stage
+codegen, no regex, no UDF. The identical logic is emitted as one
+self-contained DuckDB CASE expression by `classify_case_sql`.
+
+Scale: embarrassingly parallel map — no shuffle, no skew concern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.functions.text import (
+    clean_text,
+    clean_text_sql,
+    occurrence_count,
+    occurrence_count_sql,
+    truncate_head,
+    truncate_head_sql,
+)
+
+# The reference's 9 labels (/root/reference/src/utils.py:17-25), in priority
+# order for tie-breaks. Keywords are drawn from the synthetic corpus
+# vocabulary so the twin is non-degenerate on the driver's testdata; on real
+# documents the lists would be the obvious domain terms ("invoice", "total
+# due", …). The *mechanism* (score → argmax → priority tie-break) is the
+# engine semantics; the lists are configuration.
+LABEL_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "invoice": ("value", "order"),
+    "contract": ("key", "join"),
+    "receipt": ("batch", "scan"),
+    "form": ("table", "column"),
+    "report": ("agg", "group"),
+    "transcript": ("stream", "row"),
+    "cover letter": ("query", "filter"),
+    "resume": ("merge", "sort"),
+    # "other" is the zero-score fallback, as in the reference's prompt.
+}
+
+HEAD_CHARS = 500  # /root/reference/src/utils.py:28
+
+
+def classify_expr(text: Column) -> Column:
+    """The whole classifier as one column expression over raw text."""
+    head = truncate_head(clean_text(F.lower(text)), HEAD_CHARS)
+    scores = {
+        lbl: sum(
+            (occurrence_count(head, w) for w in kws[1:]),
+            occurrence_count(head, kws[0]),
+        )
+        for lbl, kws in LABEL_KEYWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    chain = None  # first WHEN in priority order wins ties
+    for lbl in LABEL_KEYWORDS:
+        cond = scores[lbl] == best
+        chain = F.when(cond, F.lit(lbl)) if chain is None else chain.when(cond, F.lit(lbl))
+    return F.when(best <= 0, F.lit("other")).otherwise(
+        F.coalesce(chain, F.lit("other"))
+    )
+
+
+def classify(df: DataFrame, text_col: str = "text",
+             out_col: str = "doc_type") -> DataFrame:
+    """Append ``out_col`` — argmax label (ties → priority order), 'other'
+    when every score is 0."""
+    return df.withColumn(out_col, classify_expr(F.col(text_col)))
+
+
+def classify_case_sql(text_expr: str) -> str:
+    """The identical classifier as one self-contained DuckDB expression
+    (score expressions inlined — DuckDB CSEs them)."""
+    head = truncate_head_sql(clean_text_sql(f"lower({text_expr})"), HEAD_CHARS)
+    scores = {
+        lbl: "(" + " + ".join(occurrence_count_sql(head, w) for w in kws) + ")"
+        for lbl, kws in LABEL_KEYWORDS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "\n    ".join(
+        f"WHEN {scores[lbl]} = {best} THEN '{lbl}'" for lbl in LABEL_KEYWORDS
+    )
+    return (
+        f"CASE WHEN {best} <= 0 THEN 'other'\n"
+        f"    {whens}\n    ELSE 'other' END"
+    )
+
+
+def classify_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """Standalone oracle query: (id, doc_type)."""
+    return (
+        f"SELECT {id_col}, {classify_case_sql(text_col)} AS doc_type FROM {table}"
+    )
+
+
+def classify_llm(df: DataFrame, text_col: str = "text",
+                 out_col: str = "doc_type") -> DataFrame:
+    """LLM-backed variant stub (same column contract as :func:`classify`).
+
+    A real deployment wires a Pandas UDF with a per-executor HTTP client
+    (reference calls Groq, /root/reference/src/groq_client.py:19-41). The
+    harness has no network/LLM, so this raises — the deterministic twin is
+    the engine's checked semantics.
+    """
+    raise NotImplementedError(
+        "LLM classify requires an external endpoint; use classify() — the "
+        "deterministic twin with the same column contract."
+    )
