@@ -3,36 +3,45 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The actual surface lives in
+``multiagent_document_etl_system_spark/plans/registry.py`` — one named query
+per implemented operator from SURVEY.md §2 (+ north-star extensions), each
+paired with its DuckDB oracle SQL (None ⇒ rows-only check for
+non-SQL-expressible ops).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from multiagent_document_etl_system_spark.plans.registry import QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the whole document-ETL pipeline as one DataFrame plan over
+    /root/testdata/sf0.001 (SURVEY.md §7.2). Driver checks rows > 0."""
+    from multiagent_document_etl_system_spark.io import load_table
+    from multiagent_document_etl_system_spark.plans.pipeline import run_pipeline
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    return run_pipeline(spark, docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted ⇒ rows-only check."""
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the flagship pipeline + one representative per operator
+family (agg, join, window, events, similarity, dedup, text analysis) — the
+queries whose plans matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+sys.path.insert(0, REPO)
+
+from multiagent_document_etl_system_spark import get_spark  # noqa: E402
+from multiagent_document_etl_system_spark.plans.registry import QUERIES  # noqa: E402
+
+HEADLINE = [
+    "pipeline_flagship",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "q_window_rank",
+    "q_sessionize",
+    "q_json_events",
+    "v2_cosine_topk",
+    "dedup_minhash_lsh",
+    "ta_term_frequency",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM/codegen path once so per-query numbers measure the plan,
+    # not session startup
+    QUERIES["q_global_topk"][0](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full execution; count avoids driver-collect skew
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""Deduplication operators (north-star extension; SURVEY.md §2.10).
+
+The reference has only an accidental exact-dedup (content-hash schema ids,
+/root/reference/src/app.py:142). A training-data pipeline at 100 TB needs
+the full ladder; each rung is implemented Spark-first:
+
+- **exact**        hash-groupBy on md5(text) — one shuffle on a uniform key.
+- **minhash LSH**  shingle → 64-bit token hashes → per-seed min → band →
+                   bucket equi-join. All built-ins (explode + groupBy +
+                   array ops); the pair join is an equi-join on
+                   (band_id, band_hash), never a cross join.
+- **simhash**      64→16-bit sign-sum signature via explode + bit
+                   aggregation; near-dups = signature hamming ≤ t.
+- **n-gram jaccard** exact set overlap for candidate pairs (verification
+                   rung after LSH, or direct for small candidate sets).
+- **embedding cosine** near-dup via similarity.topk/LSH over vectors.
+
+Scale: every pair-producing step joins on a bucket key (LSH band, simhash
+prefix, neighbor id) — candidate generation is linear-ish, never O(N²).
+AQE skew-join handles hot buckets (e.g. empty-doc clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.functions.text import tokens
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct text content (md5 key).
+
+    Equivalent SQL: row_number() OVER (PARTITION BY md5(text) ORDER BY id).
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(content_md5, n_copies, keep_id) for groups with n_copies > 1."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct, order-normalized).
+
+    Built from the token array with transform+slice — no UDF. Short docs
+    (< n tokens) yield the whole-doc single shingle.
+    """
+    toks = tokens(text)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(ngrams)
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
+    """array<long> of per-seed minima of xxhash64(shingle, seed).
+
+    Classic MinHash (Broder '97) with hash-family = xxhash64 seeded by
+    literal; all JVM built-ins.
+    """
+    return F.array(*[
+        F.array_min(
+            F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+        )
+        for i in range(n_hashes)
+    ])
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified by exact
+    shingle Jaccard: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    rows(band) = n_hashes/bands; two docs collide if any band matches.
+    The join is an equi-join on (band_idx, band_signature) — linear
+    candidate generation, then exact verification only on candidates.
+    """
+    rows_per_band = n_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
+
+    banded = base.select(
+        "_id", "_sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.slice("_sig", b * rows_per_band + 1, rows_per_band)
+                        .cast("array<string>"),
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", "_sh", "bk.band", "bk.bh")
+
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band", "bh"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "band", "bh"
+    )
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.select(
+            "id_a", "id_b",
+            F.round(
+                F.when(union == 0, F.lit(1.0)).otherwise(inter / union), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """(id, simhash) — per-bit sign-sum of token hashes (Charikar '02).
+
+    explode → per-bit ±1 contributions → groupBy(id) sum — one shuffle on
+    the doc id (uniform). bits ≤ 16 keeps the agg column count sane; the
+    signature packs back into one long.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tok"),
+    ).withColumn("_h", F.xxhash64("_tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("_id").agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 16,
+                       max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidate-joined
+    on the high byte of the signature (prefix blocking)."""
+    sigs = simhash(df, text_col, id_col, bits)
+    block = F.shiftright(F.col("simhash"), bits // 2)
+    a = sigs.select(F.col(id_col).alias("id_a"),
+                    F.col("simhash").alias("sig_a"), block.alias("_blk"))
+    b = sigs.select(F.col(id_col).alias("id_b"),
+                    F.col("simhash").alias("sig_b"), block.alias("_blk"))
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")) \
+        .filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+def neighbor_jaccard(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
+    """Exact shingle-Jaccard for consecutive-id pairs — the oracle-checkable
+    exact-similarity rung: (id_a, id_b, jaccard). SQL twin uses
+    unnest/explode + distinct counting; linear pair count by construction."""
+    s = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select((F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b"),
+                 F.col("sh").alias("sh_b"))
+    j = a.join(b, "id_a")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select(
+        "id_a", "id_b",
+        F.round(F.when(union == 0, F.lit(1.0)).otherwise(inter / union), 4)
+        .alias("jaccard"),
+    )

@@ -1,0 +1,145 @@
+"""Vector-similarity / retrieval operators (SURVEY.md §2.5, V1–V7).
+
+The reference's retrieval is Pinecone cosine top-k over 384-d vectors with
+optional metadata filters and a 3-stage fallback cascade
+(/root/reference/src/pinecone_utils.py:94-168; /root/reference/src/agents.py:104-156).
+
+Engine design, Spark-first:
+
+- **cosine** is a pure Catalyst expression over array<float> —
+  ``aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (s,x) -> s+x)`` for the dot
+  product plus the same fold for norms. JVM-side, no UDF, no Arrow hop.
+- **top-k** per query = broadcast the (small) query set, score all
+  candidates, ``row_number()`` over (query) ordered by (score DESC, id ASC)
+  — the deterministic tie-break the reference leaves unspecified
+  (SURVEY.md §7.4).
+- **metadata filter before similarity** (V3) is just a WHERE — Catalyst
+  pushes it below the join so filtered candidates never get scored.
+
+Scale posture (100 TB): the broadcast side must be the small one (queries or
+schema dim). For big×big similarity, ``ann_lsh_topk`` buckets candidates
+with random hyperplane signatures (SimHash-style LSH) and only scores
+within-bucket pairs, then exact re-ranks — the standard
+cluster-pruning/LSH two-phase pipeline. Brute force is O(Q×N×d) but
+shuffle-free after the broadcast; LSH makes N effectively N/2^bits per
+bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a codegen'd higher-order-function fold (double math)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 for a zero vector (reference behavior is
+    undefined there — Pinecone rejects zero vectors; we define it)."""
+    d = norm(a) * norm(b)
+    return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin. list_cosine_similarity matches the double-math fold to
+    float tolerance; callers round scores before hashing."""
+    return (
+        f"CASE WHEN list_dot_product({a},{a}) = 0 OR list_dot_product({b},{b}) = 0 "
+        f"THEN 0.0 ELSE list_cosine_similarity({a}, {b}) END"
+    )
+
+
+def topk_join(queries: DataFrame, candidates: DataFrame, k: int = 5,
+              q_id: str = "q_id", c_id: str = "c_id",
+              q_vec: str = "q_vec", c_vec: str = "c_vec",
+              exclude_self: bool = True) -> DataFrame:
+    """V2 — brute-force cosine top-k: (q_id, c_id, score, rank).
+
+    ``queries`` is broadcast (the reference's query side is one document /
+    a handful of schemas). Deterministic order: score DESC, candidate ASC.
+    """
+    j = candidates.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        j = j.filter(F.col(q_id) != F.col(c_id))
+    scored = j.select(
+        q_id, c_id, F.round(cosine(F.col(q_vec), F.col(c_vec)), 4).alias("score")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def top1(queries: DataFrame, candidates: DataFrame, **kw) -> DataFrame:
+    """V4 — argmax selection (matches[0], /root/reference/src/agents.py:123-125)."""
+    return topk_join(queries, candidates, k=1, **kw)
+
+
+def ann_lsh_topk(queries: DataFrame, candidates: DataFrame,
+                 dim: int, k: int = 5, n_planes: int = 8, seed: int = 42,
+                 q_id: str = "q_id", c_id: str = "c_id",
+                 q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """Approximate top-k: random-hyperplane signature bucketing + exact
+    re-rank inside buckets. The 100 TB path for big query sets: replaces the
+    cross join with an equi-join on signature (shuffle-partitionable,
+    AQE-skew-splittable). Recall < 1 by construction — callers that need
+    exact results use :func:`topk_join`.
+
+    Deterministic: hyperplanes derive from a hash of (seed, plane, dim_idx),
+    not RNG state.
+    """
+    # deterministic pseudo-random hyperplanes via integer hashing (no numpy
+    # RNG on the driver → reproducible across runs/sessions)
+    def h(i: int, j: int) -> float:
+        x = (seed * 1_000_003 + i * 10_007 + j * 97) % 2_147_483_647
+        # xorshift-ish scramble, mapped to [-1, 1]
+        x = (x ^ (x >> 13)) * 1_274_126_177 % 2_147_483_647
+        return (x / 2_147_483_647.0) * 2.0 - 1.0
+
+    planes = [[h(i, j) for j in range(dim)] for i in range(n_planes)]
+    planes_lit = F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in planes
+    ])
+
+    def signature(vec: Column) -> Column:
+        # bit i = sign(vec · plane_i); assemble into one long (2^i weights —
+        # n_planes ≤ 16 keeps this well inside exact double range)
+        return F.aggregate(
+            F.transform(
+                planes_lit,
+                lambda p, i: F.when(
+                    dot(vec, p) >= 0,
+                    F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+
+    qs = queries.withColumn("_sig", signature(F.col(q_vec)))
+    cs = candidates.withColumn("_sig", signature(F.col(c_vec)))
+    j = cs.join(qs, "_sig").filter(F.col(q_id) != F.col(c_id))
+    scored = j.select(
+        q_id, c_id, F.round(cosine(F.col(q_vec), F.col(c_vec)), 4).alias("score")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,168 @@
+"""Text-analysis operators (north-star extension; SURVEY.md §2.10).
+
+Language-ID, quality scoring, token counting, and document fingerprinting
+over the ``documents`` table — all pure Catalyst expressions with exact
+DuckDB twins (token counting via regex split, scoring via length
+arithmetic). These are the corpus-level analogues of the reference's
+per-document logging/metrics surface (/root/reference/src/app.py:177-188).
+
+Scale: all narrow maps except term frequency (one shuffle on token — by far
+the most skewed key in a text corpus; AQE skew handling + partial
+aggregation keep it bounded: map-side combine reduces each partition to its
+distinct tokens first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.functions.text import (
+    occurrence_count,
+    occurrence_count_sql,
+    tokens,
+    tokens_sql,
+)
+
+# n-gram-heuristic language ID: score = occurrences of language-marker
+# function words (padded with spaces so they match as words, not substrings).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of "),
+    "fr": (" le ", " la ", " et "),
+    "es": (" el ", " los ", " y "),
+    "de": (" der ", " und ", " die "),
+    "zh": (" de ", " shi ", " le "),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish subword estimate = chars/4 is also
+    exposed below)."""
+    return F.size(tokens(text)).cast("bigint")
+
+
+def token_count_sql(col: str) -> str:
+    return f"CAST(len({tokens_sql(col)}) AS BIGINT)"
+
+
+def subword_estimate(text: Column) -> Column:
+    """~BPE token estimate: ceil(chars / 4) — the standard rule of thumb."""
+    return F.ceil(F.length(text) / 4).cast("bigint")
+
+
+def subword_estimate_sql(col: str) -> str:
+    return f"CAST(ceil(length({col}) / 4) AS BIGINT)"
+
+
+def lang_id_expr(text: Column) -> Column:
+    """argmax language by marker-word occurrence; 'und' when all zero.
+    Tie-break = dict order (en first), mirrored in the SQL CASE chain."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {
+        lang: sum(
+            (occurrence_count(padded, m) for m in ms[1:]),
+            occurrence_count(padded, ms[0]),
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    chain = None
+    for lang in LANG_MARKERS:
+        cond = scores[lang] == best
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    return F.when(best <= 0, F.lit("und")).otherwise(
+        F.coalesce(chain, F.lit("und"))
+    )
+
+
+def lang_id_sql(text_expr: str) -> str:
+    padded = f"concat(' ', lower({text_expr}), ' ')"
+    scores = {
+        lang: "(" + " + ".join(occurrence_count_sql(padded, m) for m in ms) + ")"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "\n    ".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return (
+        f"CASE WHEN {best} <= 0 THEN 'und'\n    {whens}\n    ELSE 'und' END"
+    )
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite quality ∈ [0,1]: length score (chars/500 capped), stopword
+    ratio, punctuation density penalty. Deterministic, documented weights."""
+    n = F.length(text).cast("double")
+    len_score = F.least(n / 500.0, F.lit(1.0))
+    stop = (
+        occurrence_count(F.concat(F.lit(" "), F.lower(text), F.lit(" ")), " the ")
+        + occurrence_count(F.concat(F.lit(" "), F.lower(text), F.lit(" ")), " a ")
+    )
+    word_cnt = F.greatest(token_count(text).cast("double"), F.lit(1.0))
+    stop_ratio = F.least(stop * 10.0 / word_cnt, F.lit(1.0))
+    punct = F.length(F.regexp_replace(text, r"[^.,:()\-]", "")).cast("double")
+    punct_penalty = F.least(punct * 5.0 / F.greatest(n, F.lit(1.0)), F.lit(1.0))
+    return F.round(
+        0.5 * len_score + 0.3 * stop_ratio + 0.2 * (1.0 - punct_penalty), 4
+    )
+
+
+def quality_score_sql(col: str) -> str:
+    n = f"CAST(length({col}) AS DOUBLE)"
+    padded = f"concat(' ', lower({col}), ' ')"
+    stop = (
+        f"({occurrence_count_sql(padded, ' the ')} + "
+        f"{occurrence_count_sql(padded, ' a ')})"
+    )
+    word_cnt = f"greatest(CAST({token_count_sql(col)} AS DOUBLE), 1.0)"
+    len_score = f"least({n} / 500.0, 1.0)"
+    stop_ratio = f"least({stop} * 10.0 / {word_cnt}, 1.0)"
+    punct = f"CAST(length(regexp_replace({col}, '[^.,:()\\-]', '', 'g')) AS DOUBLE)"
+    punct_penalty = f"least({punct} * 5.0 / greatest({n}, 1.0), 1.0)"
+    return (
+        f"round(0.5 * {len_score} + 0.3 * {stop_ratio}"
+        f" + 0.2 * (1.0 - {punct_penalty}), 4)"
+    )
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — detects shuffled/re-ordered copies that exact md5 misses."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(text)))), " ")
+    )
+
+
+def fingerprint_sql(col: str) -> str:
+    return (
+        f"md5(array_to_string(list_sort(list_distinct("
+        f"{tokens_sql(f'lower({col})')})), ' '))"
+    )
+
+
+def term_frequencies(df: DataFrame, text_col: str = "text",
+                     top_n: int = 20) -> DataFrame:
+    """Corpus-wide top-N terms: (token, freq), deterministic order
+    (freq DESC, token ASC). explode → groupBy(token) with map-side partial
+    agg; final top-N is a TakeOrderedAndProject, not a full sort."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def term_frequencies_sql(table: str = "documents", text_col: str = "text",
+                         top_n: int = 20) -> str:
+    return f"""
+SELECT token, CAST(count(*) AS BIGINT) AS freq
+FROM (
+  SELECT unnest({tokens_sql(f"lower({text_col})")}) AS token FROM {table}
+)
+WHERE length(token) > 0
+GROUP BY token ORDER BY freq DESC, token ASC LIMIT {top_n}
+"""

@@ -1,0 +1,623 @@
+"""Relational analytics surface (SURVEY.md §2.8, §2.10, §7.3 step 4).
+
+The reference computes no aggregations/joins/windows (SURVEY.md §2.8) — this
+module adds the standard Spark analytics surface over the driver's star
+schema as named queries, each paired with its DuckDB oracle SQL.
+
+Cross-engine hash-match conventions (SURVEY.md §7.4):
+- money sums rounded to 2 decimals, averages/ratios to 4 (absorbs
+  summation-order float drift);
+- integer outputs cast BIGINT on both sides (Spark row_number is int32,
+  DuckDB's is int64, etc.);
+- timestamps formatted to strings or reduced to year/month ints (ns vs µs
+  physical types hash differently);
+- every ranking has a total deterministic order (value DESC, key ASC).
+
+Scale notes are per-query docstrings: what shuffles, what broadcasts, what
+AQE is expected to do at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.io import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark_fn, oracle_sql | None)
+RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        RELATIONAL_QUERIES[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- agg
+
+@_q("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. One shuffle on a 6-ish-key group — partial (map-side)
+    aggregation reduces each scan partition to ≤6 rows before exchange;
+    the filter pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q("q3_top_revenue_orders", """
+SELECT o.o_orderkey,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, year(o.o_orderdate), o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""")
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is the small side at any SF relative to
+    lineitem — broadcast it into orders, shuffle-join lineitem on orderkey;
+    final top-10 is TakeOrderedAndProject (no global sort)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("o_orderkey", "revenue", "o_year", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q("q5_region_nation_revenue", """
+SELECT r.r_name, n.n_name,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY r.r_name, n.n_name
+""")
+def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the fact-to-fact join (lineitem⋈orders) shuffles on
+    orderkey; every dimension hop (customer/nation/region) broadcasts.
+    At 100 TB only the one fact shuffle survives."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+@_q("q_semi_join", """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""")
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi — EXISTS. Shuffles both sides on custkey unless orders'
+    distinct custkeys broadcast post-aggregation (AQE may switch)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi") \
+        .select("c_custkey", "c_name")
+
+
+@_q("q_anti_join", """
+SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — NOT EXISTS (customers who never ordered)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+
+
+@_q("q_band_join", """
+WITH bands(band_id, lo, hi) AS (VALUES
+  (0, 0.0, 10000.0), (1, 10000.0, 20000.0), (2, 20000.0, 30000.0),
+  (3, 30000.0, 40000.0), (4, 40000.0, 100000.0))
+SELECT b.band_id, count(*) AS n_items,
+  round(sum(l.l_extendedprice), 2) AS sum_price
+FROM lineitem l
+JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY b.band_id
+""")
+def q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join against a tiny bands dim → broadcast nested loop,
+    which is exactly right when one side is ~5 rows. (A big×big range join
+    would bucketize the range key first — see dedup/similarity LSH.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 10000.0), (1, 10000.0, 20000.0), (2, 20000.0, 30000.0),
+         (3, 30000.0, 40000.0), (4, 40000.0, 100000.0)],
+        "band_id int, lo double, hi double",
+    )
+    return (
+        li.join(F.broadcast(bands),
+                (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi))
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .withColumn("band_id", F.col("band_id").cast("int"))
+    )
+
+
+# ------------------------------------------------- grouping sets family
+
+@_q("q_rollup_region_nation", """
+SELECT coalesce(r.r_name, 'ALL') AS region,
+  coalesce(n.n_name, 'ALL') AS nation,
+  round(sum(c.c_acctbal), 2) AS total_acctbal,
+  count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""")
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — Spark expands to a union of grouping sets in one shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+             F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "total_acctbal", "n_customers",
+        )
+    )
+
+
+@_q("q_cube_status_priority", """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+  coalesce(o_orderpriority, 'ALL') AS priority,
+  count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders", "total_price",
+        )
+    )
+
+
+@_q("q_grouping_sets", """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nationkey,
+  count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+""")
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer")
+    return spark.sql("""
+        SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+          coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nationkey,
+          count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """)
+
+
+# ---------------------------------------------------------------- windows
+
+@_q("q_window_rank", """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+    CAST(row_number() OVER w AS BIGINT) AS rn,
+    CAST(rank() OVER w AS BIGINT) AS rnk,
+    CAST(dense_rank() OVER w AS BIGINT) AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+WHERE rn <= 3
+""")
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per customer. Spark 3.5+ pushes the rn<=3 limit into the sort
+    (WindowGroupLimit) — no full per-partition materialization."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@_q("q_window_running", """
+SELECT o_custkey, o_orderkey,
+  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+FROM orders
+""")
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frames: running total + 3-row moving average per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"),
+                                                F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4)
+        .alias("moving_avg3"),
+    )
+
+
+@_q("q_window_lag", """
+SELECT o_custkey, o_orderkey,
+  CAST(date_diff('day',
+    lag(o_orderdate) OVER (PARTITION BY o_custkey
+      ORDER BY o_orderdate ASC, o_orderkey ASC),
+    o_orderdate) AS BIGINT) AS days_since_prev,
+  round(o_totalprice - lead(o_totalprice) OVER (PARTITION BY o_custkey
+      ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS diff_next_price
+FROM orders
+""")
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"),
+                                                F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint").alias("days_since_prev"),
+        F.round(F.col("o_totalprice") - F.lead("o_totalprice").over(w), 2)
+        .alias("diff_next_price"),
+    )
+
+
+# ---------------------------------------------------------- sort / set ops
+
+@_q("q_global_topk", """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""")
+def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject: per-partition heap of 10,
+    driver merge — no global sort shuffle, at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey",
+                 F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q("q_set_ops", """
+WITH b AS (SELECT o_custkey FROM orders o JOIN customer c
+             ON o.o_custkey = c.c_custkey WHERE c.c_mktsegment = 'BUILDING'),
+     m AS (SELECT o_custkey FROM orders o JOIN customer c
+             ON o.o_custkey = c.c_custkey WHERE c.c_mktsegment = 'MACHINERY'),
+     f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'building_or_f' AS op, count(*) AS n
+  FROM (SELECT o_custkey FROM b UNION SELECT o_custkey FROM f)
+UNION ALL
+SELECT 'building_and_f' AS op, count(*) AS n
+  FROM (SELECT o_custkey FROM b INTERSECT SELECT o_custkey FROM f)
+UNION ALL
+SELECT 'building_minus_f' AS op, count(*) AS n
+  FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM f)
+""")
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) / INTERSECT / EXCEPT over customer-key sets."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    b = o.join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+               o.o_custkey == F.col("c_custkey")).select("o_custkey")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    rows = [
+        ("building_or_f", b.union(f).distinct()),
+        ("building_and_f", b.intersect(f)),        # INTERSECT (distinct)
+        ("building_minus_f", b.subtract(f)),       # EXCEPT (distinct)
+    ]
+    out = None
+    for op, df in rows:
+        one = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@_q("q_distinct_agg", """
+SELECT l_returnflag,
+  count(DISTINCT l_partkey) AS n_parts,
+  count(DISTINCT l_suppkey) AS n_supps,
+  count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi countDistinct — Spark expands per-distinct aggregates; at scale
+    prefer approx_count_distinct (see q_approx_distinct, rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------- scalar function sweeps
+
+@_q("q_date_functions", """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+  CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+  count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY 1, 2, 3
+""")
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")))
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.month("o_orderdate").cast("bigint").alias("o_month"),
+            F.quarter("o_orderdate").cast("bigint").alias("o_quarter"),
+        )
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@_q("q_string_functions", """
+SELECT c_custkey,
+  upper(c_name) AS name_upper,
+  substring(c_name, 1, 8) AS name_prefix,
+  concat_ws('/', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+  reverse(c_name) AS name_rev,
+  CAST(length(c_name) AS BIGINT) AS name_len
+FROM customer
+""")
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_mktsegment",
+                    F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse("c_name").alias("name_rev"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+    )
+
+
+@_q("q_math_functions", """
+SELECT l_orderkey, l_linenumber,
+  round(abs(l_extendedprice - l_quantity * 1000), 2) AS m_abs,
+  round(sqrt(l_extendedprice), 4) AS m_sqrt,
+  round(power(1 + l_discount, 2), 6) AS m_pow,
+  CAST(floor(l_extendedprice) AS BIGINT) AS m_floor,
+  CAST(ceil(l_extendedprice) AS BIGINT) AS m_ceil,
+  CAST(l_orderkey % 7 AS BIGINT) AS m_mod,
+  round(ln(l_extendedprice + 1), 6) AS m_ln
+FROM lineitem
+""")
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.abs(p - F.col("l_quantity") * 1000), 2).alias("m_abs"),
+        F.round(F.sqrt(p), 4).alias("m_sqrt"),
+        F.round(F.pow(1 + F.col("l_discount"), 2), 6).alias("m_pow"),
+        F.floor(p).cast("bigint").alias("m_floor"),
+        F.ceil(p).cast("bigint").alias("m_ceil"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("m_mod"),
+        F.round(F.log(p + 1), 6).alias("m_ln"),
+    )
+
+
+# ------------------------------------------------------------ events / JSON
+
+@_q("q_json_events", """
+SELECT CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+    AS k_bucket,
+  count(*) AS n_events,
+  round(sum(value), 2) AS total_value,
+  round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+""")
+def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J3 over the events.props JSON column (schema-on-read string)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return (
+        ev.groupBy((k % 10).cast("bigint").alias("k_bucket"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@_q("q_tumbling_window", """
+SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S') AS hour_start,
+  event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2
+""")
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent tumbling window (SURVEY.md §2.9): date_trunc bucket.
+    The streaming twin is streamx.tumbling_counts (same grouping)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@_q("q_sliding_window", """
+WITH cand AS (
+  SELECT e.*, unnest([
+      time_bucket(INTERVAL 5 minutes, CAST(ts AS TIMESTAMP)),
+      time_bucket(INTERVAL 5 minutes, CAST(ts AS TIMESTAMP)) - INTERVAL 5 minutes
+    ]) AS w_start
+  FROM events e
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+  count(*) AS n, round(sum(value), 2) AS total
+FROM cand
+WHERE CAST(ts AS TIMESTAMP) >= w_start
+  AND CAST(ts AS TIMESTAMP) < w_start + INTERVAL 10 minutes
+GROUP BY w_start
+""")
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min width, 5 min slide) via F.window — each event
+    lands in exactly 2 windows; the oracle unnests the same 2 candidates."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "n", "total",
+        )
+    )
+
+
+@_q("q_sessionize", """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+), sessions AS (
+  SELECT user_id,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged
+)
+SELECT user_id, CAST(count(DISTINCT sess_id) AS BIGINT) AS n_sessions,
+  count(*) AS n_events
+FROM sessions GROUP BY user_id
+""")
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min gap): lag + cumulative sum.
+    One shuffle on user_id; the same shape session_window gives in
+    streaming (streamx). Skewed users are AQE's problem, not ours."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = flagged.withColumn("sess_id", F.sum("new_sess").over(wrun))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("sess_id").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

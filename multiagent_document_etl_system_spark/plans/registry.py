@@ -1,0 +1,505 @@
+"""The engine's complete named-query surface (driver contract).
+
+One entry per implemented operator from SURVEY.md §2 (+ north-star
+extensions). Each name maps to (spark_fn, oracle_sql | None); oracle None ⇒
+the driver records a weaker rows-only check (reserved for genuinely
+non-SQL-expressible ops: MinHash/SimHash signatures use xxhash64 which
+DuckDB lacks; approx_count_distinct HLLs differ by construction).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.functions import jsonx
+from multiagent_document_etl_system_spark.functions.hashing import (
+    schema_id,
+    schema_id_sql,
+)
+from multiagent_document_etl_system_spark.functions.text import (
+    clean_text,
+    clean_text_sql,
+    normalize_label,
+    normalize_label_sql,
+    safe_filename,
+    safe_filename_sql,
+    truncate_head,
+    truncate_head_sql,
+)
+from multiagent_document_etl_system_spark.io import load_table
+from multiagent_document_etl_system_spark.operators import dedup, similarity, textstats
+from multiagent_document_etl_system_spark.operators.classify import (
+    classify_case_sql,
+    classify_expr,
+)
+from multiagent_document_etl_system_spark.operators.extract import (
+    extract_fields,
+    extract_sql_columns,
+)
+from multiagent_document_etl_system_spark.operators.validate import (
+    validate,
+    validate_sql_columns,
+)
+from multiagent_document_etl_system_spark.plans.analytics import RELATIONAL_QUERIES
+from multiagent_document_etl_system_spark.plans.pipeline import (
+    pipeline_oracle_sql,
+    run_pipeline,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ================================================== scalar kernels (P, J, V7)
+
+@_q("k_text_kernels", f"""
+SELECT doc_id,
+  {clean_text_sql('text')} AS cleaned,
+  {truncate_head_sql('text', 500)} AS head500,
+  {normalize_label_sql('text')} AS label_norm,
+  {safe_filename_sql("concat(source, '/../', doc_id, '.pdf')")} AS fname,
+  md5(text) AS content_md5
+FROM documents
+""")
+def k_text_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1–P4 + content hash in one projection (SURVEY.md §2.3)."""
+    d = _docs(spark, sf_dir)
+    raw_name = F.concat("source", F.lit("/../"), F.col("doc_id"), F.lit(".pdf"))
+    return d.select(
+        "doc_id",
+        clean_text(F.col("text")).alias("cleaned"),
+        truncate_head(F.col("text"), 500).alias("head500"),
+        normalize_label(F.col("text")).alias("label_norm"),
+        safe_filename(raw_name).alias("fname"),
+        F.md5("text").alias("content_md5"),
+    )
+
+
+@_q("k_json_kernels", f"""
+SELECT event_id,
+  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_direct,
+  TRY_CAST({jsonx.lenient_get_sql(
+      "concat('```json' || chr(10), props, chr(10) || '```')", '$.k')}
+    AS BIGINT) AS k_lenient,
+  json_extract_string(props, '$') IS NOT NULL AS props_is_json
+FROM events
+""")
+def k_json_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1–J5: direct access, fence-stripped lenient parse, validity gate."""
+    ev = load_table(spark, sf_dir, "events")
+    fenced = F.concat(F.lit("```json\n"), F.col("props"), F.lit("\n```"))
+    return ev.select(
+        "event_id",
+        jsonx.get_field(F.col("props"), "$.k").try_cast("bigint")
+        .alias("k_direct"),
+        jsonx.lenient_get(fenced, "$.k").try_cast("bigint").alias("k_lenient"),
+        jsonx.is_valid_json(F.col("props")).alias("props_is_json"),
+    )
+
+
+# =========================================================== L1/L2/L3 twins
+
+@_q("l1_classify",
+    f"SELECT doc_id, {classify_case_sql('text')} AS doc_type FROM documents")
+def l1_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", classify_expr(F.col("text")).alias("doc_type"))
+
+
+_ex = extract_sql_columns("text")
+
+
+@_q("l2_extract", f"""
+SELECT doc_id,
+  {_ex['email']} AS email,
+  {_ex['date_str']} AS date_str,
+  {_ex['amount']} AS amount,
+  {_ex['first_token']} AS first_token,
+  {_ex['n_tokens']} AS n_tokens
+FROM documents
+""")
+def l2_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_fields(_docs(spark, sf_dir)).select(
+        "doc_id", "email", "date_str", "amount", "first_token", "n_tokens")
+
+
+_val = validate_sql_columns()
+
+
+@_q("l3_validate", f"""
+WITH extracted AS (
+  SELECT doc_id,
+    {_ex['email']} AS email,
+    {_ex['date_str']} AS date_str,
+    {_ex['amount_str']} AS amount_str
+  FROM documents
+)
+SELECT doc_id, {_val['is_valid']} AS is_valid, {_val['feedback']} AS feedback
+FROM extracted
+""")
+def l3_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = extract_fields(_docs(spark, sf_dir))
+    return validate(d).select("doc_id", "is_valid", "feedback")
+
+
+_FALLBACK_SCHEMA_LIT = "'" + '{"fields":{}}' + "'"
+
+
+@_q("v7_schema_id", f"""
+SELECT doc_id,
+  {schema_id_sql(classify_case_sql('text'), _FALLBACK_SCHEMA_LIT)} AS schema_id
+FROM documents
+""")
+def v7_schema_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 — stable content-hash schema ids (deliberate divergence from the
+    reference's process-salted hash(), /root/reference/src/app.py:142)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        schema_id(classify_expr(F.col("text")),
+                  F.lit('{"fields":{}}')).alias("schema_id"),
+    )
+
+
+# ============================================================= the pipeline
+
+@_q("pipeline_flagship", pipeline_oracle_sql())
+def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end document ETL as one plan (SURVEY.md §3.1, §7.2)."""
+    return run_pipeline(spark, _docs(spark, sf_dir))
+
+
+@_q("pipeline_stats", f"""
+WITH resp AS ({pipeline_oracle_sql().strip()})
+SELECT coalesce(doc_type, '(errored)') AS doc_type, schema_source,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+  CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM resp GROUP BY 1, 2
+""")
+def pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level /stats analogue (SURVEY.md §2.8): aggregates over the
+    pipeline response — exercises agg-over-pipeline plan fusion."""
+    resp = run_pipeline(spark, _docs(spark, sf_dir))
+    return (
+        resp.groupBy(
+            F.coalesce("doc_type", F.lit("(errored)")).alias("doc_type"),
+            "schema_source",
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("success"), 1).otherwise(0))
+            .cast("bigint").alias("n_ok"),
+            F.sum(F.when(F.col("is_valid"), 1).otherwise(0))
+            .cast("bigint").alias("n_valid"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+# ============================================================ similarity (V)
+
+_COS = similarity.cosine_sql("q.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")
+
+
+@_q("v2_cosine_topk", f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+           WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id AS c_id, round({_COS}, 4) AS score
+  FROM q, embeddings e WHERE e.vec_id != q.q_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, score, rank FROM ranked WHERE rank <= 5
+""")
+def v2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 — brute-force cosine top-5; query side broadcast."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = similarity.topk_join(q, c, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@_q("v3_filtered_topk", f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+           WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id AS c_id, e.label, round({_COS}, 4) AS score
+  FROM q, embeddings e WHERE e.vec_id != q.q_id AND e.label = 3
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, CAST(label AS INT) AS label, score, rank
+FROM ranked WHERE rank <= 5
+""")
+def v3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 — metadata filter *before* similarity (Catalyst pushes the label
+    predicate below the join: filtered rows are never scored)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.filter(F.col("label") == 3).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"),
+        "label")
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    scored = j.select(
+        "q_id", "c_id", F.col("label").cast("int").alias("label"),
+        F.round(similarity.cosine(F.col("q_vec"), F.col("c_vec")), 4)
+        .alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", "label", "score", "rank")
+    )
+
+
+@_q("v4_top1_argmax", f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+           WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id AS c_id, round({_COS}, 4) AS score
+  FROM q, embeddings e WHERE e.vec_id != q.q_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rn
+  FROM scored
+)
+SELECT q_id, c_id AS best_match, score FROM ranked WHERE rn = 1
+""")
+def v4_top1_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 — matches[0] (/root/reference/src/agents.py:123-125)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return similarity.top1(q, c).select(
+        "q_id", F.col("c_id").alias("best_match"), "score")
+
+
+@_q("v5_fallback_cascade", None)
+def v5_fallback_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 — the 3-strategy retrieval cascade over embeddings: strategy 1 =
+    same-label top-1; strategy 2 = global top-1 (label-less); strategy 3 =
+    constant fallback. Rows-only (the cascade itself is join structure; its
+    pieces are oracle-checked by v2/v3/v4). Provenance in ``strategy``."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"),
+                 F.col("label").alias("c_label"))
+    # strategy 1: filtered by matching label (V3 semantics), rare label → may miss
+    j1 = c.filter(F.col("c_label") == 9).crossJoin(F.broadcast(q)) \
+        .filter(F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    s1 = (
+        j1.select("q_id", "c_id",
+                  F.round(similarity.cosine("q_vec", "c_vec"), 4).alias("score"))
+        .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select("q_id", F.col("c_id").alias("s1_id"))
+    )
+    # strategy 2: unfiltered global top-1 with a score floor (semantic query)
+    j2 = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    s2 = (
+        j2.select("q_id", "c_id",
+                  F.round(similarity.cosine("q_vec", "c_vec"), 4).alias("score"))
+        .filter(F.col("score") >= 0.35)
+        .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select("q_id", F.col("c_id").alias("s2_id"))
+    )
+    return (
+        q.join(s1, "q_id", "left").join(s2, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(
+                F.col("s1_id").cast("string"),
+                F.col("s2_id").cast("string"),
+                F.lit("fallback-schema"),
+            ).alias("match"),
+            F.when(F.col("s1_id").isNotNull(), "by_label")
+            .when(F.col("s2_id").isNotNull(), "semantic")
+            .otherwise("fallback").alias("strategy"),
+        )
+    )
+
+
+@_q("v6_ann_lsh_topk", None)
+def v6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: random-hyperplane LSH bucketing + exact re-rank (the 100 TB
+    big×big path). Approximate by construction ⇒ rows-only check."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return similarity.ann_lsh_topk(q, c, dim=64, k=5, n_planes=6)
+
+
+# ================================================================== dedup
+
+@_q("dedup_exact_stats", """
+SELECT count(*) AS n_docs,
+  count(DISTINCT md5(text)) AS n_distinct,
+  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+FROM documents
+""")
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dup_rows"),
+    )
+
+
+_SHINGLE_SQL = """
+list_distinct([array_to_string(__toks[i:i+2], ' ')
+               for i in generate_series(1, greatest(len(__toks)-2, 1))])
+""".strip()
+
+
+@_q("dedup_neighbor_jaccard", f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLE_SQL} AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS __toks
+        FROM documents)
+), a AS (SELECT id AS id_a, sh AS sh_a FROM sh),
+b AS (SELECT id - 1 AS id_a, id AS id_b, sh AS sh_b FROM sh)
+SELECT a.id_a, b.id_b,
+  round(CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 1.0
+    ELSE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+       / len(list_distinct(list_concat(sh_a, sh_b))) END, 4) AS jaccard
+FROM a JOIN b USING (id_a)
+""")
+def dedup_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard on consecutive-id pairs — the
+    oracle-checkable exact rung of near-dup detection."""
+    return dedup.neighbor_jaccard(_docs(spark, sf_dir))
+
+
+@_q("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs (xxhash64 family → rows-only check)."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+@_q("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 on 16-bit sign-sum signature)."""
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@_q("dedup_embedding_cosine", f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round({similarity.cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 4)
+    AS score
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({similarity.cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 4)
+      >= 0.3
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: same-label blocked pairs with cosine ≥ τ
+    (τ=0.3 on this synthetic corpus — random vectors top out ≈0.5;
+    production would use ≥0.95). Blocking key = label ⇒ equi-join, not
+    cross join."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("va"), F.col("label"))
+    b = e.select(F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("vb"), F.col("label"))
+    return (
+        a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(similarity.cosine("va", "vb"), 4).alias("score"))
+        .filter(F.col("score") >= 0.3)
+    )
+
+
+# =========================================================== text analysis
+
+@_q("ta_token_stats", f"""
+SELECT doc_id,
+  {textstats.token_count_sql('text')} AS n_tokens,
+  {textstats.subword_estimate_sql('text')} AS n_subwords,
+  CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+""")
+def ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        textstats.subword_estimate(F.col("text")).alias("n_subwords"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+@_q("ta_term_frequency", textstats.term_frequencies_sql())
+def ta_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.term_frequencies(_docs(spark, sf_dir))
+
+
+@_q("ta_lang_id",
+    f"SELECT doc_id, {textstats.lang_id_sql('text')} AS lang_pred FROM documents")
+def ta_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+@_q("ta_quality_score",
+    f"SELECT doc_id, {textstats.quality_score_sql('text')} AS quality FROM documents")
+def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.quality_score_expr(F.col("text")).alias("quality"))
+
+
+@_q("ta_fingerprint", f"""
+SELECT doc_id, {textstats.fingerprint_sql('text')} AS fingerprint FROM documents
+""")
+def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+@_q("q_approx_distinct", None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — approximate by construction, engine
+    HLLs differ ⇒ rows-only. Exact twin checked in q_distinct_agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# relational surface (analytics.py)
+QUERIES.update(RELATIONAL_QUERIES)

@@ -1,0 +1,114 @@
+"""Multimodal columns (north-star extension; SURVEY.md §2.10).
+
+Image/audio/video payloads as opaque ``binary`` columns with typed metadata
+structs, processed by Arrow-batched Pandas UDFs over ``mapInPandas``. The
+decode step is STUBBED (deterministic fake) — the media libraries are not in
+this container — but every Spark-side piece is real and tested:
+schema, partitioning, UDF signature, batch shapes (tests/test_sources.py).
+
+Layout convention at 100 TB: media bytes in parquet binary columns (or
+pointer columns to object storage for >100 MB payloads), partitioned by
+(media_type, ingest_date); metadata always scan-prunable without touching
+bytes — Catalyst column pruning means a metadata-only query never reads the
+binary column's pages.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),   # image | audio | video
+    T.StructField("content", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ])),
+])
+
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, "
+    "feature array<float>, decode_error string"
+)
+
+
+def _fake_decode_features(b: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for decode → feature-extract. Real
+    deployments swap in PIL/librosa/ffmpeg here; the Spark plumbing
+    (batching, schema, error channel) is identical."""
+    if not b:
+        raise ValueError("empty payload")
+    # simple rolling byte statistic per bucket — stable across runs
+    acc = [0] * dim
+    for i, byte in enumerate(b):
+        acc[i % dim] = (acc[i % dim] * 31 + byte) % 997
+    return [v / 997.0 for v in acc]
+
+
+def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas decode/feature-extract with per-row error capture.
+
+    Batch shape: iterator of pandas DataFrames (Arrow batches) in, same out —
+    constant memory per batch regardless of corpus size.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, errs = [], []
+            for b in pdf["content"]:
+                try:
+                    feats.append(_fake_decode_features(
+                        bytes(b) if b is not None else b"", dim))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — row-level errors
+                    feats.append(None)
+                    errs.append(str(exc))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["content"].map(
+                    lambda b: len(b) if b is not None else 0),
+                "feature": feats,
+                "decode_error": errs,
+            })
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize — STUB: the real implementation wraps PIL in the same
+    mapInPandas pattern as decode_features."""
+    raise NotImplementedError(
+        "image resize requires PIL; decode_features shows the identical "
+        "mapInPandas plumbing with a deterministic fake"
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
+    """Video frame sampling — STUB (ffmpeg not in container); same pattern."""
+    raise NotImplementedError(
+        "frame sampling requires ffmpeg; decode_features shows the "
+        "identical mapInPandas plumbing"
+    )
+
+
+def make_demo_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic in-code media fixture (binary payloads + typed meta)."""
+    rows = []
+    for i in range(n):
+        payload = bytes((i * 7 + j) % 256 for j in range(128 + i))
+        mt = ("image", "audio", "video")[i % 3]
+        rows.append((
+            i, mt, payload,
+            (64 + i, 48 + i, 1000 * i, "fake") if mt != "image"
+            else (64 + i, 48 + i, None, "png"),
+        ))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

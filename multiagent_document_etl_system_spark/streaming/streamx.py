@@ -1,0 +1,121 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference is strictly request/response batch-of-one
+(/root/reference/src/app.py:46-116) — no stream abstraction exists. The
+Spark-native upgrade:
+
+- **ingest**: a landing-directory stream (parquet/binaryFile source) feeding
+  the same pipeline transformations (plans/pipeline.py works unchanged on a
+  streaming DataFrame — it is a narrow plan).
+- **event analytics**: watermarked tumbling/sliding/session windows over the
+  ``events`` table shape.
+- **sinks**: ``foreachBatch`` for JDBC/MERGE (exactly-once via checkpoint +
+  idempotent writes).
+
+Batch-equivalent twins of the window aggregations are oracle-checked in
+plans/analytics.py (q_tumbling_window / q_sliding_window / q_sessionize);
+streaming runs themselves are smoke-checked (tests/test_streaming.py) per
+SURVEY.md §7.3 step 8.
+
+Scale: stateful aggregation state is keyed by (window, event_type) /
+(user, session) — bounded by the watermark horizon; at 100 TB/day the state
+store backend (RocksDB) and watermark delay are the knobs, not the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a directory of event parquet files."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling window — streaming twin of q_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes",
+                   slide: str = "5 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked sliding window — streaming twin of q_sliding_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """session_window — the native-streaming analogue of q_sessionize's
+    gaps-and-islands (merging sessions with < gap between events)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events", "total",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame,
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once-per-id within the watermark horizon — the streaming
+    flavor of exact dedup (state bounded by the watermark)."""
+    return events.withWatermark("ts", watermark) \
+        .dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(agg: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming aggregation to completion over the (finite) file
+    source and land results in an in-memory table — the smoke-test harness.
+    Returns the StreamingQuery (stopped)."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def write_foreach_batch(df: DataFrame, checkpoint: str, batch_fn):
+    """foreachBatch sink wiring (K1's streaming form): exactly-once =
+    checkpointed offsets + idempotent batch_fn (e.g. MERGE keyed on id)."""
+    return (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

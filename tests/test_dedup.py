@@ -1,0 +1,70 @@
+"""Dedup operator tests: exact, MinHash LSH, SimHash, neighbor Jaccard —
+with planted duplicates so near-dup detection is exercised for real."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.operators import dedup
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Corpus + planted exact dup (id 9001 = copy of 0) + near dup
+    (id 9002 = doc 0 with one word changed)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") == 0).first()["text"]
+    words = base.split(" ")
+    near = " ".join(words[:-1] + ["zzz"])
+    extra = spark.createDataFrame(
+        [(9001, base), (9002, near)], "doc_id long, text string")
+    return docs.unionByName(extra)
+
+
+def test_exact_dedup_removes_planted_copy(docs_with_dups):
+    n = docs_with_dups.count()
+    kept = dedup.exact_dedup(docs_with_dups)
+    assert kept.count() == n - 1
+    # lowest id survives
+    assert kept.filter(F.col("doc_id") == 9001).count() == 0
+    assert kept.filter(F.col("doc_id") == 0).count() == 1
+
+
+def test_exact_dup_groups(docs_with_dups):
+    g = dedup.exact_dup_groups(docs_with_dups).collect()
+    assert len(g) == 1
+    assert g[0]["n_copies"] == 2
+    assert g[0]["keep_id"] == 0
+
+
+def test_minhash_lsh_finds_planted_pair(docs_with_dups):
+    pairs = dedup.minhash_lsh_pairs(docs_with_dups, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 9001) in found       # exact dup → jaccard 1.0
+    assert (0, 9002) in found       # near dup → high jaccard
+    exact = next(r for r in pairs if (r["id_a"], r["id_b"]) == (0, 9001))
+    assert exact["jaccard"] == 1.0
+
+
+def test_simhash_near_pairs(docs_with_dups):
+    pairs = dedup.simhash_near_pairs(docs_with_dups, max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 9001) in found
+    ham = next(r for r in pairs if (r["id_a"], r["id_b"]) == (0, 9001))
+    assert ham["hamming"] == 0      # identical text → identical signature
+
+
+def test_neighbor_jaccard_bounds(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.neighbor_jaccard(docs).collect()
+    assert len(out) == docs.count() - 1
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in out)
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    sh = df.select(dedup.shingles(F.col("text"), 3).alias("s")).first()["s"]
+    assert sh == ["one two"]

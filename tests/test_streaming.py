@@ -1,0 +1,75 @@
+"""Streaming smoke tests (SURVEY.md §7.3 step 8): batch-equivalence of the
+tumbling window; session/sliding/dedup streams run to completion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.streaming import streamx
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-materialize events as µs-timestamp parquet (the streaming file
+    source can't read TIMESTAMP(NANOS) either)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    from multiagent_document_etl_system_spark.io import load_table
+
+    load_table(spark, SF_DIR, "events").repartition(4).write \
+        .mode("overwrite").parquet(out)
+    return out
+
+
+def test_tumbling_matches_batch(spark, events_dir):
+    stream = streamx.read_event_stream(spark, events_dir,
+                                       max_files_per_trigger=2)
+    agg = streamx.tumbling_counts(stream, width="1 hour")
+    streamx.run_to_memory(agg, "tumbling_out", output_mode="append")
+    got = spark.sql(
+        "SELECT window_start, event_type, n, total FROM tumbling_out")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    # append mode emits only watermark-closed windows — subset relation +
+    # substantial coverage
+    assert g <= b
+    assert len(g) >= len(b) * 0.8
+
+
+def test_session_window_runs(spark, events_dir):
+    stream = streamx.read_event_stream(spark, events_dir)
+    agg = streamx.session_counts(stream, gap="30 minutes")
+    streamx.run_to_memory(agg, "session_out", output_mode="append")
+    rows = spark.sql("SELECT * FROM session_out").collect()
+    assert rows, "session windows should close under the watermark"
+    assert all(r["n_events"] >= 1 for r in rows)
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
+def test_dedup_within_watermark(spark, events_dir):
+    stream = streamx.read_event_stream(spark, events_dir)
+    dd = streamx.dedup_within_watermark(stream)
+    streamx.run_to_memory(dd.select("event_id"), "dedup_out")
+    n = spark.sql("SELECT count(DISTINCT event_id) c FROM dedup_out") \
+        .first()["c"]
+    total = spark.sql("SELECT count(*) c FROM dedup_out").first()["c"]
+    assert n == total, "no duplicate ids may survive"
+
+
+def test_foreach_batch_sink(spark, events_dir, tmp_path):
+    stream = streamx.read_event_stream(spark, events_dir)
+    seen: list[int] = []
+
+    def batch_fn(df, epoch_id):
+        seen.append(df.count())
+
+    q = streamx.write_foreach_batch(
+        stream, str(tmp_path / "ckpt"), batch_fn)
+    q.awaitTermination()
+    assert sum(seen) == spark.read.parquet(events_dir).count()
