@@ -49,6 +49,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the upstream scan yields fewer
+    partitions than the session's parallelism.
+
+    Parquet scans parallelize at row-group granularity; a small input (or a
+    writer that emitted one big row group) serializes every downstream
+    CPU-heavy map stage. At cluster scale inputs have thousands of row
+    groups, the predicate is false, and this is a no-op — so the shuffle
+    cost is only ever paid when it buys real parallelism. Use before
+    expensive narrow transforms (shingling, hashing, regex extraction);
+    never needed before joins/aggs, which shuffle anyway."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_landing_dir(spark: SparkSession, path: str,
                      glob: str | None = None) -> DataFrame:
     """S6 — binary landing-directory scan (``/root/reference/src/app.py:46-116``).

@@ -52,16 +52,9 @@ LABEL_KEYWORDS: dict[str, tuple[str, ...]] = {
 HEAD_CHARS = 500  # /root/reference/src/utils.py:28
 
 
-def classify_expr(text: Column) -> Column:
-    """The whole classifier as one column expression over raw text."""
-    head = truncate_head(clean_text(F.lower(text)), HEAD_CHARS)
-    scores = {
-        lbl: sum(
-            (occurrence_count(head, w) for w in kws[1:]),
-            occurrence_count(head, kws[0]),
-        )
-        for lbl, kws in LABEL_KEYWORDS.items()
-    }
+def _argmax_label(scores: dict[str, Column]) -> Column:
+    """argmax over per-label score columns; ties → priority order; all-zero
+    → 'other' (the reference prompt's fallback label)."""
     best = F.greatest(*scores.values())
     chain = None  # first WHEN in priority order wins ties
     for lbl in LABEL_KEYWORDS:
@@ -72,11 +65,49 @@ def classify_expr(text: Column) -> Column:
     )
 
 
+def classify_expr(text: Column) -> Column:
+    """The whole classifier as ONE column expression over raw text.
+
+    Semantics reference only — the head/score subtrees are duplicated per
+    label, which Catalyst cannot CSE across WHEN branches; use
+    :func:`classify` in plans (staged columns, ~30× less expression work)."""
+    head = truncate_head(clean_text(F.lower(text)), HEAD_CHARS)
+    scores = {
+        lbl: sum(
+            (occurrence_count(head, w) for w in kws[1:]),
+            occurrence_count(head, kws[0]),
+        )
+        for lbl, kws in LABEL_KEYWORDS.items()
+    }
+    return _argmax_label(scores)
+
+
 def classify(df: DataFrame, text_col: str = "text",
              out_col: str = "doc_type") -> DataFrame:
     """Append ``out_col`` — argmax label (ties → priority order), 'other'
-    when every score is 0."""
-    return df.withColumn(out_col, classify_expr(F.col(text_col)))
+    when every score is 0.
+
+    Staged evaluation: the cleaned/truncated head and each label score are
+    materialized as intermediate columns, so the clean_text regex chain runs
+    ONCE per row and every downstream reference is a cheap attribute.
+    Catalyst keeps the stages separate (CollapseProject refuses to inline
+    non-cheap aliases referenced more than once, SPARK-36718); the whole
+    thing is still one narrow codegen'd pass — no shuffle."""
+    head = truncate_head(clean_text(F.lower(F.col(text_col))), HEAD_CHARS)
+    df = df.withColumn("_cls_head", head)
+    labels = list(LABEL_KEYWORDS)
+    score_of = {
+        lbl: F.col(f"_cls_s{i}") for i, lbl in enumerate(labels)
+    }
+    df = df.withColumns({
+        f"_cls_s{i}": sum(
+            (occurrence_count(F.col("_cls_head"), w) for w in kws[1:]),
+            occurrence_count(F.col("_cls_head"), kws[0]),
+        )
+        for i, (lbl, kws) in enumerate(LABEL_KEYWORDS.items())
+    })
+    df = df.withColumn(out_col, _argmax_label(score_of))
+    return df.drop("_cls_head", *[f"_cls_s{i}" for i in range(len(labels))])
 
 
 def classify_case_sql(text_expr: str) -> str:

@@ -92,16 +92,25 @@ def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_bucket: int = 1000) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified by exact
     shingle Jaccard: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
 
     rows(band) = n_hashes/bands; two docs collide if any band matches.
-    The join is an equi-join on (band_idx, band_signature) — linear
-    candidate generation, then exact verification only on candidates.
+
+    Plan shape (one pass, one shuffle): shingle→sign→band-explode, then
+    groupBy(band, band_hash) buckets and generate pairs WITHIN each bucket.
+    A banded self-join would execute the whole signature lineage twice (one
+    per join side) — grouping computes signatures exactly once. Bucket pair
+    generation is O(b²) per bucket; ``max_bucket`` drops degenerate buckets
+    (boilerplate clusters) the way production near-dup pipelines do, and
+    AQE handles residual bucket skew.
     """
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
     rows_per_band = n_hashes // bands
-    base = df.select(
+    base = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), shingle_n).alias("_sh"),
     ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
@@ -123,15 +132,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         ).alias("bk"),
     ).select("_id", "_sh", "bk.band", "bk.bh")
 
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band", "bh"
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("_id", "_sh")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "band", "bh"
+    pair_array = F.filter(
+        F.flatten(F.transform(
+            "ms",
+            lambda x: F.transform(
+                F.col("ms"),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"), y["_id"].alias("id_b"),
+                    x["_sh"].alias("sh_a"), y["_sh"].alias("sh_b"),
+                ),
+            ),
+        )),
+        lambda p: p["id_a"] < p["id_b"],
     )
     cand = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode(pair_array).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -157,7 +178,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     the doc id (uniform). bits ≤ 16 keeps the agg column count sane; the
     signature packs back into one long.
     """
-    tok = df.select(
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
+    tok = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tok"),
     ).withColumn("_h", F.xxhash64("_tok"))
@@ -179,16 +202,37 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 16,
-                       max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidate-joined
-    on the high byte of the signature (prefix blocking)."""
+                       max_hamming: int = 2,
+                       max_bucket: int = 10000) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, blocked on the
+    high half of the signature.
+
+    Same bucket-grouping shape as :func:`minhash_lsh_pairs`: a self-join
+    would run the token-explode + bit aggregation twice; grouping by the
+    block key computes each signature once and pairs within buckets."""
     sigs = simhash(df, text_col, id_col, bits)
     block = F.shiftright(F.col("simhash"), bits // 2)
-    a = sigs.select(F.col(id_col).alias("id_a"),
-                    F.col("simhash").alias("sig_a"), block.alias("_blk"))
-    b = sigs.select(F.col(id_col).alias("id_b"),
-                    F.col("simhash").alias("sig_b"), block.alias("_blk"))
-    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    buckets = (
+        sigs.select(F.col(id_col).alias("_id"), "simhash", block.alias("_blk"))
+        .groupBy("_blk")
+        .agg(F.collect_list(F.struct("_id", "simhash")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    pair_array = F.filter(
+        F.flatten(F.transform(
+            "ms",
+            lambda x: F.transform(
+                F.col("ms"),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"), y["_id"].alias("id_b"),
+                    x["simhash"].alias("sig_a"), y["simhash"].alias("sig_b"),
+                ),
+            ),
+        )),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    pairs = buckets.select(F.explode(pair_array).alias("p")) \
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return pairs.select("id_a", "id_b", ham.alias("hamming")) \
         .filter(F.col("hamming") <= max_hamming)

@@ -36,8 +36,8 @@ from multiagent_document_etl_system_spark.functions.text import (
     clean_text_sql,
 )
 from multiagent_document_etl_system_spark.operators.classify import (
+    classify,
     classify_case_sql,
-    classify_expr,
 )
 from multiagent_document_etl_system_spark.operators.extract import (
     AMOUNT_RE,
@@ -90,7 +90,8 @@ def run_pipeline(spark: SparkSession, documents: DataFrame) -> DataFrame:
     e = F.col("error")
 
     df = df.withColumn("cleaned", _gate(e, clean_text(F.col("text"))))
-    df = df.withColumn("doc_type", _gate(e, classify_expr(F.col("text"))))
+    df = classify(df, "text", "_doc_type")
+    df = df.withColumn("doc_type", _gate(e, F.col("_doc_type"))).drop("_doc_type")
 
     dim = schema_dim(spark)
     df = df.join(F.broadcast(dim), "doc_type", "left")

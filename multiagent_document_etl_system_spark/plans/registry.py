@@ -33,7 +33,6 @@ from multiagent_document_etl_system_spark.io import load_table
 from multiagent_document_etl_system_spark.operators import dedup, similarity, textstats
 from multiagent_document_etl_system_spark.operators.classify import (
     classify_case_sql,
-    classify_expr,
 )
 from multiagent_document_etl_system_spark.operators.extract import (
     extract_fields,
@@ -121,8 +120,8 @@ def k_json_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("l1_classify",
     f"SELECT doc_id, {classify_case_sql('text')} AS doc_type FROM documents")
 def l1_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id", classify_expr(F.col("text")).alias("doc_type"))
+    from multiagent_document_etl_system_spark.operators.classify import classify
+    return classify(_docs(spark, sf_dir)).select("doc_id", "doc_type")
 
 
 _ex = extract_sql_columns("text")
@@ -172,11 +171,11 @@ FROM documents
 def v7_schema_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V7 — stable content-hash schema ids (deliberate divergence from the
     reference's process-salted hash(), /root/reference/src/app.py:142)."""
-    d = _docs(spark, sf_dir)
+    from multiagent_document_etl_system_spark.operators.classify import classify
+    d = classify(_docs(spark, sf_dir))
     return d.select(
         "doc_id",
-        schema_id(classify_expr(F.col("text")),
-                  F.lit('{"fields":{}}')).alias("schema_id"),
+        schema_id(F.col("doc_type"), F.lit('{"fields":{}}')).alias("schema_id"),
     )
 
 
