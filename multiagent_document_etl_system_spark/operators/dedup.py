@@ -73,27 +73,80 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(ngrams)
 
 
+# ---------------------------------------------------------------- hashing
+
+def hash64(c: Column, seed: int | None = None,
+           family: str = "md5") -> Column:
+    """60-bit positive hash of a string column, seedable.
+
+    family='md5' (default): conv(first 15 hex of md5, 16, 10) — bit-exact
+    across Spark and DuckDB (`CAST('0x'||substring(md5(x),1,15) AS BIGINT)`),
+    so every dedup signature built on it is oracle-checkable.
+    family='xxhash64': Spark's native seeded hash — ~5× cheaper per call,
+    the 100 TB fast path; signatures then check rows-only.
+    """
+    if family == "xxhash64":
+        return F.xxhash64(c) if seed is None else F.xxhash64(c, F.lit(seed))
+    keyed = c if seed is None else F.concat(F.lit(f"{seed}:"), c)
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+
+
+def hash64_sql(col: str, seed: int | None = None) -> str:
+    """DuckDB twin of hash64(family='md5')."""
+    keyed = col if seed is None else f"concat('{seed}:', {col})"
+    return f"CAST(concat('0x', substring(md5({keyed}), 1, 15)) AS BIGINT)"
+
+
 # ---------------------------------------------------------------- minhash
 
-def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
-    """array<long> of per-seed minima of xxhash64(shingle, seed).
+# Universal-hash permutation family h_i(x) = (a_i·x + b_i) mod p over a
+# single base hash per shingle (classic MinHash, Broder '97): one md5 per
+# shingle instead of n_hashes — the string hash is the expensive part.
+# p = 2^31-1 (Mersenne); a·x + b stays < 2^62, no overflow in either engine.
+MINHASH_P = (1 << 31) - 1
+_rng = __import__("random").Random(1257787)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P))
+    for _ in range(64)
+]
+del _rng
 
-    Classic MinHash (Broder '97) with hash-family = xxhash64 seeded by
-    literal; all JVM built-ins.
-    """
+
+def shingle_base_hashes(shingle_col: Column, family: str = "md5") -> Column:
+    """array<long> — one base hash per shingle, reduced mod p."""
+    return F.transform(shingle_col, lambda s: hash64(s, None, family) % MINHASH_P)
+
+
+def minhash_signature(base_col: Column, n_hashes: int = 16) -> Column:
+    """array<long> MinHash signature over precomputed base hashes.
+
+    Materialize ``base_col`` as a real column before calling (it is
+    referenced once per hash function; an inline expression would recompute
+    the string hashes n_hashes times)."""
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
     return F.array(*[
-        F.array_min(
-            F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-        )
-        for i in range(n_hashes)
+        F.array_min(F.transform(base_col, perm(a, b)))
+        for a, b in MINHASH_COEFFS[:n_hashes]
     ])
+
+
+def minhash_signature_sql(base_expr: str, n_hashes: int = 16) -> str:
+    """DuckDB twin of :func:`minhash_signature` (same coefficients)."""
+    entries = ", ".join(
+        f"list_min(list_transform({base_expr}, h -> (CAST({a} AS BIGINT) * h + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_COEFFS[:n_hashes]
+    )
+    return f"[{entries}]"
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
                       threshold: float = 0.5,
-                      max_bucket: int = 1000) -> DataFrame:
+                      max_bucket: int = 1000,
+                      family: str = "md5") -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified by exact
     shingle Jaccard: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
 
@@ -110,10 +163,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     from multiagent_document_etl_system_spark.io import ensure_parallelism
 
     rows_per_band = n_hashes // bands
-    base = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), shingle_n).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
+    base = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            shingles(F.col(text_col), shingle_n).alias("_sh"),
+        )
+        # _base materialized as its own column: one string hash per shingle,
+        # reused by all n_hashes permutations
+        .withColumn("_base", shingle_base_hashes(F.col("_sh"), family))
+        .withColumn("_sig", minhash_signature(F.col("_base"), n_hashes))
+        .drop("_base")
+    )
 
     banded = base.select(
         "_id", "_sh",
@@ -171,7 +232,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------- simhash
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 16) -> DataFrame:
+            bits: int = 16, family: str = "md5") -> DataFrame:
     """(id, simhash) — per-bit sign-sum of token hashes (Charikar '02).
 
     explode → per-bit ±1 contributions → groupBy(id) sum — one shuffle on
@@ -183,7 +244,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     tok = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tok"),
-    ).withColumn("_h", F.xxhash64("_tok"))
+    ).withColumn("_h", hash64(F.col("_tok"), family=family))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1)
@@ -203,14 +264,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 16,
                        max_hamming: int = 2,
-                       max_bucket: int = 10000) -> DataFrame:
+                       max_bucket: int = 10000,
+                       family: str = "md5") -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, blocked on the
     high half of the signature.
 
     Same bucket-grouping shape as :func:`minhash_lsh_pairs`: a self-join
     would run the token-explode + bit aggregation twice; grouping by the
     block key computes each signature once and pairs within buckets."""
-    sigs = simhash(df, text_col, id_col, bits)
+    sigs = simhash(df, text_col, id_col, bits, family)
     block = F.shiftright(F.col("simhash"), bits // 2)
     buckets = (
         sigs.select(F.col(id_col).alias("_id"), "simhash", block.alias("_blk"))

@@ -303,12 +303,45 @@ def v4_top1_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", F.col("c_id").alias("best_match"), "score")
 
 
-@_q("v5_fallback_cascade", None)
+_COS_QC = similarity.cosine_sql("q.embedding::DOUBLE[]", "c.c_emb::DOUBLE[]")
+
+
+@_q("v5_fallback_cascade", f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+           WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, label AS c_label
+      FROM embeddings),
+s1 AS (
+  SELECT q_id, c_id AS s1_id FROM (
+    SELECT q.q_id, c.c_id,
+      row_number() OVER (PARTITION BY q.q_id
+        ORDER BY round({_COS_QC}, 4) DESC, c.c_id ASC) AS rn
+    FROM q JOIN c ON c.c_label = 9 AND q.q_id != c.c_id
+  ) WHERE rn = 1
+), s2 AS (
+  SELECT q_id, c_id AS s2_id FROM (
+    SELECT q_id, c_id,
+      row_number() OVER (PARTITION BY q_id
+        ORDER BY score DESC, c_id ASC) AS rn
+    FROM (
+      SELECT q.q_id, c.c_id, round({_COS_QC}, 4) AS score
+      FROM q JOIN c ON q.q_id != c.c_id
+    ) WHERE score >= 0.35
+  ) WHERE rn = 1
+)
+SELECT q.q_id,
+  coalesce(CAST(s1_id AS VARCHAR), CAST(s2_id AS VARCHAR),
+           'fallback-schema') AS match,
+  CASE WHEN s1_id IS NOT NULL THEN 'by_label'
+       WHEN s2_id IS NOT NULL THEN 'semantic'
+       ELSE 'fallback' END AS strategy
+FROM q LEFT JOIN s1 USING (q_id) LEFT JOIN s2 USING (q_id)
+""")
 def v5_fallback_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V5 — the 3-strategy retrieval cascade over embeddings: strategy 1 =
-    same-label top-1; strategy 2 = global top-1 (label-less); strategy 3 =
-    constant fallback. Rows-only (the cascade itself is join structure; its
-    pieces are oracle-checked by v2/v3/v4). Provenance in ``strategy``."""
+    same-label top-1; strategy 2 = global top-1 with a score floor; strategy
+    3 = constant fallback (/root/reference/src/agents.py:104-156).
+    Provenance in ``strategy``."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
@@ -404,15 +437,77 @@ def dedup_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neighbor_jaccard(_docs(spark, sf_dir))
 
 
-@_q("dedup_minhash_lsh", None)
+_H64_MOD = (
+    "CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % "
+    f"{dedup.MINHASH_P}"
+)
+
+
+@_q("dedup_minhash_lsh", f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS __toks
+  FROM documents
+), sh AS (
+  SELECT id, {_SHINGLE_SQL} AS sh FROM toks
+), based AS (
+  SELECT id, sh, list_transform(sh, s -> {_H64_MOD}) AS base FROM sh
+), sig AS (
+  SELECT id, sh, {dedup.minhash_signature_sql('base', 16)} AS sig
+  FROM based
+), banded AS (
+  SELECT id, sh, b AS band, array_to_string(sig[b*4+1 : b*4+4], ',') AS bh
+  FROM sig, generate_series(0, 3) g(b)
+  QUALIFY count(*) OVER (PARTITION BY band, bh) BETWEEN 2 AND 1000
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+    round(CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 1.0
+      ELSE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         / len(list_distinct(list_concat(sh_a, sh_b))) END, 4) AS jaccard
+  FROM cand
+) WHERE jaccard >= 0.3
+""")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup pairs (xxhash64 family → rows-only check)."""
+    """MinHash LSH near-dup pairs — md5-derived hash family makes the full
+    signature → band → bucket → verify chain bit-reproducible in the DuckDB
+    oracle. Production can pass family='xxhash64' for cheaper hashing."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
-@_q("dedup_simhash", None)
+@_q("dedup_simhash", f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+  FROM documents
+), h AS (
+  SELECT id, CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM tok
+), bits AS (
+  SELECT id, b,
+    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, generate_series(0, 15) g(b)
+  GROUP BY id, b
+), sig AS (
+  SELECT id,
+    CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+         AS BIGINT) AS simhash
+  FROM bits GROUP BY id
+), blocked AS (
+  SELECT id, simhash, simhash >> 8 AS blk FROM sig
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+) WHERE hamming <= 3
+""")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3 on 16-bit sign-sum signature)."""
+    """SimHash near-dup pairs (hamming ≤ 3 on 16-bit sign-sum signature);
+    md5 hash family → fully oracle-checked."""
     return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
