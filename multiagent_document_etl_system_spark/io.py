@@ -89,6 +89,42 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def upsert_parquet(spark: SparkSession, df: DataFrame, path: str,
+                   key_cols: list[str]) -> None:
+    """K3 — MERGE-style upsert keyed on ``key_cols``
+    (/root/reference/src/pinecone_utils.py:55-92: re-upserting an id
+    overwrites the stored record).
+
+    Plain parquet has no transactions, so MERGE is emulated: keep existing
+    rows whose key does NOT appear in the incoming batch (left-anti join),
+    union the batch, write to a side directory, swap via Hadoop FS rename —
+    the read and the overwrite never touch the same files. Incoming batch
+    wins on key collision. On Delta/Iceberg this function is replaced by a
+    real ``MERGE INTO`` (transactional, no rewrite of untouched files);
+    the emulation is correct but rewrites the table, so it is intended for
+    dimension-scale tables like the schema registry, not the 100 TB fact
+    tables.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(hconf)
+
+    if fs.exists(HPath(path)):
+        existing = spark.read.parquet(path)
+        keep = existing.join(
+            df.select(*key_cols).distinct(), key_cols, "left_anti")
+        out = keep.unionByName(df)
+    else:
+        out = df
+
+    tmp = path.rstrip("/") + "__upsert_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    fs.delete(HPath(path), True)
+    if not fs.rename(HPath(tmp), HPath(path)):
+        raise IOError(f"rename {tmp} -> {path} failed")
+
+
 def write_jdbc(df: DataFrame, url: str, table: str,
                mode: str = "append", **options: str) -> None:
     """K1 — Postgres insert sink (``/root/reference/src/supabase_client.py:45-76``)

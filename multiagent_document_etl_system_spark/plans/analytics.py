@@ -433,6 +433,82 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- subqueries
+
+@_q("q_scalar_subquery", """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+ORDER BY price DESC, o_orderkey ASC
+LIMIT 20
+""")
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (orders above 1.5× the global mean). Spark plan: the
+    1-row aggregate broadcasts into a cross join — the subquery costs one
+    extra pass over `orders` regardless of scale, never a shuffle of it."""
+    o = _t(spark, sf_dir, "orders")
+    threshold = o.agg((1.5 * F.avg("o_totalprice")).alias("_t"))
+    return (
+        o.crossJoin(F.broadcast(threshold))
+        .filter(F.col("o_totalprice") > F.col("_t"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@_q("q_correlated_subquery", """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+""")
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape: small-quantity orders
+    for one brand), written decorrelated: per-part avg as a groupBy, joined
+    back on partkey. One shuffle for the per-part agg + one equi-join —
+    the shape Catalyst's subquery decorrelation produces, stated explicitly
+    so the plan is predictable at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")) \
+        .agg((0.2 * F.avg("l_quantity")).alias("_qty_cap"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_q("q_exists_subquery", """
+SELECT c.c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c.c_mktsegment
+""")
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS with correlation — planned as a semi join chained
+    with an anti join on the same key (one shuffle each; AQE picks
+    broadcast when the filtered orders side is small)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    open_o = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    full_o = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        c.join(open_o, c.c_custkey == open_o.o_custkey, "left_semi")
+        .join(full_o, c.c_custkey == full_o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
 # --------------------------------------------------- scalar function sweeps
 
 @_q("q_date_functions", """

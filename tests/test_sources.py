@@ -6,7 +6,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from multiagent_document_etl_system_spark.io import read_landing_dir
+from multiagent_document_etl_system_spark.io import (
+    read_landing_dir,
+    upsert_parquet,
+)
 from multiagent_document_etl_system_spark.sources import multimodal, parsers
 
 
@@ -85,3 +88,31 @@ def test_multimodal_metadata_prunes_without_bytes(spark, tmp_path):
     assert read_schema, plan
     assert "content" not in read_schema[0]
     assert "media_id" in read_schema[0]
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    """K3 MERGE emulation: incoming batch wins on key collision, new keys
+    insert, untouched rows survive, and the operation is idempotent."""
+    path = str(tmp_path / "schemas.parquet")
+    spark.createDataFrame(
+        [("invoice", "v1"), ("receipt", "v1")], "doc_type string, body string"
+    ).write.parquet(path)
+
+    batch = spark.createDataFrame(
+        [("invoice", "v2"), ("contract", "v1")], "doc_type string, body string"
+    )
+    upsert_parquet(spark, batch, path, ["doc_type"])
+    rows = {r["doc_type"]: r["body"] for r in spark.read.parquet(path).collect()}
+    assert rows == {"invoice": "v2", "receipt": "v1", "contract": "v1"}
+
+    # idempotent re-apply
+    upsert_parquet(spark, batch, path, ["doc_type"])
+    again = {r["doc_type"]: r["body"] for r in spark.read.parquet(path).collect()}
+    assert again == rows
+
+
+def test_upsert_parquet_creates_table(spark, tmp_path):
+    path = str(tmp_path / "fresh.parquet")
+    batch = spark.createDataFrame([(1, "a")], "id long, v string")
+    upsert_parquet(spark, batch, path, ["id"])
+    assert spark.read.parquet(path).count() == 1
