@@ -1,0 +1,115 @@
+"""Physical-plan shape assertions — the SCALE.md claims as regression tests.
+
+These don't execute queries; they inspect `explain("formatted")` output.
+If a future edit sneaks a Python UDF into a hot path, drops a broadcast
+hint, or breaks filter pushdown, these fail before any benchmark does.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.io import load_table
+from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def physical_plan(df) -> str:
+    """Simple-mode physical plan: shows `Exchange hashpartitioning(...)`
+    arguments and `*(N)` whole-stage-codegen markers, which formatted mode
+    hides in the pre-execution AQE wrapper."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_python_eval_in_any_registry_query(spark):
+    """Every registry query stays JVM-side: no row-at-a-time or Arrow
+    Python evaluation nodes anywhere (multimodal decode, the one sanctioned
+    mapInPandas, is not a registry query)."""
+    offenders = {}
+    for name, (fn, _) in QUERIES.items():
+        p = plan_of(fn(spark, SF_DIR))
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "FlatMapGroupsInPandas"):
+            if bad in p:
+                offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_pipeline_shuffles_nothing(spark):
+    """The document pipeline is one narrow pass + one broadcast join —
+    a hash-partitioning exchange appearing here means a regression."""
+    p = physical_plan(QUERIES["pipeline_flagship"][0](spark, SF_DIR))
+    assert "BroadcastExchange" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_q5_dimensions_broadcast(spark):
+    """Every dimension hop broadcasts; the only hash exchanges left are the
+    fact⋈fact join (which AQE may also broadcast at tiny SF) + final agg."""
+    p = physical_plan(QUERIES["q5_region_nation_revenue"][0](spark, SF_DIR))
+    assert p.count("BroadcastExchange") >= 3
+    assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    """The shipdate predicate reaches the parquet scan; the scan reads only
+    the columns the query needs (7 of 16)."""
+    p = plan_of(QUERIES["q1_pricing_summary"][0](spark, SF_DIR))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "l_shipdate" in pushed[0]
+    schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in schema
+    assert "l_quantity" in schema
+
+
+def test_global_topk_is_take_ordered(spark):
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject, not a global
+    sort."""
+    p = plan_of(QUERIES["q_global_topk"][0](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_v2_broadcasts_query_side(spark):
+    """Brute-force cosine: the small query set broadcasts; the candidate
+    corpus is never shuffled for the join."""
+    p = plan_of(QUERIES["v2_cosine_topk"][0](spark, SF_DIR))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p  # broadcast NLJ, not a real cartesian
+
+
+def test_v3_filter_below_similarity(spark):
+    """V3's label predicate is pushed into the candidate scan — filtered
+    rows are never scored."""
+    p = plan_of(QUERIES["v3_filtered_topk"][0](spark, SF_DIR))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("label" in ln for ln in pushed), pushed
+
+
+def test_ann_lsh_is_equi_join(spark):
+    """The ANN path joins on the signature bucket — no cartesian/NLJ."""
+    p = plan_of(QUERIES["v6_ann_lsh_topk"][0](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_whole_stage_codegen_in_pipeline(spark):
+    """`*(N)` markers = operators fused into generated code. The AQE
+    wrapper hides them until runtime, so plan once with AQE off."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = physical_plan(QUERIES["pipeline_flagship"][0](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "*(" in p

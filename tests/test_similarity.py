@@ -75,3 +75,24 @@ def test_ann_lsh_recall_against_exact(spark, emb):
     assert all(r["rank"] <= 5 for r in approx)
     # weak recall floor — hyperplane LSH on uniform vectors, 4 planes
     assert len(exact_set & approx_set) >= 1
+
+
+def test_embed_text_contract(spark):
+    """L4: batched Pandas-UDF embedding — dim, unit norm, determinism
+    across executions, null safety."""
+    from multiagent_document_etl_system_spark.operators.embed import (
+        EMBED_DIM,
+        with_embedding,
+    )
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, None), (4, "")],
+        "id long, text string")
+    out = {r["id"]: r["embedding"] for r in with_embedding(df).collect()}
+    assert all(len(v) == EMBED_DIM for v in out.values())
+    assert out[1] == out[2]                      # same text → same vector
+    assert out[3] == out[4]                      # null ≡ empty
+    import math
+    n = math.sqrt(sum(x * x for x in out[1]))
+    assert abs(n - 1.0) < 1e-3                   # unit norm
+    again = {r["id"]: r["embedding"] for r in with_embedding(df).collect()}
+    assert again == out                          # deterministic re-run

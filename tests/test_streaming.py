@@ -73,3 +73,33 @@ def test_foreach_batch_sink(spark, events_dir, tmp_path):
         stream, str(tmp_path / "ckpt"), batch_fn)
     q.awaitTermination()
     assert sum(seen) == spark.read.parquet(events_dir).count()
+
+
+def test_pipeline_runs_on_stream(spark, tmp_path):
+    """The document pipeline is a narrow plan + stream-static broadcast
+    join, so it runs UNCHANGED as a Structured Streaming query — the
+    claim in streaming/streamx.py's module docstring, exercised."""
+    from multiagent_document_etl_system_spark.io import load_table
+    from multiagent_document_etl_system_spark.plans.pipeline import run_pipeline
+    from multiagent_document_etl_system_spark.streaming.streamx import (
+        run_to_memory,
+    )
+
+    src = str(tmp_path / "docs_landing")
+    batch_docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch_docs.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("maxFilesPerTrigger", "2").parquet(src)
+    )
+    resp = run_pipeline(spark, stream)
+    assert resp.isStreaming
+    run_to_memory(resp, "pipeline_stream", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n FROM pipeline_stream").first()["n"]
+    assert got == batch_docs.count()
+    # streaming rows match the batch pipeline row-for-row
+    batch = run_pipeline(spark, batch_docs)
+    sdf = spark.table("pipeline_stream")
+    assert sdf.exceptAll(batch).count() == 0
+    assert batch.exceptAll(sdf).count() == 0
