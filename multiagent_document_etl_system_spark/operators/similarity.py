@@ -91,6 +91,84 @@ def top1(queries: DataFrame, candidates: DataFrame, **kw) -> DataFrame:
     return topk_join(queries, candidates, k=1, **kw)
 
 
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize an array<float/double>; zero vectors pass through."""
+    n = norm(vec)
+    return F.when(n == 0, vec.cast("array<double>")).otherwise(
+        F.transform(vec, lambda x: x.cast("double") / n)
+    )
+
+
+def ivf_topk(queries: DataFrame, candidates: DataFrame,
+             k: int = 5, n_cells: int = 16, n_probe: int = 2,
+             seed: int = 42,
+             q_id: str = "q_id", c_id: str = "c_id",
+             q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans coarse quantizer over the candidate
+    corpus; each query probes its ``n_probe`` nearest centroids and exact
+    cosine re-ranks ONLY within those cells.
+
+    The other big×big scale path next to :func:`ann_lsh_topk`: candidate
+    work per query drops from N to ~N·n_probe/n_cells. Vectors are
+    L2-normalized first so euclidean cell assignment agrees with the cosine
+    re-rank metric. The centroid table is tiny (n_cells × dim) — it rides
+    along as a literal array, so probing is a narrow map; the only shuffle
+    is the cell equi-join. Approximate by construction (recall < 1 when the
+    true neighbor lives in an unprobed cell) ⇒ rows-only check.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cand_n = candidates.withColumn("_nv", l2_normalize(F.col(c_vec)))
+    # KMeans cannot form more clusters than points — clamp (one cheap
+    # count; training itself is many passes, so this is noise)
+    n_cells = max(1, min(n_cells, cand_n.count()))
+    n_probe = min(n_probe, n_cells)
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="_cell")
+    fitted = km.fit(cand_n.select(array_to_vector(F.col("_nv")).alias("_v")))
+    assigned = (
+        fitted.transform(cand_n.withColumn("_v", array_to_vector(F.col("_nv"))))
+        .select(c_id, F.col("_nv").alias(c_vec), "_cell")
+    )
+
+    centers = [[float(x) for x in ctr] for ctr in fitted.clusterCenters()]
+    centers_lit = F.array(*[
+        F.array(*[F.lit(v) for v in ctr]) for ctr in centers
+    ])
+
+    # nearest n_probe cells per query: distance to every centroid (tiny),
+    # array_sort on (distance, cell) structs, take the head
+    q_n = queries.withColumn("_nv", l2_normalize(F.col(q_vec)))
+    dists = F.transform(
+        centers_lit,
+        lambda ctr, i: F.struct(
+            F.sqrt(F.aggregate(
+                F.zip_with(F.col("_nv"), ctr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda s, x: s + x,
+            )).alias("d"),
+            i.alias("cell"),
+        ),
+    )
+    probed = (
+        q_n.withColumn(
+            "_cell",
+            F.explode(F.transform(F.slice(F.array_sort(dists), 1, n_probe),
+                                  lambda s: s["cell"])),
+        )
+        .select(q_id, F.col("_nv").alias(q_vec), "_cell")
+    )
+
+    j = assigned.join(probed, "_cell").filter(F.col(q_id) != F.col(c_id))
+    scored = j.select(
+        q_id, c_id, F.round(cosine(F.col(q_vec), F.col(c_vec)), 4).alias("score")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_lsh_topk(queries: DataFrame, candidates: DataFrame,
                  dim: int, k: int = 5, n_planes: int = 8, seed: int = 42,
                  q_id: str = "q_id", c_id: str = "c_id",

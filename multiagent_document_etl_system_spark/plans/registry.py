@@ -384,6 +384,18 @@ def v5_fallback_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("v8_ivf_topk", None)
+def v8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans(16 cells) coarse quantizer, 2-probe, exact cosine
+    re-rank within probed cells. Approximate ⇒ rows-only; the exact twin
+    v2 is the hash-checked baseline."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return similarity.ivf_topk(q, c, k=5, n_cells=16, n_probe=2)
+
+
 @_q("v6_ann_lsh_topk", None)
 def v6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: random-hyperplane LSH bucketing + exact re-rank (the 100 TB
@@ -582,6 +594,39 @@ SELECT doc_id, {textstats.fingerprint_sql('text')} AS fingerprint FROM documents
 def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", textstats.fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+@_q("q_asof_join", """
+WITH v AS (SELECT user_id, ts, max(value) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+  round(p.value, 2) AS purchase_value,
+  round(v.view_value, 2) AS asof_view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""")
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase attributed to the
+    latest prior view per user. Oracle = DuckDB's native ASOF LEFT JOIN;
+    the Spark side is the union+window composition — one shuffle on
+    user_id. Right side pre-aggregated to unique (user, ts) so the
+    at-tie choice is well-defined in both engines."""
+    from multiagent_document_etl_system_spark.operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    out = asof_join(purchases, views, key="user_id")
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("asof_view_value", 2).alias("asof_view_value"),
+    )
 
 
 @_q("q_approx_distinct", None)

@@ -1,0 +1,51 @@
+"""As-of join composition (operators/asof.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_basic_and_edges(spark):
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100.0),
+         (1, _ts("2024-01-01T12:00:00"), 200.0),
+         (2, _ts("2024-01-01T11:00:00"), 999.0)],
+        "k long, ts timestamp, price double")
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), "before-any"),
+         (1, _ts("2024-01-01T10:00:00"), "exact-tie"),
+         (1, _ts("2024-01-01T11:30:00"), "between"),
+         (1, _ts("2024-01-01T13:00:00"), "after-all"),
+         (3, _ts("2024-01-01T10:00:00"), "no-right-key")],
+        "k long, ts timestamp, tag string")
+    got = {r["tag"]: r["asof_price"]
+           for r in asof_join(left, right, key="k").collect()}
+    assert got == {
+        "before-any": None,       # no right row yet
+        "exact-tie": 100.0,       # right at equal ts IS visible (<=)
+        "between": 100.0,
+        "after-all": 200.0,
+        "no-right-key": None,     # key absent from right
+    }
+
+
+def test_asof_payload_is_atomic(spark):
+    """A right row with a NULL payload column must not inherit that column
+    from an older right row — the matched row is picked as one struct."""
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 1.0, "old"),
+         (1, _ts("2024-01-01T11:00:00"), None, "new")],
+        "k long, ts timestamp, a double, b string")
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"),)], "k long, ts timestamp")
+    row = asof_join(left, right, key="k").first()
+    assert row["asof_b"] == "new"
+    assert row["asof_a"] is None  # from the SAME (latest) right row
