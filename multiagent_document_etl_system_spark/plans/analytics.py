@@ -433,6 +433,46 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------------- pivot
+
+@_q("q_pivot_status_priority", """
+SELECT o_orderpriority,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS st_f,
+  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS st_o,
+  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS st_p,
+  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+    AS rev_f,
+  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2)
+    AS rev_o,
+  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2)
+    AS rev_p
+FROM orders GROUP BY o_orderpriority
+""")
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order status across columns per priority. The
+    pivot values are declared explicitly — Spark then plans ONE pass with
+    conditional aggregates (no values-discovery job, no extra shuffle),
+    exactly the CASE-sum form the oracle states."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("st"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_st").cast("bigint"), F.lit(0)).alias("st_f"),
+        F.coalesce(F.col("O_st").cast("bigint"), F.lit(0)).alias("st_o"),
+        F.coalesce(F.col("P_st").cast("bigint"), F.lit(0)).alias("st_p"),
+        F.coalesce("F_rev", F.lit(0.0)).alias("rev_f"),
+        F.coalesce("O_rev", F.lit(0.0)).alias("rev_o"),
+        F.coalesce("P_rev", F.lit(0.0)).alias("rev_p"),
+    )
+
+
 # --------------------------------------------------------------- subqueries
 
 @_q("q_scalar_subquery", """

@@ -424,6 +424,20 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("dedup_exact_keep", """
+SELECT doc_id, md5(text) AS content_md5 FROM (
+  SELECT doc_id, text,
+    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""")
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-dedup operator itself (keep lowest id per content hash) —
+    dedup_exact_stats checks the counts, this checks the survivor set."""
+    kept = dedup.exact_dedup(_docs(spark, sf_dir))
+    return kept.select("doc_id", F.md5("text").alias("content_md5"))
+
+
 _SHINGLE_SQL = """
 list_distinct([array_to_string(__toks[i:i+2], ' ')
                for i in generate_series(1, greatest(len(__toks)-2, 1))])
