@@ -340,6 +340,35 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_window_range_frame", """
+SELECT o_custkey, o_orderkey,
+  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+    ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS rev_30d,
+  CAST(count(*) OVER (PARTITION BY o_custkey
+    ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+FROM orders
+""")
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): each order's trailing
+    30-day revenue/count per customer. Ordered on epoch seconds so the
+    frame bound is a plain numeric offset in both engines; ties in the
+    order key are included as one peer group — deterministic without a
+    tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_30d"),
+    )
+
+
 @_q("q_window_lag", """
 SELECT o_custkey, o_orderkey,
   CAST(date_diff('day',

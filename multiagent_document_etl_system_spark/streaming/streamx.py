@@ -96,6 +96,42 @@ def dedup_within_watermark(events: DataFrame,
         .dropDuplicatesWithinWatermark(["event_id"])
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    lifetime running totals, updated every micro-batch.
+
+    This is the escape hatch for stateful semantics the built-in windowed
+    aggregations cannot express (here: unbounded cumulative state emitted
+    per batch; real uses: CUSUM/anomaly scores, per-key model state).
+    State = (n_events, total_value) per user — a few bytes per key, so the
+    state store scales with distinct users, not event volume. Arrow-batched:
+    each micro-batch's rows for a user arrive as pandas frames.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n],
+            "total_value": [round(total, 2)],
+        })
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            outputMode="update", timeoutConf="NoTimeout",
+        )
+    )
+
+
 def run_to_memory(agg: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming aggregation to completion over the (finite) file
     source and land results in an in-memory table — the smoke-test harness.

@@ -103,3 +103,41 @@ def test_pipeline_runs_on_stream(spark, tmp_path):
     sdf = spark.table("pipeline_stream")
     assert sdf.exceptAll(batch).count() == 0
     assert batch.exceptAll(sdf).count() == 0
+
+
+def test_stateful_running_totals(spark, events_dir):
+    """applyInPandasWithState: cumulative per-user state across
+    micro-batches — the final update per user must equal the batch
+    groupBy totals."""
+    from multiagent_document_etl_system_spark.streaming.streamx import (
+        EVENTS_SCHEMA,
+        run_to_memory,
+        running_user_totals,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # force several micro-batches
+        .parquet(events_dir)
+    )
+    run_to_memory(running_user_totals(stream), "user_totals",
+                  output_mode="update")
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    expected = {
+        r["user_id"]: (r["n"], round(r["total"], 2))
+        for r in batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total")).collect()
+    }
+    # memory sink in update mode appends every state emission; the row with
+    # the max n_events per user is the final state
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("""
+            SELECT user_id, n_events, total_value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC) AS rn
+              FROM user_totals) WHERE rn = 1""").collect()
+    }
+    assert got == expected
