@@ -654,5 +654,23 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("mm_decode_features", None)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary media columns → mapInPandas decode/feature
+    extraction (deterministic fake decode; real Spark plumbing — schema,
+    Arrow batching, per-row error channel). Python-side by design ⇒
+    rows-only."""
+    from multiagent_document_etl_system_spark.sources.multimodal import (
+        decode_features,
+        make_demo_media,
+    )
+    media = make_demo_media(spark, n=64)
+    return decode_features(media, dim=8).select(
+        "media_id", "media_type", "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        "decode_error",
+    )
+
+
 # relational surface (analytics.py)
 QUERIES.update(RELATIONAL_QUERIES)
