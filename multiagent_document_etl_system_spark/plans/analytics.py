@@ -462,6 +462,94 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_percentiles", """
+SELECT o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.5), 2) AS med,
+  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+  round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+FROM orders GROUP BY o_orderpriority
+""")
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont). Exact percentile holds all group values — fine for
+    bounded groups; the 100 TB path is approx_percentile (t-digest,
+    mergeable, one pass), same call shape."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("med"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+@_q("q_window_firstlast", """
+SELECT o_custkey, o_orderkey,
+  round(first_value(o_totalprice) OVER w, 2) AS first_price,
+  round(last_value(o_totalprice) OVER w, 2) AS last_price,
+  round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+  ORDER BY o_orderdate ASC, o_orderkey ASC
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an explicit full frame (default frames
+    differ between engines — RANGE..CURRENT ROW — so the frame is stated)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2)
+        .alias("second_price"),
+    )
+
+
+@_q("q_min_per_group", """
+SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+FROM orders o
+WHERE o.o_totalprice = (
+  SELECT min(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey)
+""")
+def q_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated min subquery (each customer's cheapest orders — ties all
+    kept, matching the SQL), decorrelated as groupBy-min + equi-join."""
+    o = _t(spark, sf_dir, "orders")
+    mins = o.groupBy(F.col("o_custkey").alias("_ck")) \
+        .agg(F.min("o_totalprice").alias("_min_price"))
+    return (
+        o.join(mins, (o.o_custkey == F.col("_ck"))
+               & (o.o_totalprice == F.col("_min_price")))
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@_q("q_sql_api", """
+SELECT n.n_name, count(*) AS n_customers,
+  round(avg(c.c_acctbal), 4) AS avg_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL entry point: identical text runs through spark.sql over
+    registered temp views — same Catalyst plan as the DataFrame API."""
+    from multiagent_document_etl_system_spark.io import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name, count(*) AS n_customers,
+          round(avg(c.c_acctbal), 4) AS avg_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """)
+
+
 # -------------------------------------------------------------------- pivot
 
 @_q("q_pivot_status_priority", """
