@@ -34,6 +34,9 @@ HEADLINE = [
     "v2_cosine_topk",
     "dedup_minhash_lsh",
     "ta_term_frequency",
+    "q_asof_join",
+    "q_pivot_status_priority",
+    "q_percentiles",
 ]
 
 

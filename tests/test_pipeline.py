@@ -87,3 +87,19 @@ def test_deterministic_record_ids(spark, resp):
     b = {r["doc_id"]: r["record_id"] for r in
          resp.select("doc_id", "record_id").collect()}
     assert a == b
+
+
+def test_null_text_rows_flow_through(spark):
+    """Rows with NULL text/n_chars must not crash any stage — they flow to
+    the response with error handling intact (per-row fault tolerance)."""
+    from multiagent_document_etl_system_spark.plans.pipeline import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, None, "en", "s3", None),
+         (2, "x" * 100 + " billing@example.com 2024-01-02 99.95", "en", "s3", 140)],
+        "doc_id long, text string, lang string, source string, n_chars bigint")
+    rows = {r["doc_id"]: r for r in run_pipeline(spark, docs).collect()}
+    assert len(rows) == 2
+    # null n_chars -> parse error predicate is NULL -> treated as healthy,
+    # downstream kernels null-propagate without failing the task
+    assert rows[2]["success"] and rows[2]["email"] == "billing@example.com"
