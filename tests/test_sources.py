@@ -116,3 +116,31 @@ def test_upsert_parquet_creates_table(spark, tmp_path):
     batch = spark.createDataFrame([(1, "a")], "id long, v string")
     upsert_parquet(spark, batch, path, ["id"])
     assert spark.read.parquet(path).count() == 1
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """write_parquet(partition_by=...) → a filtered read shows
+    PartitionFilters and scans only matching directories — the 100 TB
+    layout lever (SCALE.md)."""
+    import contextlib
+    import io as _io
+
+    from multiagent_document_etl_system_spark.io import (
+        load_table,
+        write_parquet,
+    )
+
+    path = str(tmp_path / "docs_by_lang")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    write_parquet(docs, path, partition_by=["lang"])
+
+    q = spark.read.parquet(path).filter(F.col("lang") == "en") \
+        .select("doc_id", "n_chars")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "lang" in pf[0], plan[:1500]
+    # correctness: pruned read equals filtered full read
+    assert q.count() == docs.filter(F.col("lang") == "en").count()
