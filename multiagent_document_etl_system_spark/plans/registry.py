@@ -654,6 +654,30 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_event_dedup", """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+    row_number() OVER (
+      PARTITION BY user_id, event_type, date_trunc('minute', CAST(ts AS TIMESTAMP))
+      ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dropDuplicatesWithinWatermark: one event
+    per (user, type, minute), deterministic keep = lowest event_id. The
+    streaming flavor is smoke-tested in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("minute", "ts")
+    ).orderBy("event_id")
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
 @_q("mm_decode_features", None)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary media columns → mapInPandas decode/feature
