@@ -1,0 +1,136 @@
+"""Batch CLI — the engine's analogue of the reference's three HTTP entry
+points (/root/reference/src/app.py):
+
+- ``process``       POST /process       (src/app.py:46-116): landing dir of
+  raw files → parse → full pipeline → parquet sink + one JSON response line
+  per the K4 contract (src/agents.py:297-324).
+- ``upload-schema`` POST /upload-schema (src/app.py:120-170): register an
+  extraction schema — V7 content-hash id + K3 MERGE upsert into the
+  parquet-backed schema registry.
+- ``stats``         GET /stats          (src/app.py:177-188): engine
+  configuration as one JSON object.
+
+Corpus-at-a-time where the reference is request-at-a-time: ``process``
+handles a whole directory per invocation; the same transformations run as
+a Structured Streaming job for continuous landing (streaming/streamx.py).
+
+Usage:
+    python -m multiagent_document_etl_system_spark.cli process <in_dir> <out_dir>
+    python -m multiagent_document_etl_system_spark.cli upload-schema \
+        <doc_type> '<schema_json>' [--registry PATH]
+    python -m multiagent_document_etl_system_spark.cli stats
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.session import get_spark
+
+DEFAULT_REGISTRY = "./schema_registry.parquet"
+
+
+def cmd_process(args) -> dict:
+    from multiagent_document_etl_system_spark.io import (
+        read_landing_dir,
+        write_parquet,
+    )
+    from multiagent_document_etl_system_spark.plans.pipeline import run_pipeline
+    from multiagent_document_etl_system_spark.sources.parsers import (
+        parse_documents,
+    )
+
+    spark = get_spark("doc-etl-process")
+    parsed = parse_documents(read_landing_dir(spark, args.input_dir))
+    # shape the parsed scan into the pipeline's document contract; parse
+    # errors become pipeline-level errors via n_chars=0 (too short)
+    docs = parsed.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.coalesce("raw_text", F.lit("")).alias("text"),
+        F.lit("und").alias("lang"),
+        F.element_at(F.split("path", "/"), -1).alias("source"),
+        F.coalesce(F.length("raw_text"), F.lit(0)).cast("bigint")
+        .alias("n_chars"),
+    )
+    resp = run_pipeline(spark, docs)
+    write_parquet(resp, args.output_dir)
+    agg = resp.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("ok"),
+        F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("valid"),
+    ).first()
+    return {
+        "success": True,
+        "documents": agg["n"],
+        "processed_ok": agg["ok"],
+        "valid": agg["valid"],
+        "output": args.output_dir,
+    }
+
+
+def cmd_upload_schema(args) -> dict:
+    from multiagent_document_etl_system_spark.functions.hashing import schema_id
+    from multiagent_document_etl_system_spark.io import upsert_parquet
+
+    try:
+        json.loads(args.schema_json)  # J5 gate (src/app.py:141,168-170)
+    except json.JSONDecodeError as exc:
+        return {"success": False, "error": f"Invalid JSON schema: {exc}"}
+
+    spark = get_spark("doc-etl-upload-schema")
+    record = spark.createDataFrame(
+        [(args.doc_type, args.schema_json,
+          args.description or f"Schema for {args.doc_type}")],
+        "doc_type string, schema_json string, description string",
+    ).withColumn("id", schema_id(F.col("doc_type"), F.col("schema_json")))
+    upsert_parquet(spark, record, args.registry, ["id"])
+    return {
+        "success": True,
+        "schema_id": record.first()["id"],
+        "doc_type": args.doc_type,
+        "registry": args.registry,
+    }
+
+
+def cmd_stats(args) -> dict:
+    # static configuration, mirroring GET /stats (src/app.py:177-188)
+    return {
+        "service": "multiagent-document-etl-spark",
+        "engine": "pyspark",
+        "embedding_dimension": 384,
+        "classifier_labels": 9,
+        "max_retries": 1,
+        "schema_registry": args.registry,
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="doc-etl")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("process")
+    pp.add_argument("input_dir")
+    pp.add_argument("output_dir")
+
+    up = sub.add_parser("upload-schema")
+    up.add_argument("doc_type")
+    up.add_argument("schema_json")
+    up.add_argument("--description", default=None)
+    up.add_argument("--registry", default=DEFAULT_REGISTRY)
+
+    st = sub.add_parser("stats")
+    st.add_argument("--registry", default=DEFAULT_REGISTRY)
+
+    args = p.parse_args(argv)
+    out = {"process": cmd_process, "upload-schema": cmd_upload_schema,
+           "stats": cmd_stats}[args.cmd](args)
+    print(json.dumps(out))
+    return 0 if out.get("success", True) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

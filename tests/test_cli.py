@@ -1,0 +1,52 @@
+"""CLI driver — the reference's three endpoints as batch commands."""
+
+from __future__ import annotations
+
+import json
+
+from multiagent_document_etl_system_spark import cli
+
+
+def _run(capsys, argv):
+    rc = cli.main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+def test_process_landing_dir(spark, tmp_path, capsys):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "inv.txt").write_text(
+        "Invoice order value\nbilling@example.com total due 2024-03-05 129.99")
+    (landing / "tiny.txt").write_text("short")
+    out_dir = str(tmp_path / "out")
+
+    rc, resp = _run(capsys, ["process", str(landing), out_dir])
+    assert rc == 0
+    assert resp == {"success": True, "documents": 2, "processed_ok": 1,
+                    "valid": 1, "output": out_dir}
+    got = spark.read.parquet(out_dir).collect()
+    by_ok = {r["success"]: r for r in got}
+    assert by_ok[False]["error"] == "Parsing failed: document too short"
+    assert by_ok[True]["email"] == "billing@example.com"
+
+
+def test_upload_schema_and_stats(tmp_path, capsys):
+    reg = str(tmp_path / "registry.parquet")
+    rc, resp = _run(capsys, [
+        "upload-schema", "invoice", '{"fields":{"email":"e"}}',
+        "--registry", reg])
+    assert rc == 0 and resp["success"]
+    assert resp["schema_id"].startswith("invoice_schema_")
+
+    # re-upload same content -> same deterministic id (V7), idempotent
+    rc2, resp2 = _run(capsys, [
+        "upload-schema", "invoice", '{"fields":{"email":"e"}}',
+        "--registry", reg])
+    assert resp2["schema_id"] == resp["schema_id"]
+
+    rc3, resp3 = _run(capsys, ["upload-schema", "x", "not json"])
+    assert rc3 == 1 and not resp3["success"]
+
+    rc4, stats = _run(capsys, ["stats"])
+    assert rc4 == 0 and stats["engine"] == "pyspark"
