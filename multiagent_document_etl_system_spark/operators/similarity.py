@@ -72,13 +72,20 @@ def topk_join(queries: DataFrame, candidates: DataFrame, k: int = 5,
 
     ``queries`` is broadcast (the reference's query side is one document /
     a handful of schemas). Deterministic order: score DESC, candidate ASC.
+
+    Norms are precomputed per ROW before the join (materialized columns) —
+    computing them inside the pair expression would fold over each vector
+    once per pair instead of once per row (~3× the arithmetic).
     """
-    j = candidates.crossJoin(F.broadcast(queries))
+    q = queries.withColumn("_qn", norm(F.col(q_vec)))
+    c = candidates.withColumn("_cn", norm(F.col(c_vec)))
+    j = c.crossJoin(F.broadcast(q))
     if exclude_self:
         j = j.filter(F.col(q_id) != F.col(c_id))
-    scored = j.select(
-        q_id, c_id, F.round(cosine(F.col(q_vec), F.col(c_vec)), 4).alias("score")
-    )
+    denom = F.col("_qn") * F.col("_cn")
+    score = F.when(denom == 0, F.lit(0.0)) \
+        .otherwise(dot(F.col(q_vec), F.col(c_vec)) / denom)
+    scored = j.select(q_id, c_id, F.round(score, 4).alias("score"))
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
