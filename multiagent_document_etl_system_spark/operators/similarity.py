@@ -165,10 +165,15 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame,
         .select(q_id, F.col("_nv").alias(q_vec), "_cell")
     )
 
+    # per-row norms BEFORE the join (vectors are unit-normalized above, but
+    # computing the norm keeps the score exact even for zero vectors)
+    assigned = assigned.withColumn("_cn", norm(F.col(c_vec)))
+    probed = probed.withColumn("_qn", norm(F.col(q_vec)))
     j = assigned.join(probed, "_cell").filter(F.col(q_id) != F.col(c_id))
-    scored = j.select(
-        q_id, c_id, F.round(cosine(F.col(q_vec), F.col(c_vec)), 4).alias("score")
-    )
+    denom = F.col("_qn") * F.col("_cn")
+    score = F.when(denom == 0, F.lit(0.0)) \
+        .otherwise(dot(F.col(q_vec), F.col(c_vec)) / denom)
+    scored = j.select(q_id, c_id, F.round(score, 4).alias("score"))
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -217,12 +222,15 @@ def ann_lsh_topk(queries: DataFrame, candidates: DataFrame,
             lambda s, x: s + x,
         )
 
-    qs = queries.withColumn("_sig", signature(F.col(q_vec)))
-    cs = candidates.withColumn("_sig", signature(F.col(c_vec)))
+    qs = queries.withColumn("_sig", signature(F.col(q_vec))) \
+        .withColumn("_qn", norm(F.col(q_vec)))
+    cs = candidates.withColumn("_sig", signature(F.col(c_vec))) \
+        .withColumn("_cn", norm(F.col(c_vec)))
     j = cs.join(qs, "_sig").filter(F.col(q_id) != F.col(c_id))
-    scored = j.select(
-        q_id, c_id, F.round(cosine(F.col(q_vec), F.col(c_vec)), 4).alias("score")
-    )
+    denom = F.col("_qn") * F.col("_cn")
+    score = F.when(denom == 0, F.lit(0.0)) \
+        .otherwise(dot(F.col(q_vec), F.col(c_vec)) / denom)
+    scored = j.select(q_id, c_id, F.round(score, 4).alias("score"))
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))

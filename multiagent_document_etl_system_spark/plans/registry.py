@@ -263,15 +263,18 @@ def v3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate below the join: filtered rows are never scored)."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
+        similarity.norm(F.col("embedding")).alias("_qn"))
     c = e.filter(F.col("label") == 3).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"),
-        "label")
+        "label", similarity.norm(F.col("embedding")).alias("_cn"))
     j = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    denom = F.col("_qn") * F.col("_cn")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        similarity.dot(F.col("q_vec"), F.col("c_vec")) / denom)
     scored = j.select(
         "q_id", "c_id", F.col("label").cast("int").alias("label"),
-        F.round(similarity.cosine(F.col("q_vec"), F.col("c_vec")), 4)
-        .alias("score"))
+        F.round(cos, 4).alias("score"))
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -345,25 +348,28 @@ def v5_fallback_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
-        F.col("label").alias("q_label"))
+        F.col("label").alias("q_label"),
+        similarity.norm(F.col("embedding")).alias("_qn"))
     c = e.select(F.col("vec_id").alias("c_id"),
                  F.col("embedding").alias("c_vec"),
-                 F.col("label").alias("c_label"))
+                 F.col("label").alias("c_label"),
+                 similarity.norm(F.col("embedding")).alias("_cn"))
+    denom = F.col("_qn") * F.col("_cn")
+    cos = F.round(F.when(denom == 0, F.lit(0.0)).otherwise(
+        similarity.dot(F.col("q_vec"), F.col("c_vec")) / denom), 4)
     # strategy 1: filtered by matching label (V3 semantics), rare label → may miss
     j1 = c.filter(F.col("c_label") == 9).crossJoin(F.broadcast(q)) \
         .filter(F.col("q_id") != F.col("c_id"))
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
     s1 = (
-        j1.select("q_id", "c_id",
-                  F.round(similarity.cosine("q_vec", "c_vec"), 4).alias("score"))
+        j1.select("q_id", "c_id", cos.alias("score"))
         .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
         .select("q_id", F.col("c_id").alias("s1_id"))
     )
     # strategy 2: unfiltered global top-1 with a score floor (semantic query)
     j2 = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
     s2 = (
-        j2.select("q_id", "c_id",
-                  F.round(similarity.cosine("q_vec", "c_vec"), 4).alias("score"))
+        j2.select("q_id", "c_id", cos.alias("score"))
         .filter(F.col("score") >= 0.35)
         .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
         .select("q_id", F.col("c_id").alias("s2_id"))
