@@ -462,6 +462,40 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_array_functions", """
+SELECT vec_id,
+  CAST(len(embedding) AS INT) AS dim,
+  round(list_max(embedding), 4) AS vmax,
+  round(list_min(embedding), 4) AS vmin,
+  round(embedding[1], 4) AS first_component,
+  round(list_sum(embedding[1:8]), 4) AS head8_sum,
+  round(list_sort(list_transform(embedding[1:4], x -> round(x, 4)))[1], 4)
+    AS sorted_head_min
+FROM embeddings
+""")
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function sweep over the embedding column — size, min/max,
+    element access, slice+fold, sort — all codegen'd JVM array ops (the
+    same primitives the similarity/dedup operators build on)."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    head8 = F.slice(emb, 1, 8)
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("int").alias("dim"),
+        F.round(F.array_max(emb), 4).alias("vmax"),
+        F.round(F.array_min(emb), 4).alias("vmin"),
+        F.round(F.element_at(emb, 1), 4).alias("first_component"),
+        F.round(
+            F.aggregate(head8, F.lit(0.0),
+                        lambda s, x: s + x.cast("double")), 4
+        ).alias("head8_sum"),
+        F.round(F.element_at(F.array_sort(
+            F.transform(F.slice(emb, 1, 4), lambda x: F.round(x, 4))), 1), 4)
+        .alias("sorted_head_min"),
+    )
+
+
 @_q("q_percentiles", """
 SELECT o_orderpriority,
   round(quantile_cont(o_totalprice, 0.5), 2) AS med,

@@ -122,3 +122,28 @@ def test_ivf_topk_recall_vs_exact(spark):
                                         n_probe=2).collect()}
     recall = len(two & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    """ANN-LSH recall against exact brute force on the test corpus —
+    the approximate path must be 'approximate', not broken."""
+    from multiagent_document_etl_system_spark.io import load_table
+    from multiagent_document_etl_system_spark.operators import similarity
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+
+    exact = {(r["q_id"], r["c_id"])
+             for r in similarity.topk_join(q, c, k=5).collect()}
+    # few planes -> big buckets -> near-exhaustive candidates -> high recall
+    approx = {(r["q_id"], r["c_id"])
+              for r in similarity.ann_lsh_topk(
+                  q, c, dim=64, k=5, n_planes=2).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.4, recall
+    # every returned pair must be a real scored pair (no phantom ids)
+    ids = {r["vec_id"] for r in e.collect()}
+    assert all(a in ids and b in ids for a, b in approx)
