@@ -46,8 +46,9 @@ def cmd_process(args) -> dict:
 
     spark = get_spark("doc-etl-process")
     parsed = parse_documents(read_landing_dir(spark, args.input_dir))
-    # shape the parsed scan into the pipeline's document contract; parse
-    # errors become pipeline-level errors via n_chars=0 (too short)
+    # shape the parsed scan into the pipeline's document contract;
+    # parse_error rides along so the response carries the REAL failure
+    # detail (e.g. 'pdf library unavailable'), not just the too-short check
     docs = parsed.select(
         F.xxhash64("path").alias("doc_id"),
         F.coalesce("raw_text", F.lit("")).alias("text"),
@@ -55,6 +56,7 @@ def cmd_process(args) -> dict:
         F.element_at(F.split("path", "/"), -1).alias("source"),
         F.coalesce(F.length("raw_text"), F.lit(0)).cast("bigint")
         .alias("n_chars"),
+        "parse_error",
     )
     resp = run_pipeline(spark, docs)
     write_parquet(resp, args.output_dir)

@@ -25,11 +25,16 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's reader
+        # rejects outright (PARQUET_TYPE_ILLEGAL). nanosAsLong is a dynamic
+        # SQL conf, so set it here rather than relying on the session builder
+        # — callers (e.g. the external driver) supply their own SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the parquet footer; the session reads it
-        # as a nanos long (spark.sql.legacy.parquet.nanosAsLong) — convert to
-        # a microsecond TimestampType, matching DuckDB's CAST(ts AS TIMESTAMP).
+        # The nanos long is converted to a microsecond TimestampType,
+        # matching DuckDB's CAST(ts AS TIMESTAMP).
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
         if isinstance(df.schema["ts"].dataType, LongType):
@@ -119,10 +124,22 @@ def upsert_parquet(spark: SparkSession, df: DataFrame, path: str,
         out = df
 
     tmp = path.rstrip("/") + "__upsert_tmp"
+    old = path.rstrip("/") + "__upsert_old"
     out.write.mode("overwrite").parquet(tmp)
-    fs.delete(HPath(path), True)
+    # Crash-safe swap: move the live table ASIDE (not delete), rename the
+    # rebuilt table into place, then drop the backup. A crash between the
+    # two renames leaves the data recoverable at __upsert_old; a crash
+    # before the first rename leaves the live table untouched.
+    fs.delete(HPath(old), True)
+    had_existing = fs.exists(HPath(path))
+    if had_existing and not fs.rename(HPath(path), HPath(old)):
+        raise IOError(f"rename {path} -> {old} failed")
     if not fs.rename(HPath(tmp), HPath(path)):
+        # roll back so the table is never left missing
+        if had_existing:
+            fs.rename(HPath(old), HPath(path))
         raise IOError(f"rename {tmp} -> {path} failed")
+    fs.delete(HPath(old), True)
 
 
 def write_jdbc(df: DataFrame, url: str, table: str,

@@ -23,6 +23,12 @@ within-bucket pairs, then exact re-ranks — the standard
 cluster-pruning/LSH two-phase pipeline. Brute force is O(Q×N×d) but
 shuffle-free after the broadcast; LSH makes N effectively N/2^bits per
 bucket.
+
+Reserved column names: these operators materialize internal helper columns
+``_qn``, ``_cn``, ``_sig``, ``_cell``, ``_nv``, ``_v`` on the input
+DataFrames. Callers must not pass DataFrames that already contain columns
+with those names (they would be silently overwritten); project them away or
+rename first.
 """
 
 from __future__ import annotations
@@ -127,12 +133,21 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame,
     from pyspark.ml.functions import array_to_vector
 
     cand_n = candidates.withColumn("_nv", l2_normalize(F.col(c_vec)))
-    # KMeans cannot form more clusters than points — clamp (one cheap
-    # count; training itself is many passes, so this is noise)
-    n_cells = max(1, min(n_cells, cand_n.count()))
+    # KMeans cannot form more clusters than points. Rather than paying an
+    # eager count() on every call (an extra scan at 100 TB), fit at the
+    # requested k and only clamp-and-refit if the corpus turns out smaller —
+    # the failure path only triggers on toy inputs.
+    train = cand_n.select(array_to_vector(F.col("_nv")).alias("_v"))
+    try:
+        km = KMeans(k=n_cells, seed=seed, featuresCol="_v",
+                    predictionCol="_cell")
+        fitted = km.fit(train)
+    except Exception:
+        n_cells = max(1, min(n_cells, train.count()))
+        km = KMeans(k=n_cells, seed=seed, featuresCol="_v",
+                    predictionCol="_cell")
+        fitted = km.fit(train)
     n_probe = min(n_probe, n_cells)
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="_cell")
-    fitted = km.fit(cand_n.select(array_to_vector(F.col("_nv")).alias("_v")))
     assigned = (
         fitted.transform(cand_n.withColumn("_v", array_to_vector(F.col("_nv"))))
         .select(c_id, F.col("_nv").alias(c_vec), "_cell")

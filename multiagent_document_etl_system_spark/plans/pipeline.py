@@ -84,8 +84,17 @@ def _gate(error: Column, value: Column) -> Column:
 
 
 def run_pipeline(spark: SparkSession, documents: DataFrame) -> DataFrame:
-    """documents(doc_id, text, lang, source, n_chars) → response DataFrame."""
+    """documents(doc_id, text, lang, source, n_chars) → response DataFrame.
+
+    If the input carries a ``parse_error`` column (the parse stage's per-row
+    failure detail, sources/parsers.py), it seeds the pipeline ``error``
+    ahead of the too-short check — preserving the reference's per-document
+    error fidelity (/root/reference/src/agents.py:74-77) instead of
+    collapsing every parse failure into the generic too-short message.
+    """
     err = F.when(F.col("n_chars") < MIN_CHARS, F.lit(PARSE_ERROR))
+    if "parse_error" in documents.columns:
+        err = F.coalesce(F.col("parse_error"), err)
     df = documents.withColumn("error", err)
     e = F.col("error")
 
