@@ -166,3 +166,41 @@ FROM (
 WHERE length(token) > 0
 GROUP BY token ORDER BY freq DESC, token ASC LIMIT {top_n}
 """
+
+
+def bigram_frequencies(df: DataFrame, text_col: str = "text",
+                       top_n: int = 20) -> DataFrame:
+    """Corpus-wide top-N word bigrams: (bigram, freq), deterministic order
+    (freq DESC, bigram ASC). The pairing is a pure array expression
+    (slice + zip_with — JVM codegen, no UDF); explode → partial-agg count
+    → TakeOrderedAndProject, exactly the term_frequencies shape with ~1×
+    more exploded rows."""
+    t = tokens(F.lower(F.col(text_col)))
+    s1 = F.size("t") - F.lit(1)
+    pairs = F.zip_with(
+        F.slice("t", 1, s1), F.slice(F.col("t"), 2, s1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        df.select(t.alias("t"))
+        .select(F.explode(pairs).alias("bigram"))
+        .filter(F.length("bigram") > 1)
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(top_n)
+    )
+
+
+def bigram_frequencies_sql(table: str = "documents", text_col: str = "text",
+                           top_n: int = 20) -> str:
+    return f"""
+SELECT bigram, CAST(count(*) AS BIGINT) AS freq
+FROM (
+  SELECT unnest(list_transform(generate_series(1, len(t)-1),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM (SELECT {tokens_sql(f"lower({text_col})")} AS t FROM {table})
+)
+WHERE length(bigram) > 1
+GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT {top_n}
+"""

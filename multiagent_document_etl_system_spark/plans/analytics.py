@@ -888,3 +888,199 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sess_id").cast("bigint").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+# ------------------------------------------------- TPC-H-shape breadth (r2)
+
+@_q("q7_nation_trade", """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(o.o_orderdate)
+""")
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (cross-nation trade volume). The same dimension table
+    (nation) joins TWICE under different roles — both hops broadcast; the
+    only shuffle is the lineitem⋈orders fact join on orderkey. At 100 TB
+    the two nation broadcasts are free and AQE picks the fact-join split."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@_q("q10_returned_revenue", """
+SELECT c.c_custkey, c.c_name, n.n_name,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""")
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (top customers by returned-item revenue). The
+    l_returnflag filter pushes into the lineitem parquet scan (~1/3
+    selectivity); top-20 is TakeOrderedAndProject after one group shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q("q14_promo_revenue", """
+SELECT CAST(month(l.l_shipdate) AS BIGINT) AS ship_month,
+  round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+      / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+  count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY month(l.l_shipdate)
+""")
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share) — conditional aggregation over
+    a dimension attribute. part broadcasts (dimension-scale); at 100 TB with
+    a huge part table this becomes a shuffle join on partkey and nothing
+    else changes."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.month("l_shipdate").cast("bigint").alias("ship_month"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q("q18_large_orders", """
+SELECT c.c_name, o.o_orderkey,
+  strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS o_date,
+  round(o.o_totalprice, 2) AS o_totalprice,
+  round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate-derived key set,
+    consumed as a LEFT SEMI join — the set never materializes on the driver
+    and at scale stays a shuffle-hash semi join keyed like the fact join
+    (one partitioning reused across both)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "_bk"),
+                li.l_orderkey == F.col("_bk"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+                 F.round("o_totalprice", 2).alias("o_totalprice"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_q("q19_disjunctive_filter", """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 40)
+""")
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunction of conjunctive predicates across BOTH
+    join sides. Catalyst extracts the common single-side conjuncts
+    (p_brand IN (...), l_quantity <= 40) and pushes them below the join as
+    scan filters; the residual OR evaluates post-join in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 21))
+        | ((brand == "Brand#2") & size.between(1, 25) & qty.between(10, 30))
+        | ((brand == "Brand#3") & size.between(1, 35) & qty.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q("q_approx_percentile", None)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style quantile sketch) next to the exact
+    percentile query (q_percentiles) — the 100 TB path where an exact
+    percentile's full sort is off the table. Sketch internals differ across
+    engines ⇒ rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+    return li.agg(
+        F.round(pct.getItem(0), 2).alias("p50"),
+        F.round(pct.getItem(1), 2).alias("p90"),
+        F.round(pct.getItem(2), 2).alias("p99"),
+    )

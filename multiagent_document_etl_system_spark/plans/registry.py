@@ -616,6 +616,13 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", textstats.fingerprint_expr(F.col("text")).alias("fingerprint"))
 
 
+@_q("ta_bigrams", textstats.bigram_frequencies_sql())
+def ta_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams (n-gram analysis next to the unigram
+    ta_term_frequency) — slice+zip_with pairing, no UDF."""
+    return textstats.bigram_frequencies(_docs(spark, sf_dir))
+
+
 @_q("q_asof_join", """
 WITH v AS (SELECT user_id, ts, max(value) AS view_value
            FROM events WHERE event_type = 'view' GROUP BY user_id, ts),

@@ -82,3 +82,37 @@ def test_ivf_topk_clamps_tiny_corpus(spark):
     c = spark.createDataFrame(rows, "c_id long, c_vec array<double>")
     out = ivf_topk(q, c, k=2, n_cells=16, n_probe=16)
     assert out.count() > 0
+
+
+def test_bigram_frequencies_tiny(spark):
+    """Hand-checked bigram counts; empty/one-token/NULL docs contribute
+    nothing."""
+    from multiagent_document_etl_system_spark.operators.textstats import (
+        bigram_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "one"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {(r["bigram"], r["freq"])
+            for r in bigram_frequencies(docs).collect()}
+    assert rows == {("the cat", 2), ("cat sat", 1), ("cat ran", 1)}
+
+
+def test_q19_pushes_single_side_conjuncts(spark):
+    """Catalyst extracts brand/size and quantity bounds from the OR-of-ANDs
+    and pushes them into the respective parquet scans."""
+    import contextlib
+    import io as _io
+
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    df = QUERIES["q19_disjunctive_filter"][0](spark, "/root/testdata/sf0.001")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln for ln in pushed), plan
+    assert any("p_brand" in ln for ln in pushed), plan
