@@ -152,32 +152,36 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
     rows(band) = n_hashes/bands; two docs collide if any band matches.
 
-    Plan shape (one pass, one shuffle): shingle→sign→band-explode, then
-    groupBy(band, band_hash) buckets and generate pairs WITHIN each bucket.
-    A banded self-join would execute the whole signature lineage twice (one
-    per join side) — grouping computes signatures exactly once. Bucket pair
-    generation is O(b²) per bucket; ``max_bucket`` drops degenerate buckets
-    (boilerplate clusters) the way production near-dup pipelines do, and
-    AQE handles residual bucket skew.
+    Plan shape, chosen for shuffle VOLUME at corpus scale: the banded
+    explode and bucket groupBy carry ONLY (id, band, band_hash) — ids are a
+    few bytes where a shingle set is kilobytes, so the LSH exchange moves
+    ~1000× less data than banding the payload would. Candidate pairs (small
+    by construction after banding) then rejoin the shingle sets for the
+    exact-Jaccard verify — two broadcast-able joins that stream the corpus
+    without shuffling it. A banded self-join would instead execute the
+    signature lineage twice; grouping computes signatures exactly once.
+    Bucket pair generation is O(b²) per bucket; ``max_bucket`` drops
+    degenerate buckets (boilerplate clusters) the way production near-dup
+    pipelines do, and AQE handles residual bucket skew.
     """
     from multiagent_document_etl_system_spark.io import ensure_parallelism
 
     rows_per_band = n_hashes // bands
+    sh_df = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
     base = (
-        ensure_parallelism(df.select(id_col, text_col))
-        .select(
-            F.col(id_col).alias("_id"),
-            shingles(F.col(text_col), shingle_n).alias("_sh"),
-        )
+        sh_df
         # _base materialized as its own column: one string hash per shingle,
         # reused by all n_hashes permutations
         .withColumn("_base", shingle_base_hashes(F.col("_sh"), family))
         .withColumn("_sig", minhash_signature(F.col("_base"), n_hashes))
-        .drop("_base")
+        .select("_id", "_sig")
     )
 
     banded = base.select(
-        "_id", "_sh",
+        "_id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -191,31 +195,32 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select("_id", "_sh", "bk.band", "bk.bh")
+    ).select("_id", "bk.band", "bk.bh")
 
     buckets = (
         banded.groupBy("band", "bh")
-        .agg(F.collect_list(F.struct("_id", "_sh")).alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     pair_array = F.filter(
         F.flatten(F.transform(
-            "ms",
+            "ids",
             lambda x: F.transform(
-                F.col("ms"),
-                lambda y: F.struct(
-                    x["_id"].alias("id_a"), y["_id"].alias("id_b"),
-                    x["_sh"].alias("sh_a"), y["_sh"].alias("sh_b"),
-                ),
+                F.col("ids"),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
             ),
         )),
         lambda p: p["id_a"] < p["id_b"],
     )
-    cand = (
+    pairs = (
         buckets.select(F.explode(pair_array).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # exact-Jaccard verify: fetch shingle sets for the candidate ids only
+    sh_a = sh_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = sh_df.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    cand = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (

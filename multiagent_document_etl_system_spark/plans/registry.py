@@ -475,7 +475,11 @@ _H64_MOD = (
 )
 
 
-@_q("dedup_minhash_lsh", f"""
+def _minhash_pairs_sql(threshold: float) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs as a standalone SELECT
+    (id_a, id_b, jaccard) — shared by dedup_minhash_lsh and the composite
+    corpus-preparation query."""
+    return f"""
 WITH toks AS (
   SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS __toks
   FROM documents
@@ -501,8 +505,11 @@ SELECT id_a, id_b, jaccard FROM (
       ELSE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
          / len(list_distinct(list_concat(sh_a, sh_b))) END, 4) AS jaccard
   FROM cand
-) WHERE jaccard >= 0.3
-""")
+) WHERE jaccard >= {threshold}
+"""
+
+
+@_q("dedup_minhash_lsh", _minhash_pairs_sql(0.3))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup pairs — md5-derived hash family makes the full
     signature → band → bucket → verify chain bit-reproducible in the DuckDB
@@ -567,6 +574,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b",
                 F.round(similarity.cosine("va", "vb"), 4).alias("score"))
         .filter(F.col("score") >= 0.3)
+    )
+
+
+@_q("td_prepare_corpus", f"""
+WITH pairs AS ({_minhash_pairs_sql(0.5)}),
+scored AS (
+  SELECT doc_id, lang, text,
+    {{QUALITY}} AS quality
+  FROM documents
+), passed AS (
+  SELECT * FROM scored WHERE quality >= 0.5
+), kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM passed
+  ) WHERE rn = 1
+), clean AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+)
+SELECT lang, count(*) AS n_docs,
+  sum({{TOKENS}}) AS total_tokens,
+  round(avg(quality), 4) AS avg_quality
+FROM clean GROUP BY lang
+""".replace("{QUALITY}", textstats.quality_score_sql("text"))
+   .replace("{TOKENS}", textstats.token_count_sql("text")))
+def td_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data corpus preparation — the whole dedup/quality
+    ladder as ONE lazy plan: quality-filter (score ≥ 0.5) → exact dedup
+    (keep lowest id per content hash) → near-dup removal (drop the higher
+    id of every MinHash-LSH pair with verified jaccard ≥ 0.5) → per-lang
+    corpus stats. Everything JVM-side; the near-dup pair set is tiny, so
+    its anti-join broadcasts — at 100 TB the survivors never shuffle, only
+    the LSH banding and the final (lang) agg do."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.withColumn(
+        "quality", textstats.quality_score_expr(F.col("text")))
+    passed = scored.filter(F.col("quality") >= 0.5)
+    kept = dedup.exact_dedup(passed)
+    dups = dedup.minhash_lsh_pairs(docs, threshold=0.5) \
+        .select(F.col("id_b").alias("_dup")).distinct()
+    clean = kept.join(
+        F.broadcast(dups), kept.doc_id == F.col("_dup"), "left_anti")
+    return clean.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(textstats.token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
 
 

@@ -116,3 +116,45 @@ def test_q19_pushes_single_side_conjuncts(spark):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("l_quantity" in ln for ln in pushed), plan
     assert any("p_brand" in ln for ln in pushed), plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """At cluster scale a selective dim filter should prune the fact scan
+    before the shuffle join. Spark injects a runtime Bloom filter
+    (bloom_filter_agg on the filtered side, might_contain on the fact side)
+    once the size thresholds allow — locally we force them to prove the
+    plan rewrite fires with our session settings."""
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.io import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        o = load_table(spark, "/root/testdata/sf0.001", "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("q")))
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys.lower() or "BloomFilter" in phys, phys
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
