@@ -744,6 +744,51 @@ def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("l4_embed", None)
+def l4_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — text embedding (/root/reference/src/pinecone_utils.py:46-53) as
+    an Arrow-batched Pandas UDF with a per-executor model singleton. The
+    container has no model weights, so the deterministic fake runs (same
+    column contract: string → L2-normalized array<float>[384]). Python-side
+    by design ⇒ rows-only."""
+    from multiagent_document_etl_system_spark.operators.embed import (
+        embed_text,
+    )
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    emb = embed_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 4).alias("e0"),
+    )
+
+
+@_q("s1_parse_dispatch", None)
+def s1_parse_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1–S5 — format-dispatch parsing over binary content
+    (/root/reference/src/parsers.py:4-32). The text path parses for real;
+    pdf/docx/image degrade per-row to a parse_error (libraries absent in
+    this container) — the per-row fault-tolerance contract. Pandas-UDF
+    parse ⇒ rows-only."""
+    from multiagent_document_etl_system_spark.sources.parsers import (
+        parse_documents,
+    )
+    rows = [
+        ("a.txt", bytearray("plain text body".encode())),
+        ("b.pdf", bytearray(b"%PDF-1.4 fake")),
+        ("c.docx", bytearray(b"PK fake docx")),
+        ("d.png", bytearray(b"\x89PNG fake")),
+        ("e.csv", bytearray("x,y\n1,2".encode())),
+    ]
+    binary = spark.createDataFrame(rows, "path string, content binary")
+    parsed = parse_documents(binary)
+    return parsed.select(
+        "path", "format",
+        F.col("raw_text").isNotNull().alias("parsed_ok"),
+        F.col("parse_error").isNotNull().alias("has_error"),
+    )
+
+
 @_q("mm_decode_features", None)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary media columns → mapInPandas decode/feature

@@ -38,7 +38,10 @@ def test_no_python_eval_in_any_registry_query(spark):
     Python evaluation nodes anywhere. The single sanctioned Python path is
     the multimodal decode (mm_decode_features) — mapInPandas by design,
     because no Catalyst expression can decode media bytes."""
-    sanctioned = {"mm_decode_features"}
+    # Python-by-design rows-only entries: multimodal decode, L4 embedding,
+    # S1-S5 binary parse — each is a Pandas UDF because no Catalyst
+    # expression can do the work (media decode, model inference, pdf parse).
+    sanctioned = {"mm_decode_features", "l4_embed", "s1_parse_dispatch"}
     offenders = {}
     for name, (fn, _) in QUERIES.items():
         if name in sanctioned:
