@@ -789,6 +789,42 @@ def s1_parse_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("st_tumbling_stream", """
+SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S') AS hour_start,
+  event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2
+""")
+def st_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution, oracle-checked: the events
+    table replayed through readStream → watermarked tumbling window →
+    availableNow trigger → memory sink. Events are staged as ONE parquet
+    file so the run is a single micro-batch — the watermark evicts no
+    state mid-stream and ``complete`` output emits every window, making
+    the result bit-equal to the batch twin (q_tumbling_window) and hence
+    DuckDB-checkable. Multi-batch replay + late-data drop semantics are
+    exercised in tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = tempfile.mkdtemp(prefix="st_events_")
+    load_table(spark, sf_dir, "events").coalesce(1).write \
+        .mode("overwrite").parquet(stage)
+    stream = streamx.read_event_stream(spark, stage,
+                                       max_files_per_trigger=10)
+    agg = streamx.tumbling_counts(stream, width="1 hour",
+                                  watermark="30 minutes")
+    name = f"st_tumbling_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("hour_start"),
+        "event_type", "n", "total",
+    )
+
+
 @_q("mm_decode_features", None)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary media columns → mapInPandas decode/feature
