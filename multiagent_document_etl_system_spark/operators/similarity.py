@@ -73,11 +73,18 @@ def cosine_sql(a: str, b: str) -> str:
 def topk_join(queries: DataFrame, candidates: DataFrame, k: int = 5,
               q_id: str = "q_id", c_id: str = "c_id",
               q_vec: str = "q_vec", c_vec: str = "c_vec",
-              exclude_self: bool = True) -> DataFrame:
-    """V2 — brute-force cosine top-k: (q_id, c_id, score, rank).
+              exclude_self: bool = True,
+              score_floor: float | None = None,
+              carry: tuple[str, ...] = ()) -> DataFrame:
+    """V2 — brute-force cosine top-k: (q_id, c_id, *carry, score, rank).
 
     ``queries`` is broadcast (the reference's query side is one document /
     a handful of schemas). Deterministic order: score DESC, candidate ASC.
+
+    ``score_floor`` drops pairs below the floor BEFORE ranking (V5's
+    semantic-retrieval threshold, /root/reference/src/agents.py:133-141);
+    ``carry`` lists candidate metadata columns to keep in the output (V3's
+    filtered retrieval carries the filter attribute through).
 
     Norms are precomputed per ROW before the join (materialized columns) —
     computing them inside the pair expression would fold over each vector
@@ -91,7 +98,9 @@ def topk_join(queries: DataFrame, candidates: DataFrame, k: int = 5,
     denom = F.col("_qn") * F.col("_cn")
     score = F.when(denom == 0, F.lit(0.0)) \
         .otherwise(dot(F.col(q_vec), F.col(c_vec)) / denom)
-    scored = j.select(q_id, c_id, F.round(score, 4).alias("score"))
+    scored = j.select(q_id, c_id, *carry, F.round(score, 4).alias("score"))
+    if score_floor is not None:
+        scored = scored.filter(F.col("score") >= score_floor)
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -24,6 +24,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multiagent_document_etl_system_spark.functions.numeric import (
+    dec,
+    dec_sql,
+    stable_avg,
+    stable_avg_sql,
+    stable_ratio,
+    stable_ratio_sql,
+    stable_sum,
+    stable_sum_sql,
+)
 from multiagent_document_etl_system_spark.io import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -45,15 +55,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ---------------------------------------------------------------- agg
 
-@_q("q1_pricing_summary", """
+_DISC_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+@_q("q1_pricing_summary", f"""
 SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  round(avg(l_quantity), 4) AS avg_qty,
-  round(avg(l_extendedprice), 4) AS avg_price,
-  round(avg(l_discount), 4) AS avg_disc,
+  {stable_sum_sql('l_quantity')} AS sum_qty,
+  {stable_sum_sql('l_extendedprice')} AS sum_base_price,
+  {stable_sum_sql(_DISC_SQL)} AS sum_disc_price,
+  {stable_sum_sql(_DISC_SQL + ' * (1 + l_tax)')} AS sum_charge,
+  {stable_avg_sql('l_quantity')} AS avg_qty,
+  {stable_avg_sql('l_extendedprice')} AS avg_price,
+  {stable_avg_sql('l_discount')} AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -62,28 +75,30 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape. One shuffle on a 6-ish-key group — partial (map-side)
     aggregation reduces each scan partition to ≤6 rows before exchange;
-    the filter pushes to the parquet scan."""
+    the filter pushes to the parquet scan. Money sums/avgs go through the
+    order-insensitive decimal path (functions/numeric.py) so the hash is
+    stable across partition orders."""
     li = _t(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            stable_sum(F.col("l_quantity")).alias("sum_qty"),
+            stable_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            stable_sum(disc).alias("sum_disc_price"),
+            stable_sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            stable_avg(F.col("l_quantity")).alias("avg_qty"),
+            stable_avg(F.col("l_extendedprice")).alias("avg_price"),
+            stable_avg(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-@_q("q3_top_revenue_orders", """
+@_q("q3_top_revenue_orders", f"""
 SELECT o.o_orderkey,
-  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  {stable_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
   o.o_orderpriority
 FROM customer c
@@ -109,7 +124,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("o_year"),
             "o_orderpriority",
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"))
         .select("o_orderkey", "revenue", "o_year", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -117,9 +132,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q5_region_nation_revenue", """
+@_q("q5_region_nation_revenue", f"""
 SELECT r.r_name, n.n_name,
-  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  {stable_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
   count(*) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -146,7 +161,7 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -183,12 +198,12 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
 
 
-@_q("q_band_join", """
+@_q("q_band_join", f"""
 WITH bands(band_id, lo, hi) AS (VALUES
   (0, 0.0, 10000.0), (1, 10000.0, 20000.0), (2, 20000.0, 30000.0),
   (3, 30000.0, 40000.0), (4, 40000.0, 100000.0))
 SELECT b.band_id, count(*) AS n_items,
-  round(sum(l.l_extendedprice), 2) AS sum_price
+  {stable_sum_sql('l.l_extendedprice')} AS sum_price
 FROM lineitem l
 JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
 GROUP BY b.band_id
@@ -208,17 +223,17 @@ def q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi))
         .groupBy("band_id")
         .agg(F.count("*").alias("n_items"),
-             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+             stable_sum(F.col("l_extendedprice")).alias("sum_price"))
         .withColumn("band_id", F.col("band_id").cast("int"))
     )
 
 
 # ------------------------------------------------- grouping sets family
 
-@_q("q_rollup_region_nation", """
+@_q("q_rollup_region_nation", f"""
 SELECT coalesce(r.r_name, 'ALL') AS region,
   coalesce(n.n_name, 'ALL') AS nation,
-  round(sum(c.c_acctbal), 2) AS total_acctbal,
+  {stable_sum_sql('c.c_acctbal')} AS total_acctbal,
   count(*) AS n_customers
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -234,7 +249,7 @@ def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
-        .agg(F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        .agg(stable_sum(F.col("c_acctbal")).alias("total_acctbal"),
              F.count("*").alias("n_customers"))
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
@@ -244,11 +259,11 @@ def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q_cube_status_priority", """
+@_q("q_cube_status_priority", f"""
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
   coalesce(o_orderpriority, 'ALL') AS priority,
   count(*) AS n_orders,
-  round(sum(o_totalprice), 2) AS total_price
+  {stable_sum_sql('o_totalprice')} AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)
@@ -257,7 +272,7 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+             stable_sum(F.col("o_totalprice")).alias("total_price"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -266,20 +281,22 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q_grouping_sets", """
+@_q("q_grouping_sets", f"""
 SELECT coalesce(c_mktsegment, 'ALL') AS segment,
   coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nationkey,
-  count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+  count(*) AS n, {stable_avg_sql('c_acctbal')} AS avg_bal
 FROM customer
 GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
 """)
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     c.createOrReplaceTempView("customer")
-    return spark.sql("""
+    # stable_avg_sql emits engine-portable SQL — the same text runs here
+    # and in the DuckDB oracle.
+    return spark.sql(f"""
         SELECT coalesce(c_mktsegment, 'ALL') AS segment,
           coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nationkey,
-          count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+          count(*) AS n, {stable_avg_sql('c_acctbal')} AS avg_bal
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
     """)
@@ -565,37 +582,36 @@ def q_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q_sql_api", """
+_SQL_API_TEXT = f"""
 SELECT n.n_name, count(*) AS n_customers,
-  round(avg(c.c_acctbal), 4) AS avg_bal
+  {stable_avg_sql('c.c_acctbal')} AS avg_bal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
-""")
+"""
+
+
+@_q("q_sql_api", _SQL_API_TEXT)
 def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The raw-SQL entry point: identical text runs through spark.sql over
-    registered temp views — same Catalyst plan as the DataFrame API."""
+    """The raw-SQL entry point: IDENTICAL text runs through spark.sql over
+    registered temp views and through the DuckDB oracle — the expression
+    sweep is engine-portable SQL."""
     from multiagent_document_etl_system_spark.io import register_views
     register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT n.n_name, count(*) AS n_customers,
-          round(avg(c.c_acctbal), 4) AS avg_bal
-        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        GROUP BY n.n_name
-    """)
+    return spark.sql(_SQL_API_TEXT)
 
 
 # -------------------------------------------------------------------- pivot
 
-@_q("q_pivot_status_priority", """
+@_q("q_pivot_status_priority", f"""
 SELECT o_orderpriority,
   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS st_f,
   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS st_o,
   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS st_p,
-  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+  {stable_sum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")}
     AS rev_f,
-  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2)
+  {stable_sum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")}
     AS rev_o,
-  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2)
+  {stable_sum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END")}
     AS rev_p
 FROM orders GROUP BY o_orderpriority
 """)
@@ -610,7 +626,7 @@ def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
             F.count(F.lit(1)).alias("st"),
-            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+            stable_sum(F.col("o_totalprice")).alias("rev"),
         )
     )
     return out.select(
@@ -648,8 +664,9 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q_correlated_subquery", """
-SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+@_q("q_correlated_subquery", f"""
+SELECT round(CAST(sum({dec_sql('l.l_extendedprice')}) AS DOUBLE) / 7.0, 2)
+  AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#1'
@@ -671,7 +688,8 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(per_part, li.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_qty_cap"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double") / 7.0, 2)
+             .alias("avg_yearly"))
     )
 
 
@@ -702,12 +720,12 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- scalar function sweeps
 
-@_q("q_date_functions", """
+@_q("q_date_functions", f"""
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
   CAST(month(o_orderdate) AS BIGINT) AS o_month,
   CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
   count(*) AS n_orders,
-  round(sum(o_totalprice), 2) AS total
+  {stable_sum_sql('o_totalprice')} AS total
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1999-01-01'
@@ -724,7 +742,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.quarter("o_orderdate").cast("bigint").alias("o_quarter"),
         )
         .agg(F.count("*").alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("total"))
+             stable_sum(F.col("o_totalprice")).alias("total"))
     )
 
 
@@ -780,12 +798,12 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ events / JSON
 
-@_q("q_json_events", """
+@_q("q_json_events", f"""
 SELECT CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT)
     AS k_bucket,
   count(*) AS n_events,
-  round(sum(value), 2) AS total_value,
-  round(avg(value), 4) AS avg_value
+  {stable_sum_sql('value')} AS total_value,
+  {stable_avg_sql('value')} AS avg_value
 FROM events
 GROUP BY 1
 """)
@@ -796,15 +814,15 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy((k % 10).cast("bigint").alias("k_bucket"))
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value"),
-             F.round(F.avg("value"), 4).alias("avg_value"))
+             stable_sum(F.col("value")).alias("total_value"),
+             stable_avg(F.col("value")).alias("avg_value"))
     )
 
 
-@_q("q_tumbling_window", """
+@_q("q_tumbling_window", f"""
 SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP),
                 '%Y-%m-%d %H:%M:%S') AS hour_start,
-  event_type, count(*) AS n, round(sum(value), 2) AS total
+  event_type, count(*) AS n, {stable_sum_sql('value')} AS total
 FROM events GROUP BY 1, 2
 """)
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,11 +835,11 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hour_start"),
             "event_type",
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), stable_sum(F.col("value")).alias("total"))
     )
 
 
-@_q("q_sliding_window", """
+@_q("q_sliding_window", f"""
 WITH cand AS (
   SELECT e.*, unnest([
       time_bucket(INTERVAL 5 minutes, CAST(ts AS TIMESTAMP)),
@@ -830,7 +848,7 @@ WITH cand AS (
   FROM events e
 )
 SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-  count(*) AS n, round(sum(value), 2) AS total
+  count(*) AS n, {stable_sum_sql('value')} AS total
 FROM cand
 WHERE CAST(ts AS TIMESTAMP) >= w_start
   AND CAST(ts AS TIMESTAMP) < w_start + INTERVAL 10 minutes
@@ -842,7 +860,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), stable_sum(F.col("value")).alias("total"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
             .alias("window_start"),
@@ -892,10 +910,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- TPC-H-shape breadth (r2)
 
-@_q("q7_nation_trade", """
+@_q("q7_nation_trade", f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  {stable_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -927,14 +945,14 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation",
                  F.year("o_orderdate").cast("bigint").alias("o_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"))
     )
 
 
-@_q("q10_returned_revenue", """
+@_q("q10_returned_revenue", f"""
 SELECT c.c_custkey, c.c_name, n.n_name,
-  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  {stable_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -957,7 +975,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"))
         .select("c_custkey", "c_name", "n_name", "revenue")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -965,11 +983,13 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q14_promo_revenue", """
+_Q14_DISC = "l.l_extendedprice * (1 - l.l_discount)"
+_Q14_PROMO = f"CASE WHEN p.p_type = 'PROMO' THEN {_Q14_DISC} ELSE 0 END"
+
+
+@_q("q14_promo_revenue", f"""
 SELECT CAST(month(l.l_shipdate) AS BIGINT) AS ship_month,
-  round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-      / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+  {stable_ratio_sql(_Q14_PROMO, _Q14_DISC, factor='100.0')} AS promo_pct,
   count(*) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY month(l.l_shipdate)
@@ -978,7 +998,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promo revenue share) — conditional aggregation over
     a dimension attribute. part broadcasts (dimension-scale); at 100 TB with
     a huge part table this becomes a shuffle join on partkey and nothing
-    else changes."""
+    else changes. The ratio is computed over order-insensitive decimal sums
+    (functions/numeric.py) so the 4-decimal rounding never flakes."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -987,7 +1008,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.month("l_shipdate").cast("bigint").alias("ship_month"))
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_pct"),
+            stable_ratio(promo, disc, factor=100.0).alias("promo_pct"),
             F.count("*").alias("n_items"),
         )
     )
@@ -1036,8 +1057,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q19_disjunctive_filter", """
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+@_q("q19_disjunctive_filter", f"""
+SELECT {stable_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
   count(*) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -1064,7 +1085,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .alias("revenue"),
             F.count("*").alias("n_items"),
         )

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from multiagent_document_etl_system_spark.functions.numeric import stable_sum
+
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.TimestampType()),
@@ -54,7 +56,7 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour",
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), stable_sum(F.col("value")).alias("total"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
     )
 
@@ -66,7 +68,7 @@ def sliding_counts(events: DataFrame, width: str = "10 minutes",
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width, slide).alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), stable_sum(F.col("value")).alias("total"))
         .select(F.col("w.start").alias("window_start"), "n", "total")
     )
 
