@@ -265,27 +265,18 @@ FROM ranked WHERE rank <= 5
 """)
 def v3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 — metadata filter *before* similarity (Catalyst pushes the label
-    predicate below the join: filtered rows are never scored)."""
+    predicate below the join: filtered rows are never scored). Same
+    operator as V2 (`similarity.topk_join`) with a pre-filtered candidate
+    side and the filter attribute carried through."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
-        similarity.norm(F.col("embedding")).alias("_qn"))
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = e.filter(F.col("label") == 3).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"),
-        "label", similarity.norm(F.col("embedding")).alias("_cn"))
-    j = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
-    denom = F.col("_qn") * F.col("_cn")
-    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
-        similarity.dot(F.col("q_vec"), F.col("c_vec")) / denom)
-    scored = j.select(
-        "q_id", "c_id", F.col("label").cast("int").alias("label"),
-        F.round(cos, 4).alias("score"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 5)
-        .select("q_id", "c_id", "label", "score", "rank")
-    )
+        F.col("label").cast("int").alias("label"))
+    out = similarity.topk_join(q, c, k=5, carry=("label",))
+    return out.select("q_id", "c_id", "label", "score",
+                      F.col("rank").cast("bigint").alias("rank"))
 
 
 @_q("v4_top1_argmax", f"""
@@ -349,36 +340,21 @@ def v5_fallback_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V5 — the 3-strategy retrieval cascade over embeddings: strategy 1 =
     same-label top-1; strategy 2 = global top-1 with a score floor; strategy
     3 = constant fallback (/root/reference/src/agents.py:104-156).
-    Provenance in ``strategy``."""
+    Provenance in ``strategy``. Both retrieval strategies are
+    `similarity.top1` calls (filtered candidates / score_floor) — the same
+    operator as V2/V3/V4, not a reimplementation."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
-        F.col("label").alias("q_label"),
-        similarity.norm(F.col("embedding")).alias("_qn"))
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = e.select(F.col("vec_id").alias("c_id"),
                  F.col("embedding").alias("c_vec"),
-                 F.col("label").alias("c_label"),
-                 similarity.norm(F.col("embedding")).alias("_cn"))
-    denom = F.col("_qn") * F.col("_cn")
-    cos = F.round(F.when(denom == 0, F.lit(0.0)).otherwise(
-        similarity.dot(F.col("q_vec"), F.col("c_vec")) / denom), 4)
+                 F.col("label").alias("c_label"))
     # strategy 1: filtered by matching label (V3 semantics), rare label → may miss
-    j1 = c.filter(F.col("c_label") == 9).crossJoin(F.broadcast(q)) \
-        .filter(F.col("q_id") != F.col("c_id"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
-    s1 = (
-        j1.select("q_id", "c_id", cos.alias("score"))
-        .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    s1 = similarity.top1(q, c.filter(F.col("c_label") == 9).drop("c_label")) \
         .select("q_id", F.col("c_id").alias("s1_id"))
-    )
     # strategy 2: unfiltered global top-1 with a score floor (semantic query)
-    j2 = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
-    s2 = (
-        j2.select("q_id", "c_id", cos.alias("score"))
-        .filter(F.col("score") >= 0.35)
-        .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    s2 = similarity.top1(q, c.drop("c_label"), score_floor=0.35) \
         .select("q_id", F.col("c_id").alias("s2_id"))
-    )
     return (
         q.join(s1, "q_id", "left").join(s2, "q_id", "left")
         .select(
@@ -555,31 +531,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+_EMB_DEDUP_PLANES = similarity.hyperplanes(dim=64, n_planes=6, seed=42)
+_EMB_SIG_SQL = similarity.lsh_signature_sql(
+    "embedding::DOUBLE[]", _EMB_DEDUP_PLANES)
+
+
 @_q("dedup_embedding_cosine", f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round({similarity.cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 4)
-    AS score
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({similarity.cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 4)
-      >= 0.3
+WITH sig AS (
+  SELECT vec_id, embedding, {_EMB_SIG_SQL} AS bucket FROM embeddings
+)
+SELECT id_a, id_b, score FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({similarity.cosine_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 4)
+      AS score
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE score >= 0.3
 """)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: same-label blocked pairs with cosine ≥ τ
-    (τ=0.3 on this synthetic corpus — random vectors top out ≈0.5;
-    production would use ≥0.95). Blocking key = label ⇒ equi-join, not
-    cross join."""
-    e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("id_a"),
-                 F.col("embedding").alias("va"), F.col("label"))
-    b = e.select(F.col("vec_id").alias("id_b"),
-                 F.col("embedding").alias("vb"), F.col("label"))
-    return (
-        a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.round(similarity.cosine("va", "vb"), 4).alias("score"))
-        .filter(F.col("score") >= 0.3)
-    )
+    """Embedding near-dup pairs, blocked on a 6-bit hyperplane-LSH
+    signature (τ=0.3 on this synthetic corpus — random vectors top out
+    ≈0.5; production would use ≥0.95 and more planes). Round 2 blocked on
+    ``label`` (~10 distinct values ⇒ quadratic within label at corpus
+    scale); the signature equi-join keys on a uniform 2^6-ary bucket
+    instead, and near-identical vectors agree on hyperplane signs so they
+    still collide. The plane constants are deterministic literals, so the
+    DuckDB oracle restates the signature exactly — this stays a full
+    hash-checked query, not rows-only."""
+    return similarity.embedding_near_pairs(
+        _emb(spark, sf_dir), dim=64, threshold=0.3, n_planes=6, seed=42)
 
 
 @_q("td_prepare_corpus", f"""

@@ -111,6 +111,30 @@ def test_ann_lsh_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_embedding_dedup_blocks_on_lsh_signature(spark):
+    """Embedding near-dup blocks on the hyperplane signature — a plain
+    equi-join (hash-partitionable at 100 TB), never a cartesian/NLJ, and
+    no residual blocking on the low-cardinality label column."""
+    p = plan_of(QUERIES["dedup_embedding_cosine"][0](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "_sig" in p  # the signature is the join key
+
+
+def test_ivf_fit_sample_is_bounded(spark):
+    """The IVF quantizer is fit on a capped sample, never the full corpus:
+    the fit input plan carries a GlobalLimit of ivf_fit_cap(n_cells)."""
+    from multiagent_document_etl_system_spark.operators import similarity
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    cand_n = e.withColumn("_nv", similarity.l2_normalize(F.col("c_vec")))
+    train = similarity.ivf_train_sample(cand_n, n_cells=16)
+    plan = train._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit" in plan
+    assert train.count() <= similarity.ivf_fit_cap(16)
+
+
 def test_whole_stage_codegen_in_pipeline(spark):
     """`*(N)` markers = operators fused into generated code. The AQE
     wrapper hides them until runtime, so plan once with AQE off."""
