@@ -103,6 +103,92 @@ def _docx_parse(lib, b: bytes) -> str:
     return "\n".join(chunks)
 
 
+_W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def _docx_parse_stdlib(b: bytes) -> str:
+    """Pure-stdlib DOCX text extraction — a .docx is a zip whose body lives
+    in word/document.xml. Reproduces the reference's python-docx semantics
+    (/root/reference/src/parsers.py:53-86): body-level non-empty paragraphs
+    first, then each table row flattened with non-empty cells joined
+    ``' | '``, all chunks joined with newlines. This makes DOCX the one
+    non-trivial format that parses end-to-end even without python-docx in
+    the environment (the library path above is preferred when present)."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(b)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    body = root.find(_W_NS + "body")
+    if body is None:
+        return ""
+
+    def para_text(p) -> str:
+        return "".join(t.text or "" for t in p.iter(_W_NS + "t"))
+
+    chunks: list[str] = []
+    tables = []
+    for child in body:
+        if child.tag == _W_NS + "p":
+            txt = para_text(child)
+            if txt.strip():
+                chunks.append(txt)
+        elif child.tag == _W_NS + "tbl":
+            tables.append(child)
+    for tbl in tables:
+        for tr in tbl.iter(_W_NS + "tr"):
+            cells = []
+            for tc in tr.findall(_W_NS + "tc"):
+                # python-docx cell.text: paragraph texts joined with \n
+                ctext = "\n".join(
+                    para_text(p) for p in tc.findall(_W_NS + "p")).strip()
+                if ctext:
+                    cells.append(ctext)
+            if cells:
+                chunks.append(" | ".join(cells))
+    return "\n".join(chunks)
+
+
+def make_demo_docx_bytes(paragraphs: list[str],
+                         table_rows: list[list[str]] | None = None) -> bytes:
+    """A minimal valid .docx (zip + document.xml) built with the stdlib —
+    test/demo fixture so the docx path can parse for real in environments
+    without binary fixtures."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    parts = []
+    for p in paragraphs:
+        parts.append(f"<w:p><w:r><w:t>{escape(p)}</w:t></w:r></w:p>")
+    for row in (table_rows or []):
+        cells = "".join(
+            f"<w:tc><w:p><w:r><w:t>{escape(c)}</w:t></w:r></w:p></w:tc>"
+            for c in row
+        )
+        parts.append(f"<w:tbl><w:tr>{cells}</w:tr></w:tbl>")
+    doc_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        + "".join(parts) + "</w:body></w:document>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types"><Default Extension="xml" ContentType="application/'
+        'xml"/><Override PartName="/word/document.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.wordprocessingml.'
+        'document.main+xml"/></Types>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("word/document.xml", doc_xml)
+    return buf.getvalue()
+
+
 def _image_parse(lib, b: bytes) -> str:
     # pytesseract full-page OCR (/root/reference/src/parsers.py:90-105)
     import io
@@ -111,9 +197,33 @@ def _image_parse(lib, b: bytes) -> str:
     return lib.image_to_string(Image.open(io.BytesIO(b)))
 
 
+def _mk_docx_parser():
+    """DOCX parser with two rungs: python-docx when importable (the
+    reference's library), else the stdlib zip+XML extractor with identical
+    output semantics — so DOCX parses end-to-end in any environment."""
+    state: dict[str, object] = {}
+
+    def parse_bytes(b) -> tuple[str | None, str | None]:
+        if b is None:
+            return None, "docx parse failed: empty content"
+        if "lib" not in state:
+            try:
+                state["lib"] = __import__("docx")
+            except ImportError:
+                state["lib"] = None
+        try:
+            if state["lib"] is not None:
+                return _docx_parse(state["lib"], bytes(b)), None
+            return _docx_parse_stdlib(bytes(b)), None
+        except Exception as exc:  # noqa: BLE001 — per-row fault tolerance
+            return None, f"docx parse failed: {exc}"
+
+    return parse_bytes
+
+
 _PARSERS = {
     "pdf": _mk_parser(lambda: __import__("pdfplumber"), _pdf_parse, "pdf"),
-    "docx": _mk_parser(lambda: __import__("docx"), _docx_parse, "docx"),
+    "docx": _mk_docx_parser(),
     "image": _mk_parser(lambda: __import__("pytesseract"), _image_parse, "ocr"),
 }
 
