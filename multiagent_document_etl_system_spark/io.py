@@ -24,21 +24,38 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's reader
-        # rejects outright (PARQUET_TYPE_ILLEGAL). nanosAsLong is a dynamic
-        # SQL conf, so set it here rather than relying on the session builder
-        # — callers (e.g. the external driver) supply their own SparkSession.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # The nanos long is converted to a microsecond TimestampType,
-        # matching DuckDB's CAST(ts AS TIMESTAMP).
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if name != "events":
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's reader
+    # rejects outright (PARQUET_TYPE_ILLEGAL). nanosAsLong is a dynamic SQL
+    # conf, so set it here rather than relying on the session builder —
+    # callers (e.g. the external driver) supply their own SparkSession. The
+    # prior value is restored right after the relation is resolved (the scan
+    # captures the flag at read time), so the legacy behavior never leaks
+    # into the caller's later TIMESTAMP(NANOS) reads.
+    try:
+        prior = spark.conf.get(_NANOS_CONF)
+    except Exception:  # noqa: BLE001 — unset, or conf not known to this build
+        prior = None
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    finally:
+        if prior is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prior)
+    # The nanos long is converted to a microsecond TimestampType,
+    # matching DuckDB's CAST(ts AS TIMESTAMP).
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     return df
 
 
@@ -115,6 +132,17 @@ def upsert_parquet(spark: SparkSession, df: DataFrame, path: str,
     HPath = jvm.org.apache.hadoop.fs.Path
     fs = HPath(path).getFileSystem(hconf)
 
+    old = path.rstrip("/") + "__upsert_old"
+    # Self-healing: a crash between the two swap renames below leaves the
+    # live table parked at __upsert_old and nothing at `path`. Detect that
+    # state on the NEXT call and restore the backup first — otherwise this
+    # call would rebuild from the incoming batch alone and its cleanup
+    # delete of `old` would silently destroy all prior rows.
+    if fs.exists(HPath(old)) and not fs.exists(HPath(path)):
+        if not fs.rename(HPath(old), HPath(path)):
+            raise IOError(
+                f"recovery rename {old} -> {path} failed; manual fix needed")
+
     if fs.exists(HPath(path)):
         existing = spark.read.parquet(path)
         keep = existing.join(
@@ -124,7 +152,6 @@ def upsert_parquet(spark: SparkSession, df: DataFrame, path: str,
         out = df
 
     tmp = path.rstrip("/") + "__upsert_tmp"
-    old = path.rstrip("/") + "__upsert_old"
     out.write.mode("overwrite").parquet(tmp)
     # Crash-safe swap: move the live table ASIDE (not delete), rename the
     # rebuilt table into place, then drop the backup. A crash between the

@@ -199,9 +199,15 @@ def _validate_stage(df: DataFrame, suffix: str) -> DataFrame:
 
 # ------------------------------------------------------------------ oracle
 
-def pipeline_oracle_sql(table: str = "documents") -> str:
+def pipeline_oracle_sql(table: str = "documents",
+                        parse_error_col: bool = False) -> str:
     """The whole pipeline as one DuckDB query — stage-for-stage mirror of
-    :func:`run_pipeline` (same names, same gating, same constants)."""
+    :func:`run_pipeline` (same names, same gating, same constants).
+
+    ``parse_error_col=True`` mirrors run_pipeline's behavior on inputs that
+    carry a ``parse_error`` column (it seeds ``error`` ahead of the
+    too-short check). The driver's ``documents`` table has no such column,
+    so the registry oracle uses the default."""
     ex = extract_sql_columns("text")
     exc = extract_sql_columns("cleaned")
     val = validate_sql_columns()
@@ -209,10 +215,13 @@ def pipeline_oracle_sql(table: str = "documents") -> str:
         f"('{t}', '{s.replace(chr(39), chr(39) * 2)}', '{d}')"
         for t, s, d in SCHEMA_DIM
     )
+    err_expr = f"CASE WHEN n_chars < {MIN_CHARS} THEN '{PARSE_ERROR}' END"
+    if parse_error_col:
+        err_expr = f"coalesce(parse_error, {err_expr})"
     return f"""
 WITH parsed AS (
   SELECT doc_id, text, n_chars,
-    CASE WHEN n_chars < {MIN_CHARS} THEN '{PARSE_ERROR}' END AS error
+    {err_expr} AS error
   FROM {table}
 ), cleaned AS (
   SELECT *, CASE WHEN error IS NULL THEN {clean_text_sql('text')} END AS cleaned,

@@ -394,6 +394,73 @@ def v6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(q, c, dim=64, k=5, n_planes=6)
 
 
+# memoized namespace-partitioned schema-registry stagings, keyed like the
+# streaming staging: the write is fixture setup, the QUERY is the pruned read
+_NS_REGISTRY_CACHE: dict[tuple[str, str], str] = {}
+
+_NS_DIM_TYPES = ("contract", "form", "invoice", "receipt", "report")
+
+
+def _namespace_registry_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _NS_REGISTRY_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        from multiagent_document_etl_system_spark.io import write_parquet
+        from multiagent_document_etl_system_spark.operators.classify import (
+            classify,
+        )
+
+        path = tempfile.mkdtemp(prefix="ns_registry_")
+        reg = (
+            classify(_docs(spark, sf_dir))
+            .groupBy("doc_type").agg(F.count("*").alias("n_docs"))
+            .withColumn(
+                "namespace",
+                F.when(F.col("doc_type").isin(*_NS_DIM_TYPES),
+                       F.lit("document-schemas"))
+                .otherwise(F.lit("auto-generated")),
+            )
+            .withColumn(
+                "schema_id",
+                schema_id(F.col("doc_type"), F.lit('{"fields":{}}')),
+            )
+        )
+        write_parquet(reg, path, partition_by=["namespace"])
+        _NS_REGISTRY_CACHE[key] = path
+    return path
+
+
+@_q("v6_namespace_scoped", f"""
+WITH reg AS (
+  SELECT {classify_case_sql('text')} AS doc_type, count(*) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT doc_type, CAST(n_docs AS BIGINT) AS n_docs,
+  {schema_id_sql('doc_type', _FALLBACK_SCHEMA_LIT)} AS schema_id,
+  'document-schemas' AS namespace
+FROM reg
+WHERE doc_type IN {_NS_DIM_TYPES!r}
+""")
+def v6_namespace_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 — namespace scoping as a partition column + pruned scan
+    (/root/reference/src/pinecone_utils.py:55,98: every upsert/query
+    targets namespace 'document-schemas'). The registry is written
+    partitioned by namespace (memoized fixture); THIS query is the
+    namespace-scoped read: ``WHERE namespace = 'document-schemas'`` prunes
+    to one partition directory — only that namespace's files are ever
+    opened (PartitionFilters, plan-tested). The oracle recomputes the same
+    registry rows from `documents` and applies the same namespace rule."""
+    path = _namespace_registry_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("namespace") == "document-schemas")
+        .select("doc_type", F.col("n_docs").cast("bigint").alias("n_docs"),
+                "schema_id", "namespace")
+    )
+
+
 # ================================================================== dedup
 
 @_q("dedup_exact_stats", """

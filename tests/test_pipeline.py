@@ -103,3 +103,42 @@ def test_null_text_rows_flow_through(spark):
     # null n_chars -> parse error predicate is NULL -> treated as healthy,
     # downstream kernels null-propagate without failing the task
     assert rows[2]["success"] and rows[2]["email"] == "billing@example.com"
+
+
+def test_parse_error_input_matches_oracle(spark, tmp_path):
+    """Differential check of the parse_error seeding path: run_pipeline on
+    an input WITH a parse_error column must agree with
+    pipeline_oracle_sql(parse_error_col=True) — the Spark coalesce and the
+    oracle coalesce stay in lockstep (ADVICE r2)."""
+    import duckdb
+
+    from multiagent_document_etl_system_spark.plans.pipeline import (
+        pipeline_oracle_sql,
+    )
+
+    body = "x" * 100 + " billing@example.com 2024-01-02 99.95"
+    docs = spark.createDataFrame(
+        [(1, body, "en", "s3", 140, None),            # healthy
+         (2, body, "en", "s3", 140, "pdf parse failed: boom"),  # parse error
+         (3, "tiny", "en", "s3", 4, None),            # too short
+         (4, "tiny", "en", "s3", 4, "ocr library unavailable")],  # both
+        "doc_id long, text string, lang string, source string,"
+        " n_chars bigint, parse_error string")
+    pq = str(tmp_path / "docs_pe.parquet")
+    docs.write.parquet(pq)
+
+    sres = {r["doc_id"]: (r["success"], r["error"])
+            for r in run_pipeline(spark, docs).collect()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW docs_pe AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    ores = {r[0]: (r[1], r[2]) for r in con.sql(
+        "SELECT doc_id, success, error FROM (" +
+        pipeline_oracle_sql("docs_pe", parse_error_col=True) + ")"
+    ).fetchall()}
+
+    assert sres == ores
+    assert sres[2] == (False, "pdf parse failed: boom")
+    assert sres[4] == (False, "ocr library unavailable")  # parse_error wins
+    assert sres[3] == (False, PARSE_ERROR)
+    assert sres[1][0] is True

@@ -121,6 +121,15 @@ def test_embedding_dedup_blocks_on_lsh_signature(spark):
     assert "_sig" in p  # the signature is the join key
 
 
+def test_v6_namespace_scoped_prunes_partitions(spark):
+    """The namespace-scoped registry read is a pruned partitioned scan:
+    the namespace predicate lands in PartitionFilters (directory-level
+    pruning — only that namespace's files are opened)."""
+    p = plan_of(QUERIES["v6_namespace_scoped"][0](spark, SF_DIR))
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and "namespace" in pf[0], p[:1500]
+
+
 def test_ivf_fit_sample_is_bounded(spark):
     """The IVF quantizer is fit on a capped sample, never the full corpus:
     the fit input plan carries a GlobalLimit of ivf_fit_cap(n_cells)."""
