@@ -172,6 +172,8 @@ def upsert_parquet(spark: SparkSession, df: DataFrame, path: str,
 def write_jdbc(df: DataFrame, url: str, table: str,
                mode: str = "append", **options: str) -> None:
     """K1 — Postgres insert sink (``/root/reference/src/supabase_client.py:45-76``)
-    as a JDBC batch append. Untested locally (no database in the harness)."""
+    as a JDBC batch append. Round-trip tested against embedded Derby (a
+    real in-process JDBC database, tests/test_jdbc.py); Postgres is the
+    same call with its url/driver options."""
     df.write.format("jdbc").option("url", url).option("dbtable", table) \
         .options(**options).mode(mode).save()

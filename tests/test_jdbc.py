@@ -1,0 +1,59 @@
+"""K1 — JDBC sink round-trip (SURVEY.md §2.2).
+
+The reference's primary persistence path is a Postgres insert
+(/root/reference/src/supabase_client.py:45-76). No Postgres server exists in
+this harness, but Spark ships the embedded Derby JDBC driver, which runs a
+real JDBC database in-process — so the sink's write path (type mapping,
+batching, append/overwrite modes) is exercised against an actual JDBC
+endpoint, not mocked. Swapping the url/driver options retargets Postgres
+unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from multiagent_document_etl_system_spark.io import write_jdbc
+
+DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _url(tmp_path, name: str) -> str:
+    return f"jdbc:derby:{os.path.join(str(tmp_path), name)};create=true"
+
+
+def _read(spark, url: str, table: str):
+    return (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", table).option("driver", DERBY).load()
+    )
+
+
+def test_jdbc_append_roundtrip(spark, tmp_path):
+    url = _url(tmp_path, "docsdb")
+    df = spark.createDataFrame(
+        [(1, "invoice", "raw a", '{"amount":"9.99"}'),
+         (2, "receipt", "raw b", '{"amount":"1.50"}')],
+        "id long, doc_type string, raw_text string, structured_data string",
+    )
+    write_jdbc(df, url, "documents", mode="append", driver=DERBY)
+    back = _read(spark, url, "documents")
+    assert sorted(tuple(r) for r in back.collect()) == \
+        sorted(tuple(r) for r in df.collect())
+
+    # K1 is an append sink: a second batch accumulates
+    more = spark.createDataFrame(
+        [(3, "form", "raw c", "{}")],
+        "id long, doc_type string, raw_text string, structured_data string")
+    write_jdbc(more, url, "documents", mode="append", driver=DERBY)
+    assert _read(spark, url, "documents").count() == 3
+
+
+def test_jdbc_overwrite_mode(spark, tmp_path):
+    url = _url(tmp_path, "owdb")
+    one = spark.createDataFrame([(1, "a")], "id long, v string")
+    two = spark.createDataFrame([(2, "b"), (3, "c")], "id long, v string")
+    write_jdbc(one, url, "t", mode="overwrite", driver=DERBY)
+    write_jdbc(two, url, "t", mode="overwrite", driver=DERBY)
+    rows = sorted(tuple(r) for r in _read(spark, url, "t").collect())
+    assert rows == [(2, "b"), (3, "c")]
