@@ -37,6 +37,12 @@ HEADLINE = [
     "q_asof_join",
     "q_pivot_status_priority",
     "q_percentiles",
+    # join-heavy TPC-H-shape breadth (added r2, benched from r3)
+    "q7_nation_trade",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
 ]
 
 

@@ -665,8 +665,8 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q("q_correlated_subquery", f"""
-SELECT round(CAST(sum({dec_sql('l.l_extendedprice')}) AS DOUBLE) / 7.0, 2)
-  AS avg_yearly
+SELECT round(CAST(sum({dec_sql('l.l_extendedprice')}) AS DOUBLE)
+             / 1000000.0 / 7.0, 2) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#1'
@@ -688,8 +688,8 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(per_part, li.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_qty_cap"))
-        .agg(F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double") / 7.0, 2)
-             .alias("avg_yearly"))
+        .agg(F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double")
+                     / 1000000.0 / 7.0, 2).alias("avg_yearly"))
     )
 
 
