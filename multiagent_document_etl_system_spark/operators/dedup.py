@@ -327,3 +327,70 @@ def neighbor_jaccard(df: DataFrame, text_col: str = "text",
         F.round(F.when(union == 0, F.lit(1.0)).otherwise(inter / union), 4)
         .alias("jaccard"),
     )
+
+
+# ------------------------------------------------- duplicate clustering
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 6) -> DataFrame:
+    """Resolve a near-dup PAIR list into duplicate CLUSTERS: (id, rep)
+    where ``rep`` is the smallest id in the pair-graph's connected
+    component — the survivor every other member dedups against.
+
+    Pairs alone under-dedup: A~B and B~C often arrive without A~C (LSH
+    banding, thresholding), so keep-one-per-pair would keep 2 of the 3.
+    Connected components give transitive closure.
+
+    Spark-first: iterative min-label propagation over the undirected edge
+    list — each pass, every node takes the min label in its neighborhood
+    (two hash joins per pass, all on the id key). ``max_iters`` bounds the
+    unrolled lazy plan; propagation reaches over path length ``max_iters``
+    per pass-chain, and near-dup components are dense (banding links most
+    members to the same low-id hub), so 6 passes cover any realistic
+    cluster. At extreme diameters switch to pointer-jumping/large-star —
+    same join primitive, O(log d) rounds.
+
+    Input: (id_a, id_b [, ...]) with id_a < id_b. Output covers only ids
+    that appear in some pair (singletons are their own rep by definition).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    # undirected adjacency + self loops, one row per (node, neighbor)
+    adj = (
+        edges.union(edges.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+        .union(edges.select(F.col("src").alias("src"),
+                            F.col("src").alias("dst")))
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("dst").alias("dst")))
+        .distinct()
+    )
+    labels = adj.groupBy("src").agg(F.min("dst").alias("rep"))
+    for _ in range(max_iters - 1):
+        # next label = min over neighbors' current labels (incl. own)
+        labels = (
+            adj.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src").agg(F.min("rep").alias("rep"))
+        )
+    return labels.select(F.col("src").alias("id"), "rep")
+
+
+def duplicate_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`duplicate_clusters`: transitive closure via a
+    recursive CTE, then rep = min reachable id. Exact fixpoint — agrees
+    with the Spark side whenever components have diameter ≤ the Spark
+    iteration bound (always true for LSH near-dup clusters; asserted by
+    the differential check itself)."""
+    return f"""
+WITH RECURSIVE pr AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION SELECT id_b, id_a FROM pr
+  UNION SELECT id_a, id_a FROM pr
+  UNION SELECT id_b, id_b FROM pr
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src
+"""

@@ -204,3 +204,70 @@ FROM (
 WHERE length(bigram) > 1
 GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT {top_n}
 """
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Per-document top-k TF-IDF terms: (doc_id, token, tfidf, rank).
+
+    tf = in-doc term count; idf = ln(N / df) with df = #docs containing the
+    term; deterministic order (score DESC, token ASC). Plan: explode →
+    groupBy(id, token) [shuffle 1] → groupBy(token) for df [shuffle 2,
+    re-partial-aggregated map-side] → equi-join tf⋈df on token [shuffle 3]
+    → per-doc window [shuffle 4 on id]. N rides along as a broadcast 1-row
+    aggregate. All integer inputs to the double math, so the score is
+    bit-identical cross-engine.
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    tf = tok.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "token", "tfidf", "rank")
+    )
+
+
+def tfidf_top_terms_sql(table: str = "documents", text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5) -> str:
+    return f"""
+WITH tok AS (
+  SELECT id, token FROM (
+    SELECT {id_col} AS id,
+      unnest({tokens_sql(f"lower({text_col})")}) AS token
+    FROM {table}
+  ) WHERE length(token) > 0
+), tf AS (
+  SELECT id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfq AS (
+  SELECT token, count(*) AS dfreq FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM {table})
+SELECT id AS {id_col}, token, tfidf, rank FROM (
+  SELECT tf.id, tf.token,
+    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.dfreq), 4) AS tfidf,
+    CAST(row_number() OVER (PARTITION BY tf.id
+      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.dfreq) DESC,
+               tf.token ASC) AS BIGINT) AS rank
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+) WHERE rank <= {k}
+"""

@@ -1092,6 +1092,159 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q6_revenue_forecast", f"""
+SELECT {stable_sum_sql('l_extendedprice * l_discount')} AS revenue_delta,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure filter + global agg —
+    every predicate pushes into the parquet scan (date + two numeric
+    ranges), no join, no group shuffle; the canonical scan-bound query."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(
+            stable_sum(F.col("l_extendedprice") * F.col("l_discount"))
+            .alias("revenue_delta"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q("q13_order_distribution", """
+WITH counts AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM counts GROUP BY c_count
+""")
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    zero-order customers survive into the c_count=0 bucket, then a
+    histogram of the per-customer counts — two chained aggregations, the
+    second over an already-tiny domain."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_q("q2_min_cost_supplier", """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS best
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey, min(best) AS best_price FROM offers GROUP BY 1
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, round(o.best, 2) AS best_price
+FROM offers o
+JOIN best b ON o.l_partkey = b.l_partkey AND o.best = b.best_price
+JOIN part p ON o.l_partkey = p.p_partkey
+JOIN supplier s ON o.l_suppkey = s.s_suppkey
+WHERE p.p_size <= 10
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part): per-(part, supplier)
+    best offer, then the per-part minimum joined back — the correlated-min
+    decorrelation over two tables. Ties keep every supplier at the minimum
+    (both engines agree; min over doubles never sums). Both aggs share the
+    partkey partitioning; dimensions broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = _t(spark, sf_dir, "supplier")
+    offers = li.groupBy("l_partkey", "l_suppkey") \
+        .agg(F.min("l_extendedprice").alias("best"))
+    best = offers.groupBy(F.col("l_partkey").alias("_bk")) \
+        .agg(F.min("best").alias("best_price"))
+    return (
+        offers.join(best, (offers.l_partkey == F.col("_bk"))
+                    & (offers.best == F.col("best_price")))
+        .join(F.broadcast(p), offers.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name",
+                F.round("best", 2).alias("best_price"))
+    )
+
+
+@_q("q11_important_share", f"""
+WITH sv AS (
+  SELECT l_suppkey,
+    sum({dec_sql('l_extendedprice * l_quantity')}) AS scaled_value
+  FROM lineitem GROUP BY 1
+), total AS (SELECT sum(scaled_value) AS total_scaled FROM sv)
+SELECT l_suppkey AS s_suppkey,
+  round(CAST(scaled_value AS DOUBLE) / 1000000.0, 2) AS inv_value,
+  round(100.0 * CAST(scaled_value AS DOUBLE)
+        / CAST(total_scaled AS DOUBLE), 4) AS share_pct
+FROM sv CROSS JOIN total
+WHERE CAST(scaled_value AS DOUBLE) > 0.0105 * CAST(total_scaled AS DOUBLE)
+""")
+def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (suppliers holding an outsized share of inventory
+    value): per-supplier value vs a scalar-subquery total, HAVING-style
+    threshold. Both sums ride the exact scaled-integer path so the
+    threshold comparison can never flake at the boundary; the 1-row total
+    broadcasts into the filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    sv = li.groupBy("l_suppkey").agg(
+        F.sum(dec(F.col("l_extendedprice") * F.col("l_quantity")))
+        .alias("scaled_value"))
+    total = sv.agg(F.sum("scaled_value").alias("total_scaled"))
+    sd = F.col("scaled_value").cast("double")
+    td = F.col("total_scaled").cast("double")
+    return (
+        sv.crossJoin(F.broadcast(total))
+        .filter(sd > 0.0105 * td)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round(sd / 1000000.0, 2).alias("inv_value"),
+            F.round(F.lit(100.0) * sd / td, 4).alias("share_pct"),
+        )
+    )
+
+
+@_q("q16_supplier_variety", """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 4, 9, 16, 25)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""")
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier variety per part class): NOT IN
+    subquery → left-anti join on the excluded supplier set (broadcast —
+    it's a filtered dimension), then distinct-count per part attributes."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25))
+    bad = _t(spark, sf_dir, "supplier") \
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
 @_q("q_approx_percentile", None)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style quantile sketch) next to the exact

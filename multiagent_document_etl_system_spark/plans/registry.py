@@ -674,6 +674,47 @@ def td_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("dedup_clusters", dedup.duplicate_clusters_sql(
+    _minhash_pairs_sql(0.3).replace("SELECT id_a, id_b, jaccard",
+                                    "SELECT id_a, id_b")))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: MinHash-LSH pairs → connected
+    components → (id, rep) with rep = smallest id in the component. Pairs
+    alone under-dedup (A~B, B~C without A~C keeps two of three); the
+    cluster rep is the survivor everyone else dedups against. Spark =
+    bounded min-label propagation (joins on id); oracle = DuckDB recursive
+    CTE transitive closure — exact fixpoint, so this differential check
+    also proves the iteration bound covers the corpus's real cluster
+    diameters."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+    return dedup.duplicate_clusters(pairs)
+
+
+@_q("td_stratified_sample", """
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', text)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 50
+""")
+def td_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) deterministic sample — the training-mix
+    quota op: rank docs inside each stratum by a content-derived md5 (a
+    uniform pseudo-random order that is reproducible across engines and
+    runs, unlike rand()), keep the first 50 per lang. One shuffle on lang;
+    at 100 TB the same plan with quota-per-stratum from a config table."""
+    d = _docs(spark, sf_dir)
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                         F.col("text")))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 50)
+        .select("lang", "doc_id", "rn")
+    )
+
+
 # =========================================================== text analysis
 
 @_q("ta_token_stats", f"""
@@ -718,6 +759,14 @@ SELECT doc_id, {textstats.fingerprint_sql('text')} AS fingerprint FROM documents
 def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", textstats.fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+@_q("ta_tfidf", textstats.tfidf_top_terms_sql(k=5))
+def ta_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms — the classic salience scoring next
+    to the raw term/bigram frequency queries. All-integer inputs to the
+    double math keep the score bit-identical cross-engine."""
+    return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
 
 @_q("ta_bigrams", textstats.bigram_frequencies_sql())
