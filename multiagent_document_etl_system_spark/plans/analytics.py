@@ -1245,6 +1245,168 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_window_ntile", """
+SELECT o_custkey, o_orderkey,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+""")
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist) under a
+    total deterministic order — completes the ranking-function family next
+    to q_window_rank."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@_q("q_unpivot", f"""
+WITH wide AS (
+  SELECT o_orderpriority,
+    {stable_sum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS rev_f,
+    {stable_sum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS rev_o,
+    {stable_sum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END")} AS rev_p
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, revenue FROM (
+  SELECT o_orderpriority, 'F' AS status, rev_f AS revenue FROM wide
+  UNION ALL SELECT o_orderpriority, 'O', rev_o FROM wide
+  UNION ALL SELECT o_orderpriority, 'P', rev_p FROM wide
+)
+""")
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the inverse of q_pivot_status_priority): the
+    per-status revenue columns melt back into (status, revenue) rows via
+    DataFrame.unpivot — one pass, no shuffle beyond the feeding agg."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .agg(*[
+            stable_sum(F.when(F.col("o_orderstatus") == s,
+                              F.col("o_totalprice")).otherwise(F.lit(0.0)))
+            .alias(f"rev_{s.lower()}")
+            for s in ("F", "O", "P")
+        ])
+    )
+    return (
+        wide.unpivot(
+            ["o_orderpriority"], ["rev_f", "rev_o", "rev_p"],
+            "status", "revenue")
+        .withColumn("status",
+                    F.upper(F.substring(F.col("status"), 5, 1)))
+    )
+
+
+@_q("q15_top_supplier", f"""
+WITH rev AS (
+  SELECT l_suppkey,
+    sum({dec_sql('l_extendedprice * (1 - l_discount)')}) AS scaled
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+  round(CAST(r.scaled AS DOUBLE) / 1000000.0, 2) AS total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.scaled = (SELECT max(scaled) FROM rev)
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top revenue supplier in a quarter): per-supplier
+    revenue, then equality against the scalar max — ties all kept. Revenue
+    rides the exact scaled-integer path, so max-equality is an integer
+    compare that can never float-flake."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("scaled"))
+    mx = rev.agg(F.max("scaled").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("scaled") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.round(F.col("scaled").cast("double") / 1000000.0, 2)
+                .alias("total_revenue"))
+    )
+
+
+@_q("q20_heavy_suppliers", """
+WITH qty AS (
+  SELECT l.l_suppkey, round(sum(l.l_quantity), 2) AS brand_qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#1'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, q.brand_qty
+FROM supplier s JOIN qty q ON s.s_suppkey = q.l_suppkey
+WHERE q.brand_qty > 100
+""")
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with heavy stock movement of one brand):
+    aggregate-derived key set with a HAVING threshold joined back to the
+    supplier dim. l_quantity is integral so the double sum is exact — no
+    scaled path needed; the threshold compare is safe."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    s = _t(spark, sf_dir, "supplier")
+    qty = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("brand_qty"))
+        .filter(F.col("brand_qty") > 100)
+    )
+    return qty.join(F.broadcast(s), qty.l_suppkey == s.s_suppkey) \
+        .select("s_suppkey", "s_name", "brand_qty")
+
+
+@_q("q_skew_salted_agg", f"""
+SELECT event_type, count(*) AS n,
+  {stable_sum_sql('value')} AS total,
+  round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
+FROM events GROUP BY event_type
+""")
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient two-phase aggregation (operators/skew.py) checked
+    against the PLAIN single-phase oracle: event_type is a hot low-
+    cardinality key (a handful of values over the whole corpus — exactly
+    the shape where one reducer drowns); salted_agg splits each key over
+    (key, salt) partials first. The oracle match proves the rewrite is
+    result-identical — count/min/max are algebraic, and the sum is the
+    exact scaled-integer addend, so two-phase merge loses nothing."""
+    from multiagent_document_etl_system_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events") \
+        .withColumn("_sv", dec(F.col("value")))
+    out = salted_agg(
+        ev, key="event_type",
+        aggs={
+            "n": ("event_id", "count"),
+            "_scaled": ("_sv", "sum"),
+            "vmin": ("value", "min"),
+            "vmax": ("value", "max"),
+        },
+        salt_from="event_id", n_salts=8,
+    )
+    return out.select(
+        "event_type", "n",
+        F.round(F.col("_scaled").cast("double") / 1000000.0, 2).alias("total"),
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+    )
+
+
 @_q("q_approx_percentile", None)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style quantile sketch) next to the exact

@@ -947,6 +947,64 @@ def st_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("st_sliding_stream", f"""
+WITH cand AS (
+  SELECT e.*, unnest([
+      time_bucket(INTERVAL 5 minutes, CAST(ts AS TIMESTAMP)),
+      time_bucket(INTERVAL 5 minutes, CAST(ts AS TIMESTAMP)) - INTERVAL 5 minutes
+    ]) AS w_start
+  FROM events e
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+  count(*) AS n, {stable_sum_sql('value')} AS total
+FROM cand
+WHERE CAST(ts AS TIMESTAMP) >= w_start
+  AND CAST(ts AS TIMESTAMP) < w_start + INTERVAL 10 minutes
+GROUP BY w_start
+""")
+def st_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming sliding-window run, oracle-checked (same
+    single-micro-batch + complete-mode determinism trick as
+    st_tumbling_stream; the staging is the shared memoized fixture). Each
+    event lands in exactly two 10-minute windows sliding by 5."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_events_dir(spark, sf_dir)
+    stream = streamx.read_event_stream(spark, stage,
+                                       max_files_per_trigger=10)
+    agg = streamx.sliding_counts(stream, width="10 minutes",
+                                 slide="5 minutes", watermark="30 minutes")
+    name = f"st_sliding_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "n", "total",
+    )
+
+
+@_q("st_stateful_totals", None)
+def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom-stateful streaming run: per-user lifetime totals via
+    ``applyInPandasWithState`` (streaming/streamx.py:running_user_totals) —
+    the escape hatch for state the built-in windowed aggs can't express.
+    Python-side state update by design ⇒ rows-only check; multi-batch
+    state accumulation is asserted in tests/test_streaming.py."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_events_dir(spark, sf_dir)
+    stream = streamx.read_event_stream(spark, stage,
+                                       max_files_per_trigger=10)
+    totals = streamx.running_user_totals(stream)
+    name = f"st_state_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(totals, name, output_mode="update")
+    return spark.table(name).select("user_id", "n_events", "total_value")
+
+
 @_q("mm_decode_features", None)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary media columns → mapInPandas decode/feature

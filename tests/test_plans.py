@@ -39,9 +39,11 @@ def test_no_python_eval_in_any_registry_query(spark):
     the multimodal decode (mm_decode_features) — mapInPandas by design,
     because no Catalyst expression can decode media bytes."""
     # Python-by-design rows-only entries: multimodal decode, L4 embedding,
-    # S1-S5 binary parse — each is a Pandas UDF because no Catalyst
-    # expression can do the work (media decode, model inference, pdf parse).
-    sanctioned = {"mm_decode_features", "l4_embed", "s1_parse_dispatch"}
+    # S1-S5 binary parse, custom stateful streaming — each is a Pandas UDF
+    # because no Catalyst expression can do the work (media decode, model
+    # inference, pdf parse, arbitrary per-key state).
+    sanctioned = {"mm_decode_features", "l4_embed", "s1_parse_dispatch",
+                  "st_stateful_totals"}
     offenders = {}
     for name, (fn, _) in QUERIES.items():
         if name in sanctioned:
