@@ -371,6 +371,52 @@ def v5_fallback_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("v9_label_centroids", """
+WITH comp AS (
+  SELECT label, i,
+    sum(CAST(floor(embedding[i] * 1000000 + 0.5) AS BIGINT)) AS s,
+    count(*) AS n
+  FROM embeddings, generate_series(1, 64) g(i)
+  GROUP BY 1, 2
+)
+SELECT CAST(label AS INT) AS label, CAST(max(n) AS BIGINT) AS n_vectors,
+  list(round(CAST(s AS DOUBLE) / 1000000.0 / n, 4) ORDER BY i) AS centroid
+FROM comp GROUP BY label
+""")
+def v9_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes — the building block of
+    IVF training, nearest-centroid classification, and cluster summaries).
+    Vector aggregation Spark-first: posexplode the components, stable
+    scaled-int sum per (label, position) — order-insensitive, so the
+    64-double centroid hash-matches the oracle — then reassemble the array
+    in position order via array_sort(collect_list(struct)). Two shuffles:
+    (label, pos) partial-agg'd map-side, then label."""
+    e = _emb(spark, sf_dir)
+    comp = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5))
+                  .cast("bigint").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    mean = F.round(F.col("s").cast("double") / 1000000.0 / F.col("n"), 4)
+    return (
+        comp.select("label", "pos", mean.alias("m"), "n")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("centroid"),
+        )
+        .select(F.col("label").cast("int").alias("label"), "n_vectors",
+                "centroid")
+    )
+
+
 @_q("v8_ivf_topk", None)
 def v8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans(16 cells) coarse quantizer, 2-probe, exact cosine
@@ -1019,6 +1065,25 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(media, dim=8).select(
         "media_id", "media_type", "n_bytes",
         F.round(F.element_at("feature", 1), 4).alias("f0"),
+        "decode_error",
+    )
+
+
+@_q("mm_frame_sample", None)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: 1 video row → N frame rows via
+    mapInPandas (deterministic fake decode, real fan-out/batching/timing/
+    error-channel plumbing). Python-side by design ⇒ rows-only."""
+    from multiagent_document_etl_system_spark.sources.multimodal import (
+        make_demo_media,
+        sample_frames,
+    )
+    media = make_demo_media(spark, n=30).filter(
+        F.col("media_type") == "video")
+    frames = sample_frames(media, every_ms=1000, max_frames=4)
+    return frames.select(
+        "media_id", "frame_idx", "frame_ts_ms",
+        F.length("frame_bytes").cast("bigint").alias("frame_n_bytes"),
         "decode_error",
     )
 

@@ -49,6 +49,39 @@ def test_jdbc_append_roundtrip(spark, tmp_path):
     assert _read(spark, url, "documents").count() == 3
 
 
+def test_streaming_foreach_batch_to_jdbc(spark, tmp_path):
+    """K1's streaming form end-to-end: file-source stream → foreachBatch →
+    JDBC append into embedded Derby, with a checkpoint directory — the
+    exactly-once wiring (checkpointed offsets + idempotent-able batch fn)
+    against a real JDBC endpoint."""
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.io import load_table, write_jdbc
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = str(tmp_path / "events_stage")
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    src.limit(200).coalesce(1).write.parquet(stage)
+
+    url = _url(tmp_path, "streamdb")
+    stream = streamx.read_event_stream(spark, stage, max_files_per_trigger=10)
+    out = stream.select("event_id", "user_id", "event_type",
+                        F.round("value", 2).alias("value"))
+
+    def sink(batch_df, batch_id):
+        write_jdbc(batch_df, url, "events_sink", mode="append", driver=DERBY)
+
+    q = streamx.write_foreach_batch(
+        out, checkpoint=str(tmp_path / "ckpt"), batch_fn=sink)
+    q.awaitTermination()
+
+    landed = _read(spark, url, "events_sink")
+    assert landed.count() == 200
+    src_sum = src.limit(200).agg(
+        F.sum("event_id").alias("s")).collect()[0]["s"]
+    assert landed.agg(F.sum("event_id").alias("s")).collect()[0]["s"] == src_sum
+
+
 def test_jdbc_overwrite_mode(spark, tmp_path):
     url = _url(tmp_path, "owdb")
     one = spark.createDataFrame([(1, "a")], "id long, v string")

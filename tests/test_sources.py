@@ -101,6 +101,34 @@ def test_multimodal_decode_features(spark):
     assert all(again[r["media_id"]] == r["feature"] for r in rows)
 
 
+def test_multimodal_frame_sampling(spark):
+    """1→N frame fan-out: bounded frames per video, monotone timestamps,
+    chunked payload bytes, deterministic across runs."""
+    media = multimodal.make_demo_media(spark, n=30).filter(
+        F.col("media_type") == "video")
+    n_videos = media.count()
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=4)
+    rows = frames.collect()
+    by_vid = {}
+    for r in rows:
+        assert r["decode_error"] is None
+        by_vid.setdefault(r["media_id"], []).append(r)
+    assert len(by_vid) == n_videos
+    for vid, fs in by_vid.items():
+        fs = sorted(fs, key=lambda r: r["frame_idx"])
+        assert 1 <= len(fs) <= 4
+        assert [f["frame_ts_ms"] for f in fs] == \
+            [i * 1000 for i in range(len(fs))]
+        assert all(f["frame_bytes"] for f in fs)
+    # deterministic
+    again = sorted((r["media_id"], r["frame_idx"], bytes(r["frame_bytes"]))
+                   for r in multimodal.sample_frames(
+                       media, every_ms=1000, max_frames=4).collect())
+    first = sorted((r["media_id"], r["frame_idx"], bytes(r["frame_bytes"]))
+                   for r in rows)
+    assert again == first
+
+
 def test_multimodal_metadata_prunes_without_bytes(spark, tmp_path):
     """Metadata-only projection over a parquet-backed media table must not
     read the binary column: the scan's ReadSchema excludes `content`, so the
