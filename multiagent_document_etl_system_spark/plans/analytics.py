@@ -1407,6 +1407,108 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q8_market_share", f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  {stable_ratio_sql(
+      "CASE WHEN n.n_name = 'NATION_1' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END",
+      "l.l_extendedprice * (1 - l.l_discount)", factor="100.0")} AS share_pct,
+  count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY year(o.o_orderdate)
+""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (one nation's revenue share inside a region, per
+    year): conditional-sum ratio over a two-level dimension chain. Both
+    sums ride the exact scaled-integer path — a share on a rounding
+    boundary cannot flake. Dimensions broadcast; one fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("n_name") == "NATION_1", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            stable_ratio(target, disc, factor=100.0).alias("share_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q("q21_sole_supplier", """
+WITH multi AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+)
+SELECT s.s_name, CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS solo_orders
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE l.l_orderkey NOT IN (SELECT l_orderkey FROM multi)
+GROUP BY s.s_name
+ORDER BY solo_orders DESC, s_name ASC
+LIMIT 20
+""")
+def q21_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (correlated exists/not-exists on the same fact):
+    orders served by exactly one supplier, counted per supplier. The
+    multi-supplier key set derives from an aggregate and is consumed as an
+    anti join — both aggs share the orderkey partitioning."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("_ns"))
+        .filter(F.col("_ns") > 1)
+        .select(F.col("l_orderkey").alias("_mk"))
+    )
+    return (
+        li.join(multi, li.l_orderkey == F.col("_mk"), "left_anti")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").cast("bigint").alias("solo_orders"))
+        .orderBy(F.desc("solo_orders"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@_q("q_rollup_grouping_id", """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+  coalesce(o_orderpriority, 'ALL') AS priority,
+  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+    AS gid,
+  count(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping()/grouping_id provenance on a rollup — distinguishes a
+    real NULL group key from a rollup-total row (the standard way to
+    consume grouping-set output downstream)."""
+    o = _t(spark, sf_dir, "orders")
+    gid = (F.grouping("o_orderstatus") * 2
+           + F.grouping("o_orderpriority")).cast("bigint")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), gid.alias("gid"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid", "n",
+        )
+    )
+
+
 @_q("q_approx_percentile", None)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style quantile sketch) next to the exact
