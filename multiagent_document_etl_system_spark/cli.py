@@ -98,6 +98,31 @@ def cmd_upload_schema(args) -> dict:
     }
 
 
+def cmd_query(args) -> dict:
+    """Run any named registry query (SURVEY.md §2 surface) against an sf
+    dir — the engine's ad-hoc query entry point. Lists names with no
+    argument; writes parquet with --output, else prints up to --limit rows
+    as JSON."""
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    if not args.name:
+        return {"success": True,
+                "queries": sorted(QUERIES),
+                "oracled": sum(1 for _, o in QUERIES.values() if o)}
+    if args.name not in QUERIES:
+        return {"success": False, "error": f"unknown query: {args.name}",
+                "hint": "run with no name to list"}
+    spark = get_spark("doc-etl-query")
+    df = QUERIES[args.name][0](spark, args.sf_dir)
+    if args.output:
+        from multiagent_document_etl_system_spark.io import write_parquet
+        write_parquet(df, args.output)
+        return {"success": True, "query": args.name, "output": args.output}
+    rows = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]
+    return {"success": True, "query": args.name, "rows": rows,
+            "shown": len(rows)}
+
+
 def cmd_stats(args) -> dict:
     # static configuration, mirroring GET /stats (src/app.py:177-188)
     return {
@@ -127,9 +152,15 @@ def main(argv=None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("--registry", default=DEFAULT_REGISTRY)
 
+    q = sub.add_parser("query")
+    q.add_argument("name", nargs="?", default=None)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--output", default=None)
+    q.add_argument("--limit", type=int, default=20)
+
     args = p.parse_args(argv)
     out = {"process": cmd_process, "upload-schema": cmd_upload_schema,
-           "stats": cmd_stats}[args.cmd](args)
+           "stats": cmd_stats, "query": cmd_query}[args.cmd](args)
     print(json.dumps(out))
     return 0 if out.get("success", True) else 1
 
