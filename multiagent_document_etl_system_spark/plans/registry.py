@@ -912,20 +912,23 @@ def l4_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("s1_parse_dispatch", None)
 def s1_parse_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1–S5 — format-dispatch parsing over binary content
-    (/root/reference/src/parsers.py:4-32). The text path AND the docx path
-    parse for real (docx via the stdlib zip+XML extractor when python-docx
-    is absent); pdf/image degrade per-row to a parse_error (libraries
-    absent in this container) — the per-row fault-tolerance contract.
-    Pandas-UDF parse ⇒ rows-only."""
+    (/root/reference/src/parsers.py:4-32). The text, pdf, AND docx paths
+    parse for real (pdf/docx via pure-stdlib extractors when the reference
+    libraries are absent); image/OCR degrades per-row to a parse_error
+    (pytesseract absent, no stdlib rung exists for OCR) — the per-row
+    fault-tolerance contract. Pandas-UDF parse ⇒ rows-only."""
     from multiagent_document_etl_system_spark.sources.parsers import (
         make_demo_docx_bytes,
+        make_demo_pdf_bytes,
         parse_documents,
     )
     docx_bytes = make_demo_docx_bytes(
         ["Invoice 42", "Total due: 19.99"], [["item", "qty", "price"]])
+    pdf_bytes = make_demo_pdf_bytes(
+        ["Receipt 7", "Paid: 12.50"], compress=True)
     rows = [
         ("a.txt", bytearray("plain text body".encode())),
-        ("b.pdf", bytearray(b"%PDF-1.4 fake")),
+        ("b.pdf", bytearray(pdf_bytes)),
         ("c.docx", bytearray(docx_bytes)),
         ("d.png", bytearray(b"\x89PNG fake")),
         ("e.csv", bytearray("x,y\n1,2".encode())),

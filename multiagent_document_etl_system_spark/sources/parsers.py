@@ -89,6 +89,117 @@ def _pdf_parse(lib, b: bytes) -> str:
         return "\n".join((page.extract_text() or "") for page in pdf.pages)
 
 
+_PDF_TEXT_OP = None  # lazily compiled regexes (executor-side)
+
+
+def _pdf_parse_stdlib(b: bytes) -> str:
+    """Pure-stdlib PDF text extraction for the common simple subset:
+    content streams (raw or FlateDecode/zlib — stdlib) scanned for the
+    text-showing operators ``(…) Tj`` / ``[(…)…] TJ`` inside BT/ET blocks,
+    with PDF string escapes (\\\\ \\( \\) \\n octal) decoded. No layout
+    analysis — shown strings join in stream order, one line per text op,
+    matching pdfplumber's reading order on simple generated documents
+    (/root/reference/src/parsers.py:35-50). Encrypted, CID-font, or
+    object-stream PDFs fall out as a parse_error via the caller's per-row
+    error channel — the honest subset boundary."""
+    import re
+    import zlib
+
+    global _PDF_TEXT_OP
+    if _PDF_TEXT_OP is None:
+        _PDF_TEXT_OP = (
+            re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj"
+                       rb"|\[((?:[^\]\\]|\\.)*)\]\s*TJ", re.S),
+            re.compile(rb"\(((?:[^()\\]|\\.)*)\)"),
+            re.compile(rb"stream\r?\n(.*?)endstream", re.S),
+        )
+    op_re, str_re, stream_re = _PDF_TEXT_OP
+
+    if not b.startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+
+    def unescape(s: bytes) -> str:
+        out = bytearray()
+        i = 0
+        while i < len(s):
+            c = s[i]
+            if c == 0x5C and i + 1 < len(s):  # backslash
+                n = s[i + 1]
+                i += 2
+                if n in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8,
+                                0x66: 12}[n])
+                elif 0x30 <= n <= 0x37:  # octal, up to 3 digits
+                    oct_digits = chr(n)
+                    while (i < len(s) and len(oct_digits) < 3
+                           and 0x30 <= s[i] <= 0x37):
+                        oct_digits += chr(s[i])
+                        i += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                else:
+                    out.append(n)
+            else:
+                out.append(c)
+                i += 1
+        return out.decode("latin-1")
+
+    lines: list[str] = []
+    for m in stream_re.finditer(b):
+        data = m.group(1)
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            pass  # raw (uncompressed) content stream
+        for op in op_re.finditer(data):
+            if op.group(1) is not None:          # (…) Tj
+                lines.append(unescape(op.group(1)))
+            else:                                # [(…) kern (…)] TJ
+                parts = [unescape(sm.group(1))
+                         for sm in str_re.finditer(op.group(2))]
+                lines.append("".join(parts))
+    if not lines:
+        raise ValueError("no extractable text operators found")
+    return "\n".join(lines)
+
+
+def make_demo_pdf_bytes(lines: list[str], compress: bool = True) -> bytes:
+    """A minimal valid single-page PDF (stdlib only) with one text line per
+    Tj operator; ``compress=True`` Flate-encodes the content stream the way
+    real generators do."""
+    import zlib
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    content = b"BT /F1 12 Tf 72 720 Td 14 TL\n" + b"\n".join(
+        f"({esc(ln)}) Tj T*".encode("latin-1") for ln in lines) + b"\nET"
+    flt = b""
+    if compress:
+        content = zlib.compress(content)
+        flt = b" /Filter /FlateDecode"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + flt
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
 def _docx_parse(lib, b: bytes) -> str:
     # python-docx paragraphs + tables rows joined ' | '
     # (/root/reference/src/parsers.py:53-86)
@@ -197,33 +308,37 @@ def _image_parse(lib, b: bytes) -> str:
     return lib.image_to_string(Image.open(io.BytesIO(b)))
 
 
-def _mk_docx_parser():
-    """DOCX parser with two rungs: python-docx when importable (the
-    reference's library), else the stdlib zip+XML extractor with identical
-    output semantics — so DOCX parses end-to-end in any environment."""
+def _mk_fallback_parser(lib_name: str, lib_fn, stdlib_fn, label: str):
+    """Two-rung parser: the reference's library when importable, else the
+    pure-stdlib extractor with matching output semantics."""
     state: dict[str, object] = {}
 
     def parse_bytes(b) -> tuple[str | None, str | None]:
         if b is None:
-            return None, "docx parse failed: empty content"
+            return None, f"{label} parse failed: empty content"
         if "lib" not in state:
             try:
-                state["lib"] = __import__("docx")
+                state["lib"] = __import__(lib_name)
             except ImportError:
                 state["lib"] = None
         try:
             if state["lib"] is not None:
-                return _docx_parse(state["lib"], bytes(b)), None
-            return _docx_parse_stdlib(bytes(b)), None
+                return lib_fn(state["lib"], bytes(b)), None
+            return stdlib_fn(bytes(b)), None
         except Exception as exc:  # noqa: BLE001 — per-row fault tolerance
-            return None, f"docx parse failed: {exc}"
+            return None, f"{label} parse failed: {exc}"
 
     return parse_bytes
 
 
 _PARSERS = {
-    "pdf": _mk_parser(lambda: __import__("pdfplumber"), _pdf_parse, "pdf"),
-    "docx": _mk_docx_parser(),
+    # pdf and docx parse end-to-end in ANY environment: reference library
+    # when importable, pure-stdlib extractor otherwise. OCR has no stdlib
+    # rung — image rows degrade to a per-row error without pytesseract.
+    "pdf": _mk_fallback_parser("pdfplumber", _pdf_parse,
+                               _pdf_parse_stdlib, "pdf"),
+    "docx": _mk_fallback_parser("docx", _docx_parse,
+                                _docx_parse_stdlib, "docx"),
     "image": _mk_parser(lambda: __import__("pytesseract"), _image_parse, "ocr"),
 }
 

@@ -85,6 +85,39 @@ def test_docx_stdlib_parser_direct():
     assert text is None and "docx parse failed" in err
 
 
+def test_pdf_parses_end_to_end_via_stdlib_fallback(spark):
+    """A REAL (in-memory, stdlib-built, Flate-compressed) PDF flows through
+    parse_documents and yields the shown text lines — works with or
+    without pdfplumber in the environment."""
+    b = parsers.make_demo_pdf_bytes(
+        ["Invoice INV-9", "Total due: 42.00 (net)"], compress=True)
+    df = spark.createDataFrame(
+        [("inv.pdf", bytearray(b))], "path string, content binary")
+    row = parsers.parse_documents(df).select(
+        "format", "raw_text", "parse_error").collect()[0]
+    assert row["format"] == "pdf"
+    assert row["parse_error"] is None
+    assert row["raw_text"] == "Invoice INV-9\nTotal due: 42.00 (net)"
+
+
+def test_pdf_stdlib_parser_direct():
+    """Uncompressed streams, TJ arrays, escapes, and the honest failure
+    modes of the subset parser."""
+    # uncompressed + escaped parens round-trip
+    b = parsers.make_demo_pdf_bytes(["a (x) b"], compress=False)
+    assert parsers._pdf_parse_stdlib(b) == "a (x) b"
+    # TJ array form with kerning numbers between strings
+    raw = (b"%PDF-1.4\nstream\nBT [(Hel) -20 (lo)] TJ ET\nendstream\n")
+    assert parsers._pdf_parse_stdlib(raw) == "Hello"
+    # octal + newline escapes
+    raw2 = b"%PDF-1.4\nstream\nBT (A\\012B\\(C) Tj ET\nendstream\n"
+    assert parsers._pdf_parse_stdlib(raw2) == "A\nB(C"
+    # non-PDF bytes and textless PDFs raise (→ per-row error upstream)
+    parse = parsers._PARSERS["pdf"]
+    assert "pdf parse failed" in parse(b"not a pdf")[1]
+    assert "pdf parse failed" in parse(b"%PDF-1.4 no streams here")[1]
+
+
 def test_multimodal_decode_features(spark):
     media = multimodal.make_demo_media(spark, n=32)
     out = multimodal.decode_features(media, dim=8)
