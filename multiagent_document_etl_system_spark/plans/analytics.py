@@ -1509,6 +1509,91 @@ def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_date_arithmetic", """
+SELECT o_orderkey,
+  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+       AS BIGINT) AS days_to_1999
+FROM orders
+""")
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic sweep #2 (add-days, month-end, day-of-week, ISO
+    week, date difference) — engine-semantic notes: Spark dayofweek is
+    1=Sunday vs DuckDB's 0=Sunday (aligned with +1); weekofyear is ISO in
+    both."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d).cast("bigint")
+        .alias("days_to_1999"),
+    )
+
+
+@_q("q_stats_moments", f"""
+WITH s AS (
+  SELECT l_returnflag,
+    CAST({dec_sql('l_extendedprice')} AS HUGEINT) AS x,
+    CAST({dec_sql('l_quantity')} AS HUGEINT) AS y
+  FROM lineitem
+), agg AS (
+  SELECT l_returnflag, count(*) AS n,
+    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+    CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM s GROUP BY 1
+)
+SELECT l_returnflag, n,
+  round(sx / n / 1000000.0, 4) AS mean_price,
+  round(sqrt((sxx - sx * sx / n) / (n - 1)) / 1000000.0, 4) AS stddev_price,
+  round((n * sxy - sx * sy)
+        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_price_qty
+FROM agg
+""")
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean/stddev/correlation) per group — the
+    moments computed from EXACT integer power sums (scaled addends, squares
+    and cross-products summed as DECIMAL(38,0)/HUGEINT) and only then
+    combined in double math on identical inputs. Built-in stddev/corr are
+    float accumulations whose partial-merge order flips the last decimals
+    between runs — the same hazard stable_sum fixes for plain sums, fixed
+    the same way one power up. Squares of 1e-6-scaled values stay ≤ ~1e30,
+    well inside 128-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = dec(F.col("l_extendedprice"))
+    y = dec(F.col("l_quantity"))
+    agg = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return agg.select(
+        "l_returnflag", "n",
+        F.round(sx / n / 1000000.0, 4).alias("mean_price"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)) / 1000000.0, 4)
+        .alias("stddev_price"),
+        F.round((n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        .alias("corr_price_qty"),
+    )
+
+
 @_q("q_approx_percentile", None)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style quantile sketch) next to the exact
