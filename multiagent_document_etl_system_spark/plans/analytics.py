@@ -1509,6 +1509,37 @@ def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_regex_functions", """
+SELECT doc_id,
+  regexp_extract_all(text, '[0-9]+(?:\\.[0-9]+)?') AS numbers,
+  CAST(len(regexp_extract_all(text, '[0-9]+(?:\\.[0-9]+)?')) AS INT)
+    AS n_numbers,
+  regexp_extract(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+    AS first_email,
+  regexp_matches(text, '(?i)total') AS mentions_total,
+  regexp_replace(text, '[0-9]', '#', 'g') LIKE '%##%' AS has_adjacent_digits
+FROM documents
+""")
+def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function sweep over documents: extract-all (array output),
+    match count, first-match extract, boolean match, global replace —
+    engines agree on this regex subset (no lookbehind, POSIX classes
+    avoided)."""
+    d = _t(spark, sf_dir, "documents")
+    num_re = r"[0-9]+(?:\.[0-9]+)?"
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(num_re)).alias("numbers"),
+        F.size(F.regexp_extract_all("text", F.lit(num_re))).cast("int")
+        .alias("n_numbers"),
+        F.regexp_extract("text", email_re, 0).alias("first_email"),
+        F.col("text").rlike("(?i)total").alias("mentions_total"),
+        F.regexp_replace("text", "[0-9]", "#").like("%##%")
+        .alias("has_adjacent_digits"),
+    )
+
+
 @_q("q_date_arithmetic", """
 SELECT o_orderkey,
   strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,

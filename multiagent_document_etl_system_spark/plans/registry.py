@@ -1034,6 +1034,55 @@ def st_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("st_session_stream", f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+      OR date_diff('second', prev_ts, ts) >= 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+), sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 minutes,
+           '%Y-%m-%d %H:%M:%S') AS session_end,
+  count(*) AS n_events, {stable_sum_sql('value')} AS total
+FROM sess GROUP BY user_id, sid
+""")
+def st_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming session-window run, oracle-checked: the
+    native session_window (30-min gap) against a gaps-and-islands DuckDB
+    twin (new session when the gap is >= the duration — session_window's
+    boundary semantics: the window closes at last_ts + gap, exclusive).
+    Same single-micro-batch + complete-mode determinism as the other
+    streaming runs."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_events_dir(spark, sf_dir)
+    stream = streamx.read_event_stream(spark, stage,
+                                       max_files_per_trigger=10)
+    agg = streamx.session_counts(stream, gap="30 minutes",
+                                 watermark="30 minutes")
+    name = f"st_session_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_end"),
+        "n_events", "total",
+    )
+
+
 @_q("st_stateful_totals", None)
 def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL custom-stateful streaming run: per-user lifetime totals via

@@ -81,7 +81,7 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total"))
+             stable_sum(F.col("value")).alias("total"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
