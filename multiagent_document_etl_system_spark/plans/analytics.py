@@ -1509,6 +1509,43 @@ def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q22_dormant_balances", f"""
+WITH thr AS (
+  SELECT CAST(sum({dec_sql('c_acctbal')}) AS DOUBLE)
+         / 1000000.0 / count(c_acctbal) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, count(*) AS n_custs,
+  {stable_sum_sql('c.c_acctbal')} AS total_bal
+FROM customer c CROSS JOIN thr
+WHERE c.c_acctbal > thr.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O')
+GROUP BY c.c_nationkey
+""")
+def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (wealthy customers with no OPEN orders, per
+    nation): scalar-subquery threshold + NOT EXISTS anti join + group
+    agg. The
+    threshold average is computed from the exact scaled sum so the
+    filter boundary is the same double in both engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec(F.col("c_acctbal"))).cast("double") / 1000000.0
+         / F.count("c_acctbal")).alias("avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.filter(F.col("o_orderstatus") == "O"),
+              c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_custs"),
+             stable_sum(F.col("c_acctbal")).alias("total_bal"))
+    )
+
+
 @_q("q_regex_functions", """
 SELECT doc_id,
   regexp_extract_all(text, '[0-9]+(?:\\.[0-9]+)?') AS numbers,

@@ -909,6 +909,36 @@ def l4_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("l4_embed_dedup", None)
+def l4_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-before-inference — the logical cost optimization the
+    reference lacks entirely (SURVEY.md §4): embed each DISTINCT text
+    once (exact dedup on md5), then broadcast the embeddings back onto
+    the full corpus. At 100 TB with web-scale duplication this cuts
+    model-inference cost by the duplication factor; the join is on the
+    content hash. Inference is the deterministic-fake Pandas UDF ⇒
+    rows-only."""
+    from multiagent_document_etl_system_spark.operators.embed import (
+        embed_text,
+    )
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    distinct_texts = (
+        d.select(F.md5("text").alias("content_md5"), "text")
+        .dropDuplicates(["content_md5"])
+    )
+    embedded = distinct_texts.select(
+        "content_md5", embed_text(F.col("text")).alias("emb"))
+    return (
+        d.select("doc_id", F.md5("text").alias("content_md5"))
+        .join(F.broadcast(embedded), "content_md5")
+        .select(
+            "doc_id",
+            F.size("emb").alias("dim"),
+            F.round(F.element_at("emb", 1).cast("double"), 4).alias("e0"),
+        )
+    )
+
+
 @_q("s1_parse_dispatch", None)
 def s1_parse_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1–S5 — format-dispatch parsing over binary content
