@@ -43,7 +43,8 @@ def test_no_python_eval_in_any_registry_query(spark):
     # because no Catalyst expression can do the work (media decode, model
     # inference, pdf parse, arbitrary per-key state).
     sanctioned = {"mm_decode_features", "mm_frame_sample", "l4_embed",
-                  "s1_parse_dispatch", "st_stateful_totals"}
+                  "l4_embed_dedup", "s1_parse_dispatch",
+                  "st_stateful_totals"}
     offenders = {}
     for name, (fn, _) in QUERIES.items():
         if name in sanctioned:
