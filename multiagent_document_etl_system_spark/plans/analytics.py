@@ -1162,8 +1162,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (min-cost supplier per part): per-(part, supplier)
     best offer, then the per-part minimum joined back — the correlated-min
     decorrelation over two tables. Ties keep every supplier at the minimum
-    (both engines agree; min over doubles never sums). Both aggs share the
-    partkey partitioning; dimensions broadcast."""
+    (both engines agree; min over doubles never sums). Two exchanges by
+    design: the first groupBy's map-side partial agg shrinks the exchange
+    to ~distinct(part,supplier) rows, which beats pre-partitioning RAW
+    lineitem by partkey to share one partitioning (that would shuffle
+    every row un-reduced). Dimensions broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     s = _t(spark, sf_dir, "supplier")

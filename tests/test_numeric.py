@@ -1,0 +1,80 @@
+"""functions/numeric.py — the order-insensitive aggregate contract.
+
+The module's whole reason to exist: identical results regardless of
+partitioning/merge order (plain double sums do NOT have this property),
+bit-equal agreement with the DuckDB twin, and value correctness against an
+exact Python reference.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from decimal import Decimal
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.functions.numeric import (
+    stable_avg,
+    stable_avg_sql,
+    stable_sum,
+    stable_sum_sql,
+)
+
+# adversarial values: rounding-boundary magnets (x.xx5 shapes), mixed
+# magnitudes (catastrophic-cancellation fodder), negatives, and noise
+random.seed(7)
+VALUES = (
+    [i + 0.005 for i in range(50)]
+    + [1e6 + i * 0.115 for i in range(50)]
+    + [-(i * 0.335) for i in range(30)]
+    + [random.uniform(-1e4, 1e4) for _ in range(200)]
+)
+
+
+def _df(spark, vals, parts):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, x double"
+    ).repartition(parts)
+
+
+def test_stable_sum_is_partition_order_invariant(spark):
+    outs = set()
+    for parts in (1, 7, 32):
+        df = _df(spark, VALUES, parts)
+        outs.add(df.agg(stable_sum(F.col("x")).alias("s")).first()["s"])
+    assert len(outs) == 1, f"stable_sum varied with partitioning: {outs}"
+
+
+def test_stable_sum_matches_exact_reference(spark):
+    # exact reference: quantize each addend half-up at 1e-6, sum as Decimal
+    def q(v: float) -> Decimal:
+        return Decimal(math.floor(v * 1_000_000 + 0.5))
+
+    exact = sum((q(v) for v in VALUES), Decimal(0)) / Decimal(1_000_000)
+    got = _df(spark, VALUES, 13).agg(
+        stable_sum(F.col("x"), scale=4).alias("s")).first()["s"]
+    assert got == pytest.approx(float(round(exact, 4)), abs=1e-9)
+
+
+def test_stable_sum_and_avg_match_duckdb_twin(spark, tmp_path):
+    pq = str(tmp_path / "vals.parquet")
+    _df(spark, VALUES, 9).write.parquet(pq)
+    srow = spark.read.parquet(pq).agg(
+        stable_sum(F.col("x")).alias("s"),
+        stable_avg(F.col("x")).alias("a")).first()
+    con = duckdb.connect()
+    orow = con.sql(
+        f"SELECT {stable_sum_sql('x')} AS s, {stable_avg_sql('x')} AS a "
+        f"FROM read_parquet('{pq}/*.parquet')").fetchall()[0]
+    assert srow["s"] == orow[0]
+    assert srow["a"] == orow[1]
+
+
+def test_stable_avg_excludes_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 4.0)], "id long, x double")
+    row = df.agg(stable_avg(F.col("x")).alias("a")).first()
+    assert row["a"] == 3.0  # (2+4)/2, not /3
