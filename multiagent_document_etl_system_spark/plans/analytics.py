@@ -461,6 +461,57 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_q("q_set_ops_all", """
+WITH b AS (SELECT o_custkey FROM orders o JOIN customer c
+             ON o.o_custkey = c.c_custkey WHERE c.c_mktsegment = 'BUILDING'),
+     f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'intersect_all' AS op, count(*) AS n
+  FROM (SELECT o_custkey FROM b INTERSECT ALL SELECT o_custkey FROM f)
+UNION ALL
+SELECT 'except_all' AS op, count(*) AS n
+  FROM (SELECT o_custkey FROM b EXCEPT ALL SELECT o_custkey FROM f)
+UNION ALL
+SELECT 'union_all' AS op, count(*) AS n
+  FROM (SELECT o_custkey FROM b UNION ALL SELECT o_custkey FROM f)
+""")
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set operations — intersectAll/exceptAll keep
+    duplicate multiplicity (count-based semantics), the companions to the
+    distinct variants in q_set_ops."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    b = o.join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+               o.o_custkey == F.col("c_custkey")).select("o_custkey")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    rows = [
+        ("intersect_all", b.intersectAll(f)),
+        ("except_all", b.exceptAll(f)),
+        ("union_all", b.unionAll(f)),
+    ]
+    out = None
+    for op, df in rows:
+        one = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@_q("q_limit_offset", """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10 OFFSET 20
+""")
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: ORDER BY ... LIMIT with OFFSET under a total
+    deterministic order (offset without order is meaningless in a
+    distributed engine)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .offset(20).limit(10)
+    )
+
+
 @_q("q_distinct_agg", """
 SELECT l_returnflag,
   count(DISTINCT l_partkey) AS n_parts,

@@ -538,6 +538,17 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.md5("text").alias("content_md5"))
 
 
+@_q("dedup_exact_groups", """
+SELECT md5(text) AS content_md5,
+  count(*) AS n_copies, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+""")
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate GROUPS (content hash → copy count → survivor id) —
+    the audit view next to dedup_exact_keep's survivor set."""
+    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+
 _SHINGLE_SQL = """
 list_distinct([array_to_string(__toks[i:i+2], ' ')
                for i in generate_series(1, greatest(len(__toks)-2, 1))])
@@ -1111,6 +1122,27 @@ def st_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("session_end"),
         "n_events", "total",
     )
+
+
+@_q("st_dedup_stream", None)
+def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming dedup run: ``dropDuplicatesWithinWatermark`` on
+    event_id over the staged replay. Which physical row survives a key
+    collision depends on arrival order ⇒ rows-only by construction (the
+    deterministic batch twin is q_event_dedup); late-data drop semantics
+    are exercised in tests/test_streaming.py."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_events_dir(spark, sf_dir)
+    stream = streamx.read_event_stream(spark, stage,
+                                       max_files_per_trigger=10)
+    deduped = streamx.dedup_within_watermark(stream, watermark="30 minutes")
+    name = f"st_dedup_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(deduped.select("event_id", "user_id", "event_type"),
+                          name, output_mode="append")
+    return spark.table(name)
 
 
 @_q("st_stateful_totals", None)
