@@ -133,6 +133,15 @@ def test_v6_namespace_scoped_prunes_partitions(spark):
     assert pf and "namespace" in pf[0], p[:1500]
 
 
+def test_centroids_and_clusters_have_no_cartesian(spark):
+    """Vector centroid aggregation and connected-components propagation
+    stay equi-join/agg-only — no cartesian/NLJ anywhere in either plan."""
+    for name in ("v9_label_centroids", "dedup_clusters"):
+        p = plan_of(QUERIES[name][0](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
 def test_ivf_fit_sample_is_bounded(spark):
     """The IVF quantizer is fit on a capped sample, never the full corpus:
     the fit input plan carries a GlobalLimit of ivf_fit_cap(n_cells)."""
