@@ -549,6 +549,28 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(_docs(spark, sf_dir))
 
 
+@_q("dedup_fingerprint_groups", f"""
+SELECT fingerprint, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM (SELECT doc_id, {textstats.fingerprint_sql('text')} AS fingerprint
+      FROM documents)
+GROUP BY fingerprint HAVING count(*) > 1
+""")
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled-copy duplicate groups: byte-exact dedup (dedup_exact_groups)
+    misses reordered copies, so this rung groups on the order-insensitive
+    token-set fingerprint (md5 of the sorted distinct tokens,
+    operators/textstats.py) — the middle rung between exact md5 and
+    MinHash near-dup. One shuffle on the fingerprint (uniform key)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id",
+                 textstats.fingerprint_expr(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 _SHINGLE_SQL = """
 list_distinct([array_to_string(__toks[i:i+2], ' ')
                for i in generate_series(1, greatest(len(__toks)-2, 1))])
