@@ -461,6 +461,31 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_q("q_collect_agg", """
+SELECT c_nationkey,
+  array_to_string(list_sort(list(c_name)) [1:5], ',') AS top5_names,
+  CAST(len(list(c_name)) AS BIGINT) AS n_names
+FROM customer
+WHERE c_acctbal > 9000
+GROUP BY c_nationkey
+""")
+def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-list aggregation: per-nation name list, deterministically
+    sorted then truncated and joined (collect_list alone has no order
+    guarantee — the sort is what makes the result well-defined in a
+    distributed engine)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("c_name")), 1, 5), ",")
+            .alias("top5_names"),
+            F.size(F.collect_list("c_name")).cast("bigint").alias("n_names"),
+        )
+    )
+
+
 @_q("q_set_ops_all", """
 WITH b AS (SELECT o_custkey FROM orders o JOIN customer c
              ON o.o_custkey = c.c_custkey WHERE c.c_mktsegment = 'BUILDING'),
