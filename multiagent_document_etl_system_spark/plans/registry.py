@@ -769,6 +769,56 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+@_q("td_prepare_corpus_v2", f"""
+WITH clusters AS ({dedup.duplicate_clusters_sql(
+    _minhash_pairs_sql(0.5).replace("SELECT id_a, id_b, jaccard",
+                                    "SELECT id_a, id_b"))}),
+scored AS (
+  SELECT doc_id, lang, text, {{QUALITY}} AS quality FROM documents
+), passed AS (
+  SELECT * FROM scored WHERE quality >= 0.5
+), kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM passed
+  ) WHERE rn = 1
+), clean AS (
+  SELECT k.* FROM kept k LEFT JOIN clusters c ON k.doc_id = c.id
+  WHERE c.id IS NULL OR c.rep = k.doc_id
+)
+SELECT lang, count(*) AS n_docs,
+  sum({{TOKENS}}) AS total_tokens,
+  {stable_avg_sql('quality')} AS avg_quality
+FROM clean GROUP BY lang
+""".replace("{QUALITY}", textstats.quality_score_sql("text"))
+   .replace("{TOKENS}", textstats.token_count_sql("text")))
+def td_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus preparation with CLUSTER-correct near-dup removal: where
+    td_prepare_corpus drops the higher id of each PAIR (which over-keeps
+    on transitive chains A~B~C), v2 resolves connected components and
+    keeps exactly the smallest-id representative per duplicate cluster —
+    the canonical modern recipe (quality gate → exact dedup → cluster →
+    keep rep → stats). The cluster map is pair-graph-sized (tiny next to
+    the corpus), so its join broadcasts; the oracle recomputes the exact
+    closure with a recursive CTE."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.withColumn(
+        "quality", textstats.quality_score_expr(F.col("text")))
+    passed = scored.filter(F.col("quality") >= 0.5)
+    kept = dedup.exact_dedup(passed)
+    clusters = dedup.duplicate_clusters(
+        dedup.minhash_lsh_pairs(docs, threshold=0.5))
+    clean = (
+        kept.join(F.broadcast(clusters), kept.doc_id == clusters.id, "left")
+        .filter(F.col("id").isNull() | (F.col("rep") == F.col("doc_id")))
+    )
+    return clean.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(textstats.token_count(F.col("text"))).alias("total_tokens"),
+        stable_avg(F.col("quality")).alias("avg_quality"),
+    )
+
+
 @_q("td_stratified_sample", """
 SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM (
   SELECT lang, doc_id,

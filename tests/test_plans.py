@@ -156,6 +156,26 @@ def test_ivf_fit_sample_is_bounded(spark):
     assert train.count() <= similarity.ivf_fit_cap(16)
 
 
+def test_join_strategy_hints_are_honored(spark):
+    """The three physical join strategies are all reachable by hint — the
+    knob that matters when AQE's default pick is wrong at scale."""
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    cases = [
+        ("broadcast", "BroadcastHashJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("merge", "SortMergeJoin"),
+    ]
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for hint, node in cases:
+            p = physical_plan(
+                o.join(c.hint(hint), o.o_custkey == c.c_custkey))
+            assert node in p, (hint, p[:500])
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_whole_stage_codegen_in_pipeline(spark):
     """`*(N)` markers = operators fused into generated code. The AQE
     wrapper hides them until runtime, so plan once with AQE off."""
