@@ -364,6 +364,13 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 6) -> DataFrame:
                             F.col("dst").alias("dst")))
         .distinct()
     )
+    # The adjacency list is referenced once per propagation round — without
+    # truncating its lineage, the (expensive) pair-producing upstream
+    # (MinHash banding + verify) would re-execute max_iters times inside
+    # one plan. Checkpointing the edge list is the standard move for
+    # iterative graph algorithms (GraphX/ML do the same); the edge list is
+    # pair-graph-sized — tiny next to the corpus — at any scale.
+    adj = adj.localCheckpoint(eager=True)
     labels = adj.groupBy("src").agg(F.min("dst").alias("rep"))
     for _ in range(max_iters - 1):
         # next label = min over neighbors' current labels (incl. own)
