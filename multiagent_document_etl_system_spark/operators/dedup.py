@@ -340,14 +340,15 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 6) -> DataFrame:
     banding, thresholding), so keep-one-per-pair would keep 2 of the 3.
     Connected components give transitive closure.
 
-    Spark-first: iterative min-label propagation over the undirected edge
-    list — each pass, every node takes the min label in its neighborhood
-    (two hash joins per pass, all on the id key). ``max_iters`` bounds the
-    unrolled lazy plan; propagation reaches over path length ``max_iters``
-    per pass-chain, and near-dup components are dense (banding links most
-    members to the same low-id hub), so 6 passes cover any realistic
-    cluster. At extreme diameters switch to pointer-jumping/large-star —
-    same join primitive, O(log d) rounds.
+    Spark-first: iterative min-label propagation WITH pointer jumping
+    (hash-to-min style) over the undirected edge list — each round every
+    node takes the min of its neighbors' labels, then follows its label
+    one more hop (rep-of-rep). Neighbor-min alone advances the frontier
+    one edge per round (a diameter-40 chain would need 40 rounds); the
+    jump doubles the reach each round, so ``max_iters`` rounds cover
+    diameters ~2^max_iters — 6 rounds handle any realistic near-dup
+    cluster and the chain graphs the differential test throws at it.
+    Three hash joins per round, all on the id key.
 
     Input: (id_a, id_b [, ...]) with id_a < id_b. Output covers only ids
     that appear in some pair (singletons are their own rep by definition).
@@ -374,9 +375,21 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 6) -> DataFrame:
     labels = adj.groupBy("src").agg(F.min("dst").alias("rep"))
     for _ in range(max_iters - 1):
         # next label = min over neighbors' current labels (incl. own)
-        labels = (
+        nbr = (
             adj.join(labels.withColumnRenamed("src", "dst"), "dst")
             .groupBy("src").agg(F.min("rep").alias("rep"))
+        )
+        # pointer jump: follow the label one hop (label of the label) —
+        # doubles the distance covered per round
+        lookup = labels.select(F.col("src").alias("_r"),
+                               F.col("rep").alias("_rr"))
+        labels = (
+            nbr.join(lookup, nbr.rep == F.col("_r"), "left")
+            .select(
+                "src",
+                F.least(F.col("rep"),
+                        F.coalesce(F.col("_rr"), F.col("rep"))).alias("rep"),
+            )
         )
     return labels.select(F.col("src").alias("id"), "rep")
 

@@ -68,3 +68,51 @@ def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     sh = df.select(dedup.shingles(F.col("text"), 3).alias("s")).first()["s"]
     assert sh == ["one two"]
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Differential check of connected components against a plain Python
+    union-find on adversarial graph shapes: a long chain (diameter
+    stress for the iteration bound), a star, disjoint cliques, and a
+    random graph."""
+    import random
+
+    def union_find_reps(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(11)
+    graphs = {
+        # chain of 40 nodes: diameter 39 — needs the pointer jump (plain
+        # neighbor-min would take 40 rounds; jumping covers ~2^rounds)
+        "chain": [(i, i + 1) for i in range(100, 140)],
+        "star": [(500, 500 + i) for i in range(1, 30)],
+        "cliques": [(a, b) for base in (0, 50)
+                    for a in range(base, base + 8)
+                    for b in range(a + 1, base + 8)],
+        "random": [(rng.randrange(1000, 1040), rng.randrange(1000, 1040))
+                   for _ in range(60)],
+    }
+    from multiagent_document_etl_system_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    for name, edges in graphs.items():
+        edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+        expect = union_find_reps(edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["rep"]
+               for r in duplicate_clusters(pairs).collect()}
+        assert got == expect, f"{name}: CC mismatch"
