@@ -156,6 +156,25 @@ def test_ivf_fit_sample_is_bounded(spark):
     assert train.count() <= similarity.ivf_fit_cap(16)
 
 
+def test_dynamic_partition_pruning_on_namespace_registry(spark):
+    """Joining the namespace-partitioned registry against a filtered dim on
+    the partition column plants a dynamic-pruning subquery in the scan —
+    at 100 TB only the joined namespaces' directories are read, decided at
+    runtime (static pruning is plan-tested in
+    test_v6_namespace_scoped_prunes_partitions)."""
+    from multiagent_document_etl_system_spark.plans.registry import (
+        _namespace_registry_dir,
+    )
+
+    path = _namespace_registry_dir(spark, SF_DIR)
+    reg = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("document-schemas", 1)], "ns string, flag int")
+    j = reg.join(dim.filter(F.col("flag") == 1), reg.namespace == dim.ns)
+    p = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower(), p[:1200]
+
+
 def test_join_strategy_hints_are_honored(spark):
     """The three physical join strategies are all reachable by hint — the
     knob that matters when AQE's default pick is wrong at scale."""
