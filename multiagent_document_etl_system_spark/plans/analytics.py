@@ -589,6 +589,71 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_array_hof", """
+SELECT vec_id,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+  len(list_filter(embedding, x -> x > 0.9)) > 0 AS any_gt9,
+  len(list_filter(embedding, x -> NOT (x >= -1 AND x <= 1))) = 0
+    AS all_in_unit,
+  round(list_sum(list_transform(embedding[1:4],
+                                x -> CASE WHEN x < 0 THEN -x ELSE x END)), 4)
+    AS l1_head4
+FROM embeddings
+""")
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — filter / exists / forall /
+    transform+fold, the lambda-expression surface the similarity operators
+    are built from, exercised directly."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).cast("int").alias("n_positive"),
+        F.exists(emb, lambda x: x > 0.9).alias("any_gt9"),
+        F.forall(emb, lambda x: (x >= -1) & (x <= 1)).alias("all_in_unit"),
+        F.round(
+            F.aggregate(
+                F.transform(F.slice(emb, 1, 4), lambda x: F.abs(x)),
+                F.lit(0.0), lambda s, x: s + x.cast("double")), 4)
+        .alias("l1_head4"),
+    )
+
+
+@_q("q_null_functions", """
+SELECT event_id,
+  coalesce(TRY_CAST(json_extract_string(props, '$.missing') AS DOUBLE),
+           value, 0.0) AS first_present,
+  nullif(event_type, 'view') AS type_or_null,
+  CASE WHEN value IS NULL THEN 'none' ELSE 'some' END AS presence,
+  value IS DISTINCT FROM lag_value AS changed
+FROM (
+  SELECT event_id, event_type, props, round(value, 2) AS value,
+    round(lag(value) OVER (ORDER BY event_id), 2) AS lag_value
+  FROM events
+)
+""")
+def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics sweep: coalesce chains, nullif, null predicates, and
+    the null-safe comparison (IS DISTINCT FROM ≡ Spark's negated <=>)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    base = ev.select(
+        "event_id", "event_type", "props",
+        F.round("value", 2).alias("value"),
+        F.round(F.lag("value").over(w), 2).alias("lag_value"),
+    )
+    return base.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.missing").try_cast("double"),
+            F.col("value"), F.lit(0.0)).alias("first_present"),
+        F.nullif("event_type", F.lit("view")).alias("type_or_null"),
+        F.when(F.col("value").isNull(), "none").otherwise("some")
+        .alias("presence"),
+        (~F.col("value").eqNullSafe(F.col("lag_value"))).alias("changed"),
+    )
+
+
 @_q("q_percentiles", """
 SELECT o_orderpriority,
   round(quantile_cont(o_totalprice, 0.5), 2) AS med,
