@@ -1233,6 +1233,161 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q4_priority_order_check", """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o.o_orderpriority
+""")
+def q4_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (priority checking): orders with at least one late
+    lineitem, counted per priority. The testdata has no
+    commitdate/receiptdate, so "late" is l_shipdate > o_orderdate + 30 days
+    — same correlated-EXISTS structure. The EXISTS is a LEFT SEMI join:
+    Spark extracts the orderkey equi-conjunct as the join key and evaluates
+    the date comparison as a residual, so lineitem never fans out — each
+    order survives at most once regardless of how many late items it has.
+    The orders date filter prunes the scan before the shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_q("q9_product_type_profit", f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  {stable_sum_sql(
+      'l.l_extendedprice * (1 - l.l_discount)'
+      ' - 0.6 * p.p_retailprice * l.l_quantity')} AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""")
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year). The testdata
+    has no partsupp, so supply cost is proxied as 0.6 * p_retailprice —
+    the plan shape is the point: a 5-way join where three dimensions
+    (filtered part, supplier, nation) broadcast and only the
+    lineitem⋈orders edge shuffles, on orderkey. Profit is summed through
+    the order-insensitive decimal path; the p_name LIKE filter lands on the
+    part scan before its broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(stable_sum(profit).alias("profit"))
+    )
+
+
+_Q12_HIGH = "o.o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+
+@_q("q12_late_shipment_priority", f"""
+SELECT l.l_returnflag AS ship_class,
+  count(CASE WHEN {_Q12_HIGH} THEN 1 END) AS high_line_count,
+  count(CASE WHEN NOT ({_Q12_HIGH}) THEN 1 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 21 DAY
+GROUP BY l.l_returnflag
+""")
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority split over a transport class).
+    The testdata has no l_shipmode, so l_returnflag stands in as the class
+    column; "late" is shipdate > orderdate + 21 days (no
+    commitdate/receiptdate). Conditional counts, not sums, so both engines
+    emit BIGINT without casts. The single-side shipdate range pushes to the
+    lineitem scan; the cross-side lateness predicate evaluates post-join in
+    codegen. One shuffle on orderkey, then a 3-key group."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey)
+                & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 21 DAYS")))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@_q("q17_small_quantity_revenue", f"""
+WITH pq AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+    count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT round({stable_sum_sql('l.l_extendedprice')} / 7.0, 2) AS avg_yearly,
+  count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND 5 * CAST(l.l_quantity AS BIGINT) * pq.cnt < pq.sum_qty
+""")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is below 20% of their part's average quantity. The correlated
+    aggregate subquery is decorrelated by hand into a per-part agg joined
+    back to the fact — and because l_quantity is integer-valued in the
+    testdata, the threshold test ``qty < 0.2 * avg`` is evaluated as the
+    exact integer inequality ``5 * qty * cnt < sum_qty``: order-insensitive
+    on both engines with no float boundary to flake on. The per-part agg
+    output is one row per part, so it broadcasts; lineitem shuffles once
+    for the agg and never again."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+    pq = (
+        li.groupBy(F.col("l_partkey").alias("pq_partkey"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+             F.count("*").alias("cnt"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(pq), li.l_partkey == F.col("pq_partkey"))
+        .filter(5 * F.col("l_quantity").cast("bigint") * F.col("cnt")
+                < F.col("sum_qty"))
+        .agg(
+            F.round(stable_sum(F.col("l_extendedprice")) / F.lit(7.0), 2)
+            .alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 @_q("q6_revenue_forecast", f"""
 SELECT {stable_sum_sql('l_extendedprice * l_discount')} AS revenue_delta,
   count(*) AS n_items
