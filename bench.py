@@ -43,6 +43,11 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive_filter",
+    # remaining TPC-H joins (suite completed r3)
+    "q4_priority_order_check",
+    "q9_product_type_profit",
+    "q12_late_shipment_priority",
+    "q17_small_quantity_revenue",
 ]
 
 

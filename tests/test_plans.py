@@ -124,6 +124,44 @@ def test_embedding_dedup_blocks_on_lsh_signature(spark):
     assert "_sig" in p  # the signature is the join key
 
 
+def test_q4_exists_is_semi_join(spark):
+    """Q4's correlated EXISTS compiles to a LEFT SEMI join keyed on
+    orderkey with the lateness comparison as a residual — lineitem never
+    fans orders out, and the orders date filter reaches the scan."""
+    p = plan_of(QUERIES["q4_priority_order_check"][0](spark, SF_DIR))
+    assert "LeftSemi" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), pushed
+
+
+def test_q9_dimensions_broadcast(spark):
+    """Q9's three dimension hops (filtered part, supplier, nation) all
+    broadcast; the p_name LIKE filter reaches the part scan before the
+    broadcast, so only matching parts ship to executors."""
+    p = plan_of(QUERIES["q9_product_type_profit"][0](spark, SF_DIR))
+    assert p.count("BroadcastExchange") >= 3
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("p_name" in ln for ln in pushed), pushed
+
+
+def test_q12_shipdate_range_pushed(spark):
+    """Q12's single-side shipdate range lands on the lineitem scan; the
+    cross-side lateness predicate stays as join residual (not a cartesian)."""
+    p = plan_of(QUERIES["q12_late_shipment_priority"][0](spark, SF_DIR))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), pushed
+    assert "CartesianProduct" not in p
+
+
+def test_q17_per_part_agg_broadcasts(spark):
+    """Q17's decorrelated per-part agg (one row per part) broadcasts back
+    onto lineitem — the fact table is shuffled once for the agg and never
+    re-shuffled for the threshold join."""
+    p = plan_of(QUERIES["q17_small_quantity_revenue"][0](spark, SF_DIR))
+    assert p.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in p
+
+
 def test_v6_namespace_scoped_prunes_partitions(spark):
     """The namespace-scoped registry read is a pruned partitioned scan:
     the namespace predicate lands in PartitionFilters (directory-level
