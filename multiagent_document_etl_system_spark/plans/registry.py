@@ -1196,6 +1196,47 @@ def st_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("st_interval_join_stream", """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+  CAST(date_diff('second', CAST(v.ts AS TIMESTAMP),
+                 CAST(p.ts AS TIMESTAMP)) AS BIGINT) AS secs_to_purchase
+FROM events v JOIN events p ON v.user_id = p.user_id
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+""")
+def st_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream join run, oracle-checked: views ⋈ purchases by
+    user within a 1-hour horizon (the attribution-join shape), executed as
+    a watermarked Structured Streaming inner join over the staged replay.
+    Single micro-batch ⇒ no row can arrive after the watermark passes its
+    match window, so the append-mode result equals the batch self-join the
+    DuckDB twin states. Cross-micro-batch buffering (a match arriving in a
+    later batch than its pair) is exercised in tests/test_streaming.py.
+    Scale: join state is bounded by horizon + watermark delay per key —
+    the knob is the watermark, not stream length."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_events_dir(spark, sf_dir)
+    views = streamx.read_event_stream(spark, stage, max_files_per_trigger=10) \
+        .filter(F.col("event_type") == "view")
+    purchases = streamx.read_event_stream(spark, stage,
+                                          max_files_per_trigger=10) \
+        .filter(F.col("event_type") == "purchase")
+    joined = streamx.interval_join(views, purchases, on="user_id",
+                                   horizon="1 hour", watermark="2 hours")
+    name = f"st_ijoin_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(joined, name, output_mode="append")
+    return spark.table(name).select(
+        F.col("l_id").alias("view_id"),
+        F.col("r_id").alias("purchase_id"),
+        "user_id",
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts"))
+        .cast("bigint").alias("secs_to_purchase"),
+    )
+
+
 @_q("st_dedup_stream", None)
 def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming dedup run: ``dropDuplicatesWithinWatermark`` on

@@ -90,6 +90,38 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def interval_join(left: DataFrame, right: DataFrame, on: str = "user_id",
+                  horizon: str = "1 hour",
+                  watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream inner join: each left event pairs with
+    right events for the same ``on`` key that occur within ``(l_ts,
+    l_ts + horizon]``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides, so Spark can evict buffered rows once the other
+    stream's watermark passes ``ts + horizon`` — state is bounded by the
+    horizon + watermark delay, not stream length. This is the streaming
+    analogue of the batch band join (plans/analytics.py q_band_join) and
+    the attribution-join shape (impression ⋈ click within N minutes).
+
+    Output columns: ``l_id, <on>, l_ts, r_id, r_ts``.
+    """
+    l = left.select(
+        F.col("event_id").alias("l_id"), F.col(on),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("event_id").alias("r_id"), F.col(on).alias("_r_on"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col(on) == F.col("_r_on"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return l.join(r, cond).drop("_r_on")
+
+
 def dedup_within_watermark(events: DataFrame,
                            watermark: str = "30 minutes") -> DataFrame:
     """Exactly-once-per-id within the watermark horizon — the streaming

@@ -141,3 +141,32 @@ def test_stateful_running_totals(spark, events_dir):
               FROM user_totals) WHERE rn = 1""").collect()
     }
     assert got == expected
+
+
+def test_interval_join_buffers_across_batches(spark, tmp_path):
+    """Stream-stream interval join: a view and its matching purchase land
+    in DIFFERENT micro-batches (maxFilesPerTrigger=1, two files), so the
+    join must buffer one side in the state store until the other arrives.
+    An out-of-horizon purchase must NOT match."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    d = str(tmp_path / "ev")
+    f1 = [(1, base, 7, "view", 1.0, None),
+          (3, base, 9, "view", 1.0, None)]
+    f2 = [(2, base + dt.timedelta(minutes=10), 7, "purchase", 5.0, None),
+          (4, base + dt.timedelta(hours=3), 9, "purchase", 5.0, None)]
+    for rows in (f1, f2):
+        spark.createDataFrame(rows, streamx.EVENTS_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d)
+
+    views = streamx.read_event_stream(spark, d, max_files_per_trigger=1) \
+        .filter(F.col("event_type") == "view")
+    purchases = streamx.read_event_stream(spark, d, max_files_per_trigger=1) \
+        .filter(F.col("event_type") == "purchase")
+    joined = streamx.interval_join(views, purchases, horizon="1 hour",
+                                   watermark="4 hours")
+    streamx.run_to_memory(joined, "ijoin_out", output_mode="append")
+    got = {(r["l_id"], r["r_id"])
+           for r in spark.sql("SELECT l_id, r_id FROM ijoin_out").collect()}
+    assert got == {(1, 2)}  # user 9's purchase is 3h out — beyond horizon
