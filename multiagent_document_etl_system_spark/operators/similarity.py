@@ -226,6 +226,49 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame,
     )
 
 
+def ann_lsh_topk_multiprobe(queries: DataFrame, candidates: DataFrame,
+                            dim: int, k: int = 5, n_planes: int = 8,
+                            seed: int = 42,
+                            q_id: str = "q_id", c_id: str = "c_id",
+                            q_vec: str = "q_vec",
+                            c_vec: str = "c_vec") -> DataFrame:
+    """Multi-probe LSH top-k: probe the query's exact signature bucket PLUS
+    every Hamming-distance-1 neighbor bucket (one hyperplane sign flipped).
+    The standard recall lever (Lv et al., VLDB 2007): near neighbors that
+    land just across one hyperplane are recovered without adding hash
+    tables. Cost model at scale: the QUERY side explodes ×(n_planes+1)
+    before the equi-join — linear in the (smaller) query set, while the
+    candidate corpus is still hashed exactly once and shuffled on a uniform
+    2^n_planes-ary key. Each (query, candidate) pair matches at most one
+    probe (a candidate has one signature; the probe list is distinct), so
+    no dedup pass is needed before ranking.
+
+    Deterministic like :func:`ann_lsh_topk` — same hash-derived planes,
+    rounded scores, (score DESC, id ASC) tie-break — so a SQL oracle can
+    restate it exactly.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    qs = queries.withColumn("_sig0", lsh_signature(F.col(q_vec), planes)) \
+        .withColumn("_qn", norm(F.col(q_vec)))
+    probes = F.array(
+        F.col("_sig0"),
+        *[F.col("_sig0").bitwiseXOR(F.lit(2 ** i)) for i in range(n_planes)],
+    )
+    qs = qs.withColumn("_sig", F.explode(probes)).drop("_sig0")
+    cs = candidates.withColumn("_sig", lsh_signature(F.col(c_vec), planes)) \
+        .withColumn("_cn", norm(F.col(c_vec)))
+    j = cs.join(qs, "_sig").filter(F.col(q_id) != F.col(c_id))
+    denom = F.col("_qn") * F.col("_cn")
+    score = F.when(denom == 0, F.lit(0.0)) \
+        .otherwise(dot(F.col(q_vec), F.col(c_vec)) / denom)
+    scored = j.select(q_id, c_id, F.round(score, 4).alias("score"))
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes via integer hashing (no
     numpy RNG on the driver → reproducible across runs/sessions, and the

@@ -429,15 +429,131 @@ def v8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(q, c, k=5, n_cells=16, n_probe=2)
 
 
-@_q("v6_ann_lsh_topk", None)
+# The ANN queries use the same deterministic hyperplanes as
+# dedup_embedding_cosine (dim=64, 6 planes, seed=42) — plane constants are
+# literals, so the DuckDB oracle restates the signature bit-for-bit and the
+# "approximate" algorithm is still an EXACTLY-specified function of its
+# inputs: approximate w.r.t. true top-k, deterministic w.r.t. the oracle.
+_ANN_SIG_SQL = similarity.lsh_signature_sql(
+    "embedding::DOUBLE[]", similarity.hyperplanes(dim=64, n_planes=6, seed=42))
+_ANN_SIG_CTE = f"""
+sig AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_ANN_SIG_SQL} AS s
+  FROM embeddings
+)"""
+_ANN_COS = similarity.cosine_sql("q.v", "c.v")
+
+
+@_q("v6_ann_lsh_topk", f"""
+WITH {_ANN_SIG_CTE},
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, round({_ANN_COS}, 4) AS score
+  FROM sig q JOIN sig c ON q.s = c.s AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % 100 = 0
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, score, rank FROM ranked WHERE rank <= 5
+""")
 def v6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: random-hyperplane LSH bucketing + exact re-rank (the 100 TB
-    big×big path). Approximate by construction ⇒ rows-only check."""
+    big×big path). Approximate w.r.t. true top-k, but fully deterministic
+    (hash-derived planes, rounded scores, score/id tie-break) — so this is
+    a HASH-CHECKED query, not rows-only: the oracle restates the signature
+    equi-join and within-bucket re-rank exactly."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     return similarity.ann_lsh_topk(q, c, dim=64, k=5, n_planes=6)
+
+
+@_q("v11_ann_multiprobe", f"""
+WITH {_ANN_SIG_CTE},
+probes AS (
+  SELECT vec_id AS q_id, v,
+    unnest([s, xor(s, 1), xor(s, 2), xor(s, 4),
+            xor(s, 8), xor(s, 16), xor(s, 32)]) AS ps
+  FROM sig WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT q.q_id, c.vec_id AS c_id, round({_ANN_COS}, 4) AS score
+  FROM probes q JOIN sig c ON c.s = q.ps AND c.vec_id <> q.q_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, score, rank FROM ranked WHERE rank <= 5
+""")
+def v11_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: exact bucket + every Hamming-1 neighbor bucket
+    (one sign flipped). Recovers near neighbors that fell just across one
+    hyperplane — the recall lever that doesn't add hash tables. Query side
+    explodes ×7; candidate corpus is hashed once. Deterministic ⇒
+    hash-checked against an oracle that probes via unnest([s, xor(s, 2^i)…])."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return similarity.ann_lsh_topk_multiprobe(q, c, dim=64, k=5, n_planes=6)
+
+
+@_q("v10_ann_recall", f"""
+WITH {_ANN_SIG_CTE},
+exact_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, round({_ANN_COS}, 4) AS score
+  FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % 100 = 0
+), exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank
+    FROM exact_scored
+  ) WHERE rank <= 5
+), ann_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, round({_ANN_COS}, 4) AS score
+  FROM sig q JOIN sig c ON q.s = c.s AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % 100 = 0
+), ann AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank
+    FROM ann_scored
+  ) WHERE rank <= 5
+), hits AS (
+  SELECT * FROM ann INTERSECT SELECT * FROM exact
+)
+SELECT CAST(e.n AS BIGINT) AS n_exact, CAST(h.n AS BIGINT) AS n_hits,
+  round(CAST(h.n AS DOUBLE) / e.n, 4) AS recall_at_5
+FROM (SELECT count(*) AS n FROM exact) e,
+     (SELECT count(*) AS n FROM hits) h
+""")
+def v10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the LSH path against the exact
+    brute-force top-k — the eval harness an ANN index needs before anyone
+    trusts it at scale (run on a sample, not the full corpus). Both sides
+    are deterministic, so even the recall NUMBER is oracle-checkable. The
+    semi-join counts matched (q_id, c_id) pairs; one division at the end
+    keeps the double math order-insensitive."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    exact = similarity.topk_join(q, c, k=5)
+    ann = similarity.ann_lsh_topk(q, c, dim=64, k=5, n_planes=6)
+    hits = ann.join(exact.select("q_id", "c_id"), ["q_id", "c_id"],
+                    "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_exact", "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 4)
+            .alias("recall_at_5"),
+        )
+    )
 
 
 # memoized namespace-partitioned schema-registry stagings, keyed like the

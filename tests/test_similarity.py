@@ -147,3 +147,32 @@ def test_lsh_topk_recall_vs_exact(spark):
     # every returned pair must be a real scored pair (no phantom ids)
     ids = {r["vec_id"] for r in e.collect()}
     assert all(a in ids and b in ids for a, b in approx)
+
+
+def test_multiprobe_dominates_single_bucket(spark):
+    """Multi-probe (Hamming-1 probing) must produce per-pair-unique results
+    and recall >= the single-bucket LSH at the same plane count — probing
+    strictly widens the candidate set."""
+    from multiagent_document_etl_system_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+
+    exact = {(r["q_id"], r["c_id"])
+             for r in similarity.topk_join(q, c, k=5).collect()}
+    single_rows = similarity.ann_lsh_topk(
+        q, c, dim=64, k=5, n_planes=6).collect()
+    multi_rows = similarity.ann_lsh_topk_multiprobe(
+        q, c, dim=64, k=5, n_planes=6).collect()
+    single = {(r["q_id"], r["c_id"]) for r in single_rows}
+    multi = {(r["q_id"], r["c_id"]) for r in multi_rows}
+
+    # no duplicate (q, c) pairs — each pair matches exactly one probe
+    assert len(multi) == len(multi_rows)
+    assert all(r["rank"] <= 5 for r in multi_rows)
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    assert recall_multi >= recall_single, (recall_multi, recall_single)
