@@ -98,3 +98,45 @@ def occurrence_count(c: Column, word: str) -> Column:
 
 def occurrence_count_sql(col: str, word: str) -> str:
     return f"(length({col}) - length(replace({col}, '{word}', ''))) / {len(word)}"
+
+
+# --- PII redaction (training-data curation kernel) -----------------------
+#
+# The reference sanitizes only FILENAMES (/root/reference/src/app.py:29-34);
+# a corpus pipeline must also scrub PII from text before training. Same
+# regex-kernel shape as P1/P4, applied in a fixed order (email, then phone,
+# then SSN) so the patterns never overlap after earlier replacements.
+# Patterns are RE2-and-Java-compatible; DuckDB twins pass the 'g' flag
+# (Spark's regexp_replace is global by default).
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{3}-\d{4}", "[PHONE]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+)
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace every email / phone / SSN match with a typed placeholder."""
+    out = c
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep.replace("\\", "\\\\"))
+    return out
+
+
+def redact_pii_sql(col: str) -> str:
+    out = col
+    for _, pat, rep in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+def pii_count(c: Column, kind: str) -> Column:
+    """# of matches of one PII pattern (for audit columns)."""
+    pat = dict((k, p) for k, p, _ in PII_PATTERNS)[kind]
+    return F.regexp_count(c, F.lit(pat)).cast("bigint")
+
+
+def pii_count_sql(col: str, kind: str) -> str:
+    pat = dict((k, p) for k, p, _ in PII_PATTERNS)[kind]
+    return f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT)"

@@ -1,0 +1,248 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The reference processes one document at a time and has no corpus-level
+hygiene surface (/root/reference/src/agents.py:377-428 — per-doc invoke);
+a 100 TB training-data pipeline needs set-oriented curation before any
+token reaches a model. Three first-class operators, all pure Catalyst
+expressions with exact DuckDB twins:
+
+- :func:`decontaminate` — n-gram-overlap decontamination against an
+  eval/benchmark set (the standard guard against test-set leakage into
+  training data; cf. GPT-3 appendix C / PaLM §C: 13-gram overlap).
+- :func:`gopher_rules` — repetition / quality heuristics in the style of
+  Gopher (Rae et al. 2021, table A1): word-count bounds, mean word length,
+  duplicate-2-gram fraction, stop-word floor.
+- :func:`domain_mix` — per-source sampling weights toward a target domain
+  distribution + deterministic hash-based subsampling (the mixing step of
+  every pretraining corpus build).
+
+Scale posture (100 TB):
+
+- decontaminate broadcasts the EVAL side (benchmarks are tiny — MMLU-sized,
+  not corpus-sized) and ships only 64-bit shingle hashes, so the corpus is
+  scanned once, shuffled never: explode → broadcast-hash semi-match →
+  partial-agg count per doc.
+- gopher_rules is a narrow per-row map — no shuffle at all.
+- domain_mix aggregates once on `source` (low-cardinality ⇒ tiny shuffle),
+  broadcasts the per-source weights back, and samples with a deterministic
+  per-row hash — no RNG state, reproducible across retries/speculative
+  tasks (rand() is NOT; a re-run task would sample a different subset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.functions.text import tokens
+from multiagent_document_etl_system_spark.operators.dedup import (
+    hash64,
+    shingles,
+)
+
+
+# ---------------------------------------------------------- decontamination
+
+def decontaminate(corpus: DataFrame, eval_docs: DataFrame,
+                  n: int = 3, min_shared: int = 5,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, n_shared, keep): n_shared = # distinct word-``n``-gram shingles
+    the doc shares with ANY eval doc; ``keep`` = n_shared < min_shared.
+
+    Duplicated/near-duplicated eval material shares almost all its shingles
+    and is dropped; incidental collisions (a few common n-grams) stay under
+    the threshold. The eval side reduces to a distinct set of 64-bit
+    shingle hashes and is broadcast — the corpus never shuffles.
+    """
+    ev = (
+        eval_docs
+        .select(F.explode(shingles(F.col(text_col), n)).alias("_sh"))
+        .select(hash64(F.col("_sh")).alias("_sh_h"))
+        .distinct()
+    )
+    corp_sh = corpus.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("_sh"),
+    ).select(F.col(id_col), hash64(F.col("_sh")).alias("_sh_h"))
+    # shingle sets are distinct per doc and ev is distinct ⇒ count(*) is
+    # the distinct-shared-shingle count, no second dedup needed
+    matches = (
+        corp_sh.join(F.broadcast(ev), "_sh_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(matches, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint")
+            .alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) < min_shared)
+            .alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------- quality rules
+
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to")
+
+
+def _ngram_list(toks: Column, n: int) -> Column:
+    """NON-distinct n-gram list (repetition measurement needs multiplicity)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_words: int = 20, max_words: int = 100_000,
+                 min_mean_word_len: float = 2.0,
+                 max_mean_word_len: float = 10.0,
+                 max_dup2_frac: float = 0.75,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-style per-document quality gates (narrow map, no shuffle).
+
+    Emits the measured statistics, one boolean per rule, and the combined
+    ``keep`` — keeping the individual rule columns makes the filter
+    auditable (every serious corpus pipeline reports per-rule kill rates).
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0).cast("bigint"),
+                    lambda s, t: s + F.length(t)).cast("double")
+        / n_words, 4)
+    bigrams = _ngram_list(toks, 2)
+    dup2 = F.round(
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams))).cast("double")
+        / F.size(bigrams), 4)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        dup2.alias("dup2_frac"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+    )
+    r_len = F.col("n_words").between(min_words, max_words)
+    r_wl = F.col("mean_word_len").between(min_mean_word_len,
+                                          max_mean_word_len)
+    r_rep = F.col("dup2_frac") <= max_dup2_frac
+    r_stop = F.col("stop_hits") >= min_stop_hits
+    return out.select(
+        "*",
+        r_len.alias("r_len"), r_wl.alias("r_word_len"),
+        r_rep.alias("r_repetition"), r_stop.alias("r_stopwords"),
+        (r_len & r_wl & r_rep & r_stop).alias("keep"),
+    )
+
+
+def gopher_rules_sql(table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text",
+                     min_words: int = 20, max_words: int = 100_000,
+                     min_mean_word_len: float = 2.0,
+                     max_mean_word_len: float = 10.0,
+                     max_dup2_frac: float = 0.75,
+                     min_stop_hits: int = 2) -> str:
+    """DuckDB twin of :func:`gopher_rules` (same stats, same gates)."""
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, string_split_regex(trim({text_col}), '\\s+') AS t
+  FROM {table}
+), grams AS (
+  SELECT {id_col},
+    [array_to_string(t[i:i+1], ' ')
+     for i in generate_series(1, greatest(len(t)-1, 1))] AS bg,
+    t
+  FROM toks
+), stats AS (
+  SELECT {id_col},
+    CAST(len(t) AS BIGINT) AS n_words,
+    round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+          / len(t), 4) AS mean_word_len,
+    round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+      AS dup2_frac,
+    CAST(len(list_filter(t, x -> x IN ({stops}))) AS BIGINT) AS stop_hits
+  FROM grams
+)
+SELECT *,
+  n_words BETWEEN {min_words} AND {max_words} AS r_len,
+  mean_word_len BETWEEN {min_mean_word_len} AND {max_mean_word_len}
+    AS r_word_len,
+  dup2_frac <= {max_dup2_frac} AS r_repetition,
+  stop_hits >= {min_stop_hits} AS r_stopwords,
+  (n_words BETWEEN {min_words} AND {max_words})
+    AND (mean_word_len BETWEEN {min_mean_word_len} AND {max_mean_word_len})
+    AND dup2_frac <= {max_dup2_frac}
+    AND stop_hits >= {min_stop_hits} AS keep
+FROM stats
+"""
+
+
+# ---------------------------------------------------------- domain mixing
+
+def domain_mix(df: DataFrame, target_share: Column,
+               source_col: str = "source", id_col: str = "doc_id",
+               sample_scale: float = 0.5, seed: int = 7) -> DataFrame:
+    """Per-source mixing weights toward a target distribution, plus a
+    deterministic hash-Bernoulli subsample at ``sample_scale × weight``.
+
+    ``target_share`` is an unnormalized per-row target expression (e.g. a
+    CASE on the source name); it is normalized over the observed sources.
+    Output per source: n_docs, actual share, normalized target share,
+    weight = target/actual, and n_sampled under p = min(1, scale·weight).
+
+    Sampling uses the shared md5-derived 60-bit hash of (seed:doc_id) —
+    reproducible across engines, retries, and speculative task re-runs,
+    which ``rand()`` is not.
+    """
+    per_source = (
+        df.select(F.col(source_col), F.col(id_col), target_share.alias("_t"))
+        .withColumn(
+            "_p_row",
+            (hash64(F.col(id_col).cast("string"), seed=seed) % 1_000_000)
+            .cast("double") / 1_000_000.0,
+        )
+    )
+    agg = per_source.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.max("_t").alias("_t"),  # target is constant per source
+    )
+    tot = agg.agg(
+        F.sum("n_docs").alias("_n_total"),
+        F.sum("_t").alias("_t_total"),
+    )
+    w = (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            source_col, "n_docs",
+            F.round(F.col("n_docs") / F.col("_n_total"), 4).alias("share"),
+            F.round(F.col("_t") / F.col("_t_total"), 4)
+            .alias("target_share"),
+            F.round((F.col("_t") / F.col("_t_total"))
+                    / (F.col("n_docs") / F.col("_n_total")), 4)
+            .alias("weight"),
+        )
+    )
+    p = F.least(F.lit(1.0), F.lit(sample_scale) * F.col("weight"))
+    sampled = (
+        per_source.join(F.broadcast(w.select(source_col, "weight")),
+                        source_col)
+        .filter(F.col("_p_row") < p)
+        .groupBy(source_col)
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        w.join(sampled, source_col, "left")
+        .select(
+            source_col, "n_docs", "share", "target_share", "weight",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint")
+            .alias("n_sampled"),
+        )
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from multiagent_document_etl_system_spark.functions import jsonx
+from multiagent_document_etl_system_spark.functions import text as textfns
 from multiagent_document_etl_system_spark.functions.hashing import (
     schema_id,
     schema_id_sql,
@@ -35,7 +36,12 @@ from multiagent_document_etl_system_spark.functions.text import (
     truncate_head_sql,
 )
 from multiagent_document_etl_system_spark.io import load_table
-from multiagent_document_etl_system_spark.operators import dedup, similarity, textstats
+from multiagent_document_etl_system_spark.operators import (
+    curation,
+    dedup,
+    similarity,
+    textstats,
+)
 from multiagent_document_etl_system_spark.operators.classify import (
     classify_case_sql,
 )
@@ -957,6 +963,154 @@ def td_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 50)
         .select("lang", "doc_id", "rn")
+    )
+
+
+# ------------------------------------------------ corpus curation (new ops)
+
+_DECON_SH_H = dedup.hash64_sql("sh")
+
+
+@_q("td_decontaminate", f"""
+WITH ev_sh AS (
+  SELECT DISTINCT {_DECON_SH_H} AS sh_h FROM (
+    SELECT unnest({_SHINGLE_SQL}) AS sh
+    FROM (SELECT string_split_regex(trim(text), '\\s+') AS __toks
+          FROM documents WHERE doc_id % 90 = 8)
+  )
+), corp AS (
+  SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS __toks
+        FROM documents WHERE doc_id % 90 <> 8)
+), m AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM (SELECT doc_id, {_DECON_SH_H} AS sh_h FROM corp) c
+  JOIN ev_sh USING (sh_h) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(m.n_shared, 0) AS BIGINT) AS n_shared,
+  coalesce(m.n_shared, 0) < 5 AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % 90 <> 8) d
+LEFT JOIN m USING (doc_id)
+""")
+def td_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: drop training docs sharing ≥5 distinct
+    3-gram shingles with any doc in the held-out set (doc_id % 90 == 8 — the
+    stand-in for MMLU-style benchmark text). Duplicated eval material
+    shares nearly all shingles and is killed; incidental n-gram collisions
+    stay under threshold. Eval side reduces to broadcast 64-bit hashes —
+    the corpus is scanned once and never shuffled."""
+    d = _docs(spark, sf_dir)
+    return curation.decontaminate(
+        d.filter(F.col("doc_id") % 90 != 8),
+        d.filter(F.col("doc_id") % 90 == 8),
+        n=3, min_shared=5,
+    )
+
+
+@_q("ta_gopher_rules", curation.gopher_rules_sql())
+def ta_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates (word-count bounds, mean word length,
+    duplicate-bigram fraction, stop-word floor) with per-rule audit
+    columns. Narrow per-row map — zero shuffles."""
+    return curation.gopher_rules(_docs(spark, sf_dir))
+
+
+@_q("td_domain_mix", f"""
+WITH base AS (
+  SELECT source, doc_id,
+    CAST(1 + (CAST(substr(source, 4) AS INT) % 3) AS DOUBLE) AS t,
+    (CAST(concat('0x', substring(md5(concat('7:',
+        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000)
+      / 1000000.0 AS p_row
+  FROM documents
+), agg AS (
+  SELECT source, count(*) AS n_docs, max(t) AS t FROM base GROUP BY source
+), tot AS (
+  SELECT sum(n_docs) AS n_total, sum(t) AS t_total FROM agg
+), w AS (
+  SELECT source, n_docs,
+    round(CAST(n_docs AS DOUBLE) / n_total, 4) AS share,
+    round(t / t_total, 4) AS target_share,
+    round((t / t_total) / (CAST(n_docs AS DOUBLE) / n_total), 4) AS weight
+  FROM agg, tot
+), s AS (
+  SELECT b.source, count(*) AS n_sampled
+  FROM base b JOIN w USING (source)
+  WHERE b.p_row < least(1.0, 0.5 * w.weight)
+  GROUP BY b.source
+)
+SELECT w.source, CAST(w.n_docs AS BIGINT) AS n_docs, share, target_share,
+  weight, CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM w LEFT JOIN s USING (source)
+""")
+def td_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: per-source sampling weights toward a target
+    distribution (here: weight source srcN by 1 + N%3) plus a
+    deterministic hash-Bernoulli subsample at p = min(1, weight/2).
+    One tiny shuffle on the low-cardinality source key; weights broadcast
+    back; the sample decision is a pure per-row hash — reproducible across
+    engines, retries, and speculative tasks, unlike rand()."""
+    target = (1 + F.expr("CAST(substring(source, 4) AS INT)") % 3) \
+        .cast("double")
+    return curation.domain_mix(_docs(spark, sf_dir), target,
+                               sample_scale=0.5, seed=7)
+
+
+_PII_AUG_SQL = """
+substr(text, 1, 40)
+|| CASE WHEN doc_id % 3 = 0
+     THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com'
+     ELSE '' END
+|| CASE WHEN doc_id % 2 = 0
+     THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+     ELSE '' END
+|| CASE WHEN doc_id % 4 = 0
+     THEN ' ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+     ELSE '' END
+""".strip()
+
+
+@_q("ta_pii_redact", f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+SELECT doc_id,
+  {textfns.pii_count_sql('aug', 'email')} AS n_emails,
+  {textfns.pii_count_sql('aug', 'phone')} AS n_phones,
+  {textfns.pii_count_sql('aug', 'ssn')} AS n_ssns,
+  {textfns.redact_pii_sql('aug')} AS redacted
+FROM aug
+""")
+def ta_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training corpus gets before
+    any token reaches a model. The kernel is a fixed-order regex chain
+    (email → phone → SSN, functions/text.py:PII_PATTERNS) with per-type
+    audit counts; the corpus text is synthetic, so each doc is augmented
+    with deterministic doc_id-derived PII to give the kernel real matches
+    (the augmentation is restated verbatim in the oracle). Narrow map —
+    zero shuffles, pure codegen'd regex."""
+    did = F.col("doc_id")
+
+    def lp(m: int, w: int) -> F.Column:
+        return F.lpad((did % m).cast("string"), w, "0")
+
+    aug = F.concat(
+        F.substring("text", 1, 40),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" mail u"), did.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 2 == 0,
+               F.concat(F.lit(" call +1-555-"), lp(1000, 3), F.lit("-"),
+                        lp(10000, 4))).otherwise(F.lit("")),
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" ssn 987-65-"), lp(10000, 4)))
+        .otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        textfns.pii_count(aug, "email").alias("n_emails"),
+        textfns.pii_count(aug, "phone").alias("n_phones"),
+        textfns.pii_count(aug, "ssn").alias("n_ssns"),
+        textfns.redact_pii(aug).alias("redacted"),
     )
 
 
