@@ -50,12 +50,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         else:
             spark.conf.set(_NANOS_CONF, prior)
     # The nanos long is converted to a microsecond TimestampType,
-    # matching DuckDB's CAST(ts AS TIMESTAMP).
+    # matching DuckDB's CAST(ts AS TIMESTAMP). Newer Spark builds read
+    # TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ (micros-truncated); the
+    # parquet stores UTC-adjusted nanos, so interpreting the NTZ wall clock
+    # as UTC reconstructs the identical instant the legacy long path
+    # produced — keeping the engine-facing contract at TimestampType.
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-    if isinstance(df.schema["ts"].dataType, LongType):
+    from pyspark.sql.types import LongType, TimestampNTZType
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return df
 
 
