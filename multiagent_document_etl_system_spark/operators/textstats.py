@@ -141,6 +141,41 @@ def fingerprint_sql(col: str) -> str:
     )
 
 
+def repetition_expr(text: Column) -> Column:
+    """Repeated-trigram ratio ∈ [0,1]: 1 − distinct/total word trigrams —
+    the standard within-document boilerplate/repetition gate a training
+    corpus applies before near-dup (C4/Gopher-style repetition filters).
+    Pure array expressions (slice + zip_with), no UDF; single narrow map."""
+    t = tokens(F.lower(text))
+    n3 = F.size(t) - F.lit(2)
+    pairs = F.zip_with(
+        F.slice(t, 1, n3), F.slice(t, 2, n3),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    tri = F.zip_with(
+        pairs, F.slice(t, 3, n3),
+        lambda p, c: F.concat(p, F.lit(" "), c),
+    )
+    total = F.size(tri).cast("double")
+    distinct = F.size(F.array_distinct(tri)).cast("double")
+    return F.when(n3 <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - distinct / total, 4))
+
+
+def repetition_sql(col: str) -> str:
+    t = tokens_sql(f"lower({col})")
+    tri = (
+        f"list_transform(generate_series(1, len(t)-2), "
+        f"i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+    )
+    return (
+        f"(SELECT CASE WHEN len(t) - 2 <= 0 THEN 0.0 ELSE "
+        f"round(1.0 - CAST(len(list_distinct({tri})) AS DOUBLE)"
+        f" / CAST(len({tri}) AS DOUBLE), 4) END "
+        f"FROM (SELECT {t} AS t) _rep)"
+    )
+
+
 def term_frequencies(df: DataFrame, text_col: str = "text",
                      top_n: int = 20) -> DataFrame:
     """Corpus-wide top-N terms: (token, freq), deterministic order

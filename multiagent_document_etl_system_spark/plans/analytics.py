@@ -937,6 +937,83 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_map_functions", """
+SELECT l_orderkey, l_linenumber,
+  CAST(m['base'][1] AS DOUBLE) AS base_val,
+  CAST(len(map_keys(m4)) AS BIGINT) AS m_size,
+  array_to_string(map_keys(m4), ',') AS keys_csv,
+  round(CAST(m4['qty'][1] AS DOUBLE) * 2, 2) AS qty_doubled,
+  round(list_sum(list_filter(
+    [CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE),
+     CAST(l_tax AS DOUBLE), CAST(l_quantity AS DOUBLE)],
+    x -> x > 0.05)), 2) AS big_vals_sum
+FROM (
+  SELECT *,
+    map(['base','disc','tax'],
+        [CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE),
+         CAST(l_tax AS DOUBLE)]) AS m,
+    map(['base','disc','tax','qty'],
+        [CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE),
+         CAST(l_tax AS DOUBLE), CAST(l_quantity AS DOUBLE)]) AS m4
+  FROM lineitem
+)
+""")
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function sweep (map_from_arrays / map_concat / element_at /
+    map_keys / map_filter / transform_values / map_values + aggregate) —
+    the dynamic key-value surface the reference's jsonb metadata maps to
+    (SURVEY.md §1.2). Output is scalars only: Spark and DuckDB stringify
+    MAP values differently, so the comparison stays on extracted values.
+    Narrow map, zero shuffles, all codegen'd."""
+    li = _t(spark, sf_dir, "lineitem")
+    vals = [F.col(c).cast("double") for c in
+            ("l_extendedprice", "l_discount", "l_tax")]
+    m = F.map_from_arrays(
+        F.array(F.lit("base"), F.lit("disc"), F.lit("tax")), F.array(*vals))
+    m4 = F.map_concat(
+        m, F.create_map(F.lit("qty"), F.col("l_quantity").cast("double")))
+    doubled = F.transform_values(m4, lambda _, v: v * 2)
+    big = F.map_filter(m4, lambda _, v: v > 0.05)
+    big_sum = F.aggregate(
+        F.map_values(big), F.lit(0.0), lambda acc, x: acc + x)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.element_at(m, "base").alias("base_val"),
+        F.size(m4).cast("bigint").alias("m_size"),
+        F.array_join(F.map_keys(m4), ",").alias("keys_csv"),
+        F.round(F.element_at(doubled, "qty"), 2).alias("qty_doubled"),
+        F.round(big_sum, 2).alias("big_vals_sum"),
+    )
+
+
+@_q("q_bitwise_functions", """
+SELECT o_orderkey,
+  CAST(o_orderkey << 2 AS BIGINT) AS b_shl,
+  CAST(o_orderkey >> 1 AS BIGINT) AS b_shr,
+  CAST(o_orderkey & 255 AS BIGINT) AS b_and,
+  CAST(o_orderkey | 4096 AS BIGINT) AS b_or,
+  CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS b_xor,
+  CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS b_popcount
+FROM orders
+""")
+def q_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function sweep (shifts, and/or/xor, popcount) — the bit-level
+    arithmetic the engine's own SimHash/LSH banding kernels rely on
+    (operators/dedup.py), exposed as a user-facing query surface. Narrow
+    map, zero shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.shiftleft(k, 2).cast("bigint").alias("b_shl"),
+        F.shiftright(k, 1).cast("bigint").alias("b_shr"),
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("b_or"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("bigint").alias("b_xor"),
+        F.bit_count(k).cast("bigint").alias("b_popcount"),
+    )
+
+
 # ------------------------------------------------------------ events / JSON
 
 @_q("q_json_events", f"""

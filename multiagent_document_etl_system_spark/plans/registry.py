@@ -32,6 +32,7 @@ from multiagent_document_etl_system_spark.functions.text import (
     normalize_label_sql,
     safe_filename,
     safe_filename_sql,
+    tokens,
     truncate_head,
     truncate_head_sql,
 )
@@ -1115,6 +1116,92 @@ def ta_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================== text analysis
+
+@_q("ta_repetition", f"""
+SELECT doc_id, {textstats.repetition_sql('text')} AS rep_ratio FROM documents
+""")
+def ta_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition gate: repeated-trigram ratio
+    (1 − distinct/total word trigrams) — the C4/Gopher-style boilerplate
+    filter that runs before cross-document dedup in a training pipeline.
+    Pure slice+zip_with array expressions, narrow map, zero shuffles."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.repetition_expr(F.col("text")).alias("rep_ratio"))
+
+
+@_q("ta_chunk_segments", """
+SELECT doc_id, seg_idx, CAST(length(seg) AS BIGINT) AS n_chars,
+  CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_tokens
+FROM (
+  SELECT doc_id,
+    CAST(unnest(generate_series(1, len(segs))) - 1 AS BIGINT) AS seg_idx,
+    unnest(segs) AS seg
+  FROM (
+    SELECT doc_id,
+      list_transform(
+        generate_series(0, greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) - 1),
+        i -> array_to_string(t[i*20+1 : i*20+20], ' ')) AS segs
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents)
+  )
+)
+WHERE length(seg) > 0
+""")
+def ta_chunk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunk segmentation (posexplode — the generator/table-
+    function surface): each doc splits into 20-token segments with a
+    positional index and per-segment char/token counts — the unit-splitting
+    pass that feeds sequence packing (td_token_budget_pack works at doc
+    granularity; this is the within-doc flavor a context-length-bounded
+    tokenizer pipeline needs). The 1→N fan-out is a generate node feeding
+    a narrow map — zero shuffles; the segment build is pure
+    sequence/slice/array_join codegen, no UDF."""
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    nseg = F.greatest(F.ceil(F.size("t") / 20.0), F.lit(1)).cast("long")
+    segs = F.transform(
+        F.sequence(F.lit(0).cast("long"), nseg - F.lit(1)),
+        lambda i: F.array_join(F.slice(F.col("t"), i * 20 + 1, 20), " "),
+    )
+    seg_rows = (
+        d.select("doc_id", t.alias("t"))
+        .select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
+    )
+    return seg_rows.filter(F.length("seg") > 0).select(
+        "doc_id",
+        F.col("seg_idx").cast("bigint").alias("seg_idx"),
+        F.length("seg").cast("bigint").alias("n_chars"),
+        F.size(F.split(F.col("seg"), " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
+@_q("td_token_budget_pack", f"""
+SELECT lang, doc_id, n_tokens,
+  CAST(floor(coalesce(sum(n_tokens) OVER (
+    PARTITION BY lang ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+    AS BIGINT) AS shard_id
+FROM (SELECT lang, doc_id, {textstats.token_count_sql('text')} AS n_tokens
+      FROM documents)
+""")
+def td_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing / shard assignment: docs are packed into ~2000-token
+    shards per language by the running token count (shard = floor of the
+    exclusive prefix sum / budget) — the deterministic batch-assembly op a
+    training data loader needs. Partitioned by lang so the window
+    parallelizes across strata (a single global ORDER BY would serialize
+    at 100 TB; per-stratum prefix sums shard naturally). All-integer
+    arithmetic — bit-exact across engines."""
+    d = _docs(spark, sf_dir)
+    sel = d.select(
+        "lang", "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sel.withColumn(
+        "shard_id", F.floor(cum / 2000.0).cast("bigint"))
+
 
 @_q("ta_token_stats", f"""
 SELECT doc_id,

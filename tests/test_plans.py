@@ -242,3 +242,29 @@ def test_whole_stage_codegen_in_pipeline(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "*(" in p
+
+
+def test_chunk_segments_is_generate_no_shuffle(spark):
+    """ta_chunk_segments: the 1→N segment fan-out must be a Generate
+    (posexplode) feeding a narrow map — no Exchange anywhere. At 100 TB a
+    shuffle here would move the whole corpus to re-segment it."""
+    p = physical_plan(QUERIES["ta_chunk_segments"][0](spark, SF_DIR))
+    assert "Generate" in p
+    assert "Exchange" not in p
+
+
+def test_repetition_is_narrow_map(spark):
+    """ta_repetition: pure per-row array expressions — no Exchange, no
+    Generate; the trigram build stays inside one codegen'd projection."""
+    p = physical_plan(QUERIES["ta_repetition"][0](spark, SF_DIR))
+    assert "Exchange" not in p
+
+
+def test_token_budget_pack_partitions_by_lang(spark):
+    """td_token_budget_pack: exactly one shuffle, hash-partitioned on lang
+    (the window stratum) — a global-order window would single-task at
+    scale; the per-lang prefix sum must parallelize across strata."""
+    p = physical_plan(QUERIES["td_token_budget_pack"][0](spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(lang" in p
+    assert "Exchange SinglePartition" not in p
