@@ -246,3 +246,35 @@ def domain_mix(df: DataFrame, target_share: Column,
             .alias("n_sampled"),
         )
     )
+
+
+# ------------------------------------------------------ dataset versioning
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                  hash_cols: tuple[str, ...] = ("text",)) -> DataFrame:
+    """(id, status ∈ {added, removed, changed, unchanged}) — the dataset-
+    versioning diff between two corpus snapshots: full outer join on the
+    id plus a content-hash compare over ``hash_cols``.
+
+    Scale posture: each side reduces to (id, md5) BEFORE the join — the
+    shuffle carries 2 small columns, never document bodies; both sides
+    hash-partition on the same key (co-partitioned exchange, AQE-skew-
+    splittable). md5 collapses arbitrary-width row comparison into one
+    128-bit compare, so adding columns to ``hash_cols`` never widens the
+    shuffle. This is the incremental-build primitive: `changed ∪ added`
+    is exactly the work list for the next pipeline run.
+    """
+    def keyed(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.md5(F.concat_ws("\x1f", *hash_cols)).alias(alias),
+        )
+
+    j = keyed(old, "_oh").join(keyed(new, "_nh"), "_id", "full_outer")
+    status = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("_id").alias(id_col), status.alias("status"))

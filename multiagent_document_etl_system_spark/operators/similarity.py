@@ -113,6 +113,36 @@ def top1(queries: DataFrame, candidates: DataFrame, **kw) -> DataFrame:
     return topk_join(queries, candidates, k=1, **kw)
 
 
+def topk_auto(queries: DataFrame, candidates: DataFrame, dim: int,
+              k: int = 5, broadcast_limit_rows: int = 100_000,
+              q_id: str = "q_id", c_id: str = "c_id",
+              q_vec: str = "q_vec", c_vec: str = "c_vec",
+              ) -> tuple[DataFrame, str]:
+    """Adaptive top-k strategy selection — the AQE-style runtime choice the
+    engine makes so callers never hand-pick a physical plan:
+
+    - query side fits a broadcast (≤ ``broadcast_limit_rows``) →
+      :func:`topk_join` (broadcast brute force, EXACT recall — the
+      reference's regime: a handful of schemas vs a corpus,
+      /root/reference/src/pinecone_utils.py:94-132);
+    - both sides big → :func:`ann_lsh_topk` (signature equi-join,
+      shuffle-partitionable, approximate).
+
+    The probe is a BOUNDED action: ``limit(n+1).count()`` scans at most
+    n+1 rows regardless of query-side size — at 100 TB the probe cost is
+    constant, exactly like AQE's runtime statistics. Returns
+    ``(result, strategy)`` so callers/audits can record the choice.
+    """
+    probe = queries.limit(broadcast_limit_rows + 1).count()
+    if probe <= broadcast_limit_rows:
+        out = topk_join(queries, candidates, k=k, q_id=q_id, c_id=c_id,
+                        q_vec=q_vec, c_vec=c_vec)
+        return out, "broadcast_exact"
+    out = ann_lsh_topk(queries, candidates, dim=dim, k=k,
+                       q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec)
+    return out, "lsh_bucketed"
+
+
 def l2_normalize(vec: Column) -> Column:
     """Unit-normalize an array<float/double>; zero vectors pass through."""
     n = norm(vec)

@@ -563,6 +563,40 @@ def v10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("v12_topk_auto", f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+           WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id AS c_id, round({_COS}, 4) AS score
+  FROM q, embeddings e WHERE e.vec_id != q.q_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, score, rank, 'broadcast_exact' AS strategy
+FROM ranked WHERE rank <= 5
+""")
+def v12_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive strategy selection (similarity.topk_auto): a bounded
+    ``limit(n+1).count()`` probe of the query side picks broadcast exact
+    brute-force vs LSH signature bucketing at runtime — the engine's
+    AQE-style answer to 'which physical similarity plan'. Here the query
+    side is small, so the choice is deterministically ``broadcast_exact``
+    and the result is hash-checkable against the exact oracle (the oracle
+    restates the choice as a literal)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out, strategy = similarity.topk_auto(q, c, dim=64, k=5)
+    return out.select(
+        "q_id", "c_id", "score",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.lit(strategy).alias("strategy"),
+    )
+
+
 # memoized namespace-partitioned schema-registry stagings, keyed like the
 # streaming staging: the write is fixture setup, the QUERY is the pruned read
 _NS_REGISTRY_CACHE: dict[tuple[str, str], str] = {}
@@ -1113,6 +1147,107 @@ def ta_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         textfns.pii_count(aug, "ssn").alias("n_ssns"),
         textfns.redact_pii(aug).alias("redacted"),
     )
+
+
+@_q("td_snapshot_diff", """
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 50 = 7 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 50 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' [new]' AS text
+  FROM documents WHERE doc_id % 50 = 11
+),
+o AS (SELECT doc_id, md5(text) AS oh FROM old),
+n AS (SELECT doc_id, md5(text) AS nh FROM new)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.oh IS NULL THEN 'added'
+       WHEN n.nh IS NULL THEN 'removed'
+       WHEN o.oh <> n.nh THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+""")
+def td_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff (operators/curation.py:snapshot_diff):
+    old = the corpus, new = a deterministically mutated copy (every 50th
+    doc deleted / revised / re-keyed as an addition). Each side reduces to
+    (id, md5) before the full outer join, so the shuffle carries two thin
+    columns regardless of document width — `changed ∪ added` is the
+    incremental work list for the next pipeline run."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    new = (
+        d.filter(did % 50 != 3)
+        .withColumn("text", F.when(did % 50 == 7,
+                                   F.concat("text", F.lit(" [rev2]")))
+                    .otherwise(F.col("text")))
+        .unionByName(
+            d.filter(did % 50 == 11).select(
+                (did + 1000000).alias("doc_id"),
+                F.concat("text", F.lit(" [new]")).alias("text"),
+                *[c for c in d.columns if c not in ("doc_id", "text")]),
+        )
+    )
+    return curation.snapshot_diff(d, new)
+
+
+@_q("td_profile", """
+SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+  SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+    min(CAST(doc_id AS VARCHAR)) AS min_val,
+    max(CAST(doc_id AS VARCHAR)) AS max_val FROM documents
+  UNION ALL
+  SELECT 'text', count(*), count(*) - count(text),
+    count(DISTINCT text), min(text), max(text) FROM documents
+  UNION ALL
+  SELECT 'lang', count(*), count(*) - count(lang),
+    count(DISTINCT lang), min(lang), max(lang) FROM documents
+  UNION ALL
+  SELECT 'source', count(*), count(*) - count(source),
+    count(DISTINCT source), min(source), max(source) FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+    count(DISTINCT n_chars), min(CAST(n_chars AS VARCHAR)),
+    max(CAST(n_chars AS VARCHAR)) FROM documents
+)
+""")
+def td_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: per-column row/null/distinct counts + lexicographic
+    min/max in ONE scan — the data-quality report that gates a training
+    corpus before curation starts. All 5×4 aggregates ride a single
+    aggregation (Catalyst's Expand handles the multi-distinct), then a
+    literal struct array explodes the one wide row into the long report —
+    no second scan, no union of per-column passes (the oracle restates it
+    as UNION ALL because DuckDB reads the same parquet five times for
+    free at this size; the Spark plan is the one-pass shape that matters
+    at 100 TB)."""
+    d = _docs(spark, sf_dir)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__mx"),
+        ]
+    row = d.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            (F.col("__n") - F.col(f"{c}__nn")).cast("bigint")
+            .alias("n_nulls"),
+            F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
+            F.col(f"{c}__mn").alias("min_val"),
+            F.col(f"{c}__mx").alias("max_val"),
+        )
+        for c in cols
+    ])
+    return row.select(F.explode(entries).alias("p")).select("p.*")
 
 
 # =========================================================== text analysis

@@ -268,3 +268,21 @@ def test_token_budget_pack_partitions_by_lang(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert "hashpartitioning(lang" in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_profile_is_single_scan(spark):
+    """td_profile: all 21 aggregates (5 cols × 4 metrics + rowcount) ride
+    ONE scan of the table — a per-column UNION ALL would read the corpus
+    five times at 100 TB."""
+    p = physical_plan(QUERIES["td_profile"][0](spark, SF_DIR))
+    assert p.count("Scan parquet") == 1, p[:1500]
+
+
+def test_snapshot_diff_shuffles_hashes_not_bodies(spark):
+    """td_snapshot_diff: md5 is computed BELOW the join exchanges (a
+    Project on each side), so the full-outer shuffle carries (id, hash)
+    and never document bodies; both sides co-partition on the id."""
+    p = physical_plan(QUERIES["td_snapshot_diff"][0](spark, SF_DIR))
+    assert "md5" in p
+    assert "FullOuter" in p
+    assert p.count("Exchange hashpartitioning(_id") >= 2, p[:2000]

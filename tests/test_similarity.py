@@ -176,3 +176,39 @@ def test_multiprobe_dominates_single_bucket(spark):
     recall_single = len(single & exact) / len(exact)
     recall_multi = len(multi & exact) / len(exact)
     assert recall_multi >= recall_single, (recall_multi, recall_single)
+
+
+def test_topk_auto_picks_broadcast_for_small_queries(spark):
+    from multiagent_document_etl_system_spark.io import load_table
+    from multiagent_document_etl_system_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+    out, strategy = similarity.topk_auto(q, c, dim=64, k=5)
+    assert strategy == "broadcast_exact"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_topk_auto_falls_back_to_lsh_for_big_queries(spark):
+    from multiagent_document_etl_system_spark.io import load_table
+    from multiagent_document_etl_system_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+    # force the "query side too big to broadcast" regime with a tiny cap
+    out, strategy = similarity.topk_auto(q, c, dim=64, k=5,
+                                         broadcast_limit_rows=10)
+    assert strategy == "lsh_bucketed"
+    # LSH path = signature equi-join, not a cross join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() > 0
