@@ -83,7 +83,8 @@ def classify_expr(text: Column) -> Column:
 
 
 def classify(df: DataFrame, text_col: str = "text",
-             out_col: str = "doc_type") -> DataFrame:
+             out_col: str = "doc_type",
+             cleaned_col: str | None = None) -> DataFrame:
     """Append ``out_col`` — argmax label (ties → priority order), 'other'
     when every score is 0.
 
@@ -92,8 +93,19 @@ def classify(df: DataFrame, text_col: str = "text",
     ONCE per row and every downstream reference is a cheap attribute.
     Catalyst keeps the stages separate (CollapseProject refuses to inline
     non-cheap aliases referenced more than once, SPARK-36718); the whole
-    thing is still one narrow codegen'd pass — no shuffle."""
-    head = truncate_head(clean_text(F.lower(F.col(text_col))), HEAD_CHARS)
+    thing is still one narrow codegen'd pass — no shuffle.
+
+    ``cleaned_col``: a column already holding ``clean_text(text)`` — the
+    pipeline materializes one for the retry stage, and ``clean_text``
+    commutes with ``lower()`` (its keep-charclass ``[\\w\\s.,\\-():]`` is
+    case-insensitive), so ``lower(cleaned)`` ≡ ``clean_text(lower(text))``
+    and the classifier can skip its own two full-text regex passes.
+    NULL cleaned rows (error-gated upstream) score NULL → 'other', which
+    every downstream consumer re-gates to NULL anyway."""
+    if cleaned_col is not None:
+        head = truncate_head(F.lower(F.col(cleaned_col)), HEAD_CHARS)
+    else:
+        head = truncate_head(clean_text(F.lower(F.col(text_col))), HEAD_CHARS)
     df = df.withColumn("_cls_head", head)
     labels = list(LABEL_KEYWORDS)
     score_of = {

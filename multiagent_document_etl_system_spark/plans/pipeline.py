@@ -99,7 +99,10 @@ def run_pipeline(spark: SparkSession, documents: DataFrame) -> DataFrame:
     e = F.col("error")
 
     df = df.withColumn("cleaned", _gate(e, clean_text(F.col("text"))))
-    df = classify(df, "text", "_doc_type")
+    # reuse the materialized cleaned text: clean_text commutes with lower(),
+    # so the classifier skips its own full-text regex chain (~2 fewer regex
+    # passes per row; error-gated NULLs re-gate to NULL downstream)
+    df = classify(df, "text", "_doc_type", cleaned_col="cleaned")
     df = df.withColumn("doc_type", _gate(e, F.col("_doc_type"))).drop("_doc_type")
 
     dim = schema_dim(spark)
