@@ -71,7 +71,7 @@ def main() -> None:
         # execution — the number that projects to cluster scale.
         df.write.format("noop").mode("overwrite").save()
         dt = None
-        for _ in range(2):  # best-of-2 damps host CPU jitter
+        for _ in range(3):  # best-of-3 damps host CPU jitter (up to ~4×)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             dt = min(time.time() - t0, dt) if dt is not None else time.time() - t0
@@ -85,6 +85,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "n_queries": len(HEADLINE),
         "sf": sf,
     }))
     spark.stop()

@@ -1390,6 +1390,44 @@ def ta_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
 
+@_q("ta_inverted_index", f"""
+SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+  array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',') AS postings
+FROM (
+  SELECT doc_id, unnest({{toks}}) AS token FROM documents
+)
+WHERE length(token) > 0
+GROUP BY token ORDER BY df DESC, token ASC LIMIT 50
+""".format(toks="string_split_regex(trim(lower(text)), '\\s+')"))
+def ta_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → document frequency + the first 10
+    doc ids of the sorted posting list — the retrieval-index construction
+    pass next to ta_tfidf's salience scoring. Distinct (doc, token) pairs
+    partial-aggregate map-side before the one shuffle on token;
+    collect_set keeps postings bounded per token and sort_array makes the
+    list deterministic (collect order is not). Top-50 by df is a
+    TakeOrderedAndProject, never a global sort. At 100 TB the same plan
+    shards by token; degenerate stop-word tokens are capped by the
+    posting-list truncation."""
+    d = _docs(spark, sf_dir)
+    pairs = (
+        d.select("doc_id",
+                 F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10), ",")
+            .alias("postings"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(50)
+    )
+
+
 @_q("ta_bigrams", textstats.bigram_frequencies_sql())
 def ta_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams (n-gram analysis next to the unigram
