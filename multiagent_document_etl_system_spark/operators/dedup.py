@@ -329,6 +329,36 @@ def neighbor_jaccard(df: DataFrame, text_col: str = "text",
     )
 
 
+def neighbor_containment(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         shingle_n: int = 3) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT for consecutive-id pairs:
+    ``cont_ab = |A∩B| / |A|`` and the reverse — the sub-document rung of
+    the dedup ladder (Broder's containment, the quantity Jaccard can't
+    see: a short doc fully quoted inside a long one scores low Jaccard
+    but containment ≈ 1). Same linear pair construction as
+    :func:`neighbor_jaccard`; at scale the pair generator is whatever
+    candidate source feeds it (LSH buckets), the math is unchanged."""
+    s = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select((F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b"),
+                 F.col("sh").alias("sh_b"))
+    j = a.join(b, "id_a")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    na = F.size("sh_a").cast("double")
+    nb = F.size("sh_b").cast("double")
+    cont = (lambda n: F.round(
+        F.when(n == 0, F.lit(1.0)).otherwise(inter / n), 4))
+    return j.select(
+        "id_a", "id_b",
+        cont(na).alias("cont_ab"),
+        cont(nb).alias("cont_ba"),
+    )
+
+
 # ------------------------------------------------- duplicate clustering
 
 def duplicate_clusters(pairs: DataFrame, max_iters: int = 6) -> DataFrame:

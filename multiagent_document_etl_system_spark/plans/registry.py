@@ -753,6 +753,29 @@ def dedup_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neighbor_jaccard(_docs(spark, sf_dir))
 
 
+@_q("dedup_containment", f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLE_SQL} AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS __toks
+        FROM documents)
+), a AS (SELECT id AS id_a, sh AS sh_a FROM sh),
+b AS (SELECT id - 1 AS id_a, id AS id_b, sh AS sh_b FROM sh)
+SELECT a.id_a, b.id_b,
+  round(CASE WHEN len(sh_a) = 0 THEN 1.0
+    ELSE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / len(sh_a)
+    END, 4) AS cont_ab,
+  round(CASE WHEN len(sh_b) = 0 THEN 1.0
+    ELSE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / len(sh_b)
+    END, 4) AS cont_ba
+FROM a JOIN b USING (id_a)
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (|A∩B|/|A|, both directions) on
+    consecutive-id pairs — the sub-document/quotation rung Jaccard
+    misses (operators/dedup.py:neighbor_containment)."""
+    return dedup.neighbor_containment(_docs(spark, sf_dir))
+
+
 _H64_MOD = (
     "CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % "
     f"{dedup.MINHASH_P}"
