@@ -1014,6 +1014,79 @@ def q_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_resample_gapfill", """
+WITH vals AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+    round(max(value), 2) AS v
+  FROM events WHERE event_type = 'purchase' AND user_id % 100 = 0
+  GROUP BY 1, 2
+), b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM vals),
+grid AS (
+  SELECT u.user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM (SELECT DISTINCT user_id FROM vals) u, b
+)
+SELECT g.user_id, g.hour, v.v,
+  last_value(v.v IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.hour) AS v_ffill
+FROM grid g LEFT JOIN vals v ON g.user_id = v.user_id AND g.hour = v.hour
+""")
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling + gap-fill: sparse purchase events become a
+    dense hourly series per user (sequence-generated grid) with
+    forward-fill via last(ignorenulls) — the standard
+    resample/ffill a feature-engineering pipeline needs. The grid
+    generates per user (a Generate node — rows multiply, bytes don't
+    shuffle); the fill is one window per user stratum. At 100 TB the
+    grid is bounded by users × buckets, never by raw event volume."""
+    ev = _t(spark, sf_dir, "events")
+    vals = (
+        ev.filter((F.col("event_type") == "purchase")
+                  & (F.col("user_id") % 100 == 0))
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.round(F.max("value"), 2).alias("v"))
+    )
+    bounds = vals.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    users = vals.select("user_id").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(bounds))
+        .select("user_id",
+                F.explode(F.sequence(
+                    "h0", "h1", F.expr("interval 1 hour"))).alias("hour"))
+    )
+    j = grid.join(vals, ["user_id", "hour"], "left")
+    w = (Window.partitionBy("user_id").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return j.select(
+        "user_id", "hour", "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_ffill"))
+
+
+@_q("q_rolling_time_window", """
+SELECT event_id, user_id, ts,
+  round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / 1000000.0, 4) AS roll_10m
+FROM events WHERE user_id % 20 = 0
+""")
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling TIME-range window (10-minute trailing sum per user) — the
+    RANGE-BETWEEN-INTERVAL shape q_window_range_frame's numeric frame
+    doesn't cover. Both engines order by truncated epoch seconds so tie
+    groups agree; the windowed sum rides scaled-int addends (the
+    order-insensitive exact path, functions/numeric.py rationale) so the
+    trailing sum can't float-flake. One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-600, 0))
+    scaled = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.round((F.sum(scaled).over(w)).cast("double") / 1000000.0, 4)
+        .alias("roll_10m"))
+
+
 # ------------------------------------------------------------ events / JSON
 
 @_q("q_json_events", f"""
