@@ -1224,7 +1224,8 @@ SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
     max(CAST(doc_id AS VARCHAR)) AS max_val FROM documents
   UNION ALL
   SELECT 'text', count(*), count(*) - count(text),
-    count(DISTINCT text), min(text), max(text) FROM documents
+    count(DISTINCT md5(text)), substr(min(text), 1, 40),
+    substr(max(text), 1, 40) FROM documents
   UNION ALL
   SELECT 'lang', count(*), count(*) - count(lang),
     count(DISTINCT lang), min(lang), max(lang) FROM documents
@@ -1251,11 +1252,23 @@ def td_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     aggs = []
     for c in cols:
+        # wide columns: distinct over the md5 digest (the distinct-shuffle
+        # carries 32-byte hashes, never document bodies) and 40-char
+        # truncated extremes (min/max partial-aggregate map-side, but the
+        # REPORT should not embed whole documents). Narrow columns keep
+        # exact raw distinct.
+        dval = F.md5(F.col(c)) if c == "text" else F.col(c)
+        mval = (F.substring(F.min(F.col(c).cast("string")), 1, 40)
+                if c == "text"
+                else F.min(F.col(c).cast("string")))
+        xval = (F.substring(F.max(F.col(c).cast("string")), 1, 40)
+                if c == "text"
+                else F.max(F.col(c).cast("string")))
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nn"),
-            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__mn"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__mx"),
+            F.countDistinct(dval).alias(f"{c}__nd"),
+            mval.alias(f"{c}__mn"),
+            xval.alias(f"{c}__mx"),
         ]
     row = d.agg(F.count(F.lit(1)).alias("__n"), *aggs)
     entries = F.array(*[
