@@ -1438,27 +1438,34 @@ GROUP BY token ORDER BY df DESC, token ASC LIMIT 50
 def ta_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: token → document frequency + the first 10
     doc ids of the sorted posting list — the retrieval-index construction
-    pass next to ta_tfidf's salience scoring. Distinct (doc, token) pairs
-    partial-aggregate map-side before the one shuffle on token;
-    collect_set keeps postings bounded per token and sort_array makes the
-    list deterministic (collect order is not). Top-50 by df is a
-    TakeOrderedAndProject, never a global sort. At 100 TB the same plan
-    shards by token; degenerate stop-word tokens are capped by the
-    posting-list truncation."""
+    pass next to ta_tfidf's salience scoring.
+
+    Bounded-state construction: a naive collect_set(doc_id) materializes
+    the FULL posting list per token before truncating — for stop-words
+    that is the whole corpus' ids in one aggregation buffer. Instead the
+    distinct (token, doc) pairs are rank-filtered to the 10 smallest ids
+    per token BEFORE any collect (window + row_number — Spark's
+    WindowGroupLimit pushes the rank bound below the sort), so the only
+    list ever built holds ≤10 elements; the df count is a separate
+    partial-aggregating countDistinct that never builds a list at all.
+    Top-50 by df is a TakeOrderedAndProject, never a global sort."""
     d = _docs(spark, sf_dir)
     pairs = (
         d.select("doc_id",
                  F.explode(tokens(F.lower(F.col("text")))).alias("token"))
         .filter(F.length("token") > 0)
+        .distinct()
     )
+    dfreq = pairs.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("token").orderBy("doc_id")
+    top10 = pairs.withColumn("_rn", F.row_number().over(w)) \
+        .filter(F.col("_rn") <= 10)
+    postings = top10.groupBy("token").agg(
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",")
+        .alias("postings"))
     return (
-        pairs.groupBy("token")
-        .agg(
-            F.countDistinct("doc_id").alias("df"),
-            F.array_join(
-                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10), ",")
-            .alias("postings"),
-        )
+        dfreq.join(postings, "token")
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(50)
     )
