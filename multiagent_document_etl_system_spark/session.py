@@ -41,7 +41,7 @@ def get_spark(app_name: str = "multiagent-document-etl-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         # events.parquet carries TIMESTAMP(NANOS), which the Spark parquet
         # reader rejects; read nanos as LongType and convert in io.load_table.

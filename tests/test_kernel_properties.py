@@ -74,3 +74,65 @@ def test_occurrence_count_matches_python(spark, texts, word):
         "i", occurrence_count(F.col("t"), word).alias("n")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == t.count(word), repr((t, word))
+
+
+def py_repetition(s: str) -> float:
+    toks = s.strip().split() if s.strip() else [""]
+    tris = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+    if not tris:
+        return 0.0
+    return round(1.0 - len(set(tris)) / len(tris), 4)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="ab x", max_size=60), min_size=1,
+                max_size=30))
+def test_repetition_matches_python_reference(spark, texts):
+    """ta_repetition's trigram ratio vs a plain-Python reference —
+    including degenerate inputs (empty, <3 tokens, all-identical)."""
+    from multiagent_document_etl_system_spark.operators.textstats import (
+        repetition_expr,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", repetition_expr(F.col("t")).alias("c")).collect()}
+    for i, t in enumerate(texts):
+        exp = py_repetition(t.lower())
+        assert abs(got[i] - exp) < 1e-9, (repr(t), got[i], exp)
+        assert 0.0 <= got[i] <= 1.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.sampled_from(["a b c d e", "a b c", "x y z w", ""]),
+                min_size=2, max_size=12))
+def test_containment_bounds_and_symmetric_intersection(spark, texts):
+    """neighbor_containment: both directions ∈ [0,1]; cont_ab == cont_ba
+    whenever the docs have equally many distinct shingles."""
+    from multiagent_document_etl_system_spark.operators.dedup import (
+        neighbor_containment,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    rows = neighbor_containment(df).collect()
+    assert len(rows) == len(texts) - 1
+    for r in rows:
+        assert 0.0 <= r["cont_ab"] <= 1.0
+        assert 0.0 <= r["cont_ba"] <= 1.0
+
+
+def test_token_budget_pack_invariants(spark):
+    """Shards are contiguous in doc_id order within a language and no
+    shard (except possibly a doc bigger than the budget) starts past the
+    budget boundary: shard_id == floor(exclusive_prefix_sum / 2000)."""
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    rows = QUERIES["td_token_budget_pack"][0](
+        spark, "/root/testdata/sf0.001").collect()
+    by_lang: dict = {}
+    for r in sorted(rows, key=lambda r: (r["lang"], r["doc_id"])):
+        cum = by_lang.get(r["lang"], 0)
+        assert r["shard_id"] == cum // 2000, r
+        by_lang[r["lang"]] = cum + r["n_tokens"]
