@@ -114,6 +114,14 @@ def cmd_query(args) -> dict:
                 "hint": "run with no name to list"}
     spark = get_spark("doc-etl-query")
     df = QUERIES[args.name][0](spark, args.sf_dir)
+    if args.explain:
+        import contextlib
+        import io as _io
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return {"success": True, "query": args.name,
+                "plan": buf.getvalue()}
     if args.output:
         from multiagent_document_etl_system_spark.io import write_parquet
         write_parquet(df, args.output)
@@ -157,6 +165,8 @@ def main(argv=None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--output", default=None)
     q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan instead of rows")
 
     args = p.parse_args(argv)
     out = {"process": cmd_process, "upload-schema": cmd_upload_schema,

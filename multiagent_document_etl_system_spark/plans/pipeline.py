@@ -83,7 +83,8 @@ def _gate(error: Column, value: Column) -> Column:
     return F.when(error.isNull(), value)
 
 
-def run_pipeline(spark: SparkSession, documents: DataFrame) -> DataFrame:
+def run_pipeline(spark: SparkSession, documents: DataFrame,
+                 observation=None) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) → response DataFrame.
 
     If the input carries a ``parse_error`` column (the parse stage's per-row
@@ -91,6 +92,14 @@ def run_pipeline(spark: SparkSession, documents: DataFrame) -> DataFrame:
     ahead of the too-short check — preserving the reference's per-document
     error fidelity (/root/reference/src/agents.py:74-77) instead of
     collapsing every parse failure into the generic too-short message.
+
+    ``observation``: an optional ``pyspark.sql.Observation`` — when given,
+    the response projection is instrumented with corpus health metrics
+    (n_docs / n_errors / n_valid / n_retried) collected DURING the one
+    pass that materializes the result (Spark's observe API), replacing
+    the reference's per-request log counting
+    (/root/reference/src/app.py:84-93) with zero extra scans — the
+    monitoring hook a 100 TB run needs.
     """
     err = F.when(F.col("n_chars") < MIN_CHARS, F.lit(PARSE_ERROR))
     if "parse_error" in documents.columns:
@@ -166,7 +175,7 @@ def run_pipeline(spark: SparkSession, documents: DataFrame) -> DataFrame:
     )
 
     # response projection (K4, /root/reference/src/agents.py:312-321)
-    return df.select(
+    out = df.select(
         "doc_id",
         e.isNull().alias("success"),
         "error",
@@ -184,6 +193,18 @@ def run_pipeline(spark: SparkSession, documents: DataFrame) -> DataFrame:
         "first_token",
         "n_tokens",
     )
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+            .alias("n_errors"),
+            F.sum(F.when(F.col("is_valid"), 1).otherwise(0))
+            .alias("n_valid"),
+            F.sum(F.coalesce(F.col("retry_count"), F.lit(0)))
+            .alias("n_retried"),
+        )
+    return out
 
 
 def _validate_stage(df: DataFrame, suffix: str) -> DataFrame:

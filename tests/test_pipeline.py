@@ -142,3 +142,30 @@ def test_parse_error_input_matches_oracle(spark, tmp_path):
     assert sres[4] == (False, "ocr library unavailable")  # parse_error wins
     assert sres[3] == (False, PARSE_ERROR)
     assert sres[1][0] is True
+
+
+def test_pipeline_observation_metrics(spark):
+    """run_pipeline(observation=...) collects corpus health metrics during
+    the SAME pass that materializes the result (observe API) — counts must
+    agree with an explicit second-pass aggregation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.io import load_table
+    from multiagent_document_etl_system_spark.plans.pipeline import run_pipeline
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    obs = Observation("pipeline_metrics")
+    out = run_pipeline(spark, docs, observation=obs)
+    out.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    check = out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+        .alias("n_errors"),
+        F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("n_valid"),
+    ).first()
+    assert got["n_docs"] == check["n_docs"] == 500
+    assert got["n_errors"] == check["n_errors"]
+    assert got["n_valid"] == check["n_valid"]
+    assert got["n_retried"] >= 0
