@@ -48,6 +48,12 @@ HEADLINE = [
     "q9_product_type_profit",
     "q12_late_shipment_priority",
     "q17_small_quantity_revenue",
+    # training-data pipeline ops (added r3 continuation)
+    "ta_inverted_index",
+    "td_token_budget_pack",
+    "td_snapshot_diff",
+    "q_rolling_time_window",
+    "td_prepare_corpus_v2",
 ]
 
 
