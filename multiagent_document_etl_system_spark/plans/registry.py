@@ -887,6 +887,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir), dim=64, threshold=0.3, n_planes=6, seed=42)
 
 
+_EMB_PAIRS_IDS_SQL = f"""
+SELECT id_a, id_b FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({similarity.cosine_sql("a.embedding::DOUBLE[]",
+                                 "b.embedding::DOUBLE[]")}, 4) AS score
+  FROM (SELECT vec_id, embedding, {{SIG}} AS bucket FROM embeddings) a
+  JOIN (SELECT vec_id, embedding, {{SIG}} AS bucket FROM embeddings) b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE score >= 0.3
+"""
+
+
+@_q("dedup_semantic_clusters", dedup.duplicate_clusters_sql(
+    _EMB_PAIRS_IDS_SQL.replace("{SIG}", _EMB_SIG_SQL)))
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC duplicate clusters: embedding near-dup pairs (LSH-blocked
+    exact-cosine, dedup_embedding_cosine's pair generator) resolved into
+    connected components with the smallest-id representative — the
+    operator composition (ANN blocking → exact verify → cluster → rep)
+    that semantic dedup runs at corpus scale, where lexical MinHash
+    misses paraphrased near-copies. Same bounded min-label propagation as
+    dedup_clusters; oracle = recursive-CTE exact transitive closure over
+    the restated pair SQL."""
+    pairs = similarity.embedding_near_pairs(
+        _emb(spark, sf_dir), dim=64, threshold=0.3, n_planes=6, seed=42)
+    return dedup.duplicate_clusters(pairs.select("id_a", "id_b"))
+
+
 @_q("td_prepare_corpus", f"""
 WITH pairs AS ({_minhash_pairs_sql(0.5)}),
 scored AS (
