@@ -50,12 +50,24 @@ def table_repr(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], list
 
 def main() -> int:
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
     sf_dir = "/root/testdata/sf0.01"
     if args and "/" in args[0]:
         sf_dir, args = args[0], args[1:]
     names = args or list(QUERIES)
 
-    spark = get_spark(cpus=16)
+    if vanilla:
+        # simulate an EXTERNAL driver's session: none of the engine's
+        # session confs (shuffle partitions, Arrow, nanosAsLong, UTC TZ
+        # setting) — queries must be robust to whatever session they get
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[16]")
+                 .appName("check-oracle-vanilla").getOrCreate())
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark(cpus=16)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
