@@ -1014,6 +1014,44 @@ def q_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_histogram", """
+SELECT bucket,
+  CAST((bucket - 1) * 10000 AS BIGINT) AS lo,
+  CAST(bucket * 10000 AS BIGINT) AS hi,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM (
+  SELECT least(greatest(
+    CAST(floor(l_extendedprice / 10000.0) AS BIGINT) + 1, 1), 11) AS bucket
+  FROM lineitem
+)
+GROUP BY bucket
+""")
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram binning (the width_bucket shape, spelled as
+    an explicit clamped floor-divide so both engines share exact edge
+    semantics) — the value-distribution half of data profiling next to
+    td_profile's column stats. Bucket is a pure per-row expression; the
+    groupBy key space is the fixed bucket count, so partial aggregation
+    reduces every scan partition to ≤11 rows before the exchange —
+    constant shuffle volume at any corpus size."""
+    li = _t(spark, sf_dir, "lineitem")
+    nb, w = 11, 10000.0
+    b = F.least(F.greatest(
+        F.floor(F.col("l_extendedprice") / w).cast("long") + 1,
+        F.lit(1)), F.lit(nb))
+    return (
+        li.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .select(
+            "bucket",
+            ((F.col("bucket") - 1) * 10000).cast("bigint").alias("lo"),
+            (F.col("bucket") * 10000).cast("bigint").alias("hi"),
+            "n_rows",
+        )
+    )
+
+
 @_q("q_resample_gapfill", """
 WITH vals AS (
   SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
