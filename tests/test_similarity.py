@@ -212,3 +212,23 @@ def test_topk_auto_falls_back_to_lsh_for_big_queries(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert out.count() > 0
+
+
+def test_matmul_topk_matches_exact_fold(spark):
+    """topk_join_matmul must select the SAME top-k pairs as the exact JVM
+    fold — summation order may flip a score's last decimal, but never the
+    selected set on this corpus."""
+    from multiagent_document_etl_system_spark.io import load_table
+    from multiagent_document_etl_system_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+    exact = {(r.q_id, r.c_id, r.rank) for r in
+             similarity.topk_join(q, c, k=5).collect()}
+    fast = {(r.q_id, r.c_id, r.rank) for r in
+            similarity.topk_join_matmul(q, c, k=5).collect()}
+    assert exact == fast
