@@ -1931,5 +1931,28 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("mm_resize", None)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: nearest-neighbor NumPy over raw grayscale
+    rasters (sources/multimodal.py:resize_images) — every image row in
+    the fixture carries a full width×height buffer and resizes to 8×6;
+    non-raster payloads would flow to the per-row error channel. Python-
+    side by design (pixel work) ⇒ rows-only; pixel-exact semantics are
+    pytest-asserted against a hand-computed raster."""
+    from multiagent_document_etl_system_spark.sources.multimodal import (
+        make_demo_media,
+        resize_images,
+    )
+    media = make_demo_media(spark, n=30).filter(
+        F.col("media_type") == "image")
+    out = resize_images(media, width=8, height=6)
+    return out.select(
+        "media_id", "width", "height",
+        F.length("pixels").cast("bigint").alias("n_pixels"),
+        F.md5(F.col("pixels")).alias("pixels_md5"),
+        "resize_error",
+    )
+
+
 # relational surface (analytics.py)
 QUERIES.update(RELATIONAL_QUERIES)

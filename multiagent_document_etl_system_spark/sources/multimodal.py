@@ -83,13 +83,60 @@ def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, pixels binary, "
+    "resize_error string"
+)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — STUB: the real implementation wraps PIL in the same
-    mapInPandas pattern as decode_features."""
-    raise NotImplementedError(
-        "image resize requires PIL; decode_features shows the identical "
-        "mapInPandas plumbing with a deterministic fake"
-    )
+    """REAL image resize over raw grayscale rasters: nearest-neighbor
+    index mapping in pure NumPy (no PIL needed for uncompressed buffers —
+    exactly what a GPU-ingest pipeline does to decoded frames). The
+    payload is interpreted as a ``meta.height × meta.width`` uint8
+    buffer; rows whose payload is not a full raster (e.g. a compressed
+    format that would need a codec) get a per-row ``resize_error``
+    instead of failing the task. Same mapInPandas shape as
+    decode_features: Arrow batches in/out, constant memory per batch.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "pixels": [], "resize_error": []}
+            for mid, b, w, h in zip(pdf["media_id"], pdf["content"],
+                                    pdf["w"], pdf["h"]):
+                try:
+                    if b is None or w is None or h is None:
+                        raise ValueError("missing payload or dims")
+                    buf = np.frombuffer(bytes(b), dtype=np.uint8)
+                    if len(buf) != int(w) * int(h):
+                        raise ValueError(
+                            f"payload {len(buf)}B is not a raw "
+                            f"{int(w)}x{int(h)} raster")
+                    img = buf.reshape(int(h), int(w))
+                    yi = np.arange(height) * int(h) // height
+                    xi = np.arange(width) * int(w) // width
+                    res = img[yi][:, xi]
+                    out["media_id"].append(mid)
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    out["pixels"].append(res.tobytes())
+                    out["resize_error"].append(None)
+                except Exception as exc:  # noqa: BLE001 — row-level errors
+                    out["media_id"].append(mid)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["pixels"].append(None)
+                    out["resize_error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    imgs = media.select(
+        "media_id", "content",
+        F.col("meta.width").alias("w"), F.col("meta.height").alias("h"))
+    return imgs.mapInPandas(op, schema=RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = (
@@ -144,14 +191,21 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
 
 
 def make_demo_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic in-code media fixture (binary payloads + typed meta)."""
+    """Deterministic in-code media fixture (binary payloads + typed meta).
+    Image rows carry a FULL raw grayscale raster (meta.width×meta.height
+    bytes) so resize_images operates on real pixel buffers; audio/video
+    rows keep arbitrary-length payloads (their meta dims describe the
+    source, not a raster)."""
     rows = []
     for i in range(n):
-        payload = bytes((i * 7 + j) % 256 for j in range(128 + i))
         mt = ("image", "audio", "video")[i % 3]
-        rows.append((
-            i, mt, payload,
-            (64 + i, 48 + i, 1000 * i, "fake") if mt != "image"
-            else (64 + i, 48 + i, None, "png"),
-        ))
+        if mt == "image":
+            w, h = 16 + i % 8, 12 + i % 4
+            payload = bytes((i * 7 + x * 3 + y * 5) % 256
+                            for y in range(h) for x in range(w))
+            meta = (w, h, None, "raw8")
+        else:
+            payload = bytes((i * 7 + j) % 256 for j in range(128 + i))
+            meta = (64 + i, 48 + i, 1000 * i, "fake")
+        rows.append((i, mt, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

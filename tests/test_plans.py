@@ -44,7 +44,7 @@ def test_no_python_eval_in_any_registry_query(spark):
     # inference, pdf parse, arbitrary per-key state).
     sanctioned = {"mm_decode_features", "mm_frame_sample", "l4_embed",
                   "l4_embed_dedup", "s1_parse_dispatch",
-                  "st_stateful_totals",
+                  "st_stateful_totals", "mm_resize",
                   # BLAS matmul rerank: mapInPandas BY DESIGN — one GEMM
                   # per Arrow batch beats per-element JVM folds ~6×
                   "v13_topk_matmul"}

@@ -279,3 +279,42 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert pf and "lang" in pf[0], plan[:1500]
     # correctness: pruned read equals filtered full read
     assert q.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """resize_images is REAL pixel work: verify against a hand-computed
+    nearest-neighbor downsample of a known 4x4 raster."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.sources import multimodal
+
+    raster = bytes(range(16))  # 4x4: rows [0..3],[4..7],[8..11],[12..15]
+    df = spark.createDataFrame(
+        [(1, "image", raster, (4, 4, None, "raw8"))],
+        multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(df, width=2, height=2).collect()[0]
+    assert out["resize_error"] is None
+    # yi = [0, 2], xi = [0, 2] -> pixels (0,0),(0,2),(2,0),(2,2)
+    assert bytes(out["pixels"]) == bytes([0, 2, 8, 10])
+
+    # non-raster payload -> per-row error, not a task failure
+    bad = spark.createDataFrame(
+        [(2, "image", b"\x01\x02\x03", (4, 4, None, "png"))],
+        multimodal.MEDIA_SCHEMA)
+    err = multimodal.resize_images(bad, width=2, height=2).collect()[0]
+    assert err["pixels"] is None
+    assert "raster" in err["resize_error"]
+
+
+def test_demo_media_images_are_full_rasters(spark):
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.sources import multimodal
+
+    imgs = multimodal.make_demo_media(spark, n=30).filter(
+        F.col("media_type") == "image")
+    rows = imgs.select(
+        F.length("content").alias("n"),
+        (F.col("meta.width") * F.col("meta.height")).alias("wh")).collect()
+    assert rows and all(r["n"] == r["wh"] for r in rows)
