@@ -168,6 +168,65 @@ def topk_join_matmul(queries: DataFrame, candidates: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
 
 
+def ann_lsh_topk_matmul(queries: DataFrame, candidates: DataFrame,
+                        dim: int, k: int = 5, n_planes: int = 8,
+                        seed: int = 42,
+                        q_id: str = "q_id", c_id: str = "c_id",
+                        q_vec: str = "q_vec",
+                        c_vec: str = "c_vec") -> DataFrame:
+    """The full big×big scale composition: LSH signature BLOCKING (both
+    sides hash to 2^n_planes buckets, equi-join — shuffle-partitionable)
+    + per-bucket GEMM RERANK (cogroup().applyInPandas: one BLAS matmul
+    scores each bucket's query block against its candidate block, the
+    ~6× kernel win of :func:`topk_join_matmul` applied inside buckets
+    where :func:`ann_lsh_topk`'s per-pair JVM fold serializes).
+
+    Same recall as ann_lsh_topk (identical bucketing); same top-k sets
+    (pytest-asserted at fixture scale). Memory per task is one bucket's
+    Q×C score block — bounded by bucket occupancy, which the uniform
+    signature distribution and AQE skew-splitting keep in check.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = hyperplanes(dim, n_planes, seed)
+
+    qs = queries.select(
+        F.col(q_id).alias("_qid"), F.col(q_vec).alias("_qv")) \
+        .withColumn("_sig", lsh_signature(F.col("_qv"), planes))
+    cs = candidates.select(
+        F.col(c_id).alias("_cid"), F.col(c_vec).alias("_cv")) \
+        .withColumn("_sig", lsh_signature(F.col("_cv"), planes))
+
+    def score_bucket(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame):
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {q_id: [], c_id: [], "score": []})
+        qm = np.array(qpdf["_qv"].tolist(), dtype=np.float64)
+        cm = np.array(cpdf["_cv"].tolist(), dtype=np.float64)
+        qn = np.linalg.norm(qm, axis=1, keepdims=True)
+        cn = np.linalg.norm(cm, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        cn[cn == 0] = 1.0
+        s = (qm / qn) @ (cm / cn).T                  # Q × C
+        nq, nc = s.shape
+        return pd.DataFrame({
+            q_id: np.repeat(qpdf["_qid"].to_numpy(), nc),
+            c_id: np.tile(cpdf["_cid"].to_numpy(), nq),
+            "score": np.round(s.ravel(), 4),
+        })
+
+    pairs = (
+        qs.groupBy("_sig").cogroup(cs.groupBy("_sig"))
+        .applyInPandas(score_bucket,
+                       schema=f"{q_id} long, {c_id} long, score double")
+        .filter(F.col(q_id) != F.col(c_id))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return pairs.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)
+
+
 def topk_auto(queries: DataFrame, candidates: DataFrame, dim: int,
               k: int = 5, broadcast_limit_rows: int = 100_000,
               q_id: str = "q_id", c_id: str = "c_id",

@@ -578,6 +578,20 @@ def v13_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+@_q("v14_ann_lsh_matmul", None)
+def v14_ann_lsh_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big×big scale composition: LSH signature blocking + per-bucket
+    BLAS GEMM rerank via cogroup().applyInPandas
+    (similarity.ann_lsh_topk_matmul). Python-side by design ⇒ rows-only;
+    set-equality with the JVM-fold LSH path is pytest-asserted."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = similarity.ann_lsh_topk_matmul(q, c, dim=64, k=5, n_planes=6)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @_q("v12_topk_auto", f"""
 WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
            WHERE vec_id % 100 = 0),

@@ -47,7 +47,7 @@ def test_no_python_eval_in_any_registry_query(spark):
                   "st_stateful_totals", "mm_resize",
                   # BLAS matmul rerank: mapInPandas BY DESIGN — one GEMM
                   # per Arrow batch beats per-element JVM folds ~6×
-                  "v13_topk_matmul"}
+                  "v13_topk_matmul", "v14_ann_lsh_matmul"}
     offenders = {}
     for name, (fn, _) in QUERIES.items():
         if name in sanctioned:

@@ -232,3 +232,23 @@ def test_matmul_topk_matches_exact_fold(spark):
     fast = {(r.q_id, r.c_id, r.rank) for r in
             similarity.topk_join_matmul(q, c, k=5).collect()}
     assert exact == fast
+
+
+def test_lsh_matmul_matches_lsh_fold(spark):
+    """ann_lsh_topk_matmul (cogroup + per-bucket GEMM) must select the
+    same top-k sets as ann_lsh_topk (equi-join + JVM per-pair fold) —
+    identical bucketing, identical rounded scores."""
+    from multiagent_document_etl_system_spark.io import load_table
+    from multiagent_document_etl_system_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+    a = {(r.q_id, r.c_id, r.rank) for r in similarity.ann_lsh_topk(
+        q, c, dim=64, k=5, n_planes=6).collect()}
+    b = {(r.q_id, r.c_id, r.rank) for r in similarity.ann_lsh_topk_matmul(
+        q, c, dim=64, k=5, n_planes=6).collect()}
+    assert a == b
