@@ -137,6 +137,11 @@ def topk_join_matmul(queries: DataFrame, candidates: DataFrame, k: int = 5,
     import pandas as pd
 
     qpd = queries.select(q_id, q_vec).toPandas()
+    if not len(qpd):
+        # empty query side: an empty result with the contract schema
+        # (np.linalg.norm(axis=1) on a 0-row matrix would AxisError)
+        return queries.sparkSession.createDataFrame(
+            [], f"{q_id} long, {c_id} long, score double, rank integer")
     qmat = np.array(qpd[q_vec].tolist(), dtype=np.float64)
     qn = np.linalg.norm(qmat, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
@@ -317,7 +322,13 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame,
     train = ivf_train_sample(cand_n, n_cells)
     # KMeans cannot form more clusters than points; the count is bounded by
     # the limit above, so this is never a full-corpus scan.
-    n_cells = max(1, min(n_cells, train.count()))
+    n_train = train.count()
+    if n_train < 2:
+        # degenerate corpus (0 or 1 candidates): KMeans needs k ≥ 2, and
+        # an index is pointless — exact brute force IS the right plan
+        return topk_join(queries, candidates, k=k, q_id=q_id, c_id=c_id,
+                         q_vec=q_vec, c_vec=c_vec)
+    n_cells = min(n_cells, n_train)
     km = KMeans(k=n_cells, seed=seed, featuresCol="_v",
                 predictionCol="_cell")
     fitted = km.fit(train)
