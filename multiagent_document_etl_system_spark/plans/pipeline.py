@@ -53,6 +53,7 @@ from multiagent_document_etl_system_spark.operators.validate import (
 # reference's parse exceptions, /root/reference/src/agents.py:74-77).
 MIN_CHARS = 60
 PARSE_ERROR = "Parsing failed: document too short"
+EMPTY_ERROR = "Parsing failed: missing document text"
 
 # The registered schema dim — plays the Pinecone "document-schemas" namespace
 # (/root/reference/src/pinecone_utils.py:55,98). Deliberately covers only 5
@@ -101,7 +102,11 @@ def run_pipeline(spark: SparkSession, documents: DataFrame,
     (/root/reference/src/app.py:84-93) with zero extra scans — the
     monitoring hook a 100 TB run needs.
     """
-    err = F.when(F.col("n_chars") < MIN_CHARS, F.lit(PARSE_ERROR))
+    # NULL text/n_chars must NOT slip through as success: a null too-short
+    # comparison is null (no error), so missing payloads are caught first
+    err = (F.when(F.col("text").isNull() | F.col("n_chars").isNull(),
+                  F.lit(EMPTY_ERROR))
+           .when(F.col("n_chars") < MIN_CHARS, F.lit(PARSE_ERROR)))
     if "parse_error" in documents.columns:
         err = F.coalesce(F.col("parse_error"), err)
     df = documents.withColumn("error", err)
@@ -239,7 +244,9 @@ def pipeline_oracle_sql(table: str = "documents",
         f"('{t}', '{s.replace(chr(39), chr(39) * 2)}', '{d}')"
         for t, s, d in SCHEMA_DIM
     )
-    err_expr = f"CASE WHEN n_chars < {MIN_CHARS} THEN '{PARSE_ERROR}' END"
+    err_expr = (
+        f"CASE WHEN text IS NULL OR n_chars IS NULL THEN '{EMPTY_ERROR}' "
+        f"WHEN n_chars < {MIN_CHARS} THEN '{PARSE_ERROR}' END")
     if parse_error_col:
         err_expr = f"coalesce(parse_error, {err_expr})"
     return f"""

@@ -169,3 +169,23 @@ def test_pipeline_observation_metrics(spark):
     assert got["n_errors"] == check["n_errors"]
     assert got["n_valid"] == check["n_valid"]
     assert got["n_retried"] >= 0
+
+
+def test_null_text_rows_error_not_success(spark):
+    """A NULL text/n_chars row must surface as a per-row ERROR, not sail
+    through as success with null fields (a null too-short comparison is
+    null, which the error gate would read as 'no error')."""
+    from multiagent_document_etl_system_spark.plans.pipeline import (
+        EMPTY_ERROR,
+        run_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "en", "src0", None),
+         (2, "x" * 100, "en", "src0", 100)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = {r["doc_id"]: r for r in run_pipeline(spark, df).collect()}
+    assert rows[1]["success"] is False
+    assert rows[1]["error"] == EMPTY_ERROR
+    assert rows[1]["doc_type"] is None
+    assert rows[2]["success"] is True
