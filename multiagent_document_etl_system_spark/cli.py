@@ -37,6 +37,7 @@ DEFAULT_REGISTRY = "./schema_registry.parquet"
 def cmd_process(args) -> dict:
     from multiagent_document_etl_system_spark.io import (
         read_landing_dir,
+        safe_overwrite_parquet,
         write_parquet,
     )
     from multiagent_document_etl_system_spark.plans.pipeline import run_pipeline
@@ -58,8 +59,44 @@ def cmd_process(args) -> dict:
         .alias("n_chars"),
         "parse_error",
     )
-    resp = run_pipeline(spark, docs)
-    write_parquet(resp, args.output_dir)
+    hashes = docs.select("doc_id", F.md5(F.coalesce("text", F.lit("")))
+                         .alias("content_hash"))
+
+    incremental = bool(getattr(args, "incremental", False))
+    prior = None
+    if incremental:
+        try:
+            prior = spark.read.parquet(args.output_dir)
+            if "content_hash" not in prior.columns:
+                prior = None  # pre-provenance output: fall back to full run
+        except Exception:  # noqa: BLE001 — first run: nothing to reuse
+            prior = None
+
+    n_reused = 0
+    if prior is not None:
+        # incremental build on snapshot-diff logic: recompute ONLY docs
+        # whose content hash is new or changed; carry prior rows for
+        # unchanged ids; drop rows for deleted inputs. Shuffles carry
+        # (id, hash) pairs, never text (operators/curation.py rationale).
+        old_h = prior.select("doc_id", F.col("content_hash").alias("_oh"))
+        joined = hashes.join(old_h, "doc_id", "left")
+        todo_ids = joined.filter(
+            F.col("_oh").isNull() | (F.col("_oh") != F.col("content_hash"))
+        ).select("doc_id")
+        keep_ids = joined.filter(
+            F.col("_oh") == F.col("content_hash")).select("doc_id")
+        resp_new = run_pipeline(
+            spark, docs.join(todo_ids, "doc_id", "left_semi")
+        ).join(hashes, "doc_id")
+        reused = prior.join(keep_ids, "doc_id", "left_semi")
+        final = reused.unionByName(resp_new)
+        n_reused = reused.count()
+        # the plan reads the prior output: swap-write, never in-place
+        safe_overwrite_parquet(spark, final, args.output_dir)
+        resp = spark.read.parquet(args.output_dir)
+    else:
+        resp = run_pipeline(spark, docs).join(hashes, "doc_id")
+        write_parquet(resp, args.output_dir)
     agg = resp.agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("ok"),
@@ -70,6 +107,9 @@ def cmd_process(args) -> dict:
         "documents": agg["n"],
         "processed_ok": agg["ok"],
         "valid": agg["valid"],
+        "reused": n_reused,
+        "recomputed": agg["n"] - n_reused,
+        "incremental": incremental and prior is not None,
         "output": args.output_dir,
     }
 
@@ -150,6 +190,9 @@ def main(argv=None) -> int:
     pp = sub.add_parser("process")
     pp.add_argument("input_dir")
     pp.add_argument("output_dir")
+    pp.add_argument("--incremental", action="store_true",
+                    help="reuse the prior output for unchanged documents "
+                         "(content-hash diff); recompute only new/changed")
 
     up = sub.add_parser("upload-schema")
     up.add_argument("doc_type")

@@ -118,6 +118,53 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    return HPath(path).getFileSystem(hconf), HPath
+
+
+def _restore_if_crashed(fs, HPath, path: str, old: str) -> None:
+    """A crash between the two swap renames leaves the live table parked
+    at ``old`` and nothing at ``path`` — restore the backup before any
+    caller rebuilds from partial inputs."""
+    if fs.exists(HPath(old)) and not fs.exists(HPath(path)):
+        if not fs.rename(HPath(old), HPath(path)):
+            raise IOError(
+                f"recovery rename {old} -> {path} failed; manual fix needed")
+
+
+def _swap_into_place(fs, HPath, tmp: str, path: str, old: str) -> None:
+    """Crash-safe swap: move the live table ASIDE (not delete), rename the
+    rebuilt table into place, then drop the backup. A crash between the
+    two renames leaves the data recoverable at ``old``; a crash before
+    the first rename leaves the live table untouched."""
+    fs.delete(HPath(old), True)
+    had_existing = fs.exists(HPath(path))
+    if had_existing and not fs.rename(HPath(path), HPath(old)):
+        raise IOError(f"rename {path} -> {old} failed")
+    if not fs.rename(HPath(tmp), HPath(path)):
+        if had_existing:
+            fs.rename(HPath(old), HPath(path))
+        raise IOError(f"rename {tmp} -> {path} failed")
+    fs.delete(HPath(old), True)
+
+
+def safe_overwrite_parquet(spark: SparkSession, df: DataFrame,
+                           path: str) -> None:
+    """Overwrite ``path`` with ``df`` even when ``df``'s plan READS from
+    ``path`` (mode('overwrite') on the same directory would delete the
+    input mid-scan): write to a side directory, then crash-safe
+    aside-swap. The incremental-processing primitive."""
+    fs, HPath = _hadoop_fs(spark, path)
+    old = path.rstrip("/") + "__swap_old"
+    _restore_if_crashed(fs, HPath, path, old)
+    tmp = path.rstrip("/") + "__swap_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    _swap_into_place(fs, HPath, tmp, path, old)
+
+
 def upsert_parquet(spark: SparkSession, df: DataFrame, path: str,
                    key_cols: list[str]) -> None:
     """K3 — MERGE-style upsert keyed on ``key_cols``
@@ -134,21 +181,13 @@ def upsert_parquet(spark: SparkSession, df: DataFrame, path: str,
     dimension-scale tables like the schema registry, not the 100 TB fact
     tables.
     """
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs = HPath(path).getFileSystem(hconf)
+    fs, HPath = _hadoop_fs(spark, path)
 
     old = path.rstrip("/") + "__upsert_old"
-    # Self-healing: a crash between the two swap renames below leaves the
-    # live table parked at __upsert_old and nothing at `path`. Detect that
-    # state on the NEXT call and restore the backup first — otherwise this
-    # call would rebuild from the incoming batch alone and its cleanup
-    # delete of `old` would silently destroy all prior rows.
-    if fs.exists(HPath(old)) and not fs.exists(HPath(path)):
-        if not fs.rename(HPath(old), HPath(path)):
-            raise IOError(
-                f"recovery rename {old} -> {path} failed; manual fix needed")
+    # Self-healing: restore a crash-parked backup BEFORE reading existing
+    # rows — otherwise this call would rebuild from the incoming batch
+    # alone and its cleanup delete of `old` would destroy all prior rows.
+    _restore_if_crashed(fs, HPath, path, old)
 
     if fs.exists(HPath(path)):
         existing = spark.read.parquet(path)
@@ -160,20 +199,7 @@ def upsert_parquet(spark: SparkSession, df: DataFrame, path: str,
 
     tmp = path.rstrip("/") + "__upsert_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    # Crash-safe swap: move the live table ASIDE (not delete), rename the
-    # rebuilt table into place, then drop the backup. A crash between the
-    # two renames leaves the data recoverable at __upsert_old; a crash
-    # before the first rename leaves the live table untouched.
-    fs.delete(HPath(old), True)
-    had_existing = fs.exists(HPath(path))
-    if had_existing and not fs.rename(HPath(path), HPath(old)):
-        raise IOError(f"rename {path} -> {old} failed")
-    if not fs.rename(HPath(tmp), HPath(path)):
-        # roll back so the table is never left missing
-        if had_existing:
-            fs.rename(HPath(old), HPath(path))
-        raise IOError(f"rename {tmp} -> {path} failed")
-    fs.delete(HPath(old), True)
+    _swap_into_place(fs, HPath, tmp, path, old)
 
 
 def write_jdbc(df: DataFrame, url: str, table: str,

@@ -24,7 +24,8 @@ def test_process_landing_dir(spark, tmp_path, capsys):
     rc, resp = _run(capsys, ["process", str(landing), out_dir])
     assert rc == 0
     assert resp == {"success": True, "documents": 2, "processed_ok": 1,
-                    "valid": 1, "output": out_dir}
+                    "valid": 1, "reused": 0, "recomputed": 2,
+                    "incremental": False, "output": out_dir}
     got = spark.read.parquet(out_dir).collect()
     by_ok = {r["success"]: r for r in got}
     assert by_ok[False]["error"] == "Parsing failed: document too short"
@@ -82,3 +83,38 @@ def test_upload_schema_and_stats(tmp_path, capsys):
 
     rc4, stats = _run(capsys, ["stats"])
     assert rc4 == 0 and stats["engine"] == "pyspark"
+
+
+def test_process_incremental_reuses_unchanged(spark, tmp_path, capsys):
+    """--incremental recomputes ONLY new/changed documents (content-hash
+    diff vs the prior output), drops deleted ones, and the final output is
+    row-identical to a full reprocess."""
+    body = ("Invoice order value billing@example.com "
+            "total due 2024-03-05 129.99 " + "pad " * 20)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for name in ("a.txt", "b.txt", "c.txt"):
+        (landing / name).write_text(body + name)
+    out_dir = str(tmp_path / "out")
+
+    rc, r1 = _run(capsys, ["process", str(landing), out_dir])
+    assert rc == 0 and r1["documents"] == 3
+
+    # mutate: change b, add d, delete c
+    (landing / "b.txt").write_text(body + "CHANGED")
+    (landing / "d.txt").write_text(body + "new doc")
+    (landing / "c.txt").unlink()
+
+    rc, r2 = _run(capsys, ["process", str(landing), out_dir, "--incremental"])
+    assert rc == 0
+    assert r2["incremental"] is True
+    assert r2["documents"] == 3          # a, b(changed), d
+    assert r2["reused"] == 1             # a
+    assert r2["recomputed"] == 2         # b + d
+
+    # ground truth: a fresh full run over the same landing dir
+    full_dir = str(tmp_path / "full")
+    _run(capsys, ["process", str(landing), full_dir])
+    inc = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    full = sorted(map(tuple, spark.read.parquet(full_dir).collect()))
+    assert inc == full
