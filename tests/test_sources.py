@@ -318,3 +318,20 @@ def test_demo_media_images_are_full_rasters(spark):
         F.length("content").alias("n"),
         (F.col("meta.width") * F.col("meta.height")).alias("wh")).collect()
     assert rows and all(r["n"] == r["wh"] for r in rows)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Dataset-versioning companion: a table written by an older pipeline
+    version (fewer columns) and a newer one (added column) reads back as
+    ONE unified schema with nulls for the missing column — Spark's
+    mergeSchema path, the zero-downtime way to add response fields."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "doc_id long, doc_type string") \
+        .write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "doc_id long, doc_type string, quality double") \
+        .write.mode("append").parquet(path)
+    got = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(got.columns) == {"doc_id", "doc_type", "quality"}
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert rows[1]["quality"] is None and rows[2]["quality"] == 0.9
