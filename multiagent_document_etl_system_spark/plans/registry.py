@@ -1416,19 +1416,42 @@ def td_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing / shard assignment: docs are packed into ~2000-token
     shards per language by the running token count (shard = floor of the
     exclusive prefix sum / budget) — the deterministic batch-assembly op a
-    training data loader needs. Partitioned by lang so the window
-    parallelizes across strata (a single global ORDER BY would serialize
-    at 100 TB; per-stratum prefix sums shard naturally). All-integer
-    arithmetic — bit-exact across engines."""
+    training data loader needs.
+
+    DISTRIBUTED prefix sum (two-phase scan): a naive
+    ``Window.partitionBy(lang)`` caps parallelism at the stratum count
+    (~5 languages ⇒ 5 tasks over 100 TB). Instead: (1) range-bucket each
+    stratum on doc_id and prefix-sum WITHIN (lang, bucket) — thousands of
+    independent window partitions; (2) aggregate one row per bucket and
+    prefix those per lang — a window over a bucket-count-sized frame,
+    broadcast back. exclusive_global = exclusive_in_bucket +
+    bucket_offset, exactly the textbook scan decomposition; all-integer
+    arithmetic keeps it bit-exact across engines, so the oracle states
+    the single-window formulation and the results hash-match."""
     d = _docs(spark, sf_dir)
     sel = d.select(
         "lang", "doc_id",
-        textstats.token_count(F.col("text")).alias("n_tokens"))
-    w = (Window.partitionBy("lang").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return sel.withColumn(
-        "shard_id", F.floor(cum / 2000.0).cast("bigint"))
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        (F.col("doc_id") / 1000).cast("bigint").alias("_bkt"))
+    w_in = (Window.partitionBy("lang", "_bkt").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    in_bucket = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    per_bucket = sel.groupBy("lang", "_bkt").agg(
+        F.sum("n_tokens").alias("_bkt_sum"))
+    w_off = (Window.partitionBy("lang").orderBy("_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = per_bucket.select(
+        "lang", "_bkt",
+        F.coalesce(F.sum("_bkt_sum").over(w_off), F.lit(0))
+        .alias("_bkt_off"))
+    return (
+        sel.withColumn("_in_bkt", in_bucket)
+        .join(F.broadcast(offsets), ["lang", "_bkt"])
+        .select(
+            "lang", "doc_id", "n_tokens",
+            F.floor((F.col("_in_bkt") + F.col("_bkt_off")) / 2000.0)
+            .cast("bigint").alias("shard_id"))
+    )
 
 
 @_q("ta_token_stats", f"""

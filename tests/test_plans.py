@@ -263,13 +263,17 @@ def test_repetition_is_narrow_map(spark):
     assert "Exchange" not in p
 
 
-def test_token_budget_pack_partitions_by_lang(spark):
-    """td_token_budget_pack: exactly one shuffle, hash-partitioned on lang
-    (the window stratum) — a global-order window would single-task at
-    scale; the per-lang prefix sum must parallelize across strata."""
+def test_token_budget_pack_is_two_phase_scan(spark):
+    """td_token_budget_pack: the distributed prefix sum. The full-data
+    window partitions on (lang, bucket) — parallelism scales with bucket
+    count, not the ~5-language stratum count — and the per-bucket offsets
+    come back via a broadcast join. No global-order or per-lang-only
+    window over the full corpus."""
+    import re
+
     p = physical_plan(QUERIES["td_token_budget_pack"][0](spark, SF_DIR))
-    assert p.count("Exchange hashpartitioning") == 1
-    assert "hashpartitioning(lang" in p
+    assert re.search(r"hashpartitioning\(lang#\d+, _bkt#\d+", p), p[:2000]
+    assert "BroadcastExchange" in p
     assert "Exchange SinglePartition" not in p
 
 
