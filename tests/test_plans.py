@@ -293,3 +293,15 @@ def test_snapshot_diff_shuffles_hashes_not_bodies(spark):
     assert "md5" in p
     assert "FullOuter" in p
     assert p.count("Exchange hashpartitioning(_id") >= 2, p[:2000]
+
+
+def test_rank_bounded_windows_push_group_limits(spark):
+    """Per-group top-k windows engage WindowGroupLimit (rank pushdown):
+    each map task keeps only its local top-k per group BEFORE the
+    exchange, so the shuffle carries O(k · partitions · groups) rows, not
+    the corpus — the property that keeps quota sampling and posting-list
+    truncation cheap at 100 TB."""
+    for name in ("td_stratified_sample", "ta_inverted_index",
+                 "q_window_rank"):
+        p = physical_plan(QUERIES[name][0](spark, SF_DIR))
+        assert "WindowGroupLimit" in p, name
