@@ -1014,6 +1014,45 @@ def q_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_interval_functions", """
+SELECT o_orderkey,
+  strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d')
+    AS next_month,
+  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+  strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+    AS month_start,
+  strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+    AS quarter_start,
+  CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12
+       + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS months_since_1992,
+  strftime(make_date(year(CAST(o_orderdate AS DATE)),
+                     month(CAST(o_orderdate AS DATE)), 15), '%Y-%m-%d')
+    AS mid_month
+FROM orders
+""")
+def q_interval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/month arithmetic sweep (add_months with month-end
+    clamping, quarter extraction, month/quarter truncation, integer month
+    difference, make_date) — the calendar surface q_date_functions and
+    q_date_arithmetic don't cover. Dates are emitted as formatted strings
+    because the engines disagree on trunc/interval RESULT TYPES (date vs
+    timestamp) while agreeing on values. Narrow map, zero shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    fmt = "yyyy-MM-dd"
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 1), fmt).alias("next_month"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.date_format(F.trunc(d, "month"), fmt).alias("month_start"),
+        F.date_format(F.trunc(d, "quarter"), fmt).alias("quarter_start"),
+        ((F.year(d) - 1992) * 12 + F.month(d) - 1).cast("bigint")
+        .alias("months_since_1992"),
+        F.date_format(F.make_date(F.year(d), F.month(d), F.lit(15)), fmt)
+        .alias("mid_month"),
+    )
+
+
 @_q("q_histogram", """
 SELECT bucket,
   CAST((bucket - 1) * 10000 AS BIGINT) AS lo,
