@@ -103,9 +103,12 @@ def quality_score_expr(text: Column) -> Column:
     stop_ratio = F.least(stop * 10.0 / word_cnt, F.lit(1.0))
     punct = F.length(F.regexp_replace(text, r"[^.,:()\-]", "")).cast("double")
     punct_penalty = F.least(punct * 5.0 / F.greatest(n, F.lit(1.0)), F.lit(1.0))
-    return F.round(
-        0.5 * len_score + 0.3 * stop_ratio + 0.2 * (1.0 - punct_penalty), 4
-    )
+    score = 0.5 * len_score + 0.3 * stop_ratio + 0.2 * (1.0 - punct_penalty)
+    # floor-based 4-decimal rounding: engine round() implementations
+    # disagree by 1 ulp at half-boundaries (Spark BigDecimal HALF_UP vs
+    # DuckDB), which flipped one doc's last decimal at sf0.001; floor of
+    # the identical double is bit-deterministic on both engines
+    return F.floor(score * 10000.0 + F.lit(0.5)) / 10000.0
 
 
 def quality_score_sql(col: str) -> str:
@@ -121,8 +124,8 @@ def quality_score_sql(col: str) -> str:
     punct = f"CAST(length(regexp_replace({col}, '[^.,:()\\-]', '', 'g')) AS DOUBLE)"
     punct_penalty = f"least({punct} * 5.0 / greatest({n}, 1.0), 1.0)"
     return (
-        f"round(0.5 * {len_score} + 0.3 * {stop_ratio}"
-        f" + 0.2 * (1.0 - {punct_penalty}), 4)"
+        f"(floor((0.5 * {len_score} + 0.3 * {stop_ratio}"
+        f" + 0.2 * (1.0 - {punct_penalty})) * 10000.0 + 0.5) / 10000.0)"
     )
 
 
@@ -158,8 +161,10 @@ def repetition_expr(text: Column) -> Column:
     )
     total = F.size(tri).cast("double")
     distinct = F.size(F.array_distinct(tri)).cast("double")
+    # floor-based rounding — same cross-engine half-boundary rationale as
+    # quality_score_expr
     return F.when(n3 <= 0, F.lit(0.0)).otherwise(
-        F.round(1.0 - distinct / total, 4))
+        F.floor((1.0 - distinct / total) * 10000.0 + F.lit(0.5)) / 10000.0)
 
 
 def repetition_sql(col: str) -> str:
@@ -170,8 +175,8 @@ def repetition_sql(col: str) -> str:
     )
     return (
         f"(SELECT CASE WHEN len(t) - 2 <= 0 THEN 0.0 ELSE "
-        f"round(1.0 - CAST(len(list_distinct({tri})) AS DOUBLE)"
-        f" / CAST(len({tri}) AS DOUBLE), 4) END "
+        f"floor((1.0 - CAST(len(list_distinct({tri})) AS DOUBLE)"
+        f" / CAST(len({tri}) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END "
         f"FROM (SELECT {t} AS t) _rep)"
     )
 

@@ -387,7 +387,8 @@ WITH comp AS (
   GROUP BY 1, 2
 )
 SELECT CAST(label AS INT) AS label, CAST(max(n) AS BIGINT) AS n_vectors,
-  list(round(CAST(s AS DOUBLE) / 1000000.0 / n, 4) ORDER BY i) AS centroid
+  list(floor(CAST(s AS DOUBLE) / 1000000.0 / n * 10000.0 + 0.5) / 10000.0
+       ORDER BY i) AS centroid
 FROM comp GROUP BY label
 """)
 def v9_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,7 +409,12 @@ def v9_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
-    mean = F.round(F.col("s").cast("double") / 1000000.0 / F.col("n"), 4)
+    # floor-based rounding: engine round() half-boundary behavior differs
+    # by 1 ulp, and integer-result/1e4 can never stringify as -0.0 (which
+    # broke the array compare at sf0.001)
+    mean = F.floor(
+        F.col("s").cast("double") / 1000000.0 / F.col("n") * 10000.0
+        + F.lit(0.5)) / 10000.0
     return (
         comp.select("label", "pos", mean.alias("m"), "n")
         .groupBy("label")
