@@ -278,3 +278,40 @@ def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col("_id").alias(id_col), status.alias("status"))
+
+
+# ---------------------------------------------------------- z-order layout
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton/Z-order key: interleave the low ``bits`` bits of two
+    non-negative integer columns (x at even positions, y at odd).
+
+    Sorting (or range-partitioning) a table by this key clusters rows
+    that are close in BOTH dimensions into the same output files, so
+    parquet footer min/max stats stay narrow on EITHER column and a scan
+    with a predicate on just one of them skips most files — the layout
+    trick behind Delta's OPTIMIZE ZORDER and ClickHouse's mortonEncode,
+    here as a pure Catalyst bitwise expression (no UDF, codegen-able).
+
+    The reference has no layout surface at all (single-doc pipeline);
+    this is the 100 TB write-path complement to its per-doc reads.
+    """
+    xi = x.cast("bigint")
+    yi = y.cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(xi, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(yi, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_key` — identical bit algebra, so the
+    oracle restates the layout key exactly."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"

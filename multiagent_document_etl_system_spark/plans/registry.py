@@ -23,6 +23,7 @@ from multiagent_document_etl_system_spark.functions.hashing import (
 from multiagent_document_etl_system_spark.functions.numeric import (
     stable_avg,
     stable_avg_sql,
+    stable_sum,
     stable_sum_sql,
 )
 from multiagent_document_etl_system_spark.functions.text import (
@@ -1994,6 +1995,129 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("pixels").cast("bigint").alias("n_pixels"),
         F.md5(F.col("pixels")).alias("pixels_md5"),
         "resize_error",
+    )
+
+
+@_q("st_enrich_stream", f"""
+SELECT n.n_name AS nation, count(*) AS n_events,
+  {stable_sum_sql('e.value')} AS total
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def st_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static enrichment run, oracle-checked: the staged
+    events replay joined per-micro-batch against a broadcast customer→
+    nation dimension (streamx.enrich_with_dim), then aggregated per
+    nation. Stream-static joins keep NO streaming state (the static side
+    is re-resolved and re-broadcast each micro-batch, so a dimension
+    refresh lands without a query restart) — the canonical streaming-ETL
+    enrichment shape the stream-stream interval join would be overkill
+    for. Single micro-batch + complete mode ⇒ batch-equal, DuckDB-
+    checkable. Scale: dim must fit a broadcast; a big-dim enrichment
+    pre-buckets both sides instead."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_events_dir(spark, sf_dir)
+    stream = streamx.read_event_stream(spark, stage,
+                                       max_files_per_trigger=10)
+    nation = load_table(spark, sf_dir, "nation")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    enriched = streamx.enrich_with_dim(stream, dim, "user_id", "c_custkey")
+    agg = (
+        enriched.groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_events"),
+             stable_sum(F.col("value")).alias("total"))
+    )
+    name = f"st_enrich_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+_ZBITS = 12  # 4096-cell grid per dimension
+
+
+def _zn_sql(col: str, lo: str, hi: str) -> str:
+    grid = (1 << _ZBITS) - 1
+    return (f"CAST(floor(({col} - {lo}) * {grid}.0 "
+            f"/ greatest({hi} - {lo}, 1)) AS BIGINT)")
+
+
+@_q("td_zorder_layout", f"""
+WITH keyed AS (
+  SELECT user_id, (EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) * 60
+                   + EXTRACT(minute FROM CAST(ts AS TIMESTAMP))) AS moday
+  FROM events
+), ext AS (
+  SELECT min(user_id) AS u0, max(user_id) AS u1,
+         min(moday) AS m0, max(moday) AS m1
+  FROM keyed
+), z AS (
+  SELECT user_id, moday,
+    {curation.zorder_key_sql(_zn_sql('user_id', 'u0', 'u1'),
+                             _zn_sql('moday', 'm0', 'm1'), _ZBITS)} AS zval
+  FROM keyed CROSS JOIN ext
+)
+SELECT (zval >> {2 * _ZBITS - 6}) AS zbucket, count(*) AS n_rows,
+  min(user_id) AS min_user, max(user_id) AS max_user,
+  min(moday) AS min_minute, max(moday) AS max_minute
+FROM z GROUP BY 1
+""")
+def td_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data layout: range-normalize user_id × minute-of-
+    day onto a 4096² grid, interleave the bits into one clustering key
+    (operators/curation.py:zorder_key — pure bitwise Catalyst expression,
+    codegen'd, exact DuckDB twin), then summarize each top-6-bit z-prefix
+    bucket with its min/max on BOTH source dimensions.
+
+    Range normalization first is the production recipe (Delta OPTIMIZE
+    ZORDER uses per-column range ids; raw-bit interleave would let the
+    wider dimension's high bits drown the narrower one). The per-bucket
+    min/max spans ARE the payoff: a z-prefix bucket maps to one output
+    file under a ``repartitionByRange(zval) + sortWithinPartitions``
+    write, and its narrow user_id AND minute ranges are exactly the
+    parquet footer stats that let a scan with a predicate on EITHER
+    column skip the file — multi-dimensional pruning from a one-
+    dimensional sort. Scale: the extremes agg is one tiny reduce
+    broadcast back (same trick at any sf); the key itself is a per-row
+    map; the only other exchange is the 64-group bucket agg.
+    tests/test_zorder.py asserts bit-exactness vs a Python reference and
+    the both-dimension locality win over a time-sorted layout."""
+    ev = load_table(spark, sf_dir, "events")
+    moday = (F.hour("ts") * 60 + F.minute("ts")).cast("bigint")
+    keyed = ev.select(F.col("user_id"), moday.alias("moday"))
+    ext = keyed.agg(
+        F.min("user_id").alias("u0"), F.max("user_id").alias("u1"),
+        F.min("moday").alias("m0"), F.max("moday").alias("m1"),
+    )
+    grid = (1 << _ZBITS) - 1
+
+    def zn(col: str, lo: str, hi: str):
+        return F.floor(
+            (F.col(col) - F.col(lo)) * F.lit(float(grid))
+            / F.greatest(F.col(hi) - F.col(lo), F.lit(1))
+        ).cast("bigint")
+
+    z = keyed.crossJoin(F.broadcast(ext)).select(
+        "user_id", "moday",
+        curation.zorder_key(zn("user_id", "u0", "u1"),
+                            zn("moday", "m0", "m1"), _ZBITS).alias("zval"),
+    )
+    return (
+        z.groupBy(F.shiftright(F.col("zval"), 2 * _ZBITS - 6)
+                  .alias("zbucket"))
+        .agg(F.count("*").alias("n_rows"),
+             F.min("user_id").alias("min_user"),
+             F.max("user_id").alias("max_user"),
+             F.min("moday").alias("min_minute"),
+             F.max("moday").alias("max_minute"))
     )
 
 

@@ -122,6 +122,23 @@ def interval_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     return l.join(r, cond).drop("_r_on")
 
 
+def enrich_with_dim(stream: DataFrame, dim: DataFrame,
+                    on_left: str, on_right: str) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    (small) static dimension, broadcast to executors — no streaming state
+    at all, unlike a stream-stream join.
+
+    This is the canonical streaming-ETL enrichment shape (event stream ⋈
+    user/account/geo dimension). The static side is re-resolved per
+    micro-batch, so a dimension refresh (overwrite of the backing table)
+    is picked up without restarting the query. Scale: the dimension must
+    fit in a broadcast (~GBs); a big-dim enrichment would instead
+    pre-bucket both sides on the key.
+    """
+    return stream.join(F.broadcast(dim),
+                       stream[on_left] == dim[on_right], "inner")
+
+
 def dedup_within_watermark(events: DataFrame,
                            watermark: str = "30 minutes") -> DataFrame:
     """Exactly-once-per-id within the watermark horizon — the streaming

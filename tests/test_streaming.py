@@ -170,3 +170,29 @@ def test_interval_join_buffers_across_batches(spark, tmp_path):
     got = {(r["l_id"], r["r_id"])
            for r in spark.sql("SELECT l_id, r_id FROM ijoin_out").collect()}
     assert got == {(1, 2)}  # user 9's purchase is 3h out — beyond horizon
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    """Stream-static broadcast enrichment across several micro-batches
+    (maxFilesPerTrigger=1 over 4 files): the joined append-mode output
+    must equal the batch join row-for-row — stream-static joins hold no
+    state, so nothing can be buffered, dropped, or double-emitted."""
+    dim = (
+        spark.read.parquet(events_dir)
+        .select("user_id").distinct()
+        .withColumn("cohort", (F.col("user_id") % 2).cast("long"))
+    )
+    stream = streamx.read_event_stream(spark, events_dir,
+                                       max_files_per_trigger=1)
+    joined = streamx.enrich_with_dim(
+        stream.select("event_id", F.col("user_id").alias("uid")),
+        dim, "uid", "user_id",
+    ).select("event_id", "cohort")
+    streamx.run_to_memory(joined, "enrich_out", output_mode="append")
+    got = {tuple(r) for r in spark.table("enrich_out").collect()}
+    batch = {
+        (r.event_id, r.user_id % 2)
+        for r in spark.read.parquet(events_dir)
+        .select("event_id", "user_id").collect()
+    }
+    assert got == batch
