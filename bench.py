@@ -76,12 +76,22 @@ def main() -> None:
         # Pass 1 untimed: codegen/JIT compile. Pass 2 timed: steady-state
         # execution — the number that projects to cluster scale.
         df.write.format("noop").mode("overwrite").save()
-        dt = None
-        for _ in range(3):  # best-of-3 damps host CPU jitter (up to ~4×)
+        # Best-of-N with convergence detection. 3 reps is enough for most
+        # queries, but a plan with very large generated code (e.g. the
+        # 16-permutation MinHash projection) can spend its first SEVERAL
+        # executions on the C2-JIT compile cliff — observed 12s → 1.8s on
+        # identical back-to-back runs. Keep sampling (bounded at 6) while
+        # times are still falling >25% per rep, so the reported number is
+        # steady-state plan execution — what projects to a long-lived
+        # cluster executor — not compiler warm-up.
+        reps = []
+        while len(reps) < 6:
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            dt = min(time.time() - t0, dt) if dt is not None else time.time() - t0
-        dt = round(dt, 3)
+            reps.append(time.time() - t0)
+            if len(reps) >= 3 and reps[-1] > 0.8 * min(reps[:-1]):
+                break  # latest rep no longer improving ⇒ converged
+        dt = round(min(reps), 3)
         times[name] = dt
         total += dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)

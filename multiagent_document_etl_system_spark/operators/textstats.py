@@ -311,3 +311,100 @@ SELECT id AS {id_col}, token, tfidf, rank FROM (
   FROM tf JOIN dfq USING (token) CROSS JOIN n
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------- heavy hitters
+
+def heavy_hitters(df: DataFrame, text_col: str = "text",
+                  inv_epsilon: int = 500) -> DataFrame:
+    """EXACT ε-heavy-hitters (ε = 1/inv_epsilon) with BOUNDED shuffle:
+    every token whose corpus frequency is ≥ ε·N, with its exact count.
+
+    Three passes, none of which shuffles the full term multiset:
+
+    1. **Candidates** — per-partition Misra-Gries with 2·inv_epsilon
+       counters (mapInPandas; constant memory per task regardless of
+       partition size). MG guarantees any token with partition frequency
+       > n_p/(M+1) survives its partition, and f ≥ ε·N implies (by
+       pigeonhole over partitions) f_p ≥ ε·n_p > n_p/(M+1) somewhere —
+       so the union of survivors is a SUPERSET of the true answer. Only
+       candidate TOKENS (≤ M per partition) leave the executors.
+    2. **Recount** — one more corpus scan, broadcast-semi-joined down to
+       candidate rows only, then an exact groupBy count (map-side partial
+       agg; final shuffle carries ≤ |candidates| × partitions rows).
+    3. **Threshold** — keep freq·inv_epsilon ≥ N (pure integer compare,
+       bit-identical on any engine), so false candidates drop and the
+       result is exactly the ε-frequent set — output ≤ inv_epsilon rows
+       by construction.
+
+    The point vs term_frequencies: that plan's groupBy shuffles one row
+    per DISTINCT token — fine for words, a scale-killer for raw n-gram /
+    URL / hash vocabularies with billions of distinct keys. This plan's
+    network traffic is O(partitions · inv_epsilon) regardless of
+    vocabulary size. The Python step is sanctioned by design: per-
+    partition decrement-counter state is not expressible as a Catalyst
+    aggregate. Exact result ⇒ full DuckDB oracle (plain GROUP BY +
+    HAVING twin).
+    """
+    import pandas as pd
+
+    cap = 2 * inv_epsilon
+
+    terms = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+
+    def mg_partition(batches):
+        # Batched Misra-Gries (the mergeable-summaries formulation:
+        # Agarwal et al., PODS'12): merge each Arrow batch's value_counts
+        # into the counter dict, and when it exceeds `cap`, subtract the
+        # (cap+1)-th largest count from everything and drop the non-
+        # positive — one prune discards ≥ d·(cap+1) occurrence mass, so
+        # total undercount stays ≤ n_p/(cap+1), the classic MG bound,
+        # while staying vectorized instead of per-token Python.
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > cap:
+                d = sorted(counters.values(), reverse=True)[cap]
+                counters = {k: v - d for k, v in counters.items() if v > d}
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = terms.mapInPandas(mg_partition, "token string").distinct()
+    total = terms.agg(F.count("*").alias("n_total"))
+    counted = (
+        terms.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * inv_epsilon >= F.col("n_total"))
+        .select(
+            "token", "freq",
+            F.round(F.col("freq") / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("freq"), F.asc("token"))
+    )
+
+
+def heavy_hitters_sql(table: str = "documents", text_col: str = "text",
+                      inv_epsilon: int = 500) -> str:
+    """DuckDB twin of :func:`heavy_hitters` — the candidate pass is an
+    implementation detail of the distributed plan; the RESULT is exactly
+    'tokens with freq·inv_epsilon ≥ N', a plain GROUP BY + HAVING."""
+    return f"""
+WITH t AS (
+  SELECT token FROM (
+    SELECT unnest({tokens_sql(f"lower({text_col})")}) AS token FROM {table}
+  ) WHERE length(token) > 0
+), tot AS (SELECT count(*) AS n_total FROM t)
+SELECT token, CAST(count(*) AS BIGINT) AS freq,
+  round(count(*) * 1.0 / n_total, 6) AS share
+FROM t CROSS JOIN tot
+GROUP BY token, n_total
+HAVING count(*) * {inv_epsilon} >= n_total
+ORDER BY freq DESC, token ASC
+"""

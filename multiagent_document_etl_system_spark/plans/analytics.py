@@ -2201,3 +2201,66 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct.getItem(1), 2).alias("p90"),
         F.round(pct.getItem(2), 2).alias("p99"),
     )
+
+
+# ------------------------------------------- big x big range (interval) join
+
+_IVJ_W_US = 600 * 1_000_000  # 10-minute bucket, microseconds
+
+
+@_q("q_interval_join_binned", """
+SELECT p.event_id AS purchase_id, count(v.event_id) AS n_views_10m
+FROM events p
+LEFT JOIN events v
+  ON v.event_type = 'view'
+  AND CAST(v.ts AS TIMESTAMP) > CAST(p.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+  AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""")
+def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big PURE range join — views within 10 minutes before each
+    purchase, with NO equi-key — executed as an equi-join by BINNING the
+    time axis: each view lands in bucket floor(µs/600e6); each purchase
+    probes its own bucket and the previous one (a 2-row explode), which
+    provably covers the whole 10-minute look-back; the exact timestamp
+    predicate then verifies inside the equi-matched pairs.
+
+    The naive plan for a keyless theta join is BroadcastNestedLoopJoin /
+    CartesianProduct — O(n·m) compares and a single-box bottleneck that
+    dies at any real scale. Binning turns it into a shuffle-partitionable
+    hash join whose compare count is only pairs within ±1 bucket
+    (tests/test_plans.py asserts no BNLJ/Cartesian survives in the plan).
+    Bucket width trades per-bucket fan-in vs probe count: width = the
+    window keeps probes at 2. Integer µs `div` keeps bucket assignment
+    exact on both engines — no float-boundary drift. Same decomposition
+    the streaming flavor gets from watermarked state
+    (streamx.interval_join); dedup/similarity LSH is the same trick on a
+    hash axis."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.expr(f"unix_micros(ts) div {_IVJ_W_US}").alias("_k"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("ts").alias("v_ts"),
+        F.expr(f"unix_micros(ts) div {_IVJ_W_US}").alias("bucket"),
+    )
+    probes = p.select(
+        "purchase_id", "p_ts",
+        F.explode(F.array(F.col("_k"), F.col("_k") - 1)).alias("bucket"),
+    )
+    matched = (
+        probes.join(v, "bucket")
+        .filter(
+            (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("v_ts") <= F.col("p_ts")))
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        p.select("purchase_id").join(matched, "purchase_id", "left")
+        .select("purchase_id",
+                F.coalesce("_n", F.lit(0)).cast("bigint").alias("n_views_10m"))
+    )

@@ -2121,5 +2121,18 @@ def td_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ta_heavy_hitters", textstats.heavy_hitters_sql(inv_epsilon=500))
+def ta_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ε-heavy-hitters over the corpus vocabulary via per-partition
+    Misra-Gries candidates + exact recount (operators/textstats.py:
+    heavy_hitters). Unlike ta_term_frequency's full vocabulary groupBy,
+    shuffle volume here is O(partitions/ε) no matter how many distinct
+    tokens exist — the plan for billion-key vocabularies (URLs, n-grams,
+    hashes). The sketch only nominates candidates; the exact recount +
+    integer threshold make the result deterministic, hence a full DuckDB
+    oracle despite the sanctioned mapInPandas stage."""
+    return textstats.heavy_hitters(_docs(spark, sf_dir), inv_epsilon=500)
+
+
 # relational surface (analytics.py)
 QUERIES.update(RELATIONAL_QUERIES)

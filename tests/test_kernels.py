@@ -98,3 +98,44 @@ class TestSchemaId:
         assert a == b
         assert a.startswith("invoice_schema_")
         assert len(a.split("_")[-1]) == 8
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    """The Misra-Gries candidate pass must never lose a true heavy
+    hitter: on a skewed synthetic vocabulary large enough to force
+    counter pruning (distinct tokens >> 2/ε), heavy_hitters' output must
+    EQUAL the brute-force groupBy answer — same tokens, same exact
+    counts."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.operators.textstats import (
+        heavy_hitters,
+    )
+
+    rng = random.Random(7)
+    toks = []
+    for i, n in (("hot_a", 400), ("hot_b", 250), ("hot_c", 120)):
+        toks += [i] * n
+    toks += [f"rare_{i}" for i in range(2000)]          # 2000 singletons
+    toks += [f"warm_{i % 50}" for i in range(500)]      # 50 tokens × 10
+    rng.shuffle(toks)
+    docs = [(i, " ".join(toks[i::40])) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+
+    inv_eps = 20  # ε = 5% of ~3770 tokens ⇒ threshold ≈ 189
+    got = {(r.token, r.freq) for r in
+           heavy_hitters(df, inv_epsilon=inv_eps).collect()}
+
+    terms = df.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    n_total = terms.count()
+    want = {
+        (r.token, r.freq)
+        for r in terms.groupBy("token").agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") * inv_eps >= F.lit(n_total)).collect()
+    }
+    assert want, "fixture must produce at least one heavy hitter"
+    assert got == want

@@ -47,7 +47,11 @@ def test_no_python_eval_in_any_registry_query(spark):
                   "st_stateful_totals", "mm_resize",
                   # BLAS matmul rerank: mapInPandas BY DESIGN — one GEMM
                   # per Arrow batch beats per-element JVM folds ~6×
-                  "v13_topk_matmul", "v14_ann_lsh_matmul"}
+                  "v13_topk_matmul", "v14_ann_lsh_matmul",
+                  # Misra-Gries candidate pass: per-partition decrement-
+                  # counter state, not expressible as a Catalyst agg; the
+                  # final result is still exact + fully oracled
+                  "ta_heavy_hitters"}
     offenders = {}
     for name, (fn, _) in QUERIES.items():
         if name in sanctioned:
@@ -305,3 +309,13 @@ def test_rank_bounded_windows_push_group_limits(spark):
                  "q_window_rank"):
         p = physical_plan(QUERIES[name][0](spark, SF_DIR))
         assert "WindowGroupLimit" in p, name
+
+
+def test_interval_join_binned_is_equi_join(spark):
+    """The keyless time-range join executes as a bucket equi-join —
+    never a BroadcastNestedLoopJoin / CartesianProduct (the O(n·m)
+    plans a theta join would otherwise get)."""
+    p = plan_of(QUERIES["q_interval_join_binned"][0](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "bucket" in p  # the bin is the join key
