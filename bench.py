@@ -54,6 +54,10 @@ HEADLINE = [
     "td_snapshot_diff",
     "q_rolling_time_window",
     "td_prepare_corpus_v2",
+    # round-3 continuation: sketch+recount, binned range join, z-order
+    "ta_heavy_hitters",
+    "q_interval_join_binned",
+    "td_zorder_layout",
 ]
 
 

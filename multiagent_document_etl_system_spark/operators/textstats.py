@@ -364,27 +364,42 @@ def heavy_hitters(df: DataFrame, text_col: str = "text",
         # total undercount stays ≤ n_p/(cap+1), the classic MG bound,
         # while staying vectorized instead of per-token Python.
         counters: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for tok, c in pdf["token"].value_counts().items():
                 counters[tok] = counters.get(tok, 0) + int(c)
             if len(counters) > cap:
                 d = sorted(counters.values(), reverse=True)[cap]
                 counters = {k: v - d for k, v in counters.items() if v > d}
-        yield pd.DataFrame({"token": list(counters.keys())})
+        # one NULL-token row per partition carries its term count, so a
+        # single bounded collect yields candidates AND the corpus total
+        yield pd.DataFrame({
+            "token": list(counters.keys()) + [None],
+            "np": [0] * len(counters) + [n_part],
+        })
 
-    candidates = terms.mapInPandas(mg_partition, "token string").distinct()
-    total = terms.agg(F.count("*").alias("n_total"))
-    counted = (
+    # The MG summary is BOUNDED by construction (≤ cap tokens + 1 count
+    # row per partition, regardless of data volume), so collecting it is
+    # a constant-size driver action — same contract as topk_auto's probe.
+    # The final plan is then ONE recount scan joined to a literal
+    # candidate list with a literal total: two corpus scans end-to-end,
+    # nothing computed twice.
+    summary = terms.mapInPandas(mg_partition, "token string, np long") \
+        .collect()
+    cand_tokens = sorted({r.token for r in summary if r.token is not None})
+    n_total = sum(r.np for r in summary if r.token is None)
+    spark = df.sparkSession
+    candidates = spark.createDataFrame(
+        [(t,) for t in cand_tokens], "token string")
+    return (
         terms.join(F.broadcast(candidates), "token")
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
-    )
-    return (
-        counted.crossJoin(F.broadcast(total))
-        .filter(F.col("freq") * inv_epsilon >= F.col("n_total"))
+        .filter(F.col("freq") * inv_epsilon >= F.lit(n_total))
         .select(
             "token", "freq",
-            F.round(F.col("freq") / F.col("n_total"), 6).alias("share"),
+            F.round(F.col("freq") / F.lit(n_total), 6).alias("share"),
         )
         .orderBy(F.desc("freq"), F.asc("token"))
     )

@@ -2264,3 +2264,88 @@ def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id",
                 F.coalesce("_n", F.lit(0)).cast("bigint").alias("n_views_10m"))
     )
+
+
+# --------------------------------------- incremental view maintenance / SCD
+
+@_q("q_incremental_agg_merge", f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+  {stable_sum_sql('o_totalprice')} AS total_price,
+  {stable_avg_sql('o_totalprice')} AS avg_price
+FROM orders GROUP BY o_orderstatus
+""")
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-status order
+    summary computed as BASE (orders before the cutoff) ⊕ DELTA (orders
+    after), merged ALGEBRAICALLY — counts add, and the exact scaled-int
+    sums (functions/numeric.dec) add without any rounding drift, so the
+    merged view is bit-identical to the full recompute the oracle states.
+
+    This is the maintenance loop of a 100 TB rollup: the base partials
+    are a persisted table that never rescans history; each arriving batch
+    computes only its own partials and merges — the same sum-of-partials
+    algebra Spark's map-side partial aggregation applies across
+    partitions, applied across TIME. avg is derived from merged (sum,
+    count), never averaged-of-averages. The cutoff split here stands in
+    for the persisted-state + new-batch pair (both sides share one scan
+    via the CTE-like filter split; at scale the base side is a tiny
+    pre-aggregated table read)."""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = "1995-06-17"
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("_n"),
+            F.sum(dec(F.col("o_totalprice"))).alias("_s"),
+        )
+
+    base = partials(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("_n").alias("_n"), F.sum("_s").alias("_s"))
+    )
+    unscaled = F.col("_s").cast("double") / F.lit(1e6)
+    return merged.select(
+        "o_orderstatus",
+        F.col("_n").cast("bigint").alias("n_orders"),
+        F.round(unscaled, 2).alias("total_price"),
+        F.round(unscaled / F.col("_n"), 4).alias("avg_price"),
+    )
+
+
+@_q("q_scd2_intervals", """
+SELECT o_custkey AS custkey, o_orderkey AS version_key,
+  o_orderstatus AS status,
+  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+  coalesce(strftime(lead(o_orderdate) OVER w - INTERVAL 1 DAY, '%Y-%m-%d'),
+           '9999-12-31') AS valid_to,
+  CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+       AS BIGINT) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: a change log (orders per customer)
+    becomes versioned rows with [valid_from, valid_to] intervals and an
+    is_current flag — valid_to = next change's date − 1 day, open-ended
+    (9999-12-31) for the latest. One window over (custkey), shuffle
+    partitioned by the key — per-customer history is small, so no skew;
+    at 100 TB the partition key spreads uniformly and the sort inside
+    each partition is bounded by per-key history length. This is the
+    standard warehouse pattern for as-of dimension lookups (pairs with
+    q_asof_join on the fact side)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(F.date_sub(nxt, 1), "yyyy-MM-dd"),
+                   F.lit("9999-12-31")).alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint").alias("is_current"),
+    )

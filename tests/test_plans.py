@@ -47,11 +47,10 @@ def test_no_python_eval_in_any_registry_query(spark):
                   "st_stateful_totals", "mm_resize",
                   # BLAS matmul rerank: mapInPandas BY DESIGN — one GEMM
                   # per Arrow batch beats per-element JVM folds ~6×
-                  "v13_topk_matmul", "v14_ann_lsh_matmul",
-                  # Misra-Gries candidate pass: per-partition decrement-
-                  # counter state, not expressible as a Catalyst agg; the
-                  # final result is still exact + fully oracled
-                  "ta_heavy_hitters"}
+                  "v13_topk_matmul", "v14_ann_lsh_matmul"}
+    # (ta_heavy_hitters runs its Misra-Gries candidate pass as a bounded
+    # mapInPandas action at BUILD time; the returned plan is pure JVM and
+    # is checked below like everything else.)
     offenders = {}
     for name, (fn, _) in QUERIES.items():
         if name in sanctioned:
