@@ -1,8 +1,12 @@
 """As-of (point-in-time) join — an operator Spark lacks natively.
 
-For each left row, attach the most recent right row with
-``right.ts <= left.ts`` within the same key — the standard
-market-data/attribution join (DuckDB/kdb ``ASOF JOIN`` semantics).
+For each left row, attach the matching right row within the same key:
+
+- ``backward`` (default): most recent right with ``right.ts <= left.ts``
+  (DuckDB/kdb ``ASOF JOIN`` semantics — market data, attribution);
+- ``forward``: earliest right with ``right.ts >= left.ts`` (next-event
+  lookup: next price tick, next maintenance window);
+- ``nearest``: whichever of the two is closer in time (ties → backward).
 
 Spark-first implementation as a COMPOSITION of built-ins (SURVEY.md's
 custom-operator ladder rung (a) — no UDF, no mapPartitions):
@@ -14,39 +18,56 @@ custom-operator ladder rung (a) — no UDF, no mapPartitions):
 
 One shuffle on the key (both inputs co-partitioned by the same exchange),
 then a linear in-partition sort-scan — the same cost profile as a
-sort-merge join. At 100 TB: partition both sides by key date-bucket so the
-window state stays in-memory per partition; skewed keys split via AQE.
+sort-merge join. ``forward`` is the identical scan ordered descending;
+``nearest`` evaluates both windows over the SAME exchange (two
+in-partition sorts, one shuffle). At 100 TB: partition both sides by key
+date-bucket so the window state stays in-memory per partition; skewed
+keys split via AQE.
 
-Right rows sort BEFORE left rows at equal ts (side=0 < 1), so a right row
-at exactly left.ts is visible — matching ASOF's ``<=``. Among multiple
-right rows at the same (key, ts) the LAST by the extra deterministic
-``right_order`` columns wins; pre-aggregate the right side if that tie
-matters.
+Right rows sort BEFORE left rows at equal ts (side=0 < 1) in either scan
+direction, so a right row at exactly left.ts is visible — matching
+ASOF's inclusive comparison. Among multiple right rows at the same
+(key, ts) the LAST by the extra deterministic ``right_order`` columns
+wins; pre-aggregate the right side if that tie matters.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ts_scalar(col: Column, dtype: T.DataType) -> Column:
+    """Timestamp distance axis as a number (µs for timestamps)."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(col)
+    return col.cast("double")
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str = "ts", right_ts: str = "ts",
-              payload: list[str] | None = None) -> DataFrame:
-    """Left as-of join: every left row + latest right ``payload`` columns
-    with right_ts <= left_ts (null when no prior right row exists).
+              payload: list[str] | None = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join: every left row + the matched right ``payload`` columns
+    per ``direction`` (null when no matching right row exists).
 
     ``payload`` defaults to every right column except the key and ts.
     Output columns: all left columns + ``asof_<payload>`` columns.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     if payload is None:
         payload = [c for c in right.columns if c not in (key, right_ts)]
 
     # payload travels as ONE struct so the matched right row is picked
     # atomically — per-column last(ignoreNulls) would stitch together
-    # different right rows when payload values are naturally NULL
-    p_struct = F.struct(*[F.col(c) for c in payload])
+    # different right rows when payload values are naturally NULL. The
+    # matched right ts rides along as ``_mt`` for the nearest tie-break.
+    p_struct = F.struct(*[F.col(c) for c in payload],
+                        F.col(right_ts).alias("_mt"))
     p_type = right.select(p_struct.alias("_p")).schema["_p"].dataType
+    rts_type = right.schema[right_ts].dataType
 
     r = right.select(
         F.col(key).alias("_k"),
@@ -63,15 +84,37 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.lit(None).cast(p_type).alias("_p"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.asc("_t"), F.asc("_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = r.unionByName(l).select(
+    unioned = r.unionByName(l)
+
+    def scan(descending: bool) -> Column:
+        order = F.desc("_t") if descending else F.asc("_t")
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(order, F.asc("_side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("_p", ignorenulls=True).over(w)
+
+    if direction == "backward":
+        picked = scan(descending=False)
+    elif direction == "forward":
+        picked = scan(descending=True)
+    else:  # nearest: both scans over the same keyed exchange
+        bwd, fwd = scan(descending=False), scan(descending=True)
+        here = _ts_scalar(F.col("_t"), rts_type)
+        b_delta = here - _ts_scalar(bwd["_mt"], rts_type)
+        f_delta = _ts_scalar(fwd["_mt"], rts_type) - here
+        picked = (
+            F.when(fwd.isNull(), bwd)
+            .when(bwd.isNull(), fwd)
+            .when(f_delta < b_delta, fwd)
+            .otherwise(bwd)  # ties → backward
+        )
+
+    filled = unioned.select(
         "_side",
         *[F.col(f"_l_{c}") for c in left.columns],
-        F.last("_p", ignorenulls=True).over(w).alias("_pp"),
+        picked.alias("_pp"),
     )
     return filled.filter(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],

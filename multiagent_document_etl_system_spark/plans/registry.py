@@ -1598,6 +1598,78 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_asof_forward", """
+WITH v AS (SELECT user_id, ts, max(value) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+  round(p.value, 2) AS purchase_value,
+  round(v.view_value, 2) AS next_view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+""")
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase paired with the EARLIEST view at
+    or after it per user (next-event lookup — next tick, next session).
+    Same union+window composition as backward, scanned descending; oracle
+    = DuckDB's native ASOF with the comparison flipped."""
+    from multiagent_document_etl_system_spark.operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    out = asof_join(purchases, views, key="user_id", direction="forward")
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("asof_view_value", 2).alias("next_view_value"),
+    )
+
+
+@_q("q_asof_nearest", """
+WITH v AS (SELECT user_id, ts, max(value) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+b AS (SELECT p.event_id, p.user_id, p.ts, p.value,
+        v.ts AS bts, v.view_value AS bval
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+f AS (SELECT p.event_id, v.ts AS fts, v.view_value AS fval
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts)
+SELECT b.event_id, b.user_id,
+  round(b.value, 2) AS purchase_value,
+  round(CASE WHEN fts IS NULL THEN bval
+             WHEN bts IS NULL THEN fval
+             WHEN (fts - b.ts) < (b.ts - bts) THEN fval
+             ELSE bval END, 2) AS nearest_view_value
+FROM b JOIN f USING (event_id)
+""")
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each purchase paired with the time-CLOSEST view
+    per user, ties to the earlier one — both directional scans evaluated
+    over the same keyed exchange. Oracle composes DuckDB's two native
+    ASOF directions with the identical interval tie-break."""
+    from multiagent_document_etl_system_spark.operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    out = asof_join(purchases, views, key="user_id", direction="nearest")
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("asof_view_value", 2).alias("nearest_view_value"),
+    )
+
+
 @_q("q_approx_distinct", None)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — approximate by construction, engine

@@ -49,3 +49,40 @@ def test_asof_payload_is_atomic(spark):
     row = asof_join(left, right, key="k").first()
     assert row["asof_b"] == "new"
     assert row["asof_a"] is None  # from the SAME (latest) right row
+
+
+def test_asof_forward_and_nearest(spark):
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100.0),
+         (1, _ts("2024-01-01T12:00:00"), 200.0)],
+        "k long, ts timestamp, price double")
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), "before-any"),
+         (1, _ts("2024-01-01T10:00:00"), "exact-tie"),
+         (1, _ts("2024-01-01T10:30:00"), "nearer-back"),
+         (1, _ts("2024-01-01T11:00:00"), "equidistant"),
+         (1, _ts("2024-01-01T11:45:00"), "nearer-fwd"),
+         (1, _ts("2024-01-01T13:00:00"), "after-all")],
+        "k long, ts timestamp, tag string")
+    fwd = {r["tag"]: r["asof_price"]
+           for r in asof_join(left, right, key="k",
+                              direction="forward").collect()}
+    assert fwd == {
+        "before-any": 100.0,    # earliest right at/after
+        "exact-tie": 100.0,     # right at equal ts IS visible (>=)
+        "nearer-back": 200.0,
+        "equidistant": 200.0,
+        "nearer-fwd": 200.0,
+        "after-all": None,      # nothing ahead
+    }
+    near = {r["tag"]: r["asof_price"]
+            for r in asof_join(left, right, key="k",
+                               direction="nearest").collect()}
+    assert near == {
+        "before-any": 100.0,    # only forward exists
+        "exact-tie": 100.0,
+        "nearer-back": 100.0,   # 30min back vs 90min fwd
+        "equidistant": 100.0,   # tie -> backward
+        "nearer-fwd": 200.0,    # 15min fwd vs 105min back
+        "after-all": 200.0,     # only backward exists
+    }
