@@ -69,5 +69,13 @@ def embed_text(texts: pd.Series) -> pd.Series:
 
 def with_embedding(df, text_col: str = "text",
                    out_col: str = "embedding"):
-    """Append an embedding column (array<float>, unit-norm)."""
+    """Append an embedding column (array<float>, unit-norm).
+
+    Embedding inference is the most expensive per-row kernel in the whole
+    engine (a model forward pass), so an under-partitioned scan must
+    never serialize it: fan out first (no-op when the input already
+    parallelizes; skipped on streaming inputs)."""
+    if not df.isStreaming:
+        from multiagent_document_etl_system_spark.io import ensure_parallelism
+        df = ensure_parallelism(df)
     return df.withColumn(out_col, embed_text(F.col(text_col)))

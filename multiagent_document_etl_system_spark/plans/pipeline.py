@@ -102,6 +102,15 @@ def run_pipeline(spark: SparkSession, documents: DataFrame,
     (/root/reference/src/app.py:84-93) with zero extra scans — the
     monitoring hook a 100 TB run needs.
     """
+    # The pipeline is a CPU-heavy narrow pass (a dozen regex evaluations
+    # per row); a single-row-group input would execute it SERIALLY. Fan
+    # out round-robin when the scan under-parallelizes (no-op at cluster
+    # scale where inputs carry thousands of row groups; not applicable to
+    # streaming inputs, whose partitioning the source controls).
+    if not documents.isStreaming:
+        from multiagent_document_etl_system_spark.io import ensure_parallelism
+        documents = ensure_parallelism(documents)
+
     # NULL text/n_chars must NOT slip through as success: a null too-short
     # comparison is null (no error), so missing payloads are caught first
     err = (F.when(F.col("text").isNull() | F.col("n_chars").isNull(),
