@@ -2349,3 +2349,100 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0))
         .cast("bigint").alias("is_current"),
     )
+
+
+# ------------------------------------------------ funnel / cohort analytics
+
+@_q("q_funnel_conversion", """
+WITH fv AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT f.user_id, f.first_view,
+    min(CAST(p.ts AS TIMESTAMP)) AS conv_ts
+  FROM fv f JOIN events p
+    ON p.user_id = f.user_id AND p.event_type = 'purchase'
+   AND CAST(p.ts AS TIMESTAMP) >= f.first_view
+  GROUP BY f.user_id, f.first_view
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM fv) AS n_viewers,
+  CAST(count(*) AS BIGINT) AS n_converted,
+  round(count(*) * 1.0 / (SELECT count(*) FROM fv), 4) AS conversion_rate,
+  round(CAST(sum(date_diff('second', first_view, conv_ts) // 60) AS DOUBLE)
+        / count(*), 4) AS avg_minutes_to_convert
+FROM conv
+""")
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: of users with a view, how many later purchase,
+    and how fast. Two aggregations co-keyed on user_id (the second join
+    reuses the same hash partitioning — no extra exchange shape at
+    scale); the minutes sum is an exact integer, so the averages are
+    order-insensitive without the scaled-decimal machinery."""
+    ev = _t(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("first_view"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("ts").alias("p_ts"))
+    conv = (
+        fv.join(purchases, "user_id")
+        .filter(F.col("p_ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("p_ts").alias("conv_ts"))
+    )
+    n_viewers = fv.agg(F.count("*").alias("n_viewers"))
+    mins = (F.unix_timestamp("conv_ts") - F.unix_timestamp("first_view")) \
+        .cast("bigint") / F.lit(60)
+    return (
+        conv.select(F.floor(mins).cast("bigint").alias("mins"))
+        .agg(F.count("*").alias("n_converted"),
+             F.sum("mins").alias("_sum_mins"))
+        .crossJoin(F.broadcast(n_viewers))
+        .select(
+            F.col("n_viewers").cast("bigint"),
+            F.col("n_converted").cast("bigint"),
+            F.round(F.col("n_converted") / F.col("n_viewers"), 4)
+            .alias("conversion_rate"),
+            F.round(F.col("_sum_mins").cast("double") / F.col("n_converted"),
+                    4).alias("avg_minutes_to_convert"),
+        )
+    )
+
+
+@_q("q_retention_cohorts", """
+WITH act AS (
+  SELECT DISTINCT user_id,
+    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+  CAST(date_diff('day', c.cohort_week, a.week) / 7 AS BIGINT) AS week_offset,
+  CAST(count(*) AS BIGINT) AS n_active_users
+FROM cohort c JOIN act a USING (user_id)
+GROUP BY 1, 2
+""")
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (cohort), counted per subsequent active week offset — THE
+    product-analytics staple. distinct(user, week) → per-user min week →
+    rejoin on user_id: every exchange is on user_id (one partitioning
+    reused across all three steps at scale; week offsets are exact
+    integer day-diffs of Monday-truncated dates on both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        cohort.join(act, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )
