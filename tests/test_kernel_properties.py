@@ -136,3 +136,60 @@ def test_token_budget_pack_invariants(spark):
         cum = by_lang.get(r["lang"], 0)
         assert r["shard_id"] == cum // 2000, r
         by_lang[r["lang"]] = cum + r["n_tokens"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 4095), st.integers(0, 4095)),
+                min_size=2, max_size=30))
+def test_zorder_key_is_injective_and_monotone_per_dim(spark, pts):
+    """Morton interleave is a bijection on the grid: distinct (x, y)
+    pairs get distinct z-values, and fixing one coordinate, z is
+    monotone in the other (the property that makes z-ranges contiguous
+    per dimension slice)."""
+    from multiagent_document_etl_system_spark.operators.curation import (
+        zorder_key,
+    )
+    df = spark.createDataFrame(list(set(pts)), "x long, y long")
+    rows = df.select("x", "y",
+                     zorder_key(F.col("x"), F.col("y"), 12).alias("z")) \
+        .collect()
+    seen = {}
+    for r in rows:
+        assert (r.x, r.y) not in seen or seen[(r.x, r.y)] == r.z
+        seen[(r.x, r.y)] = r.z
+    assert len({z for z in seen.values()}) == len(seen)  # injective
+    by_x = {}
+    for (x, y), z in seen.items():
+        by_x.setdefault(x, []).append((y, z))
+    for pairs in by_x.values():
+        pairs.sort()
+        zs = [z for _, z in pairs]
+        assert zs == sorted(zs)  # monotone in y for fixed x
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+             min_size=5, max_size=120),
+    st.integers(2, 5),      # partitions
+    st.integers(3, 8),      # inv_epsilon
+)
+def test_heavy_hitters_equals_bruteforce_any_partitioning(
+        spark, toks, n_parts, inv_eps):
+    """The Misra-Gries candidate pass + exact recount must equal the
+    brute-force answer for EVERY partitioning and epsilon — the
+    superset guarantee is partition-layout-independent."""
+    from collections import Counter
+
+    from multiagent_document_etl_system_spark.operators.textstats import (
+        heavy_hitters,
+    )
+    docs = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(docs, "doc_id long, text string") \
+        .repartition(n_parts)
+    got = {(r.token, r.freq)
+           for r in heavy_hitters(df, inv_epsilon=inv_eps).collect()}
+    c = Counter(toks)
+    n = sum(c.values())
+    want = {(t, f) for t, f in c.items() if f * inv_eps >= n}
+    assert got == want
