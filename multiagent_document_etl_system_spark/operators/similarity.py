@@ -546,3 +546,137 @@ def ann_lsh_topk(queries: DataFrame, candidates: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------- int8 storage quantization
+
+def quantize_int8(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5). The storage/bandwidth rung of the
+    vector surface — at 100 TB a float32 embedding column is the dominant
+    byte cost, and int8 + one float scale per vector is the standard 4x
+    shrink (FAISS SQ8 / Pinecone compressed-index layout; the reference
+    stores raw float32 via pinecone upsert, /root/reference/src/pinecone_utils.py:64-92).
+
+    Everything is an elementwise Catalyst expression (transform/aggregate
+    folds, no UDF, no shuffle — a pure narrow map over the corpus). The
+    returned audit columns are exact integers so the result is
+    hash-comparable cross-engine:
+
+    - ``scale_q``      floor(scale * 1e9 + 0.5) — the quantizer step on a
+                        1e-9 grid;
+    - ``q_l1``         Σ|q_i| — total quantized mass;
+    - ``q_idx_sum``    Σ q_i * i (1-based) — an order-sensitive checksum
+                        that pins every element, not just the multiset;
+    - ``max_err_q``    max_i |q_i*scale - x_i| on a 1e-9 grid — the
+                        reconstruction-error bound (≤ scale/2 by
+                        construction, asserted in tests).
+
+    Zero vectors (scale = 0) quantize to all-zero with zero error.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = df.select(F.col(id_col), v.alias("_v"))
+    out = out.withColumn("_scale", F.array_max(F.transform("_v", F.abs)) / 127.0)
+    qv = F.when(F.col("_scale") == 0,
+                F.transform("_v", lambda x: F.lit(0).cast("bigint"))) \
+        .otherwise(F.transform(
+            "_v", lambda x: F.floor(x / F.col("_scale") + 0.5)))
+    out = out.withColumn("_q", qv)
+    idx = F.sequence(F.lit(1).cast("bigint"), F.size("_q").cast("bigint"))
+    err = F.array_max(F.zip_with(
+        "_q", "_v",
+        lambda q, x: F.floor(F.abs(q.cast("double") * F.col("_scale") - x)
+                             * 1e9 + 0.5)))
+    return out.select(
+        F.col(id_col),
+        F.floor(F.col("_scale") * 1e9 + 0.5).cast("bigint").alias("scale_q"),
+        F.aggregate("_q", F.lit(0).cast("bigint"),
+                    lambda s, x: s + F.abs(x)).alias("q_l1"),
+        F.aggregate(F.zip_with("_q", idx, lambda q, i: q * i),
+                    F.lit(0).cast("bigint"),
+                    lambda s, x: s + x).alias("q_idx_sum"),
+        F.when(F.col("_scale") == 0, F.lit(0).cast("bigint"))
+        .otherwise(err.cast("bigint")).alias("max_err_q"),
+    )
+
+
+def quantize_int8_sql(table: str = "embeddings", id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`quantize_int8` — same elementwise math over
+    ``list_transform`` lambdas, exact-integer outputs."""
+    return f"""
+WITH v AS (
+  SELECT {id_col}, {vec_col}::DOUBLE[] AS emb FROM {table}
+), s AS (
+  SELECT {id_col}, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT {id_col}, emb, scale,
+    CASE WHEN scale = 0
+         THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+         ELSE list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+    END AS qv
+  FROM s
+)
+SELECT {id_col},
+  CAST(floor(scale * 1000000000.0 + 0.5) AS BIGINT) AS scale_q,
+  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+  CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                               i -> qv[i] * i)) AS BIGINT) AS q_idx_sum,
+  CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(list_max(list_transform(range(1, len(qv) + 1),
+             i -> floor(abs(qv[i] * scale - emb[i]) * 1000000000.0 + 0.5)))
+            AS BIGINT)
+  END AS max_err_q
+FROM q
+"""
+
+
+# --------------------------------------- truncated-dimension prefilter rerank
+
+def truncated_rerank_topk(queries: DataFrame, candidates: DataFrame,
+                          k: int = 5, prefix_dims: int = 16,
+                          k_coarse: int = 50,
+                          q_id: str = "q_id", c_id: str = "c_id",
+                          q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """Matryoshka-style two-stage top-k: coarse-score on the first
+    ``prefix_dims`` dimensions, keep ``k_coarse`` candidates per query,
+    exact-rerank the survivors on the full vector.
+
+    The scale rationale: stage 1 reads prefix_dims/d of the vector bytes
+    (with a prefix-sliced projection the parquet scan shrinks by the same
+    ratio) and does prefix_dims/d of the multiplies; stage 2 touches only
+    Q x k_coarse full vectors. Against brute force over N candidates the
+    arithmetic drops from O(Q*N*d) to O(Q*N*prefix) + O(Q*k_coarse*d).
+    Unlike LSH/IVF the coarse stage is still a dense scored ordering, so
+    recall degrades gracefully with the information content of the prefix
+    (the Matryoshka-representation-learning deployment pattern).
+
+    Fully deterministic (score rounded to 4 decimals, ties by candidate
+    id), so unlike the LSH/IVF rungs this one carries a full DuckDB hash
+    oracle. Both stages are broadcast joins — queries broadcast in stage
+    1, the (q_id, c_id) survivor list broadcasts in stage 2 — the
+    candidate corpus is never shuffled.
+    """
+    q_trunc = queries.select(q_id, F.slice(F.col(q_vec), 1, prefix_dims)
+                             .alias(q_vec))
+    c_trunc = candidates.select(c_id, F.slice(F.col(c_vec), 1, prefix_dims)
+                                .alias(c_vec))
+    coarse = topk_join(q_trunc, c_trunc, k=k_coarse,
+                       q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec)
+    survivors = coarse.select(q_id, c_id)
+    pairs = (
+        candidates.join(F.broadcast(survivors), c_id)
+        .join(F.broadcast(queries), q_id)
+    )
+    denom = norm(F.col(q_vec)) * norm(F.col(c_vec))
+    score = F.when(denom == 0, F.lit(0.0)) \
+        .otherwise(dot(F.col(q_vec), F.col(c_vec)) / denom)
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        pairs.select(q_id, c_id, F.round(score, 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -423,3 +423,116 @@ GROUP BY token, n_total
 HAVING count(*) * {inv_epsilon} >= n_total
 ORDER BY freq DESC, token ASC
 """
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean log-probability under the corpus's own add-one-
+    smoothed bigram model — the classic count-based perplexity proxy used
+    as a fluency/quality gate in training-data curation (a document whose
+    bigrams are rare under the corpus LM is boilerplate, OCR noise, or
+    another language). Score = mean over bigrams of
+    ln((c(w1,w2) + 1) / (c(w1) + V)), V = vocabulary size.
+
+    Output: (doc_id, n_bigrams, avg_logprob) for every document
+    (token-poor docs get n_bigrams = 0, avg_logprob = 0.0).
+
+    Plan shape (the textbook count-LM pipeline, all relational):
+    tokenize (narrow) -> bigram explode -> groupBy(bigram) and
+    groupBy(token) count tables -> join doc-bigrams to both count tables
+    on their keys -> groupBy(doc). Three count shuffles plus two
+    key-partitioned joins; V rides along as a broadcast one-row aggregate.
+    At 100 TB the count tables are vocabulary-sized (Zipf: millions of
+    rows, not corpus-sized) and the frequent-token skew on the join keys
+    is exactly what AQE skew-splitting handles; no driver-side state.
+
+    Hash stability: every ln() input is a ratio of exact integers (both
+    engines see identical doubles), and the per-doc mean rides the
+    stable-sum path (1e-6-grid quantized addends, 128-bit exact sum) so
+    partial-agg merge order cannot flip the rounded output.
+    """
+    from multiagent_document_etl_system_spark.functions.numeric import dec
+
+    tk = F.filter(tokens(F.lower(F.col(text_col))),
+                  lambda x: F.length(x) > 0)
+    d = df.select(F.col(id_col).alias("id"), tk.alias("tk"))
+    # empties are filtered out above, so a blank doc has size 0 — clamp the
+    # slice length (slice rejects negative lengths)
+    n1 = F.greatest(F.size("tk") - F.lit(1), F.lit(0))
+    pairs = F.zip_with(F.slice("tk", 1, n1), F.slice(F.col("tk"), 2, n1),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    bg = d.select("id", F.explode(pairs).alias("bigram")) \
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+    uni = (
+        d.select(F.explode("tk").alias("token"))
+        .groupBy("token").agg(F.count("*").alias("cu"))
+    )
+    big = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))
+    scored = (
+        bg.join(big, "bigram")
+        .join(uni.withColumnRenamed("token", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("id", F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v")))
+                .alias("lp"))
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(dec(F.col("lp"))).alias("_s"),
+    )
+    return (
+        d.select("id").join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+            .alias("n_bigrams"),
+            F.coalesce(
+                F.round(F.col("_s").cast("double") / 1e6 / F.col("n_bigrams"),
+                        4),
+                F.lit(0.0)).alias("avg_logprob"),
+        )
+    )
+
+
+def bigram_logprob_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`bigram_logprob` (same counts, same smoothing,
+    same stable-sum quantization)."""
+    tk = (
+        f"list_filter({tokens_sql(f'lower({text_col})')}, "
+        f"t -> length(t) > 0)"
+    )
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS id, {tk} AS tk FROM {table}
+), bg AS (
+  SELECT id,
+    unnest(list_transform(generate_series(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM d
+), bgw AS (
+  SELECT id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bg
+), uni AS (
+  SELECT token, count(*) AS cu
+  FROM (SELECT unnest(tk) AS token FROM d) GROUP BY token
+), big AS (
+  SELECT bigram, count(*) AS cb FROM bgw GROUP BY 1
+), vocab AS (
+  SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+), scored AS (
+  SELECT bgw.id,
+    ln((big.cb + 1.0) / (uni.cu + vocab.v)) AS lp
+  FROM bgw JOIN big USING (bigram)
+           JOIN uni ON bgw.w1 = uni.token
+           CROSS JOIN vocab
+), per_doc AS (
+  SELECT id, count(*) AS n_bigrams,
+    sum(CAST(floor(lp * 1000000 + 0.5) AS BIGINT)) AS s
+  FROM scored GROUP BY id
+)
+SELECT d.id AS {id_col},
+  CAST(coalesce(per_doc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  coalesce(round(CAST(per_doc.s AS DOUBLE) / 1000000.0 / per_doc.n_bigrams,
+                 4), 0.0) AS avg_logprob
+FROM d LEFT JOIN per_doc USING (id)
+"""

@@ -633,6 +633,61 @@ def v12_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("v15_int8_quantize", similarity.quantize_int8_sql())
+def v15_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 storage quantization of the embedding column with exact-integer
+    audit outputs (scale step, L1 mass, index-weighted checksum, max
+    reconstruction error) — the 4x vector-storage shrink for 100 TB
+    retrieval indexes, as a pure narrow map (no shuffle, no UDF). See
+    similarity.quantize_int8."""
+    return similarity.quantize_int8(_emb(spark, sf_dir))
+
+
+_V16_COS_PRE = similarity.cosine_sql("q.qv[1:16]", "c.cv[1:16]")
+_V16_COS_FULL = similarity.cosine_sql("q.qv", "c.cv")
+
+
+@_q("v16_matryoshka_topk", f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+coarse AS (
+  SELECT q.q_id, c.c_id, round({_V16_COS_PRE}, 4) AS cscore
+  FROM q, c WHERE c.c_id != q.q_id
+), cranked AS (
+  SELECT q_id, c_id, row_number() OVER (
+      PARTITION BY q_id ORDER BY cscore DESC, c_id ASC) AS crank
+  FROM coarse
+), cand AS (
+  SELECT q_id, c_id FROM cranked WHERE crank <= 50
+), exact AS (
+  SELECT cand.q_id, cand.c_id, round({_V16_COS_FULL}, 4) AS score
+  FROM cand JOIN q ON cand.q_id = q.q_id JOIN c ON cand.c_id = c.c_id
+), ranked AS (
+  SELECT q_id, c_id, score, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS BIGINT) AS rank
+  FROM exact
+)
+SELECT q_id, c_id, score, rank FROM ranked WHERE rank <= 5
+""")
+def v16_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension prefilter + exact rerank
+    (similarity.truncated_rerank_topk): coarse-score on the first 16 of 64
+    dims, keep 50 candidates per query, exact-rerank to top-5. The dense
+    middle ground between brute force (v2) and LSH/IVF (v6/v8) — 1/4 of
+    the bytes and multiplies in the scan-everything stage, full precision
+    only on Q x 50 survivors; deterministic, so it carries a full hash
+    oracle where the LSH/IVF rungs cannot."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+    out = similarity.truncated_rerank_topk(q, c, k=5, prefix_dims=16,
+                                           k_coarse=50)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # memoized namespace-partitioned schema-registry stagings, keyed like the
 # streaming staging: the write is fixture setup, the QUERY is the pruned read
 _NS_REGISTRY_CACHE: dict[tuple[str, str], str] = {}
@@ -1563,6 +1618,15 @@ def ta_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams (n-gram analysis next to the unigram
     ta_term_frequency) — slice+zip_with pairing, no UDF."""
     return textstats.bigram_frequencies(_docs(spark, sf_dir))
+
+
+@_q("ta_bigram_logprob", textstats.bigram_logprob_sql())
+def ta_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under the corpus's add-one-
+    smoothed bigram LM — the count-based perplexity proxy for fluency/
+    quality gating (textstats.bigram_logprob); count tables are
+    vocabulary-sized, the per-doc mean rides the stable-sum path."""
+    return textstats.bigram_logprob(_docs(spark, sf_dir))
 
 
 @_q("q_asof_join", """

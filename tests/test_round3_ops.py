@@ -1,0 +1,143 @@
+"""Round-3 additions: int8 quantization, matryoshka rerank, bigram LM score."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.operators import similarity, textstats
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ------------------------------------------------------------ int8 quantize
+
+def test_quantize_error_bounded_by_half_step(spark, emb):
+    out = similarity.quantize_int8(emb).collect()
+    assert len(out) == emb.count()
+    for r in out:
+        # |q*scale - x| <= scale/2 (+1 grid unit for the 1e-9 rounding)
+        assert r["max_err_q"] <= r["scale_q"] // 2 + 1, r
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [1.0, -2.0, 0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in similarity.quantize_int8(df).collect()}
+    z = rows[1]
+    assert (z["scale_q"], z["q_l1"], z["q_idx_sum"], z["max_err_q"]) \
+        == (0, 0, 0, 0)
+    nz = rows[2]
+    # scale = 2/127; q = round(x/scale) = [64, -127, 32, 16]
+    assert nz["q_l1"] == 64 + 127 + 32 + 16
+    assert nz["q_idx_sum"] == 64 * 1 - 127 * 2 + 32 * 3 + 16 * 4
+
+
+def test_quantize_plan_is_narrow(spark, emb):
+    plan = similarity.quantize_int8(emb)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for node in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, plan
+
+
+# ------------------------------------------------------- matryoshka rerank
+
+def test_matryoshka_recall_vs_exact(spark, emb):
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec"))
+    exact = {(r["q_id"], r["c_id"])
+             for r in similarity.topk_join(q, c, k=5).collect()}
+    # degenerate composition check: keeping EVERY candidate in stage 1
+    # makes the two-stage pipeline exactly the brute-force top-k
+    n_c = c.count()
+    degen = similarity.truncated_rerank_topk(
+        q, c, k=5, prefix_dims=16, k_coarse=n_c).collect()
+    assert {(r["q_id"], r["c_id"]) for r in degen} == exact
+    # with a real prefilter, recall is bounded by how much signal the
+    # prefix carries; the synthetic embeddings are isotropic (no
+    # Matryoshka-style energy concentration), so only sanity-check it
+    two_stage = similarity.truncated_rerank_topk(
+        q, c, k=5, prefix_dims=16, k_coarse=50).collect()
+    got = {(r["q_id"], r["c_id"]) for r in two_stage}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.2, f"recall {recall:.2f}"
+    # scores of returned pairs are the TRUE full-vector cosines: re-rank
+    # stage must not inherit truncated scores
+    full = {(r["q_id"], r["c_id"]): r["score"]
+            for r in similarity.topk_join(q, c, k=len(two_stage) + 500)
+            .collect()}
+    for r in two_stage:
+        assert abs(full[(r["q_id"], r["c_id"])] - r["score"]) < 1e-9
+
+
+def test_matryoshka_candidates_bounded(spark, emb):
+    # stage-2 input is Q x k_coarse pairs, never the full corpus
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec"))
+    out = similarity.truncated_rerank_topk(q, c, k=5, prefix_dims=16,
+                                           k_coarse=7)
+    n_q = q.count()
+    assert out.count() <= n_q * 5
+    ranks = out.groupBy("q_id").agg(F.max("rank").alias("m")).collect()
+    assert all(r["m"] <= 5 for r in ranks)
+
+
+# ------------------------------------------------------- bigram logprob LM
+
+def _expected_logprob(docs: dict[int, str]) -> dict[int, tuple[int, float]]:
+    toks = {i: [t for t in s.lower().split() if t] for i, s in docs.items()}
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    v = len(uni)
+    out = {}
+    for i, ts in toks.items():
+        lps = [math.floor(
+            math.log((big[(a, b)] + 1.0) / (uni[a] + v)) * 1e6 + 0.5)
+            for a, b in zip(ts, ts[1:])]
+        n = len(lps)
+        out[i] = (n, round(sum(lps) / 1e6 / n, 4) if n else 0.0)
+    return out
+
+
+def test_bigram_logprob_matches_hand_model(spark):
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the cat sat",
+        3: "dog",          # one token -> no bigrams
+        4: "",             # empty -> no tokens
+        5: "the cat sat on the mat the cat sat on the mat",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+           for r in textstats.bigram_logprob(df).collect()}
+    want = _expected_logprob(docs)
+    assert got == want
+    assert got[3] == (0, 0.0) and got[4] == (0, 0.0)
+
+
+def test_bigram_logprob_repetitive_scores_higher(spark):
+    # a doc made of the corpus's dominant bigrams must out-score a doc of
+    # singleton bigrams — the quality-gate direction the score is used in
+    docs = [(i, "alpha beta alpha beta alpha beta") for i in range(10)]
+    docs.append((99, "zeta omega"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_logprob"]
+           for r in textstats.bigram_logprob(df).collect()}
+    assert got[0] > got[99]
