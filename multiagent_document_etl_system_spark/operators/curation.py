@@ -98,6 +98,67 @@ def _ngram_list(toks: Column, n: int) -> Column:
     )
 
 
+def _gopher_stat_exprs(text_col: Column) -> tuple[Column, Column, Column,
+                                                  Column]:
+    """(n_words, mean_word_len, dup2_frac, stop_hits) as Catalyst
+    expressions — shared by the audit table (:func:`gopher_rules`) and the
+    inline gate (:func:`gopher_keep`) so both apply identical (rounded)
+    statistics."""
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0).cast("bigint"),
+                    lambda s, t: s + F.length(t)).cast("double")
+        / n_words, 4)
+    bigrams = _ngram_list(toks, 2)
+    dup2 = F.round(
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams))).cast("double")
+        / F.size(bigrams), 4)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    return n_words, mean_wl, dup2, stop_hits
+
+
+def gopher_keep(text: Column,
+                min_words: int = 20, max_words: int = 100_000,
+                min_mean_word_len: float = 2.0,
+                max_mean_word_len: float = 10.0,
+                max_dup2_frac: float = 0.75,
+                min_stop_hits: int = 2) -> Column:
+    """The combined Gopher gate as ONE boolean Column — for composed
+    pipelines where the gate is a flag in a wider funnel (a narrow map,
+    no self-join against the audit table)."""
+    n_words, mean_wl, dup2, stop_hits = _gopher_stat_exprs(text)
+    return (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (dup2 <= max_dup2_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+
+
+def gopher_keep_sql(text_expr: str,
+                    min_words: int = 20, max_words: int = 100_000,
+                    min_mean_word_len: float = 2.0,
+                    max_mean_word_len: float = 10.0,
+                    max_dup2_frac: float = 0.75,
+                    min_stop_hits: int = 2) -> str:
+    """DuckDB twin of :func:`gopher_keep` (scalar subquery over the token
+    list so the stats are computed once per row)."""
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+(SELECT (len(t) BETWEEN {min_words} AND {max_words})
+    AND (round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+               / len(t), 4)
+         BETWEEN {min_mean_word_len} AND {max_mean_word_len})
+    AND (round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+               / len(bg), 4) <= {max_dup2_frac})
+    AND (len(list_filter(t, x -> x IN ({stops}))) >= {min_stop_hits})
+ FROM (SELECT t, [array_to_string(t[i:i+1], ' ')
+                  for i in generate_series(1, greatest(len(t)-1, 1))] AS bg
+       FROM (SELECT string_split_regex(trim({text_expr}), '\\s+') AS t)))
+""".strip()
+
+
 def gopher_rules(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text",
                  min_words: int = 20, max_words: int = 100_000,
@@ -111,17 +172,7 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
     ``keep`` — keeping the individual rule columns makes the filter
     auditable (every serious corpus pipeline reports per-rule kill rates).
     """
-    toks = tokens(F.col(text_col))
-    n_words = F.size(toks)
-    mean_wl = F.round(
-        F.aggregate(toks, F.lit(0).cast("bigint"),
-                    lambda s, t: s + F.length(t)).cast("double")
-        / n_words, 4)
-    bigrams = _ngram_list(toks, 2)
-    dup2 = F.round(
-        (F.size(bigrams) - F.size(F.array_distinct(bigrams))).cast("double")
-        / F.size(bigrams), 4)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    n_words, mean_wl, dup2, stop_hits = _gopher_stat_exprs(F.col(text_col))
     out = df.select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),

@@ -404,6 +404,13 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 6) -> DataFrame:
     adj = adj.localCheckpoint(eager=True)
     labels = adj.groupBy("src").agg(F.min("dst").alias("rep"))
     for _ in range(max_iters - 1):
+        # labels is referenced TWICE below (neighbor-min + the jump
+        # lookup); without truncating its lineage each round the plan tree
+        # doubles per iteration — 2^max_iters copies of the label subplan,
+        # all re-executed. Checkpoint per round keeps the plan linear:
+        # max_iters small materializations of a label-table-sized frame
+        # (nodes of the pair graph — tiny next to the corpus).
+        labels = labels.localCheckpoint(eager=True)
         # next label = min over neighbors' current labels (incl. own)
         nbr = (
             adj.join(labels.withColumnRenamed("src", "dst"), "dst")

@@ -667,10 +667,18 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded groups; the 100 TB path is approx_percentile (t-digest,
     mergeable, one pass), same call shape."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("med"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    # one percentile(col, array(...)) aggregate instead of three: the exact
+    # percentile buffer (sorted group values) is built once, not per output
+    # column (~1.4x at sf0.1)
+    p = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+    return (
+        o.groupBy("o_orderpriority").agg(p.alias("_p"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("_p")[0], 2).alias("med"),
+            F.round(F.col("_p")[1], 2).alias("p90"),
+            F.round(F.col("_p")[2], 2).alias("p99"),
+        )
     )
 
 

@@ -1118,6 +1118,130 @@ def td_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_CLUSTERS_SQL = dedup.duplicate_clusters_sql(
+    _minhash_pairs_sql(0.5).replace("SELECT id_a, id_b, jaccard",
+                                    "SELECT id_a, id_b"))
+
+_FUNNEL_DECON_SQL = f"""
+  SELECT doc_id, count(*) AS n_shared FROM (
+    SELECT doc_id, {dedup.hash64_sql('sh')} AS sh_h FROM (
+      SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS __toks
+            FROM documents WHERE doc_id % 90 <> 8)
+    )
+  ) c
+  JOIN (
+    SELECT DISTINCT {dedup.hash64_sql('sh')} AS sh_h FROM (
+      SELECT unnest({_SHINGLE_SQL}) AS sh
+      FROM (SELECT string_split_regex(trim(text), '\\s+') AS __toks
+            FROM documents WHERE doc_id % 90 = 8)
+    )
+  ) ev USING (sh_h) GROUP BY doc_id
+""".strip()
+
+
+@_q("td_curation_funnel", f"""
+WITH clusters AS ({_FUNNEL_CLUSTERS_SQL}),
+corpus AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 90 <> 8
+), dirty AS (
+  SELECT doc_id FROM ({_FUNNEL_DECON_SQL}) WHERE n_shared >= 5
+), flags AS (
+  SELECT c.doc_id, c.lang,
+    {curation.gopher_keep_sql('c.text')} AS f_gopher,
+    (dd.doc_id IS NULL) AS f_decon,
+    row_number() OVER (PARTITION BY md5(c.text) ORDER BY c.doc_id) = 1
+      AS f_exact,
+    (cl.id IS NULL OR cl.rep = c.doc_id) AS f_near,
+    {{QUALITY}} AS quality,
+    {{TOKENS}} AS n_tokens
+  FROM corpus c
+  LEFT JOIN dirty dd USING (doc_id)
+  LEFT JOIN clusters cl ON c.doc_id = cl.id
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_input,
+  CAST(sum(CASE WHEN f_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+  CAST(sum(CASE WHEN f_gopher AND f_decon THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_decontam,
+  CAST(sum(CASE WHEN f_gopher AND f_decon AND f_exact THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_unique,
+  CAST(sum(CASE WHEN f_gopher AND f_decon AND f_exact AND f_near
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN f_gopher AND f_decon AND f_exact AND f_near
+           THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+  {stable_avg_sql(
+      "CASE WHEN f_gopher AND f_decon AND f_exact AND f_near "
+      "THEN quality END")} AS avg_kept_quality
+FROM flags GROUP BY lang
+""".replace("{QUALITY}", textstats.quality_score_sql("c.text"))
+   .replace("{TOKENS}", textstats.token_count_sql("c.text")))
+def td_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel as ONE lazy plan: Gopher quality
+    gates → eval-set decontamination → exact dedup → near-dup cluster
+    removal, reported per language with cumulative survivor counts at
+    every stage (the kill-rate table every production corpus build
+    publishes) plus kept-token mass and kept-quality mean.
+
+    Flags are measured once per doc, the funnel is their cumulative
+    conjunction — so one corpus scan feeds every stage. Plan: narrow map
+    (gopher gate + quality + tokens) → ONE window shuffle on md5(text)
+    (exact dedup rank) → broadcast joins against the two SMALL flag sets
+    (contaminated ids, near-dup cluster map — both bounded by match/pair
+    counts, not corpus size) → final agg on lang. Two shuffles total at
+    any corpus size; nothing corpus-sized crosses the network twice.
+    Composes curation.gopher_keep/decontaminate + dedup.exact rank +
+    dedup.duplicate_clusters (smallest-id rep), all hash-oracled."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 90 != 8)
+    evals = d.filter(F.col("doc_id") % 90 == 8)
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    base = corpus.select(
+        "doc_id", "lang",
+        curation.gopher_keep(F.col("text")).alias("f_gopher"),
+        textstats.quality_score_expr(F.col("text")).alias("quality"),
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        (F.row_number().over(w_exact) == 1).alias("f_exact"),
+    )
+    dirty = (
+        curation.decontaminate(corpus, evals)
+        .filter(~F.col("keep")).select("doc_id")
+        .withColumn("_dirty", F.lit(True))
+    )
+    dupes = (
+        dedup.duplicate_clusters(dedup.minhash_lsh_pairs(d, threshold=0.5))
+        .filter(F.col("rep") != F.col("id"))
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("_dupe", F.lit(True))
+    )
+    flags = (
+        base.join(F.broadcast(dirty), "doc_id", "left")
+        .join(F.broadcast(dupes), "doc_id", "left")
+        .select(
+            "lang", "quality", "n_tokens",
+            F.col("f_gopher"),
+            F.col("_dirty").isNull().alias("f_decon"),
+            F.col("f_exact"),
+            F.col("_dupe").isNull().alias("f_near"),
+        )
+    )
+    c1 = F.col("f_gopher")
+    c2 = c1 & F.col("f_decon")
+    c3 = c2 & F.col("f_exact")
+    c4 = c3 & F.col("f_near")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return flags.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_input"),
+        one(c1).alias("n_gopher"),
+        one(c2).alias("n_decontam"),
+        one(c3).alias("n_unique"),
+        one(c4).alias("n_kept"),
+        F.sum(F.when(c4, F.col("n_tokens")).otherwise(0)).cast("bigint")
+        .alias("kept_tokens"),
+        stable_avg(F.when(c4, F.col("quality"))).alias("avg_kept_quality"),
+    )
+
+
 @_q("td_stratified_sample", """
 SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM (
   SELECT lang, doc_id,

@@ -141,3 +141,25 @@ def test_bigram_logprob_repetitive_scores_higher(spark):
     got = {r["doc_id"]: r["avg_logprob"]
            for r in textstats.bigram_logprob(df).collect()}
     assert got[0] > got[99]
+
+
+# ------------------------------------------------ curation funnel plan shape
+
+def test_curation_funnel_plan_is_linear(spark):
+    """duplicate_clusters references its label frame twice per round; with-
+    out the per-round checkpoint the plan tree doubles each iteration
+    (2^max_iters subplan copies — observed: 62 SortMergeJoins, 159
+    exchanges). Pin the linear shape."""
+    import re
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    df = QUERIES["td_curation_funnel"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_smj = len(re.findall(r"SortMergeJoin", plan))
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    assert n_smj <= 4, f"plan blow-up: {n_smj} SortMergeJoins"
+    assert n_ex <= 14, f"plan blow-up: {n_ex} exchanges"
+    # the contaminated-id and near-dup flag sets must broadcast — the
+    # corpus side of those joins never shuffles
+    assert n_bhj >= 2, plan
