@@ -58,6 +58,10 @@ HEADLINE = [
     "ta_heavy_hitters",
     "q_interval_join_binned",
     "td_zorder_layout",
+    # round-3: composed curation flagship + new vector/text rungs
+    "td_curation_funnel",
+    "v16_matryoshka_topk",
+    "ta_bigram_logprob",
 ]
 
 
@@ -72,8 +76,18 @@ def main() -> None:
 
     times: dict[str, float] = {}
     total = 0.0
+    # Iterative operators (duplicate_clusters inside these) materialize
+    # eager per-round checkpoints at PLAN-BUILD time; timing only the final
+    # write would skip the propagation rounds entirely, so these rebuild
+    # the DataFrame inside each timed rep. Everything else builds once —
+    # re-timing Catalyst analysis of the very large expression trees
+    # (MinHash permutations, classifier staging) per rep would re-count
+    # driver-side planning that a long-lived cluster amortizes to zero.
+    REBUILD_PER_REP = {"td_prepare_corpus_v2", "td_curation_funnel"}
+
     for name in HEADLINE:
         fn, _ = QUERIES[name]
+        rebuild = name in REBUILD_PER_REP
         df = fn(spark, sf_dir)
         # noop write materializes EVERY output column (count() would let
         # Catalyst prune the computed columns and under-measure the plan).
@@ -89,12 +103,19 @@ def main() -> None:
         # steady-state plan execution — what projects to a long-lived
         # cluster executor — not compiler warm-up.
         reps = []
-        while len(reps) < 6:
+        while len(reps) < (8 if rebuild else 6):
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
+            (fn(spark, sf_dir) if rebuild else df) \
+                .write.format("noop").mode("overwrite").save()
             reps.append(time.time() - t0)
-            if len(reps) >= 3 and reps[-1] > 0.8 * min(reps[:-1]):
-                break  # latest rep no longer improving ⇒ converged
+            # two-strike convergence: a single co-tenant jitter spike must
+            # not end sampling while the JIT is still descending the
+            # compile cliff (observed 51 -> 33 -> 21 -> 40 -> 7 on the
+            # composed funnel)
+            if (len(reps) >= 4
+                    and reps[-1] > 0.8 * min(reps[:-1])
+                    and reps[-2] > 0.8 * min(reps[:-2])):
+                break  # two consecutive non-improving reps ⇒ converged
         dt = round(min(reps), 3)
         times[name] = dt
         total += dt

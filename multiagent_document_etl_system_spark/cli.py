@@ -171,6 +171,50 @@ def cmd_query(args) -> dict:
             "shown": len(rows)}
 
 
+def cmd_curate(args) -> dict:
+    """Write the CURATED corpus: the survivors of the full curation funnel
+    (gopher gates → decontamination → exact dedup → near-dup cluster
+    removal, plans/registry.py:curation_flags) with PII redacted, as
+    parquet partitioned by lang. One job computes both the output and the
+    per-stage funnel metrics via the observe API (no second pass)."""
+    from pyspark.sql import Observation
+
+    from multiagent_document_etl_system_spark.functions.text import redact_pii
+    from multiagent_document_etl_system_spark.plans.registry import (
+        curation_flags,
+    )
+
+    spark = get_spark("doc-etl-curate")
+    flags = curation_flags(spark, args.sf_dir)
+    c1 = F.col("f_gopher")
+    c2 = c1 & F.col("f_decon")
+    c3 = c2 & F.col("f_exact")
+    c4 = c3 & F.col("f_near")
+    obs = Observation("curation_funnel")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    curated = (
+        flags.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_input"),
+            one(c1).alias("n_gopher"),
+            one(c2).alias("n_decontam"),
+            one(c3).alias("n_unique"),
+            one(c4).alias("n_kept"),
+        )
+        .filter(c4)
+        .select(
+            "doc_id", "lang",
+            redact_pii(F.col("text")).alias("text"),
+            "quality", "n_tokens",
+        )
+    )
+    curated.write.mode("overwrite").partitionBy("lang") \
+        .parquet(args.output_dir)
+    m = obs.get
+    return {"success": True, "output": args.output_dir,
+            "partitioned_by": "lang", **{k: int(v) for k, v in m.items()}}
+
+
 def cmd_stats(args) -> dict:
     # static configuration, mirroring GET /stats (src/app.py:177-188)
     return {
@@ -203,6 +247,10 @@ def main(argv=None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("--registry", default=DEFAULT_REGISTRY)
 
+    cu = sub.add_parser("curate")
+    cu.add_argument("output_dir")
+    cu.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     q = sub.add_parser("query")
     q.add_argument("name", nargs="?", default=None)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -213,7 +261,8 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
     out = {"process": cmd_process, "upload-schema": cmd_upload_schema,
-           "stats": cmd_stats, "query": cmd_query}[args.cmd](args)
+           "stats": cmd_stats, "query": cmd_query,
+           "curate": cmd_curate}[args.cmd](args)
     print(json.dumps(out))
     return 0 if out.get("success", True) else 1
 

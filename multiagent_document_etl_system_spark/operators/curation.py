@@ -98,13 +98,18 @@ def _ngram_list(toks: Column, n: int) -> Column:
     )
 
 
-def _gopher_stat_exprs(text_col: Column) -> tuple[Column, Column, Column,
-                                                  Column]:
+def _gopher_stat_exprs(toks: Column) -> tuple[Column, Column, Column,
+                                              Column]:
     """(n_words, mean_word_len, dup2_frac, stop_hits) as Catalyst
-    expressions — shared by the audit table (:func:`gopher_rules`) and the
-    inline gate (:func:`gopher_keep`) so both apply identical (rounded)
-    statistics."""
-    toks = tokens(text_col)
+    expressions over an ALREADY-TOKENIZED column — shared by the audit
+    table (:func:`gopher_rules`) and the inline gate (:func:`gopher_keep`)
+    so both apply identical (rounded) statistics.
+
+    Taking the token array (not raw text) matters for throughput: the four
+    stats reference the array ~6 times, and codegen does not unify the
+    repeated ``split`` across higher-order-function lambdas — measured 5x
+    (2.65 s -> 0.51 s at sf0.1) when the caller stages ``tokens(text)`` as
+    a materialized column first."""
     n_words = F.size(toks)
     mean_wl = F.round(
         F.aggregate(toks, F.lit(0).cast("bigint"),
@@ -118,16 +123,18 @@ def _gopher_stat_exprs(text_col: Column) -> tuple[Column, Column, Column,
     return n_words, mean_wl, dup2, stop_hits
 
 
-def gopher_keep(text: Column,
+def gopher_keep(toks: Column,
                 min_words: int = 20, max_words: int = 100_000,
                 min_mean_word_len: float = 2.0,
                 max_mean_word_len: float = 10.0,
                 max_dup2_frac: float = 0.75,
                 min_stop_hits: int = 2) -> Column:
-    """The combined Gopher gate as ONE boolean Column — for composed
-    pipelines where the gate is a flag in a wider funnel (a narrow map,
-    no self-join against the audit table)."""
-    n_words, mean_wl, dup2, stop_hits = _gopher_stat_exprs(text)
+    """The combined Gopher gate as ONE boolean Column over a PRE-TOKENIZED
+    column — for composed pipelines where the gate is a flag in a wider
+    funnel (a narrow map, no self-join against the audit table). Callers
+    stage ``tokens(text)`` as a materialized column and pass that (see
+    :func:`_gopher_stat_exprs` for the 5x rationale)."""
+    n_words, mean_wl, dup2, stop_hits = _gopher_stat_exprs(toks)
     return (
         n_words.between(min_words, max_words)
         & mean_wl.between(min_mean_word_len, max_mean_word_len)
@@ -172,8 +179,9 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
     ``keep`` — keeping the individual rule columns makes the filter
     auditable (every serious corpus pipeline reports per-rule kill rates).
     """
-    n_words, mean_wl, dup2, stop_hits = _gopher_stat_exprs(F.col(text_col))
-    out = df.select(
+    n_words, mean_wl, dup2, stop_hits = _gopher_stat_exprs(F.col("_toks"))
+    out = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")) \
+        .select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
         mean_wl.alias("mean_word_len"),

@@ -361,7 +361,7 @@ def neighbor_containment(df: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------- duplicate clustering
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 6) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     """Resolve a near-dup PAIR list into duplicate CLUSTERS: (id, rep)
     where ``rep`` is the smallest id in the pair-graph's connected
     component — the survivor every other member dedups against.
@@ -402,15 +402,9 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 6) -> DataFrame:
     # iterative graph algorithms (GraphX/ML do the same); the edge list is
     # pair-graph-sized — tiny next to the corpus — at any scale.
     adj = adj.localCheckpoint(eager=True)
-    labels = adj.groupBy("src").agg(F.min("dst").alias("rep"))
+    labels = adj.groupBy("src").agg(F.min("dst").alias("rep")) \
+        .localCheckpoint(eager=True)
     for _ in range(max_iters - 1):
-        # labels is referenced TWICE below (neighbor-min + the jump
-        # lookup); without truncating its lineage each round the plan tree
-        # doubles per iteration — 2^max_iters copies of the label subplan,
-        # all re-executed. Checkpoint per round keeps the plan linear:
-        # max_iters small materializations of a label-table-sized frame
-        # (nodes of the pair graph — tiny next to the corpus).
-        labels = labels.localCheckpoint(eager=True)
         # next label = min over neighbors' current labels (incl. own)
         nbr = (
             adj.join(labels.withColumnRenamed("src", "dst"), "dst")
@@ -420,14 +414,35 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 6) -> DataFrame:
         # doubles the distance covered per round
         lookup = labels.select(F.col("src").alias("_r"),
                                F.col("rep").alias("_rr"))
-        labels = (
+        # labels is referenced TWICE per round (neighbor-min + the jump
+        # lookup); without truncating its lineage each round the plan tree
+        # doubles per iteration — 2^max_iters copies of the label subplan,
+        # all re-executed (observed: 62 SortMergeJoins in one composed
+        # query). Checkpoint per round keeps the plan linear: a handful of
+        # materializations of a node-table-sized frame (tiny next to the
+        # corpus at any scale).
+        new = (
             nbr.join(lookup, nbr.rep == F.col("_r"), "left")
             .select(
                 "src",
                 F.least(F.col("rep"),
                         F.coalesce(F.col("_rr"), F.col("rep"))).alias("rep"),
             )
+            .localCheckpoint(eager=True)
         )
+        # convergence early-exit: min-label propagation is monotone, so an
+        # unchanged round is the fixpoint and every further round is a
+        # no-op. The check is one count over the (tiny, checkpointed)
+        # label frames — it lets max_iters be a SAFETY bound (diameters
+        # up to ~2^max_iters) instead of a cost, since typical LSH dup
+        # clusters (cliques and short chains) converge in 1-2 rounds.
+        changed = (
+            new.join(labels.withColumnRenamed("rep", "_old"), "src")
+            .filter(F.col("rep") != F.col("_old")).limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
     return labels.select(F.col("src").alias("id"), "rep")
 
 

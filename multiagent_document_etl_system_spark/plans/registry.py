@@ -1140,6 +1140,52 @@ _FUNNEL_DECON_SQL = f"""
 """.strip()
 
 
+def curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level curation flags — the shared core of the funnel REPORT
+    (td_curation_funnel aggregates this) and the CURATE write path
+    (cli curate filters on the conjunction and persists survivors).
+
+    One row per corpus doc: (doc_id, lang, text, quality, n_tokens,
+    f_gopher, f_decon, f_exact, f_near)."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 90 != 8)
+    evals = d.filter(F.col("doc_id") % 90 == 8)
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # stage the token array ONCE — the gopher stats reference it ~6 times
+    # and codegen does not unify repeated split() across HOF lambdas (5x)
+    base = corpus.select(
+        "doc_id", "lang", "text", textfns.tokens(F.col("text")).alias("_toks"),
+    ).select(
+        "doc_id", "lang", "text",
+        curation.gopher_keep(F.col("_toks")).alias("f_gopher"),
+        textstats.quality_score_expr(F.col("text")).alias("quality"),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        (F.row_number().over(w_exact) == 1).alias("f_exact"),
+    )
+    dirty = (
+        curation.decontaminate(corpus, evals)
+        .filter(~F.col("keep")).select("doc_id")
+        .withColumn("_dirty", F.lit(True))
+    )
+    dupes = (
+        dedup.duplicate_clusters(dedup.minhash_lsh_pairs(d, threshold=0.5))
+        .filter(F.col("rep") != F.col("id"))
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("_dupe", F.lit(True))
+    )
+    return (
+        base.join(F.broadcast(dirty), "doc_id", "left")
+        .join(F.broadcast(dupes), "doc_id", "left")
+        .select(
+            "doc_id", "lang", "text", "quality", "n_tokens",
+            F.col("f_gopher"),
+            F.col("_dirty").isNull().alias("f_decon"),
+            F.col("f_exact"),
+            F.col("_dupe").isNull().alias("f_near"),
+        )
+    )
+
+
 @_q("td_curation_funnel", f"""
 WITH clusters AS ({_FUNNEL_CLUSTERS_SQL}),
 corpus AS (
@@ -1192,39 +1238,7 @@ def td_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size; nothing corpus-sized crosses the network twice.
     Composes curation.gopher_keep/decontaminate + dedup.exact rank +
     dedup.duplicate_clusters (smallest-id rep), all hash-oracled."""
-    d = _docs(spark, sf_dir)
-    corpus = d.filter(F.col("doc_id") % 90 != 8)
-    evals = d.filter(F.col("doc_id") % 90 == 8)
-    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    base = corpus.select(
-        "doc_id", "lang",
-        curation.gopher_keep(F.col("text")).alias("f_gopher"),
-        textstats.quality_score_expr(F.col("text")).alias("quality"),
-        textstats.token_count(F.col("text")).alias("n_tokens"),
-        (F.row_number().over(w_exact) == 1).alias("f_exact"),
-    )
-    dirty = (
-        curation.decontaminate(corpus, evals)
-        .filter(~F.col("keep")).select("doc_id")
-        .withColumn("_dirty", F.lit(True))
-    )
-    dupes = (
-        dedup.duplicate_clusters(dedup.minhash_lsh_pairs(d, threshold=0.5))
-        .filter(F.col("rep") != F.col("id"))
-        .select(F.col("id").alias("doc_id"))
-        .withColumn("_dupe", F.lit(True))
-    )
-    flags = (
-        base.join(F.broadcast(dirty), "doc_id", "left")
-        .join(F.broadcast(dupes), "doc_id", "left")
-        .select(
-            "lang", "quality", "n_tokens",
-            F.col("f_gopher"),
-            F.col("_dirty").isNull().alias("f_decon"),
-            F.col("f_exact"),
-            F.col("_dupe").isNull().alias("f_near"),
-        )
-    )
+    flags = curation_flags(spark, sf_dir)
     c1 = F.col("f_gopher")
     c2 = c1 & F.col("f_decon")
     c3 = c2 & F.col("f_exact")

@@ -118,3 +118,38 @@ def test_process_incremental_reuses_unchanged(spark, tmp_path, capsys):
     inc = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
     full = sorted(map(tuple, spark.read.parquet(full_dir).collect()))
     assert inc == full
+
+
+def test_curate_writes_funnel_survivors(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.plans.registry import (
+        QUERIES,
+        curation_flags,
+    )
+    from tests.conftest import SF_DIR
+
+    out_dir = str(tmp_path / "curated")
+    rc, resp = _run(capsys, ["curate", out_dir, "--sf-dir", SF_DIR])
+    assert rc == 0 and resp["success"]
+    # funnel metrics are monotone non-increasing
+    assert (resp["n_input"] >= resp["n_gopher"] >= resp["n_decontam"]
+            >= resp["n_unique"] >= resp["n_kept"] >= 0)
+
+    written = spark.read.parquet(out_dir)
+    assert written.count() == resp["n_kept"]
+    assert set(written.columns) == {"doc_id", "lang", "text", "quality",
+                                    "n_tokens"}
+    # the written set IS the flag-conjunction survivor set
+    want = {r["doc_id"] for r in curation_flags(spark, SF_DIR)
+            .filter(F.col("f_gopher") & F.col("f_decon") & F.col("f_exact")
+                    & F.col("f_near")).select("doc_id").collect()}
+    got = {r["doc_id"] for r in written.select("doc_id").collect()}
+    assert got == want
+    # metrics agree with the reporting query on the same data
+    funnel = QUERIES["td_curation_funnel"][0](spark, SF_DIR)
+    assert resp["n_kept"] == sum(
+        r["n_kept"] for r in funnel.collect())
+    # lang partitioning on disk
+    import os
+    assert any(d.startswith("lang=") for d in os.listdir(out_dir))

@@ -193,3 +193,80 @@ def test_heavy_hitters_equals_bruteforce_any_partitioning(
     n = sum(c.values())
     want = {(t, f) for t, f in c.items() if f * inv_eps >= n}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.lists(st.floats(min_value=-100.0, max_value=100.0,
+                       allow_nan=False, width=32),
+             min_size=1, max_size=8),
+    min_size=1, max_size=20))
+def test_int8_quantize_matches_python_reference(spark, vecs):
+    """quantize_int8 vs plain-Python: scale, L1, index checksum and error
+    bound agree on arbitrary float vectors (incl. all-zero)."""
+    import math
+
+    from multiagent_document_etl_system_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    for i, v in enumerate(vecs):
+        v = [float(F32(x)) for x in v]
+        scale = max(abs(x) for x in v) / 127.0
+        q = [0] * len(v) if scale == 0 else \
+            [math.floor(x / scale + 0.5) for x in v]
+        r = got[i]
+        assert r["scale_q"] == math.floor(scale * 1e9 + 0.5)
+        assert r["q_l1"] == sum(abs(x) for x in q)
+        assert r["q_idx_sum"] == sum(x * (j + 1) for j, x in enumerate(q))
+        if scale:
+            err = max(math.floor(abs(x * scale - y) * 1e9 + 0.5)
+                      for x, y in zip(q, v))
+            assert r["max_err_q"] == err
+        else:
+            assert r["max_err_q"] == 0
+
+
+def F32(x: float) -> float:
+    import struct
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="ab c", max_size=40), min_size=1,
+                max_size=15))
+def test_bigram_logprob_matches_python_reference(spark, texts):
+    """bigram_logprob vs a plain-Python add-one bigram LM on arbitrary
+    whitespace-noisy corpora."""
+    import math
+
+    from multiagent_document_etl_system_spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+           for r in bigram_logprob(df).collect()}
+    toks = {i: [w for w in t.lower().split() if w]
+            for i, t in enumerate(texts)}
+    uni: dict = {}
+    big: dict = {}
+    for ts in toks.values():
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    v = len(uni)
+    for i, ts in toks.items():
+        lps = [math.floor(
+            math.log((big[(a, b)] + 1.0) / (uni[a] + v)) * 1e6 + 0.5)
+            for a, b in zip(ts, ts[1:])]
+        n = len(lps)
+        want = (n, round(sum(lps) / 1e6 / n, 4) if n else 0.0)
+        assert got[i] == want, (i, got[i], want)
