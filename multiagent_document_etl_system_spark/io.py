@@ -108,6 +108,61 @@ def read_landing_dir(spark: SparkSession, path: str,
     return reader.load(path)
 
 
+def read_jsonl_corpus(spark: SparkSession, path: str,
+                      schema: str) -> DataFrame:
+    """S6 variant — JSONL corpus ingest with PER-ROW fault capture.
+
+    The reference fails a whole request on a malformed document
+    (``/root/reference/src/app.py:96-116``); corpus-scale ingest cannot — a
+    single bad line in a 100 TB drop must cost one row, not one job.
+    PERMISSIVE mode parks the raw text of every unparseable line in
+    ``_corrupt_record`` (all other columns NULL), exactly the nullable
+    ``error``-column contract the pipeline uses downstream; fields missing
+    from a line are NULL (schema drift tolerated). The scan stays a
+    splittable line-oriented read with column pruning into the JSON
+    parser.
+    """
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_csv_corpus(spark: SparkSession, path: str, schema: str,
+                    header: bool = True) -> DataFrame:
+    """S6 variant — CSV corpus ingest, same per-row fault contract as
+    :func:`read_jsonl_corpus`: any malformed line (type mismatch, short
+    row) keeps whatever fields parsed AND parks the raw line in
+    ``_corrupt_record`` for the audit trail.
+
+    Built as a splittable ``text`` scan + ``from_csv`` expression rather
+    than the raw CSV source: Spark's native scan refuses plans that
+    reference only the corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), which is
+    precisely the "count the bad rows" audit query an ingest pipeline
+    runs first. The expression form has no such restriction and the
+    parse stays JVM-side codegen.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    lines = spark.read.text(path)
+    if header:
+        # drop every line equal to the schema's column-name row — a pure
+        # per-row predicate (no driver-side first() peek), which also
+        # swallows the repeated headers of concatenated multi-file dumps
+        names = [f.name for f in StructType.fromDDL(schema).fields]
+        lines = lines.filter(F.col("value") != ",".join(names))
+    parsed = F.from_csv(
+        F.col("value"), schema + ", _corrupt_record string",
+        {"mode": "PERMISSIVE",
+         "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return lines.select(parsed.alias("_r")).select("_r.*")
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: list[str] | None = None) -> None:
     """K1/K2-style sink as parquet. ``partition_by`` (e.g. ingest date,

@@ -198,6 +198,32 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
 
 
+@_q("q_nullsafe_join", """
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM (SELECT nullif(c_nationkey, 5) AS k FROM customer) c
+JOIN (SELECT n_name, nullif(n_nationkey, 5) AS k FROM nation) n
+  ON c.k IS NOT DISTINCT FROM n.k
+GROUP BY n.n_name
+""")
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantics dimension
+    tables with sentinel/unknown keys need. Spark plans ``eqNullSafe`` as a
+    hash equi-join (knownfloatingpointnormalized coalesce of the key), so
+    the small side still broadcasts; the NULL key forms ONE bucket, which
+    is exactly the skew a salted or filtered plan would split if the
+    unknown-key population were corpus-sized."""
+    c = _t(spark, sf_dir, "customer") \
+        .select(F.nullif(F.col("c_nationkey"), F.lit(5)).alias("k"))
+    n = _t(spark, sf_dir, "nation") \
+        .select("n_name", F.nullif(F.col("n_nationkey"), F.lit(5)).alias("k"))
+    return (
+        c.join(F.broadcast(n), c.k.eqNullSafe(n.k))
+        .groupBy("n_name").agg(F.count("*").cast("bigint")
+                               .alias("n_customers"))
+    )
+
+
 @_q("q_band_join", f"""
 WITH bands(band_id, lo, hi) AS (VALUES
   (0, 0.0, 10000.0), (1, 10000.0, 20000.0), (2, 20000.0, 30000.0),

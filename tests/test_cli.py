@@ -152,4 +152,4 @@ def test_curate_writes_funnel_survivors(spark, tmp_path, capsys):
         r["n_kept"] for r in funnel.collect())
     # lang partitioning on disk
     import os
-    assert any(d.startswith("lang=") for d in os.listdir(out_dir))
+    assert any(x.startswith("lang=") for x in os.listdir(out_dir))

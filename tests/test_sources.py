@@ -335,3 +335,50 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(got.columns) == {"doc_id", "doc_type", "quality"}
     rows = {r["doc_id"]: r for r in got.collect()}
     assert rows[1]["quality"] is None and rows[2]["quality"] == 0.9
+
+
+def test_jsonl_corpus_per_row_fault_capture(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.io import read_jsonl_corpus
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text("\n".join([
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}',
+        '{"doc_id": 2, "text": "bonjour"}',          # missing field -> NULL
+        '{"doc_id": 3, "text": "broken',             # malformed line
+        '{"doc_id": 4, "text": "ok", "lang": "de", "extra": 9}',  # drift
+    ]))
+    df = read_jsonl_corpus(spark, str(p), "doc_id long, text string, lang string")
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert df.count() == 4
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["lang"] is None and rows[2]["_corrupt_record"] is None
+    assert rows[4]["text"] == "ok"          # unknown extra field ignored
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and '"broken' in bad[0]["_corrupt_record"]
+    assert bad[0]["doc_id"] is None
+
+
+def test_csv_corpus_per_row_fault_capture(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.io import read_csv_corpus
+
+    p = tmp_path / "corpus.csv"
+    p.write_text("\n".join([
+        "doc_id,text,n",
+        "1,hello,10",
+        "2,world",              # short line -> NULL-padded
+        "3,bad,notanumber",     # type mismatch -> corrupt capture
+    ]))
+    df = read_csv_corpus(spark, str(p), "doc_id long, text string, n long")
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert df.count() == 3
+    assert rows[1]["n"] == 10 and rows[1]["_corrupt_record"] is None
+    # short line: parsed prefix kept, raw line parked for the audit trail
+    assert rows[2]["text"] == "world" and rows[2]["n"] is None
+    assert rows[2]["_corrupt_record"] == "2,world"
+    # type mismatch: same contract
+    assert rows[3]["n"] is None and rows[3]["_corrupt_record"] is not None
+    assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 2

@@ -196,3 +196,41 @@ def test_stream_static_enrich_matches_batch(spark, events_dir):
         .select("event_id", "user_id").collect()
     }
     assert got == batch
+
+
+def test_stream_restart_recovers_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restart: a checkpointed file-source stream that
+    is stopped and restarted after new files land must process each input
+    file exactly once (no batch-1 reprocessing, no gaps) — the recovery
+    contract a 100 TB continuous-ingest pipeline leans on."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    spark.range(0, 100).select("id", F.lit(1.0).alias("v")) \
+        .write.mode("append").parquet(str(src))
+
+    def run_until_drained():
+        q = (
+            spark.readStream.schema("id long, v double").parquet(str(src))
+            .withColumn("doubled", F.col("v") * 2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_until_drained()
+    assert spark.read.parquet(out).count() == 100
+
+    spark.range(100, 150).select("id", F.lit(2.0).alias("v")) \
+        .write.mode("append").parquet(str(src))
+    run_until_drained()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 150          # batch 1 NOT reprocessed
+    assert got.select("id").distinct().count() == 150  # ...and no gaps
+    assert got.filter(F.col("doubled") != F.col("v") * 2).count() == 0
