@@ -680,3 +680,80 @@ def truncated_rerank_topk(queries: DataFrame, candidates: DataFrame,
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ----------------------------------------------------- product quantization
+
+def pq_codes(df: DataFrame, dim: int, n_subspaces: int = 4,
+             n_codes: int = 16, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Product quantization (the FAISS PQ storage rung, completing the
+    ladder next to SQ8 int8 (:func:`quantize_int8`) and the IVF coarse
+    quantizer (:func:`ivf_topk`)): split each d-dim vector into
+    ``n_subspaces`` contiguous subvectors, learn a ``n_codes``-entry KMeans
+    codebook per subspace on a BOUNDED sample, store each vector as one
+    code per subspace — d floats become n_subspaces small ints
+    (64 x float32 -> 4 x uint8 here, a 64x shrink vs float32).
+
+    Output: (id, codes array<int>, err_q) where err_q is the
+    reconstruction L2 error ||x - dequant(codes)|| on a 1e-6 grid — the
+    audit column bounding what ADC-style scoring over the codes can lose.
+
+    Scale shape: the m fits see at most 256*n_codes rows each (GlobalLimit
+    in-plan, the IVF convention); the corpus-wide ASSIGNMENT is one narrow
+    map — each subspace's codebook rides along as a literal array and the
+    nearest code is an array_min over n_codes (distance, code) structs.
+    No shuffle anywhere; approximate by construction (KMeans) => rows-only
+    against the oracle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    width = dim // n_subspaces
+    assert width * n_subspaces == dim, "dim must split evenly"
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), v.alias("_v"))
+
+    sample = base.limit(ivf_fit_cap(n_codes))
+    codebooks: list[list[list[float]]] = []
+    for s in range(n_subspaces):
+        sub = sample.select(
+            array_to_vector(F.slice("_v", s * width + 1, width)).alias("_s"))
+        n_train = sub.count()
+        k_eff = max(2, min(n_codes, n_train))
+        km = KMeans(k=k_eff, seed=seed + s, featuresCol="_s",
+                    predictionCol="_c")
+        codebooks.append(
+            [[float(x) for x in ctr]
+             for ctr in km.fit(sub).clusterCenters()])
+
+    # stage each subspace's argmin STRUCT as a column so the distance scan
+    # over the codebook runs once per subspace, not once per consumer
+    # (code extraction + error accumulation)
+    best_cols = []
+    for s, book in enumerate(codebooks):
+        book_lit = F.array(*[
+            F.array(*[F.lit(x) for x in ctr]) for ctr in book])
+        sub = F.slice("_v", s * width + 1, width)
+        scored = F.transform(
+            book_lit,
+            lambda ctr, j: F.struct(
+                F.aggregate(F.zip_with(sub, ctr,
+                                       lambda a, b: (a - b) * (a - b)),
+                            F.lit(0.0), lambda acc, x: acc + x)
+                .alias("d"),
+                j.alias("c"),
+            ),
+        )
+        best_cols.append(F.array_min(scored).alias(f"_best{s}"))
+
+    staged = base.select(id_col, *best_cols)
+    err_sq = sum((F.col(f"_best{s}").getField("d")
+                  for s in range(n_subspaces)), F.lit(0.0))
+    return staged.select(
+        id_col,
+        F.array(*[F.col(f"_best{s}").getField("c").cast("int")
+                  for s in range(n_subspaces)]).alias("codes"),
+        F.floor(F.sqrt(err_sq) * 1e6 + 0.5).cast("bigint").alias("err_q"),
+    )

@@ -633,6 +633,16 @@ def v12_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("v17_pq_codes", None)
+def v17_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (similarity.pq_codes): 4 subspace codebooks of
+    16 entries each, learned on a bounded sample — 64 floats become 4
+    small ints per vector (64x vs float32), with the reconstruction-error
+    audit column. KMeans codebooks ⇒ rows-only check; the int8 (v15) and
+    matryoshka (v16) rungs carry the deterministic hash oracles."""
+    return similarity.pq_codes(_emb(spark, sf_dir), dim=64)
+
+
 @_q("v15_int8_quantize", similarity.quantize_int8_sql())
 def v15_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 storage quantization of the embedding column with exact-integer

@@ -163,3 +163,37 @@ def test_curation_funnel_plan_is_linear(spark):
     # the contaminated-id and near-dup flag sets must broadcast — the
     # corpus side of those joins never shuffles
     assert n_bhj >= 2, plan
+
+
+# ------------------------------------------------------ product quantization
+
+def test_pq_codes_contract(spark, emb):
+    out = similarity.pq_codes(emb, dim=64, n_subspaces=4, n_codes=16)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 16 for c in r["codes"])
+        assert r["err_q"] >= 0
+    # deterministic: seeded fits + argmin with code tie-break
+    again = {r["vec_id"]: r["codes"]
+             for r in similarity.pq_codes(emb, dim=64).collect()}
+    assert all(again[r["vec_id"]] == r["codes"] for r in rows)
+
+
+def test_pq_more_codes_reconstruct_better(spark, emb):
+    import statistics
+
+    def mean_err(n_codes):
+        rows = similarity.pq_codes(emb, dim=64, n_codes=n_codes).collect()
+        return statistics.mean(r["err_q"] for r in rows)
+
+    assert mean_err(16) < mean_err(2)
+
+
+def test_pq_assignment_is_narrow(spark, emb):
+    plan = similarity.pq_codes(emb, dim=64)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for node in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
+                 "SortMergeJoin"):
+        assert node not in plan, plan
