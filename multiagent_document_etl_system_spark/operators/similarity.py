@@ -634,6 +634,32 @@ FROM q
 """
 
 
+# ----------------------------------------------- shared exact-rerank stage
+
+def exact_rerank(survivors: DataFrame, queries: DataFrame,
+                 candidates: DataFrame, k: int = 5,
+                 q_id: str = "q_id", c_id: str = "c_id",
+                 q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """Full-precision rerank of a small (q_id, c_id) survivor list from any
+    prefilter (truncated-prefix, ADC, LSH): two broadcast joins pull the
+    true vectors for Q x k_prefilter pairs only — the corpus is never
+    shuffled — then exact cosine, deterministic (score DESC, id ASC)
+    row_number, top-k."""
+    pairs = (
+        candidates.join(F.broadcast(survivors.select(q_id, c_id)), c_id)
+        .join(F.broadcast(queries), q_id)
+    )
+    denom = norm(F.col(q_vec)) * norm(F.col(c_vec))
+    score = F.when(denom == 0, F.lit(0.0)) \
+        .otherwise(dot(F.col(q_vec), F.col(c_vec)) / denom)
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        pairs.select(q_id, c_id, F.round(score, 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # --------------------------------------- truncated-dimension prefilter rerank
 
 def truncated_rerank_topk(queries: DataFrame, candidates: DataFrame,
@@ -666,27 +692,44 @@ def truncated_rerank_topk(queries: DataFrame, candidates: DataFrame,
                                 .alias(c_vec))
     coarse = topk_join(q_trunc, c_trunc, k=k_coarse,
                        q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec)
-    survivors = coarse.select(q_id, c_id)
-    pairs = (
-        candidates.join(F.broadcast(survivors), c_id)
-        .join(F.broadcast(queries), q_id)
-    )
-    denom = norm(F.col(q_vec)) * norm(F.col(c_vec))
-    score = F.when(denom == 0, F.lit(0.0)) \
-        .otherwise(dot(F.col(q_vec), F.col(c_vec)) / denom)
-    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
-    return (
-        pairs.select(q_id, c_id, F.round(score, 4).alias("score"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return exact_rerank(coarse, queries, candidates, k=k,
+                        q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec)
 
 
 # ----------------------------------------------------- product quantization
 
+def pq_fit(df: DataFrame, dim: int, n_subspaces: int = 4,
+           n_codes: int = 16, seed: int = 42,
+           vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Learn the per-subspace PQ codebooks on a BOUNDED sample (at most
+    ``ivf_fit_cap(n_codes)`` rows — the IVF fit convention): m seeded
+    KMeans fits over width-d/m subvectors. Returns plain Python lists so
+    the codebooks can ride into assignment/scoring plans as literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    width = dim // n_subspaces
+    assert width * n_subspaces == dim, "dim must split evenly"
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sample = df.select(v.alias("_v")).limit(ivf_fit_cap(n_codes))
+    books: list[list[list[float]]] = []
+    for s in range(n_subspaces):
+        sub = sample.select(
+            array_to_vector(F.slice("_v", s * width + 1, width)).alias("_s"))
+        n_train = sub.count()
+        k_eff = max(2, min(n_codes, n_train))
+        km = KMeans(k=k_eff, seed=seed + s, featuresCol="_s",
+                    predictionCol="_c")
+        books.append(
+            [[float(x) for x in ctr]
+             for ctr in km.fit(sub).clusterCenters()])
+    return books
+
+
 def pq_codes(df: DataFrame, dim: int, n_subspaces: int = 4,
              n_codes: int = 16, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             codebooks: list[list[list[float]]] | None = None) -> DataFrame:
     """Product quantization (the FAISS PQ storage rung, completing the
     ladder next to SQ8 int8 (:func:`quantize_int8`) and the IVF coarse
     quantizer (:func:`ivf_topk`)): split each d-dim vector into
@@ -706,27 +749,15 @@ def pq_codes(df: DataFrame, dim: int, n_subspaces: int = 4,
     No shuffle anywhere; approximate by construction (KMeans) => rows-only
     against the oracle.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     width = dim // n_subspaces
     assert width * n_subspaces == dim, "dim must split evenly"
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col), v.alias("_v"))
 
-    sample = base.limit(ivf_fit_cap(n_codes))
-    codebooks: list[list[list[float]]] = []
-    for s in range(n_subspaces):
-        sub = sample.select(
-            array_to_vector(F.slice("_v", s * width + 1, width)).alias("_s"))
-        n_train = sub.count()
-        k_eff = max(2, min(n_codes, n_train))
-        km = KMeans(k=k_eff, seed=seed + s, featuresCol="_s",
-                    predictionCol="_c")
-        codebooks.append(
-            [[float(x) for x in ctr]
-             for ctr in km.fit(sub).clusterCenters()])
+    if codebooks is None:
+        codebooks = pq_fit(df, dim, n_subspaces=n_subspaces,
+                           n_codes=n_codes, seed=seed, vec_col=vec_col)
 
     # stage each subspace's argmin STRUCT as a column so the distance scan
     # over the codebook runs once per subspace, not once per consumer
@@ -757,3 +788,80 @@ def pq_codes(df: DataFrame, dim: int, n_subspaces: int = 4,
                   for s in range(n_subspaces)]).alias("codes"),
         F.floor(F.sqrt(err_sq) * 1e6 + 0.5).cast("bigint").alias("err_q"),
     )
+
+
+def pq_adc_topk(queries: DataFrame, candidates: DataFrame, dim: int,
+                k: int = 5, n_subspaces: int = 4, n_codes: int = 16,
+                seed: int = 42,
+                q_id: str = "q_id", c_id: str = "c_id",
+                q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """ADC (asymmetric-distance) top-k over PQ codes — the query path that
+    makes v17's 64x-compressed storage searchable: candidates are scored
+    from their CODES alone, never their vectors.
+
+    Each query precomputes one (n_subspaces x n_codes) distance table
+    against the literal codebooks (a narrow map over the tiny query side);
+    a candidate's approximate distance is then m table lookups + adds —
+    O(m) per pair instead of O(d), on 1/16th the candidate bytes. Both
+    sides are L2-normalized first so the distance ordering agrees with the
+    cosine rungs. Deterministic ordering (rounded distance ASC, candidate
+    id ASC), but the codebooks come from KMeans => rows-only vs the
+    oracle; recall is bounded by reconstruction error (pq_codes' err_q
+    audit) and is sanity-checked against brute force in tests.
+    """
+    cand_n = candidates.select(
+        F.col(c_id), l2_normalize(F.col(c_vec)).alias("_nv"))
+    books = pq_fit(cand_n, dim, n_subspaces=n_subspaces, n_codes=n_codes,
+                   seed=seed, vec_col="_nv")
+    codes = pq_codes(cand_n, dim, n_subspaces=n_subspaces, n_codes=n_codes,
+                     seed=seed, id_col=c_id, vec_col="_nv",
+                     codebooks=books).select(c_id, "codes")
+
+    width = dim // n_subspaces
+    q_n = queries.select(F.col(q_id),
+                         l2_normalize(F.col(q_vec)).alias("_nv"))
+    tables = []
+    for s, book in enumerate(books):
+        book_lit = F.array(*[
+            F.array(*[F.lit(x) for x in ctr]) for ctr in book])
+        sub = F.slice("_nv", s * width + 1, width)
+        tables.append(F.transform(
+            book_lit,
+            lambda ctr: F.aggregate(
+                F.zip_with(sub, ctr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x),
+        ))
+    qdt = q_n.select(q_id, F.array(*tables).alias("_dt"))
+
+    pairs = codes.crossJoin(F.broadcast(qdt))         .filter(F.col(q_id) != F.col(c_id))
+    dist_sq = sum(
+        (F.element_at(F.element_at("_dt", s + 1),
+                      F.col("codes")[s] + 1)
+         for s in range(n_subspaces)),
+        F.lit(0.0),
+    )
+    scored = pairs.select(
+        q_id, c_id, F.round(F.sqrt(dist_sq), 4).alias("adc_dist"))
+    w = Window.partitionBy(q_id).orderBy(F.asc("adc_dist"), F.asc(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)
+
+
+def pq_adc_rerank_topk(queries: DataFrame, candidates: DataFrame, dim: int,
+                       k: int = 5, k_adc: int = 100, n_subspaces: int = 4,
+                       n_codes: int = 16, seed: int = 42,
+                       q_id: str = "q_id", c_id: str = "c_id",
+                       q_vec: str = "q_vec",
+                       c_vec: str = "c_vec") -> DataFrame:
+    """The production PQ deployment shape: ADC over codes prefilters to
+    ``k_adc`` candidates per query (O(m) lookups per pair over 64x-smaller
+    candidate bytes), then :func:`exact_rerank` restores full precision on
+    the Q x k_adc survivors. Raw ADC ordering alone is recall-limited by
+    reconstruction error (isotropic synthetic vectors are PQ's worst case
+    — measured recall@5 0.16 raw vs 0.80 with k_adc=100 rerank at fixture
+    scale); the rerank stage is what every FAISS IVFPQ pipeline runs."""
+    pre = pq_adc_topk(queries, candidates, dim, k=k_adc,
+                      n_subspaces=n_subspaces, n_codes=n_codes, seed=seed,
+                      q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec)
+    return exact_rerank(pre, queries, candidates, k=k,
+                        q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec)

@@ -198,6 +198,41 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
 
 
+@_q("q_argmax_agg", """
+SELECT o_orderpriority,
+  arg_max(o_orderkey,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000000
+          + o_orderkey) AS biggest_order,
+  round(max(o_totalprice), 2) AS max_price,
+  arg_min(o_orderkey,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000000
+          - o_orderkey) AS smallest_order,
+  round(min(o_totalprice), 2) AS min_price
+FROM orders GROUP BY o_orderpriority
+""")
+def q_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-based argmax/argmin (``max_by``/``min_by``, DuckDB
+    ``arg_max``/``arg_min``) — the one-pass partial-aggregable alternative
+    to the window-rank top-1 (q_min_per_group): no per-group sort, no
+    window state, merges map-side like any algebraic aggregate. Bare
+    max_by on a tied value is engine-arbitrary (the same nondeterminism
+    class the stable-sum machinery exists for), so ties break on an exact
+    integer composite (price-cents ·1e10 ± orderkey — DuckDB's arg_max
+    rejects struct ordering keys; headroom holds to ~1e10 keys, beyond
+    which widen to DECIMAL)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    key = F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by(key, cents * F.lit(10_000_000_000) + key)
+        .alias("biggest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.min_by(key, cents * F.lit(10_000_000_000) - key)
+        .alias("smallest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
 @_q("q_nullsafe_join", """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM (SELECT nullif(c_nationkey, 5) AS k FROM customer) c

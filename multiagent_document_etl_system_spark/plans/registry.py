@@ -643,6 +643,21 @@ def v17_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_codes(_emb(spark, sf_dir), dim=64)
 
 
+@_q("v18_pq_adc_topk", None)
+def v18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC retrieval (similarity.pq_adc_rerank_topk): distance-table
+    lookups over v17's 4-byte codes prefilter 100 candidates per query,
+    exact cosine reranks to top-5 — the FAISS-IVFPQ query shape. KMeans
+    codebooks ⇒ rows-only."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+    out = similarity.pq_adc_rerank_topk(q, c, dim=64, k=5, k_adc=100)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @_q("v15_int8_quantize", similarity.quantize_int8_sql())
 def v15_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 storage quantization of the embedding column with exact-integer
