@@ -141,6 +141,53 @@ def minhash_signature_sql(base_expr: str, n_hashes: int = 16) -> str:
     return f"[{entries}]"
 
 
+def shingle_sets(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
+    """(_id, _sh): each doc's distinct word-shingle set, scan fanned out to
+    the session's core count (batch inputs only — ensure_parallelism
+    inspects partitioning, which a streaming DataFrame cannot)."""
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+
+
+def band_signatures(sh_df: DataFrame, n_hashes: int = 16, bands: int = 4,
+                    family: str = "md5") -> DataFrame:
+    """(_id, band, bh): the banded-MinHash LSH key rows for a (_id, _sh)
+    shingle frame — the join currency of near-dup detection, and the INDEX
+    representation for corpus-membership checks (a doc near-duplicates the
+    corpus iff any of its band rows matches the corpus band set). Works on
+    batch AND streaming frames (pure narrow expressions + explode)."""
+    rows_per_band = n_hashes // bands
+    base = (
+        sh_df
+        # _base materialized as its own column: one string hash per shingle,
+        # reused by all n_hashes permutations
+        .withColumn("_base", shingle_base_hashes(F.col("_sh"), family))
+        .withColumn("_sig", minhash_signature(F.col("_base"), n_hashes))
+        .select("_id", "_sig")
+    )
+    return base.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.slice("_sig", b * rows_per_band + 1, rows_per_band)
+                        .cast("array<string>"),
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bh")
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
@@ -164,38 +211,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     degenerate buckets (boilerplate clusters) the way production near-dup
     pipelines do, and AQE handles residual bucket skew.
     """
-    from multiagent_document_etl_system_spark.io import ensure_parallelism
-
-    rows_per_band = n_hashes // bands
-    sh_df = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), shingle_n).alias("_sh"),
-    )
-    base = (
-        sh_df
-        # _base materialized as its own column: one string hash per shingle,
-        # reused by all n_hashes permutations
-        .withColumn("_base", shingle_base_hashes(F.col("_sh"), family))
-        .withColumn("_sig", minhash_signature(F.col("_base"), n_hashes))
-        .select("_id", "_sig")
-    )
-
-    banded = base.select(
-        "_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.slice("_sig", b * rows_per_band + 1, rows_per_band)
-                        .cast("array<string>"),
-                    ).alias("bh"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("_id", "bk.band", "bk.bh")
+    sh_df = shingle_sets(df, text_col=text_col, id_col=id_col,
+                         shingle_n=shingle_n)
+    banded = band_signatures(sh_df, n_hashes=n_hashes, bands=bands,
+                             family=family)
 
     buckets = (
         banded.groupBy("band", "bh")

@@ -2340,6 +2340,112 @@ def st_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _band_rows_sql(where: str) -> str:
+    """Banded-MinHash rows (id, band, bh) for a filtered documents subset —
+    the oracle twin of dedup.band_signatures over dedup.shingle_sets."""
+    return f"""
+  SELECT id, b AS band, array_to_string(sig[b*4+1 : b*4+4], ',') AS bh
+  FROM (
+    SELECT id, {dedup.minhash_signature_sql('base', 16)} AS sig
+    FROM (
+      SELECT id, list_transform(sh, s -> {_H64_MOD}) AS base
+      FROM (
+        SELECT id, {_SHINGLE_SQL} AS sh
+        FROM (SELECT doc_id AS id,
+                     string_split_regex(trim(text), '\\s+') AS __toks
+              FROM documents WHERE {where})
+      )
+    )
+  ), generate_series(0, 3) g(b)
+""".strip()
+
+
+_INCOMING_STAGE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _staged_incoming_docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _INCOMING_STAGE_CACHE.get(key)
+    if stage is None:
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="st_docs_in_")
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 7) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        _INCOMING_STAGE_CACHE[key] = stage
+    return stage
+
+
+@_q("st_dedup_vs_corpus", f"""
+WITH cmd5 AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7
+), cband AS (
+  SELECT DISTINCT band, bh FROM ({_band_rows_sql('doc_id % 10 <> 7')})
+), iband AS (
+  {_band_rows_sql('doc_id % 10 = 7')}
+), bm AS (
+  SELECT i.id AS doc_id, count(*) AS n
+  FROM iband i JOIN cband USING (band, bh) GROUP BY 1
+)
+SELECT d.doc_id, (c.h IS NOT NULL) AS exact_dup,
+  CAST(coalesce(bm.n, 0) AS BIGINT) AS n_band_matches
+FROM (SELECT doc_id, md5(text) AS h0 FROM documents WHERE doc_id % 10 = 7) d
+LEFT JOIN cmd5 c ON d.h0 = c.h
+LEFT JOIN bm USING (doc_id)
+""")
+def st_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run, oracle-checked: CONTINUOUS-INGEST DEDUP — each
+    incoming document (staged docs with doc_id%10==7 replayed as a file
+    stream) is checked per micro-batch against the STATIC corpus index
+    (everything else): exact membership via an md5-set join, near-dup
+    membership via banded-MinHash signature rows joined to the corpus
+    band set (dedup.band_signatures — a doc near-duplicates the corpus
+    iff any band matches). Both are stream-static joins (no streaming
+    state beyond the final per-doc aggregation), so at scale the index
+    is a persisted, periodically-refreshed parquet of md5s + band keys —
+    bytes-tiny next to the corpus — and the stream never shuffles more
+    than (id, band-hash) rows. Single micro-batch + complete mode =>
+    batch-equal, fully hash-checked; the md5/minhash chain is the same
+    bit-reproducible family the batch rungs use."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_incoming_docs_dir(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 != 7)
+    corpus_md5 = corpus.select(F.md5("text").alias("h")).distinct()
+    corpus_bands = dedup.band_signatures(dedup.shingle_sets(corpus)) \
+        .select("band", "bh").distinct()
+
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint").parquet(stage)
+    md5_rows = (
+        stream.select("doc_id", F.md5("text").alias("h"))
+        .join(corpus_md5.withColumn("_hit", F.lit(1)), "h", "left")
+        .select("doc_id", F.coalesce("_hit", F.lit(0)).alias("is_exact"),
+                F.lit(0).alias("band_hit"))
+    )
+    inc_sh = stream.select(F.col("doc_id").alias("_id"),
+                           dedup.shingles(F.col("text"), 3).alias("_sh"))
+    band_rows = (
+        dedup.band_signatures(inc_sh)
+        .join(corpus_bands.withColumn("_bhit", F.lit(1)),
+              ["band", "bh"], "left")
+        .select(F.col("_id").alias("doc_id"), F.lit(0).alias("is_exact"),
+                F.coalesce("_bhit", F.lit(0)).alias("band_hit"))
+    )
+    agg = (
+        md5_rows.unionByName(band_rows)
+        .groupBy("doc_id")
+        .agg((F.max("is_exact") == 1).alias("exact_dup"),
+             F.sum("band_hit").cast("bigint").alias("n_band_matches"))
+    )
+    name = f"st_dedup_corpus_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 _ZBITS = 12  # 4096-cell grid per dimension
 
 
