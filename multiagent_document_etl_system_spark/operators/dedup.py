@@ -485,3 +485,38 @@ edges AS (
 )
 SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src
 """
+
+
+def neighbor_edit_distance(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           head: int = 200) -> DataFrame:
+    """Character-level near-dup rung: Levenshtein distance between
+    consecutive-id documents — catches the single-character/OCR-noise
+    edits that token-level shingle Jaccard dilutes (one char flip inside
+    a word kills up to 3 shingles; edit distance counts it as 1).
+
+    Levenshtein is O(len_a x len_b) per pair, so it compares the first
+    ``head`` chars only — the production pattern (a full-document edit
+    distance at corpus scale is never computed; char-level checks run on
+    bounded prefixes/samples AFTER a cheap blocker pairs candidates).
+    Same consecutive-id pair generator as :func:`neighbor_jaccard`; at
+    scale the pair source is the LSH blocker.
+
+    Output: (id_a, id_b, edit_dist, rel_dist) with rel = dist / longest
+    prefix length (0 = identical, 1 = disjoint).
+    """
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, head).alias("h"),
+    )
+    a = s.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
+    b = s.select((F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b"),
+                 F.col("h").alias("h_b"))
+    j = a.join(b, "id_a")
+    dist = F.levenshtein("h_a", "h_b")
+    longest = F.greatest(F.length("h_a"), F.length("h_b"), F.lit(1))
+    return j.select(
+        "id_a", "id_b",
+        dist.cast("bigint").alias("edit_dist"),
+        F.round(dist.cast("double") / longest, 4).alias("rel_dist"),
+    )

@@ -536,3 +536,38 @@ SELECT d.id AS {id_col},
                  4), 0.0) AS avg_logprob
 FROM d LEFT JOIN per_doc USING (id)
 """
+
+
+def readability_expr(text: Column) -> Column:
+    """Flesch-reading-ease-style score from pure counts: words (whitespace
+    tokens), sentences ([.!?]+ runs, floor 1), syllables (vowel-group runs
+    — the standard regex proxy). 206.835 - 1.015*(W/S) - 84.6*(Syl/W),
+    floor-rounded to 4 decimals (bit-deterministic cross-engine: every
+    input to the double math is an exact integer count). A curation
+    signal: extreme scores flag word-salad (too 'easy') and run-on
+    boilerplate (deeply negative)."""
+    lower = F.lower(text)
+    words = F.greatest(
+        F.size(F.filter(tokens(lower), lambda t: F.length(t) > 0)),
+        F.lit(1)).cast("double")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0)),
+        F.lit(1)).cast("double")
+    syllables = F.size(
+        F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0)).cast("double")
+    score = (F.lit(206.835) - 1.015 * (words / sentences)
+             - 84.6 * (syllables / words))
+    return F.floor(score * 10000.0 + F.lit(0.5)) / 10000.0
+
+
+def readability_sql(col: str) -> str:
+    return f"""
+floor((206.835
+  - 1.015 * (greatest(len(list_filter(string_split_regex(trim(lower({col})),
+      '\\s+'), t -> length(t) > 0)), 1)::DOUBLE
+      / greatest(len(regexp_extract_all({col}, '[.!?]+')), 1)::DOUBLE)
+  - 84.6 * (len(regexp_extract_all(lower({col}), '[aeiouy]+'))::DOUBLE
+      / greatest(len(list_filter(string_split_regex(trim(lower({col})),
+          '\\s+'), t -> length(t) > 0)), 1)::DOUBLE)) * 10000.0 + 0.5)
+/ 10000.0
+""".strip().replace("\n", " ")

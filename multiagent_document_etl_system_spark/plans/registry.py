@@ -869,6 +869,25 @@ def dedup_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neighbor_jaccard(_docs(spark, sf_dir))
 
 
+@_q("dedup_edit_distance", """
+WITH s AS (SELECT doc_id AS id, substr(text, 1, 200) AS h FROM documents),
+a AS (SELECT id AS id_a, h AS h_a FROM s),
+b AS (SELECT id - 1 AS id_a, id AS id_b, h AS h_b FROM s)
+SELECT a.id_a, b.id_b,
+  CAST(levenshtein(h_a, h_b) AS BIGINT) AS edit_dist,
+  round(CAST(levenshtein(h_a, h_b) AS DOUBLE)
+        / greatest(length(h_a), length(h_b), 1), 4) AS rel_dist
+FROM a JOIN b USING (id_a)
+""")
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup rung (dedup.neighbor_edit_distance):
+    Levenshtein over bounded 200-char prefixes of consecutive-id pairs —
+    catches single-character/OCR-noise edits that token-level shingles
+    dilute. At scale the pair source is the LSH blocker, the prefix bound
+    keeps the O(len²) kernel constant-cost per pair."""
+    return dedup.neighbor_edit_distance(_docs(spark, sf_dir))
+
+
 @_q("dedup_containment", f"""
 WITH sh AS (
   SELECT doc_id AS id, {_SHINGLE_SQL} AS sh
@@ -1781,6 +1800,19 @@ def ta_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams (n-gram analysis next to the unigram
     ta_term_frequency) — slice+zip_with pairing, no UDF."""
     return textstats.bigram_frequencies(_docs(spark, sf_dir))
+
+
+@_q("ta_readability", f"""
+SELECT doc_id, {textstats.readability_sql('text')} AS flesch
+FROM documents
+""")
+def ta_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease-style readability per document
+    (textstats.readability_expr) — word/sentence/vowel-group counts only,
+    a narrow map; extreme scores flag word-salad and run-on boilerplate
+    in a curation pass."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.readability_expr(F.col("text")).alias("flesch"))
 
 
 @_q("ta_bigram_logprob", textstats.bigram_logprob_sql())

@@ -234,3 +234,31 @@ def test_pq_adc_scores_from_codes_only(spark, emb):
     assert len(rows) > 0
     assert set(out.columns) == {"q_id", "c_id", "adc_dist", "rank"}
     assert all(r["adc_dist"] >= 0 for r in rows)
+
+
+# -------------------------------------------- edit distance + readability
+
+def test_neighbor_edit_distance_known_values(spark):
+    from multiagent_document_etl_system_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "sitting")],
+        "doc_id long, text string")
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in dedup.neighbor_edit_distance(df).collect()}
+    assert rows[(1, 2)]["edit_dist"] == 3
+    assert rows[(2, 3)]["edit_dist"] == 0 and rows[(2, 3)]["rel_dist"] == 0.0
+
+
+def test_readability_orders_simple_above_dense(spark):
+    docs = [
+        (1, "The cat sat. The dog ran. It was fun."),
+        (2, "Notwithstanding interdepartmental reorganization considerations"
+            " necessitating comprehensive administrative reevaluation"
+            " procedures without terminal punctuation whatsoever"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["flesch"] for r in df.select(
+        "doc_id", textstats.readability_expr(F.col("text")).alias("flesch")
+    ).collect()}
+    assert got[1] > got[2]
