@@ -643,6 +643,22 @@ def v17_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_codes(_emb(spark, sf_dir), dim=64)
 
 
+@_q("v19_ivfpq_topk", None)
+def v19_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ retrieval (similarity.ivfpq_topk): coarse cells route
+    queries to n_probe/n_cells of the corpus, PQ codes shrink in-cell
+    storage 64x, ADC lookups score, exact rerank restores precision —
+    the composed 100 TB ANN architecture. KMeans ⇒ rows-only."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+    out = similarity.ivfpq_topk(q, c, dim=64, k=5, n_cells=16, n_probe=4,
+                                k_adc=100)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @_q("v18_pq_adc_topk", None)
 def v18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC retrieval (similarity.pq_adc_rerank_topk): distance-table

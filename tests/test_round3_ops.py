@@ -262,3 +262,75 @@ def test_readability_orders_simple_above_dense(spark):
         "doc_id", textstats.readability_expr(F.col("text")).alias("flesch")
     ).collect()}
     assert got[1] > got[2]
+
+
+def test_ivfpq_topk_contract_and_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec"))
+    out = similarity.ivfpq_topk(q, c, dim=64, k=5, n_cells=16, n_probe=4,
+                                k_adc=100)
+    rows = out.collect()
+    assert set(out.columns) == {"q_id", "c_id", "score", "rank"}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_q.values())
+    # recall floor: probing 4/16 cells + ADC + rerank on worst-case
+    # isotropic vectors — measured then floored with margin
+    exact = {(r["q_id"], r["c_id"])
+             for r in similarity.topk_join(q, c, k=5).collect()}
+    got = {(r["q_id"], r["c_id"]) for r in rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.2, f"recall {recall:.2f}"
+
+
+# ------------------------------------------------ task-retry determinism
+
+def test_hash_sampling_survives_task_retries():
+    """Deterministic hash-Bernoulli sampling (the domain_mix/stratified
+    convention) must select the SAME rows when tasks fail and re-execute —
+    the reason every sampling decision in this engine is a content hash,
+    never rand(). Injects one real task failure per partition on first
+    attempt and asserts the sampled id set is identical to the undisturbed
+    run. Needs task retries, which plain local[N] masters disable, so it
+    runs an isolated local[4,2] session in a subprocess."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys
+sys.path.insert(0, ".")
+from pyspark.sql import SparkSession, functions as F
+from multiagent_document_etl_system_spark.operators.dedup import hash64
+
+spark = (SparkSession.builder.master("local[4,2]")
+         .appName("retry-determinism")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4")
+         .getOrCreate())
+base = spark.range(0, 2000, 1, 4).select(F.col("id"))
+sampled = base.filter((hash64(F.col("id").cast("string"), seed=7) % 100) < 25)
+want = {r["id"] for r in sampled.collect()}
+
+def flaky(batches):
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    first = True
+    for pdf in batches:
+        if first and ctx is not None and ctx.attemptNumber() == 0:
+            raise RuntimeError("injected failure, attempt 0")
+        first = False
+        yield pdf
+
+got = {r["id"] for r in sampled.mapInPandas(flaky, "id long").collect()}
+assert got == want and len(want) > 0, (len(got), len(want))
+print("RETRY_DETERMINISM_OK", len(want))
+spark.stop()
+"""
+    out = subprocess.run([sys.executable, "-c", script], cwd=".",
+                         capture_output=True, text=True, timeout=300)
+    assert "RETRY_DETERMINISM_OK" in out.stdout, (out.stdout[-2000:],
+                                                  out.stderr[-2000:])
