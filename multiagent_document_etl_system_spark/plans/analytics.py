@@ -198,6 +198,68 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
 
 
+@_q("q_lateral_topk", """
+SELECT n.n_name, t.c_name, t.bal
+FROM nation n,
+LATERAL (SELECT c_name, round(c_acctbal, 2) AS bal FROM customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+""")
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT — top-3
+    customers per nation expressed as a lateral join rather than a window
+    rank (the SQL-standard shape; Catalyst decorrelates it into the same
+    partitioned-rank plan q_min_per_group writes by hand). Deterministic
+    ties by name."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, t.bal
+        FROM _lat_nation n,
+        LATERAL (SELECT c_name, round(c_acctbal, 2) AS bal
+                 FROM _lat_customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+    """)
+
+
+@_q("q_recursive_cte", """
+WITH RECURSIVE collatz(start, val, steps) AS (
+  SELECT n_nationkey, CAST(n_nationkey + 2 AS BIGINT), 0 FROM nation
+  UNION ALL
+  SELECT start, CASE WHEN val % 2 = 0 THEN val // 2 ELSE 3 * val + 1 END,
+         steps + 1
+  FROM collatz WHERE val > 1
+)
+SELECT start AS nation_key, CAST(max(steps) AS BIGINT) AS n_steps,
+  CAST(max(val) AS BIGINT) AS peak
+FROM collatz GROUP BY start
+""")
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (iteration driven by the ENGINE, not a Python
+    loop — the capability duplicate_clusters has to emulate with
+    checkpointed rounds): Collatz trajectory length/peak per nation key.
+    Spark's recursive CTE supports UNION ALL bodies only, so the recursion
+    must be acyclic-terminating like this one; cyclic closures (connected
+    components) stay on the iterate+checkpoint path with the recursive
+    oracle as their checker."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("_rec_nation")
+    return spark.sql("""
+        WITH RECURSIVE collatz(start, val, steps) AS (
+          SELECT n_nationkey, CAST(n_nationkey + 2 AS BIGINT), 0
+          FROM _rec_nation
+          UNION ALL
+          SELECT start,
+                 CASE WHEN val % 2 = 0 THEN val DIV 2 ELSE 3 * val + 1 END,
+                 steps + 1
+          FROM collatz WHERE val > 1
+        )
+        SELECT start AS nation_key, CAST(max(steps) AS BIGINT) AS n_steps,
+          CAST(max(val) AS BIGINT) AS peak
+        FROM collatz GROUP BY start
+    """)
+
+
 @_q("q_argmax_agg", """
 SELECT o_orderpriority,
   arg_max(o_orderkey,
