@@ -334,3 +334,15 @@ spark.stop()
                          capture_output=True, text=True, timeout=300)
     assert "RETRY_DETERMINISM_OK" in out.stdout, (out.stdout[-2000:],
                                                   out.stderr[-2000:])
+
+
+def test_lateral_topk_decorrelates(spark):
+    """The correlated LATERAL LIMIT subquery must decorrelate to a
+    window/rank + equi-join plan — never a per-row nested-loop execution."""
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    plan = QUERIES["q_lateral_topk"][0](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan

@@ -382,3 +382,24 @@ def test_csv_corpus_per_row_fault_capture(spark, tmp_path):
     # type mismatch: same contract
     assert rows[3]["n"] is None and rows[3]["_corrupt_record"] is not None
     assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 2
+
+
+def test_ignore_corrupt_files_scan(spark, tmp_path):
+    """File-level fault tolerance, complementing the row-level
+    _corrupt_record capture: with ignoreCorruptFiles a garbage file in a
+    100 TB drop costs its own rows only, not the job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    pq.write_table(pa.table({"id": list(range(10))}),
+                   str(d / "good.parquet"))
+    (d / "junk.parquet").write_bytes(b"this is not a parquet file")
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        got = spark.read.parquet(str(d)).count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+    assert got == 10
