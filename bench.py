@@ -62,6 +62,9 @@ HEADLINE = [
     "td_curation_funnel",
     "v16_matryoshka_topk",
     "ta_bigram_logprob",
+    "v15_int8_quantize",
+    "dedup_edit_distance",
+    "ta_readability",
 ]
 
 
