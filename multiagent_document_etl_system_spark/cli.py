@@ -215,6 +215,66 @@ def cmd_curate(args) -> dict:
             "partitioned_by": "lang", **{k: int(v) for k, v in m.items()}}
 
 
+def cmd_build_dedup_index(args) -> dict:
+    """Persist the corpus dedup index (the two tiny parquet sets every
+    future drop checks membership against): <index_dir>/md5 (distinct
+    content hashes) + <index_dir>/bands (distinct MinHash band keys).
+    Refreshing the index = re-running this command; nothing downstream
+    restarts (operators/dedup.py:build_dedup_index)."""
+    from multiagent_document_etl_system_spark.operators.dedup import (
+        build_dedup_index,
+    )
+
+    spark = get_spark("doc-etl-build-index")
+    docs = spark.read.parquet(args.docs_parquet)
+    md5_index, band_index = build_dedup_index(docs)
+    md5_index.write.mode("overwrite").parquet(f"{args.index_dir}/md5")
+    band_index.write.mode("overwrite").parquet(f"{args.index_dir}/bands")
+    return {
+        "success": True,
+        "index": args.index_dir,
+        "n_md5": spark.read.parquet(f"{args.index_dir}/md5").count(),
+        "n_band_keys": spark.read.parquet(f"{args.index_dir}/bands").count(),
+    }
+
+
+def cmd_dedup_check(args) -> dict:
+    """Check a document drop against a persisted dedup index: per doc,
+    exact membership (md5) and near-dup band matches — batch twin of the
+    st_dedup_vs_corpus streaming query, same operator
+    (operators/dedup.py:dedup_against_index). Writes per-doc flags with
+    --output; always returns the summary counts."""
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.operators.dedup import (
+        dedup_against_index,
+    )
+
+    spark = get_spark("doc-etl-dedup-check")
+    docs = spark.read.parquet(args.docs_parquet)
+    flags = dedup_against_index(
+        docs,
+        spark.read.parquet(f"{args.index_dir}/md5"),
+        spark.read.parquet(f"{args.index_dir}/bands"),
+    )
+    if args.output:
+        from multiagent_document_etl_system_spark.io import write_parquet
+        write_parquet(flags, args.output)
+    agg = flags.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("exact_dup"), 1).otherwise(0)).alias("exact"),
+        F.sum(F.when(F.col("n_band_matches") > 0, 1).otherwise(0))
+        .alias("near"),
+    ).first()
+    return {
+        "success": True,
+        "documents": agg["n"],
+        "exact_dups": int(agg["exact"]),
+        "near_dup_candidates": int(agg["near"]),
+        "output": args.output,
+    }
+
+
 def cmd_stats(args) -> dict:
     # static configuration, mirroring GET /stats (src/app.py:177-188)
     return {
@@ -251,6 +311,15 @@ def main(argv=None) -> int:
     cu.add_argument("output_dir")
     cu.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    bi = sub.add_parser("build-dedup-index")
+    bi.add_argument("docs_parquet")
+    bi.add_argument("index_dir")
+
+    dc = sub.add_parser("dedup-check")
+    dc.add_argument("docs_parquet")
+    dc.add_argument("index_dir")
+    dc.add_argument("--output", default=None)
+
     q = sub.add_parser("query")
     q.add_argument("name", nargs="?", default=None)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -261,8 +330,9 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
     out = {"process": cmd_process, "upload-schema": cmd_upload_schema,
-           "stats": cmd_stats, "query": cmd_query,
-           "curate": cmd_curate}[args.cmd](args)
+           "stats": cmd_stats, "query": cmd_query, "curate": cmd_curate,
+           "build-dedup-index": cmd_build_dedup_index,
+           "dedup-check": cmd_dedup_check}[args.cmd](args)
     print(json.dumps(out))
     return 0 if out.get("success", True) else 1
 

@@ -520,3 +520,53 @@ def neighbor_edit_distance(df: DataFrame, text_col: str = "text",
         dist.cast("bigint").alias("edit_dist"),
         F.round(dist.cast("double") / longest, 4).alias("rel_dist"),
     )
+
+
+def dedup_against_index(docs: DataFrame, md5_index: DataFrame,
+                        band_index: DataFrame,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Membership dedup of ``docs`` against a PERSISTED corpus index:
+    (id, exact_dup, n_band_matches). ``md5_index`` is a distinct (h) md5
+    set, ``band_index`` a distinct (band, bh) MinHash band-key set — the
+    two parquet files `cli build-dedup-index` writes; both are bytes-tiny
+    next to the corpus they summarize.
+
+    Works identically on batch and STREAMING ``docs`` (stream-static
+    joins + one aggregation — st_dedup_vs_corpus runs this very function
+    per micro-batch): incoming text never shuffles more than its md5 and
+    four (band, bh) rows.
+    """
+    md5_rows = (
+        docs.select(id_col, F.md5(text_col).alias("h"))
+        .join(md5_index.withColumn("_hit", F.lit(1)), "h", "left")
+        .select(id_col, F.coalesce("_hit", F.lit(0)).alias("is_exact"),
+                F.lit(0).alias("band_hit"))
+    )
+    inc_sh = docs.select(F.col(id_col).alias("_id"),
+                         shingles(F.col(text_col), 3).alias("_sh"))
+    band_rows = (
+        band_signatures(inc_sh)
+        .join(band_index.withColumn("_bhit", F.lit(1)),
+              ["band", "bh"], "left")
+        .select(F.col("_id").alias(id_col), F.lit(0).alias("is_exact"),
+                F.coalesce("_bhit", F.lit(0)).alias("band_hit"))
+    )
+    return (
+        md5_rows.unionByName(band_rows)
+        .groupBy(id_col)
+        .agg((F.max("is_exact") == 1).alias("exact_dup"),
+             F.sum("band_hit").cast("bigint").alias("n_band_matches"))
+    )
+
+
+def build_dedup_index(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """(md5_index, band_index) for :func:`dedup_against_index` — the two
+    frames a corpus persists (and periodically refreshes) so that every
+    future drop checks membership WITHOUT re-running all-pairs dedup."""
+    md5_index = docs.select(F.md5(text_col).alias("h")).distinct()
+    band_index = band_signatures(
+        shingle_sets(docs, text_col=text_col, id_col=id_col)) \
+        .select("band", "bh").distinct()
+    return md5_index, band_index

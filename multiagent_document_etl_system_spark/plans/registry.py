@@ -2461,34 +2461,12 @@ def st_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = _staged_incoming_docs_dir(spark, sf_dir)
     corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 != 7)
-    corpus_md5 = corpus.select(F.md5("text").alias("h")).distinct()
-    corpus_bands = dedup.band_signatures(dedup.shingle_sets(corpus)) \
-        .select("band", "bh").distinct()
+    corpus_md5, corpus_bands = dedup.build_dedup_index(corpus)
 
     stream = spark.readStream.schema(
         "doc_id bigint, text string, lang string, source string, "
         "n_chars bigint").parquet(stage)
-    md5_rows = (
-        stream.select("doc_id", F.md5("text").alias("h"))
-        .join(corpus_md5.withColumn("_hit", F.lit(1)), "h", "left")
-        .select("doc_id", F.coalesce("_hit", F.lit(0)).alias("is_exact"),
-                F.lit(0).alias("band_hit"))
-    )
-    inc_sh = stream.select(F.col("doc_id").alias("_id"),
-                           dedup.shingles(F.col("text"), 3).alias("_sh"))
-    band_rows = (
-        dedup.band_signatures(inc_sh)
-        .join(corpus_bands.withColumn("_bhit", F.lit(1)),
-              ["band", "bh"], "left")
-        .select(F.col("_id").alias("doc_id"), F.lit(0).alias("is_exact"),
-                F.coalesce("_bhit", F.lit(0)).alias("band_hit"))
-    )
-    agg = (
-        md5_rows.unionByName(band_rows)
-        .groupBy("doc_id")
-        .agg((F.max("is_exact") == 1).alias("exact_dup"),
-             F.sum("band_hit").cast("bigint").alias("n_band_matches"))
-    )
+    agg = dedup.dedup_against_index(stream, corpus_md5, corpus_bands)
     name = f"st_dedup_corpus_{uuid.uuid4().hex[:8]}"
     streamx.run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)

@@ -153,3 +153,41 @@ def test_curate_writes_funnel_survivors(spark, tmp_path, capsys):
     # lang partitioning on disk
     import os
     assert any(x.startswith("lang=") for x in os.listdir(out_dir))
+
+
+def test_dedup_index_roundtrip(spark, tmp_path, capsys):
+    """build-dedup-index + dedup-check: an exact copy of an indexed doc is
+    flagged exact, a lightly edited copy is flagged near-dup, fresh text
+    is clean — and the batch CLI agrees with the streaming query's
+    operator (same function)."""
+    from tests.conftest import SF_DIR
+
+    corpus_dir = str(tmp_path / "corpus")
+    drop_dir = str(tmp_path / "drop")
+    index_dir = str(tmp_path / "index")
+
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.write.parquet(corpus_dir)
+    base = docs.orderBy("doc_id").limit(2).collect()
+    near = " ".join(base[1]["text"].split()[:-1]) + " zzz"
+    spark.createDataFrame(
+        [(900001, base[0]["text"]),          # exact copy
+         (900002, near),                     # near dup (one token changed)
+         (900003, "completely fresh text never indexed " * 10)],
+        "doc_id long, text string").write.parquet(drop_dir)
+
+    rc, resp = _run(capsys, ["build-dedup-index", corpus_dir, index_dir])
+    assert rc == 0 and resp["n_md5"] > 0 and resp["n_band_keys"] > 0
+
+    out_dir = str(tmp_path / "flags")
+    rc, resp = _run(capsys, ["dedup-check", drop_dir, index_dir,
+                             "--output", out_dir])
+    assert rc == 0 and resp["documents"] == 3
+    flags = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert flags[900001]["exact_dup"]
+    assert flags[900001]["n_band_matches"] > 0
+    assert not flags[900002]["exact_dup"]
+    assert flags[900002]["n_band_matches"] > 0
+    assert not flags[900003]["exact_dup"]
+    assert flags[900003]["n_band_matches"] == 0
