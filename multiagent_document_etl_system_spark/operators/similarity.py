@@ -870,7 +870,7 @@ def pq_adc_rerank_topk(queries: DataFrame, candidates: DataFrame, dim: int,
 def ivfpq_topk(queries: DataFrame, candidates: DataFrame, dim: int,
                k: int = 5, n_cells: int = 16, n_probe: int = 2,
                n_subspaces: int = 4, n_codes: int = 16,
-               k_adc: int = 100, seed: int = 42,
+               k_adc: int = 100, seed: int = 42, residual: bool = True,
                q_id: str = "q_id", c_id: str = "c_id",
                q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
     """Full IVF-PQ retrieval — the architecture a 100 TB vector corpus
@@ -883,10 +883,17 @@ def ivfpq_topk(queries: DataFrame, candidates: DataFrame, dim: int,
     Per-query work: n_probe/n_cells of the corpus touched, at m lookups
     per pair over code bytes, then k_adc full vectors. The only corpus
     shuffle is the cell equi-join on a small uniform key; codebooks and
-    centroids ride as literals. Simplification vs textbook IVFPQ: codes
-    encode the normalized vectors directly, not cell residuals —
-    residual encoding reuses the same machinery with a subtract-centroid
-    staging column. KMeans everywhere => rows-only vs the oracle.
+    centroids ride as literals.
+
+    ``residual=True`` (default, the textbook IVFPQ form) encodes the
+    RESIDUAL x - centroid(cell(x)) instead of x: within a cell the
+    residual distribution is tighter than the raw one, so the same code
+    budget reconstructs finer and recall rises (measured at fixture
+    scale: 0.76 raw -> higher residual; tests assert the direction). The
+    query-side distance tables are then per (query, probed cell) — the
+    subtract-centroid staging column after the probe explode — and the
+    candidate codes are assigned from the residual, same machinery
+    otherwise. KMeans everywhere => rows-only vs the oracle.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -902,25 +909,34 @@ def ivfpq_topk(queries: DataFrame, candidates: DataFrame, dim: int,
     n_probe = min(n_probe, n_cells)
     fitted = KMeans(k=n_cells, seed=seed, featuresCol="_v",
                     predictionCol="_cell").fit(train)
+    centers_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in ctr])
+        for ctr in fitted.clusterCenters()
+    ])
     assigned = (
         fitted.transform(cand_n.withColumn(
             "_v", array_to_vector(F.col("_nv"))))
         .select(c_id, F.col("_nv"), "_cell")
     )
+    if residual:
+        # encode x - centroid(cell(x)); stage the residual as a column
+        assigned = assigned.withColumn(
+            "_ev",
+            F.zip_with("_nv", F.element_at(centers_lit, F.col("_cell") + 1),
+                       lambda a, b: a - b))
+    else:
+        assigned = assigned.withColumn("_ev", F.col("_nv"))
 
     # PQ codes for every candidate, codebooks shared with the query side
-    books = pq_fit(cand_n, dim, n_subspaces=n_subspaces, n_codes=n_codes,
-                   seed=seed, vec_col="_nv")
+    books = pq_fit(assigned, dim, n_subspaces=n_subspaces, n_codes=n_codes,
+                   seed=seed, vec_col="_ev")
     coded = pq_codes(assigned, dim, n_subspaces=n_subspaces,
                      n_codes=n_codes, seed=seed, id_col=c_id,
-                     vec_col="_nv", codebooks=books) \
+                     vec_col="_ev", codebooks=books) \
         .join(assigned.select(c_id, "_cell"), c_id)
 
-    # query side: probe cells + build ADC distance tables in one projection
-    centers_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in ctr])
-        for ctr in fitted.clusterCenters()
-    ])
+    # query side: probe cells, then build the ADC distance tables per
+    # (query, probed cell) from the query's residual in that cell
     width = dim // n_subspaces
     q_n = queries.select(F.col(q_id), l2_normalize(F.col(q_vec))
                          .alias("_nv"))
@@ -933,23 +949,30 @@ def ivfpq_topk(queries: DataFrame, candidates: DataFrame, dim: int,
             i.alias("cell"),
         ),
     )
+    probed = q_n.select(
+        q_id, "_nv",
+        F.explode(F.transform(F.slice(F.array_sort(cell_d), 1, n_probe),
+                              lambda st: st["cell"])).alias("_cell"),
+    )
+    if residual:
+        probed = probed.withColumn(
+            "_ev",
+            F.zip_with("_nv", F.element_at(centers_lit, F.col("_cell") + 1),
+                       lambda a, b: a - b))
+    else:
+        probed = probed.withColumn("_ev", F.col("_nv"))
     tables = []
     for s, book in enumerate(books):
         book_lit = F.array(*[
             F.array(*[F.lit(x) for x in ctr]) for ctr in book])
-        sub = F.slice("_nv", s * width + 1, width)
+        sub = F.slice("_ev", s * width + 1, width)
         tables.append(F.transform(
             book_lit,
             lambda ctr: F.aggregate(
                 F.zip_with(sub, ctr, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0), lambda acc, x: acc + x),
         ))
-    probed = q_n.select(
-        q_id,
-        F.array(*tables).alias("_dt"),
-        F.explode(F.transform(F.slice(F.array_sort(cell_d), 1, n_probe),
-                              lambda st: st["cell"])).alias("_cell"),
-    )
+    probed = probed.select(q_id, F.array(*tables).alias("_dt"), "_cell")
 
     pairs = coded.join(F.broadcast(probed), "_cell") \
         .filter(F.col(q_id) != F.col(c_id))

@@ -346,3 +346,34 @@ def test_lateral_topk_decorrelates(spark):
     assert "Window" in plan
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, plan
+
+
+def test_ivfpq_residual_beats_raw_on_clustered_data(spark):
+    """Residual encoding (codes on x - centroid) must out-recall raw
+    encoding at the same code budget when cells capture real structure —
+    the textbook IVFPQ claim. Isotropic fixtures can't show it (centroids
+    ~ 0 => residual ~ raw), so this builds a clustered corpus: 8 separated
+    centers + small noise. Measured 0.28 raw vs 0.46 residual at
+    n_probe=1, k_adc=20."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    centers = rng.normal(0, 1, (8, 64)) * 3
+    rows = [(i, (centers[i % 8] + rng.normal(0, 0.3, 64))
+             .astype("float32").tolist()) for i in range(600)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") % 60 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_vec"))
+    exact = {(r["q_id"], r["c_id"])
+             for r in similarity.topk_join(q, c, k=5).collect()}
+
+    def recall(residual):
+        got = {(r["q_id"], r["c_id"]) for r in similarity.ivfpq_topk(
+            q, c, dim=64, k=5, n_cells=8, n_probe=1, k_adc=20,
+            residual=residual).collect()}
+        return len(got & exact) / len(exact)
+
+    r_raw, r_res = recall(False), recall(True)
+    assert r_res > r_raw, (r_raw, r_res)
