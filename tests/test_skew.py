@@ -59,3 +59,43 @@ def test_salted_join_left_outer(spark, skewed):
                            n_salts=4, how="left")
     assert out.count() == skewed.count()
     assert out.filter(F.col("label").isNull()).count() == 500
+
+
+def test_aqe_splits_skewed_smj_at_runtime(spark):
+    """AQE's skew-join split — the runtime half of the skew story next to
+    the manual salting above — must actually fire: a 90%-hot key under a
+    forced sort-merge join ends up as SortMergeJoin(skew=true) in the
+    EXECUTED plan (the pre-execution plan never shows it; and a groupBy
+    on the join key directly above the join suppresses the split, since
+    splitting would break co-partitioning and AQE won't insert an extra
+    shuffle unless forceOptimizeSkewedJoin is set)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        pad = F.sha2(F.col("id").cast("string"), 256)
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id") % 100).alias("k"),
+            pad.alias("pad"))
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv"))
+        j = left.join(right, "k").select("k", "pad")
+        assert len(j.collect()) == 300000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
