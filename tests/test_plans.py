@@ -318,3 +318,27 @@ def test_interval_join_binned_is_equi_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "bucket" in p  # the bin is the join key
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning — the join-time pruning that makes a
+    date/tenant-partitioned 100 TB fact readable: the filtered dimension's
+    keys flow into the fact scan as a runtime PartitionFilters subquery
+    (reusing the join's broadcast), so only the matching partitions are
+    ever listed or read. Asserts the dynamicpruning subquery sits in the
+    executed plan and the row count proves only 2/20 partitions
+    contributed."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "fact")
+    spark.range(0, 100000).select(
+        (F.col("id") % 20).alias("part_key"), F.col("id").alias("v")) \
+        .write.mode("overwrite").partitionBy("part_key").parquet(d)
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("part_key"),
+        F.when(F.col("id") < 2, "hot").otherwise("cold").alias("attr"))
+    j = spark.read.parquet(d).join(dim.filter(F.col("attr") == "hot"),
+                                   "part_key")
+    assert j.count() == 100000 * 2 // 20
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
