@@ -260,6 +260,11 @@ def cmd_dedup_check(args) -> dict:
     if args.output:
         from multiagent_document_etl_system_spark.io import write_parquet
         write_parquet(flags, args.output)
+        # summarize the WRITTEN files, not the plan: re-aggregating
+        # `flags` would execute the whole drop-scan + two index joins a
+        # second time (and could even disagree with what was persisted if
+        # an input changed between runs)
+        flags = spark.read.parquet(args.output)
     agg = flags.agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("exact_dup"), 1).otherwise(0)).alias("exact"),

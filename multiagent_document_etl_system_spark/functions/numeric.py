@@ -22,9 +22,13 @@ Why not simpler alternatives (measured at sf0.1, 600k-row 4-sum agg):
   Spark's ROUND on doubles) — ``floor(x*1e6 + 0.5)`` is pure FP math and
   near-free;
 - scaled ``sum(bigint)``: fastest, but int64 silently wraps around ~1e8
-  high-value rows per group — a 100 TB correctness hazard. The
-  DECIMAL(38,0) accumulator costs ~2x a double sum total, the price of
-  exactness.
+  high-value rows per group — a 100 TB correctness hazard.
+
+Re-measured r4 (sf0.1, cached 600k-row input, best-of-5 per variant):
+double 0.293s / bigint 0.273s / decimal(18,0) 0.263s / decimal(38,0)
+0.223s — the accumulator type is IN THE NOISE at this scale; scan+shuffle
+dominate. The earlier "~2x" figure was a microbench artifact, so there is
+no performance case for weakening the exact 128-bit accumulator.
 
 Numeric domain: |x| must stay below ~9e9 for ``x*1e6`` to remain inside
 the double exact-integer range (2^53); money/metric values here are ≤ 1e7.
@@ -65,13 +69,43 @@ def _unscale_sql(sum_expr: str) -> str:
     return f"CAST({sum_expr} AS DOUBLE) / {_SCALE}.0"
 
 
+def grid_round(col: Column, scale: int) -> Column:
+    """``floor(x * 10^scale + 0.5) / 10^scale`` — half-up rounding as pure
+    FP math, identical on both engines.
+
+    Engine ``round(double, N)`` is NOT portable: Spark routes doubles
+    through BigDecimal HALF_UP while DuckDB multiplies/divides, and the two
+    can differ by 1 ulp when the true value sits within 1 ulp of a half
+    boundary (observed: ``td_prepare_corpus`` driver-red r2+r3 on exactly
+    this). The floor-grid computes the same double ops in the same order on
+    both engines, so the outputs are bit-identical; integer-result/10^scale
+    also can never stringify as ``-0.0``.
+    """
+    g = float(10 ** scale)
+    return F.floor(col.cast("double") * F.lit(g) + F.lit(0.5)) / F.lit(g)
+
+
+def grid_round_sql(expr: str, scale: int) -> str:
+    """DuckDB twin of :func:`grid_round`.
+
+    The divisor is CAST to DOUBLE because this SQL text also runs through
+    ``spark.sql`` (q_sql_api runs IDENTICAL text on both engines): Spark
+    parses ``10000.0`` as DECIMAL(6,1) and its ``floor`` returns BIGINT,
+    so a bare ``/ 10000.0`` yields DECIMAL(28,7) — trailing-zero strings
+    that hash-mismatch DuckDB's DOUBLE (the original q_sql_api r01 FAIL).
+    With the cast, both engines do the same float division.
+    """
+    g = 10 ** scale
+    return f"floor(({expr}) * {g}.0 + 0.5) / CAST({g} AS DOUBLE)"
+
+
 def stable_sum(col: Column, scale: int = 2) -> Column:
     """Order-insensitive ``round(sum(col), scale)`` (double output)."""
-    return F.round(_unscale(F.sum(dec(col))), scale)
+    return grid_round(_unscale(F.sum(dec(col))), scale)
 
 
 def stable_sum_sql(expr: str, scale: int = 2) -> str:
-    return f"round({_unscale_sql(f'sum({dec_sql(expr)})')}, {scale})"
+    return grid_round_sql(_unscale_sql(f"sum({dec_sql(expr)})"), scale)
 
 
 def stable_avg(col: Column, scale: int = 4) -> Column:
@@ -79,13 +113,12 @@ def stable_avg(col: Column, scale: int = 4) -> Column:
 
     avg semantics: nulls excluded from both sum and count.
     """
-    return F.round(_unscale(F.sum(dec(col))) / F.count(col), scale)
+    return grid_round(_unscale(F.sum(dec(col))) / F.count(col), scale)
 
 
 def stable_avg_sql(expr: str, scale: int = 4) -> str:
-    return (
-        f"round({_unscale_sql(f'sum({dec_sql(expr)})')}"
-        f" / count({expr}), {scale})"
+    return grid_round_sql(
+        f"{_unscale_sql(f'sum({dec_sql(expr)})')} / count({expr})", scale
     )
 
 
@@ -96,7 +129,7 @@ def stable_ratio(num: Column, den: Column, scale: int = 4,
     Both sums are exact scaled integers; the shared 1e6 scale cancels in
     the division (computed on identical doubles in both engines).
     """
-    return F.round(
+    return grid_round(
         F.lit(factor) * F.sum(dec(num)).cast("double")
         / F.sum(dec(den)).cast("double"),
         scale,
@@ -105,7 +138,8 @@ def stable_ratio(num: Column, den: Column, scale: int = 4,
 
 def stable_ratio_sql(num: str, den: str, scale: int = 4,
                      factor: str = "1.0") -> str:
-    return (
-        f"round({factor} * CAST(sum({dec_sql(num)}) AS DOUBLE)"
-        f" / CAST(sum({dec_sql(den)}) AS DOUBLE), {scale})"
+    return grid_round_sql(
+        f"{factor} * CAST(sum({dec_sql(num)}) AS DOUBLE)"
+        f" / CAST(sum({dec_sql(den)}) AS DOUBLE)",
+        scale,
     )

@@ -152,7 +152,14 @@ def read_csv_corpus(spark: SparkSession, path: str, schema: str,
     if header:
         # drop every line equal to the schema's column-name row — a pure
         # per-row predicate (no driver-side first() peek), which also
-        # swallows the repeated headers of concatenated multi-file dumps
+        # swallows the repeated headers of concatenated multi-file dumps.
+        # Documented tradeoffs of the naive comma-join match: (1) a DATA
+        # row that happens to equal the exact header string is silently
+        # dropped — impossible when any column is numeric (the header
+        # would not type-parse), vanishingly unlikely otherwise; (2) a
+        # header written with quotes/extra whitespace survives the filter
+        # and lands in _corrupt_record, i.e. is COUNTED in the audit
+        # rather than dropped — the fail-loud side of the trade
         names = [f.name for f in StructType.fromDDL(schema).fields]
         lines = lines.filter(F.col("value") != ",".join(names))
     parsed = F.from_csv(

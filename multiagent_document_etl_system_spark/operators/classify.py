@@ -19,7 +19,9 @@ Scale: embarrassingly parallel map — no shuffle, no skew concern.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
 from multiagent_document_etl_system_spark.functions.text import (
@@ -148,16 +150,89 @@ def classify_oracle_sql(table: str = "documents", id_col: str = "doc_id",
     )
 
 
-def classify_llm(df: DataFrame, text_col: str = "text",
-                 out_col: str = "doc_type") -> DataFrame:
-    """LLM-backed variant stub (same column contract as :func:`classify`).
+# --- LLM-backed variant (executor-side, pluggable client) -----------------
+#
+# The reference classifies via a Groq chat call per document
+# (/root/reference/src/groq_client.py:19-41, agents.py:81-101). The engine
+# twin below is a REAL executor path: an Arrow-batched Pandas UDF that
+# builds the same prompt shape, calls a pluggable ``client(prompt) -> str``
+# (a real deployment passes a closure holding the HTTP call; one client per
+# executor process), and normalizes the reply exactly like the reference
+# (first line -> strip -> lower, agents.py:93-94; labels outside the set
+# fall back to 'other'). The default client is ``mock_llm_client`` — a
+# deterministic local "server" whose canned chat-style replies encode the
+# SAME semantics as :func:`classify`, so the two paths are
+# contract-equivalent and pytest-checked against each other
+# (tests/test_llm_paths.py).
 
-    A real deployment wires a Pandas UDF with a per-executor HTTP client
-    (reference calls Groq, /root/reference/src/groq_client.py:19-41). The
-    harness has no network/LLM, so this raises — the deterministic twin is
-    the engine's checked semantics.
-    """
-    raise NotImplementedError(
-        "LLM classify requires an external endpoint; use classify() — the "
-        "deterministic twin with the same column contract."
+_DOC_MARKER = "Document:\n"
+
+
+def build_classify_prompt(text: str, head_chars: int = HEAD_CHARS) -> str:
+    """The reference's prompt shape: label menu + truncated document."""
+    labels = ", ".join(list(LABEL_KEYWORDS) + ["other"])
+    return (
+        f"Classify the following document as one of: {labels}.\n"
+        f"Reply with the label only.\n{_DOC_MARKER}{text[:head_chars]}"
     )
+
+
+def _clean_text_py(t: str) -> str:
+    """Python replica of functions.text.clean_text (ASCII \\w, matching the
+    Java/RE2 kernels — the corpus is ASCII by design)."""
+    import re
+    t = re.sub(r"\s+", " ", t)
+    t = re.sub(r"[^\w\s.,\-():]", "", t, flags=re.ASCII)
+    return t.strip()
+
+
+def mock_llm_client(prompt: str) -> str:
+    """Deterministic canned-response LLM (the mock server).
+
+    Extracts the document from the prompt, scores it with the exact
+    semantics of :func:`classify` (clean -> truncate -> keyword occurrence
+    argmax -> priority tie-break), and replies the way a chat model does —
+    capitalized label on the first line, then an explanation — so the
+    response-normalization path is genuinely exercised.
+    """
+    doc = prompt.split(_DOC_MARKER, 1)[1] if _DOC_MARKER in prompt else prompt
+    head = _clean_text_py(doc.lower())[:HEAD_CHARS]
+    scores = {lbl: sum(head.count(w) for w in kws)
+              for lbl, kws in LABEL_KEYWORDS.items()}
+    best = max(scores.values(), default=0)
+    label = "other" if best <= 0 else next(
+        lbl for lbl in LABEL_KEYWORDS if scores[lbl] == best)
+    return f"{label.title()}\nReasoning: highest keyword evidence."
+
+
+def parse_label_response(resp: str) -> str:
+    """Reference normalization (agents.py:93-94) + closed-set validation:
+    first line -> strip -> lower; anything outside the label set -> 'other'
+    (an LLM can reply with prose — never let that become a label)."""
+    label = (resp or "").split("\n", 1)[0].strip().lower()
+    return label if label in LABEL_KEYWORDS or label == "other" else "other"
+
+
+def classify_llm(df: DataFrame, text_col: str = "text",
+                 out_col: str = "doc_type", client=None) -> DataFrame:
+    """LLM-backed classification — same column contract as
+    :func:`classify`, as a real Arrow-batched Pandas UDF path.
+
+    ``client``: ``Callable[[str], str]`` mapping a prompt to the raw model
+    reply; defaults to :func:`mock_llm_client`. The callable is pickled to
+    executors once and reused across batches (per-executor singleton — the
+    embed.py pattern). Never in the oracle path: the deterministic twin
+    :func:`classify` defines the checked semantics (SURVEY.md §7.4).
+    """
+    the_client = client or mock_llm_client
+
+    @F.pandas_udf(T.StringType())
+    def _classify_batch(texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            parse_label_response(
+                the_client(build_classify_prompt(
+                    t if isinstance(t, str) else "")))
+            for t in texts
+        ])
+
+    return df.withColumn(out_col, _classify_batch(F.col(text_col)))

@@ -380,7 +380,8 @@ def neighbor_containment(df: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------- duplicate clustering
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 10,
+                       checkpoint_dir: str | None = None) -> DataFrame:
     """Resolve a near-dup PAIR list into duplicate CLUSTERS: (id, rep)
     where ``rep`` is the smallest id in the pair-graph's connected
     component — the survivor every other member dedups against.
@@ -401,7 +402,21 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
 
     Input: (id_a, id_b [, ...]) with id_a < id_b. Output covers only ids
     that appear in some pair (singletons are their own rep by definition).
+
+    ``checkpoint_dir``: per-round lineage truncation defaults to
+    ``localCheckpoint`` (executor-local blocks — right for local[N] and
+    the bench, but an executor loss on a real cluster means
+    recompute-from-NOTHING because the lineage is gone). Passing a
+    directory switches every truncation to reliable ``checkpoint()``
+    (HDFS/object-store-backed), which survives executor death — the
+    setting a 1000-executor run should use.
     """
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col("id_a").alias("src"),
                          F.col("id_b").alias("dst"))
     # undirected adjacency + self loops, one row per (node, neighbor)
@@ -420,9 +435,8 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     # one plan. Checkpointing the edge list is the standard move for
     # iterative graph algorithms (GraphX/ML do the same); the edge list is
     # pair-graph-sized — tiny next to the corpus — at any scale.
-    adj = adj.localCheckpoint(eager=True)
-    labels = adj.groupBy("src").agg(F.min("dst").alias("rep")) \
-        .localCheckpoint(eager=True)
+    adj = _truncate(adj)
+    labels = _truncate(adj.groupBy("src").agg(F.min("dst").alias("rep")))
     for _ in range(max_iters - 1):
         # next label = min over neighbors' current labels (incl. own)
         nbr = (
@@ -447,8 +461,8 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
                 F.least(F.col("rep"),
                         F.coalesce(F.col("_rr"), F.col("rep"))).alias("rep"),
             )
-            .localCheckpoint(eager=True)
         )
+        new = _truncate(new)
         # convergence early-exit: min-label propagation is monotone, so an
         # unchanged round is the fixpoint and every further round is a
         # no-op. The check is one count over the (tiny, checkpointed)

@@ -284,11 +284,25 @@ def ivf_fit_cap(n_cells: int) -> int:
 def ivf_train_sample(cand_n: DataFrame, n_cells: int) -> DataFrame:
     """The bounded quantizer-fit input: at most ``ivf_fit_cap(n_cells)``
     normalized vectors (``_nv``) as ML vectors (``_v``). Split out so tests
-    can assert the bound sits in the plan (GlobalLimit)."""
+    can assert the bound sits in the plan (GlobalLimit).
+
+    The sample is the cap-many rows with the SMALLEST content hash — not a
+    bare ``limit()``, which is partition-order dependent (an upstream
+    shuffle, coalesce change, or speculative retry silently changes which
+    rows feed KMeans, hence the codebooks, hence every code downstream;
+    the repo's hash-not-rand sampling convention, proven by
+    test_hash_sampling_survives_task_retries, applies to fits too).
+    ORDER BY hash LIMIT cap plans as TakeOrderedAndProject: a cap-size
+    heap per partition, no global sort shuffle. It does scan the corpus
+    once — acceptable because assignment scans the corpus immediately
+    after anyway, so fit adds one column-pruned pass, not a new cost
+    class."""
     from pyspark.ml.functions import array_to_vector
 
-    return cand_n.select(array_to_vector(F.col("_nv")).alias("_v")) \
-        .limit(ivf_fit_cap(n_cells))
+    return (cand_n.select(F.col("_nv"), F.xxhash64(F.col("_nv")).alias("_h"))
+            .orderBy("_h")
+            .limit(ivf_fit_cap(n_cells))
+            .select(array_to_vector(F.col("_nv")).alias("_v")))
 
 
 def ivf_topk(queries: DataFrame, candidates: DataFrame,
@@ -711,7 +725,9 @@ def pq_fit(df: DataFrame, dim: int, n_subspaces: int = 4,
     width = dim // n_subspaces
     assert width * n_subspaces == dim, "dim must split evenly"
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sample = df.select(v.alias("_v")).limit(ivf_fit_cap(n_codes))
+    # smallest-content-hash sample, not bare limit() — see ivf_train_sample
+    sample = (df.select(v.alias("_v"), F.xxhash64(v).alias("_h"))
+              .orderBy("_h").limit(ivf_fit_cap(n_codes)).select("_v"))
     books: list[list[list[float]]] = []
     for s in range(n_subspaces):
         sub = sample.select(

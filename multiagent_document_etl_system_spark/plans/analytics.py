@@ -118,7 +118,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "o_orderkey",
             F.year("o_orderdate").cast("bigint").alias("o_year"),
@@ -156,7 +156,7 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -569,7 +569,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct) / INTERSECT / EXCEPT over customer-key sets."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    b = o.join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+    b = o.join(c.filter(F.col("c_mktsegment") == "BUILDING"),
                o.o_custkey == F.col("c_custkey")).select("o_custkey")
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     rows = [
@@ -628,7 +628,7 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct variants in q_set_ops."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    b = o.join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+    b = o.join(c.filter(F.col("c_mktsegment") == "BUILDING"),
                o.o_custkey == F.col("c_custkey")).select("o_custkey")
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     rows = [
@@ -957,7 +957,7 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy(F.col("l_partkey").alias("_pk")) \
         .agg((0.2 * F.avg("l_quantity")).alias("_qty_cap"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(per_part, li.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_qty_cap"))
         .agg(F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double")
@@ -1437,8 +1437,8 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -1471,7 +1471,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -1504,7 +1504,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.month("l_shipdate").cast("bigint").alias("ship_month"))
         .agg(
             stable_ratio(promo, disc, factor=100.0).alias("promo_pct"),
@@ -1546,7 +1546,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(big.withColumnRenamed("l_orderkey", "_bk"),
                 li.l_orderkey == F.col("_bk"), "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "o_orderkey",
                  F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
                  F.round("o_totalprice", 2).alias("o_totalprice"))
@@ -1581,7 +1581,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((brand == "Brand#3") & size.between(1, 35) & qty.between(20, 40))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -1654,8 +1654,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"),
@@ -1734,8 +1734,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("*").alias("cnt"))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(pq), li.l_partkey == F.col("pq_partkey"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pq, li.l_partkey == F.col("pq_partkey"))
         .filter(5 * F.col("l_quantity").cast("bigint") * F.col("cnt")
                 < F.col("sum_qty"))
         .agg(
@@ -1831,8 +1831,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         offers.join(best, (offers.l_partkey == F.col("_bk"))
                     & (offers.best == F.col("best_price")))
-        .join(F.broadcast(p), offers.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+        .join(p, offers.l_partkey == p.p_partkey)
+        .join(s, offers.l_suppkey == s.s_suppkey)
         .select("p_partkey", "p_brand", "s_name",
                 F.round("best", 2).alias("best_price"))
     )
@@ -1895,8 +1895,8 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = _t(spark, sf_dir, "supplier") \
         .filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
@@ -1992,7 +1992,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("scaled") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name",
                 F.round(F.col("scaled").cast("double") / 1000000.0, 2)
                 .alias("total_revenue"))
@@ -2019,12 +2019,12 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     s = _t(spark, sf_dir, "supplier")
     qty = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("brand_qty"))
         .filter(F.col("brand_qty") > 100)
     )
-    return qty.join(F.broadcast(s), qty.l_suppkey == s.s_suppkey) \
+    return qty.join(s, qty.l_suppkey == s.s_suppkey) \
         .select("s_suppkey", "s_name", "brand_qty")
 
 
@@ -2092,7 +2092,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = F.when(F.col("n_name") == "NATION_1", disc).otherwise(F.lit(0.0))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
@@ -2131,7 +2131,7 @@ def q21_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(multi, li.l_orderkey == F.col("_mk"), "left_anti")
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").cast("bigint").alias("solo_orders"))
         .orderBy(F.desc("solo_orders"), F.asc("s_name"))
@@ -2205,7 +2205,8 @@ def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("q_regex_functions", """
 SELECT doc_id,
-  regexp_extract_all(text, '[0-9]+(?:\\.[0-9]+)?') AS numbers,
+  coalesce(array_to_string(
+    regexp_extract_all(text, '[0-9]+(?:\\.[0-9]+)?'), ','), '') AS numbers,
   CAST(len(regexp_extract_all(text, '[0-9]+(?:\\.[0-9]+)?')) AS INT)
     AS n_numbers,
   regexp_extract(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
@@ -2215,16 +2216,18 @@ SELECT doc_id,
 FROM documents
 """)
 def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex function sweep over documents: extract-all (array output),
-    match count, first-match extract, boolean match, global replace —
-    engines agree on this regex subset (no lookbehind, POSIX classes
-    avoided)."""
+    """Regex function sweep over documents: extract-all (CSV-joined —
+    the driver's canonicalizer cannot sort array cells, so registry
+    outputs are scalar-only), match count, first-match extract, boolean
+    match, global replace — engines agree on this regex subset (no
+    lookbehind, POSIX classes avoided)."""
     d = _t(spark, sf_dir, "documents")
     num_re = r"[0-9]+(?:\.[0-9]+)?"
     email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     return d.select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit(num_re)).alias("numbers"),
+        F.concat_ws(",", F.regexp_extract_all("text", F.lit(num_re)))
+        .alias("numbers"),
         F.size(F.regexp_extract_all("text", F.lit(num_re))).cast("int")
         .alias("n_numbers"),
         F.regexp_extract("text", email_re, 0).alias("first_email"),

@@ -35,7 +35,11 @@ def norm_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # full shortest-round-trip precision: the driver compares floats at
+        # higher precision than 6 sig figs, so a lenient local format would
+        # mask 1-ulp cross-engine drift (exactly how td_prepare_corpus
+        # stayed locally green while driver-red in r2+r3)
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     return str(v)
