@@ -2595,6 +2595,100 @@ def ta_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.heavy_hitters(_docs(spark, sf_dir), inv_epsilon=500)
 
 
+# ---------------------------------------------- train-prep assignment ops
+# (round-4 additions: the three assignment decisions every training-data
+# loader makes — split membership, importance acceptance, and global
+# shuffle order — each as a deterministic content-hash function of the row,
+# so retries, speculative tasks, and engine choice can never change an
+# assignment. rand() could not give any of these properties.)
+
+_SPLIT_B = f"{dedup.hash64_sql('CAST(doc_id AS VARCHAR)', seed=41)} % 100"
+
+
+@_q("td_split", f"""
+SELECT doc_id, lang,
+  CASE WHEN {_SPLIT_B} < 90 THEN 'train'
+       WHEN {_SPLIT_B} < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""")
+def td_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (90/5/5): the split is
+    a pure hash function of the doc id (seeded md5 bucket mod 100), so it
+    is stable across runs, engines, and corpus growth — re-running the
+    pipeline after appending new docs never migrates an old doc between
+    splits (a leakage bug rand()-based splits have). Narrow map, zero
+    shuffles at any scale."""
+    d = _docs(spark, sf_dir)
+    b = dedup.hash64(F.col("doc_id").cast("string"), seed=41) % 100
+    return d.select(
+        "doc_id", "lang",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+@_q("td_importance_resample", f"""
+SELECT doc_id, lang, quality,
+  p_row < quality * quality AS accepted
+FROM (
+  SELECT doc_id, lang,
+    {textstats.quality_score_sql('text')} AS quality,
+    CAST({dedup.hash64_sql('CAST(doc_id AS VARCHAR)', seed=13)} % 1000000
+         AS DOUBLE) / 1000000.0 AS p_row
+  FROM documents
+)
+""")
+def td_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling (the DSIR-family curation
+    move): accept each doc with probability quality², via a deterministic
+    hash-uniform draw — high-quality docs pass ~1:1, junk is heavily
+    downsampled, and the SAME docs are accepted on every run/engine/retry.
+    The acceptance test is pure multiplication of grid-rounded doubles
+    (quality is on a 1e-4 grid), so the threshold compare can never flake
+    cross-engine the way exp()-based weights could (libm exp differs by
+    1 ulp between runtimes). Narrow map, zero shuffles."""
+    d = _docs(spark, sf_dir)
+    q = textstats.quality_score_expr(F.col("text"))
+    p_row = (dedup.hash64(F.col("doc_id").cast("string"), seed=13)
+             % 1_000_000).cast("double") / 1_000_000.0
+    return d.select(
+        "doc_id", "lang", q.alias("quality"), p_row.alias("_p"),
+    ).select(
+        "doc_id", "lang", "quality",
+        (F.col("_p") < F.col("quality") * F.col("quality")).alias("accepted"),
+    )
+
+
+@_q("td_shuffle_order", f"""
+SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos FROM (
+  SELECT doc_id, shard,
+    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+  FROM (SELECT doc_id,
+          {dedup.hash64_sql('CAST(doc_id AS VARCHAR)', seed=97)} % 8 AS shard,
+          {dedup.hash64_sql('CAST(doc_id AS VARCHAR)', seed=97)} AS h
+        FROM documents)
+)
+""")
+def td_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: every doc gets a
+    (shard, position) from a seeded content hash — shard = hash mod N,
+    position = rank of the hash within the shard. Reading shards in order
+    yields a reproducible pseudo-random permutation of the corpus (what a
+    dataloader needs for epoch order), with NO global sort: the only
+    shuffle is the hash partition + per-shard window, and shards are
+    independent so N scales with the cluster. rand() cannot do this —
+    a retried task would deal a different order."""
+    d = _docs(spark, sf_dir)
+    h = dedup.hash64(F.col("doc_id").cast("string"), seed=97)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", (h % 8).alias("shard"), h.alias("h"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 # relational surface (analytics.py)
 QUERIES.update(RELATIONAL_QUERIES)
 

@@ -78,3 +78,30 @@ def test_stable_avg_excludes_nulls(spark):
         [(1, 2.0), (2, None), (3, 4.0)], "id long, x double")
     row = df.agg(stable_avg(F.col("x")).alias("a")).first()
     assert row["a"] == 3.0  # (2+4)/2, not /3
+
+
+def test_exact_sum_equals_decimal_sum_path(spark):
+    """The split-radix long-path exact_sum must produce the identical
+    exact integer as the 128-bit decimal sum for positive/negative/mixed
+    and null-bearing inputs (including values near the 2^53 addend
+    domain edge)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.functions.numeric import (
+        dec,
+        exact_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i % 3, rng.uniform(-9e9, 9e9)) for i in range(3000)]
+    rows += [(0, None), (1, 0.0), (2, -0.0000005), (0, 8.9e9), (1, -8.9e9)]
+    df = spark.createDataFrame(rows, "g int, x double").repartition(7)
+    got = df.groupBy("g").agg(
+        exact_sum(F.col("x")).alias("fast"),
+        F.sum(dec(F.col("x"))).alias("ref"),
+    ).collect()
+    assert got
+    for r in got:
+        assert int(r["fast"]) == int(r["ref"]), r
