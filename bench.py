@@ -65,6 +65,10 @@ HEADLINE = [
     "v15_int8_quantize",
     "dedup_edit_distance",
     "ta_readability",
+    # round-4: train-prep assignment ops
+    "td_split",
+    "td_importance_resample",
+    "td_shuffle_order",
 ]
 
 
