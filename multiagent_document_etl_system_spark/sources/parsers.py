@@ -308,6 +308,205 @@ def _image_parse(lib, b: bytes) -> str:
     return lib.image_to_string(Image.open(io.BytesIO(b)))
 
 
+
+# --- S4 stdlib OCR rung -----------------------------------------------------
+#
+# The reference OCRs scanned pages with pytesseract
+# (/root/reference/src/parsers.py:90-105). Tesseract is not in this
+# container, so until r4 image rows degraded to a per-row error. The stdlib
+# rung below is REAL (small) OCR for the machine-rendered case: decode an
+# uncompressed 24-bit BMP with struct, binarize, segment lines/characters by
+# blank rows/columns, and nearest-template-match each cell against a 5x7
+# glyph font (Hamming distance with tolerance, '?' when nothing is close).
+# That covers screenshots/renders of text in a known font — the same
+# "constrained but genuine subset" contract as the pure-stdlib PDF and DOCX
+# rungs; photographs and arbitrary fonts still require the real engine.
+# ``render_text_bmp`` is the matching renderer (used by tests, which also
+# add noise pixels to prove the tolerance is doing work).
+
+_FONT_5X7: dict[str, tuple[int, ...]] = {
+    "A": (0b01110, 0b10001, 0b10001, 0b11111, 0b10001, 0b10001, 0b10001),
+    "B": (0b11110, 0b10001, 0b10001, 0b11110, 0b10001, 0b10001, 0b11110),
+    "C": (0b01110, 0b10001, 0b10000, 0b10000, 0b10000, 0b10001, 0b01110),
+    "D": (0b11110, 0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b11110),
+    "E": (0b11111, 0b10000, 0b10000, 0b11110, 0b10000, 0b10000, 0b11111),
+    "F": (0b11111, 0b10000, 0b10000, 0b11110, 0b10000, 0b10000, 0b10000),
+    "G": (0b01110, 0b10001, 0b10000, 0b10111, 0b10001, 0b10001, 0b01111),
+    "H": (0b10001, 0b10001, 0b10001, 0b11111, 0b10001, 0b10001, 0b10001),
+    "I": (0b01110, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0b01110),
+    "J": (0b00111, 0b00010, 0b00010, 0b00010, 0b00010, 0b10010, 0b01100),
+    "K": (0b10001, 0b10010, 0b10100, 0b11000, 0b10100, 0b10010, 0b10001),
+    "L": (0b10000, 0b10000, 0b10000, 0b10000, 0b10000, 0b10000, 0b11111),
+    "M": (0b10001, 0b11011, 0b10101, 0b10101, 0b10001, 0b10001, 0b10001),
+    "N": (0b10001, 0b10001, 0b11001, 0b10101, 0b10011, 0b10001, 0b10001),
+    "O": (0b01110, 0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b01110),
+    "P": (0b11110, 0b10001, 0b10001, 0b11110, 0b10000, 0b10000, 0b10000),
+    "Q": (0b01110, 0b10001, 0b10001, 0b10001, 0b10101, 0b10010, 0b01101),
+    "R": (0b11110, 0b10001, 0b10001, 0b11110, 0b10100, 0b10010, 0b10001),
+    "S": (0b01111, 0b10000, 0b10000, 0b01110, 0b00001, 0b00001, 0b11110),
+    "T": (0b11111, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100),
+    "U": (0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b01110),
+    "V": (0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b01010, 0b00100),
+    "W": (0b10001, 0b10001, 0b10001, 0b10101, 0b10101, 0b10101, 0b01010),
+    "X": (0b10001, 0b10001, 0b01010, 0b00100, 0b01010, 0b10001, 0b10001),
+    "Y": (0b10001, 0b10001, 0b01010, 0b00100, 0b00100, 0b00100, 0b00100),
+    "Z": (0b11111, 0b00001, 0b00010, 0b00100, 0b01000, 0b10000, 0b11111),
+    "0": (0b01110, 0b10001, 0b10011, 0b10101, 0b11001, 0b10001, 0b01110),
+    "1": (0b00100, 0b01100, 0b00100, 0b00100, 0b00100, 0b00100, 0b01110),
+    "2": (0b01110, 0b10001, 0b00001, 0b00010, 0b00100, 0b01000, 0b11111),
+    "3": (0b11111, 0b00010, 0b00100, 0b00010, 0b00001, 0b10001, 0b01110),
+    "4": (0b00010, 0b00110, 0b01010, 0b10010, 0b11111, 0b00010, 0b00010),
+    "5": (0b11111, 0b10000, 0b11110, 0b00001, 0b00001, 0b10001, 0b01110),
+    "6": (0b00110, 0b01000, 0b10000, 0b11110, 0b10001, 0b10001, 0b01110),
+    "7": (0b11111, 0b00001, 0b00010, 0b00100, 0b01000, 0b01000, 0b01000),
+    "8": (0b01110, 0b10001, 0b10001, 0b01110, 0b10001, 0b10001, 0b01110),
+    "9": (0b01110, 0b10001, 0b10001, 0b01111, 0b00001, 0b00010, 0b01100),
+}
+
+_GLYPH_W, _GLYPH_H = 5, 7
+#: worst acceptable Hamming distance for a match (of 35 cells); above it
+#: the cell reads as '?' rather than guessing
+_OCR_MAX_HAMMING = 8
+
+
+def _trim_resample(bits: list[list[bool]]) -> list[list[bool]]:
+    """Bounding-box trim + nearest-neighbor resample to the 5x7 grid —
+    the shared normalization for scanned cells AND font templates, so a
+    narrow glyph ('I', '1') whose blank flanks the column segmenter strips
+    still lands on the same grid as its template."""
+    rs = [r for r, row in enumerate(bits) if any(row)]
+    cs = [c for c in range(len(bits[0])) if any(row[c] for row in bits)]
+    if not rs or not cs:
+        return [[False] * _GLYPH_W for _ in range(_GLYPH_H)]
+    r0, r1, c0, c1 = rs[0], rs[-1] + 1, cs[0], cs[-1] + 1
+    ch, cw = r1 - r0, c1 - c0
+    return [
+        [bits[r0 + min(ch - 1, r * ch // _GLYPH_H)]
+             [c0 + min(cw - 1, c * cw // _GLYPH_W)]
+         for c in range(_GLYPH_W)]
+        for r in range(_GLYPH_H)
+    ]
+
+
+def _glyph_templates() -> dict[str, list[list[bool]]]:
+    out = {}
+    for name, rows in _FONT_5X7.items():
+        bits = [[bool(rows[r] >> (_GLYPH_W - 1 - c) & 1)
+                 for c in range(_GLYPH_W)] for r in range(_GLYPH_H)]
+        out[name] = _trim_resample(bits)
+    return out
+
+
+_TEMPLATES = _glyph_templates()
+
+
+def render_text_bmp(text: str, margin: int = 2) -> bytes:
+    """Render A-Z/0-9/space text (newlines = line breaks) as an
+    uncompressed 24-bit BMP — the deterministic twin of the OCR rung."""
+    import struct
+
+    lines = [ln.upper() for ln in text.split("\n")]
+    n_cols = max((len(ln) for ln in lines), default=0)
+    w = margin * 2 + max(n_cols * (_GLYPH_W + 1) - 1, 1)
+    h = margin * 2 + len(lines) * (_GLYPH_H + 1) - 1
+    # white canvas, row-major top-down
+    px = [[255] * w for _ in range(h)]
+    for li, ln in enumerate(lines):
+        y0 = margin + li * (_GLYPH_H + 1)
+        for ci, ch in enumerate(ln):
+            rows = _FONT_5X7.get(ch)
+            if rows is None:
+                continue  # space and unknowns stay blank
+            x0 = margin + ci * (_GLYPH_W + 1)
+            for r, bits in enumerate(rows):
+                for c in range(_GLYPH_W):
+                    if bits >> (_GLYPH_W - 1 - c) & 1:
+                        px[y0 + r][x0 + c] = 0
+    row_pad = (-(w * 3)) % 4
+    body = bytearray()
+    for row in reversed(px):  # BMP is bottom-up
+        for v in row:
+            body += bytes((v, v, v))
+        body += b"\x00" * row_pad
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return bytes(hdr + dib + body)
+
+
+def _decode_bmp_24(b: bytes) -> list[list[int]]:
+    """Uncompressed 24-bit BMP -> top-down luminance rows (0-255)."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (_, _, _, _, offset) = struct.unpack_from("<2sIHHI", b, 0)
+    (hsz, w, h, _, bpp, comp) = struct.unpack_from("<IiiHHI", b, 14)[:6]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(h):
+        src = r * stride + offset
+        row = [
+            (b[src + 3 * c] + b[src + 3 * c + 1] + b[src + 3 * c + 2]) // 3
+            for c in range(w)
+        ]
+        rows.append(row)
+    return rows[::-1] if bottom_up else rows
+
+
+def _ocr_parse_stdlib(b: bytes) -> str:
+    """Template-matching OCR over a decoded bitmap (see module comment)."""
+    px = _decode_bmp_24(b)
+    ink = [[v < 128 for v in row] for row in px]
+    h, w = len(ink), len(ink[0]) if ink else 0
+    # segment lines on blank pixel-rows
+    lines, start = [], None
+    for r in range(h + 1):
+        has_ink = r < h and any(ink[r])
+        if has_ink and start is None:
+            start = r
+        elif not has_ink and start is not None:
+            lines.append((start, r))
+            start = None
+    out_lines = []
+    for y0, y1 in lines:
+        # segment characters on blank pixel-columns
+        cells, cstart, blanks, text = [], None, 0, []
+        for c in range(w + 1):
+            has_ink = c < w and any(ink[r][c] for r in range(y0, y1))
+            if has_ink and cstart is None:
+                if cells and blanks >= _GLYPH_W - 1:
+                    cells.append(None)  # wide gap = space
+                cstart, blanks = c, 0
+            elif not has_ink and cstart is not None:
+                cells.append((cstart, c))
+                cstart, blanks = None, 1
+            elif not has_ink:
+                blanks += 1
+        for cell in cells:
+            if cell is None:
+                text.append(" ")
+                continue
+            x0, x1 = cell
+            bits = _trim_resample(
+                [row[x0:x1] for row in ink[y0:y1]])
+            best, best_d = "?", _OCR_MAX_HAMMING + 1
+            for ch_name, tmpl in _TEMPLATES.items():
+                d = sum(
+                    bits[r][c] != tmpl[r][c]
+                    for r in range(_GLYPH_H) for c in range(_GLYPH_W)
+                )
+                if d < best_d:
+                    best, best_d = ch_name, d
+            text.append(best)
+        out_lines.append("".join(text))
+    return "\n".join(out_lines)
+
+
 def _mk_fallback_parser(lib_name: str, lib_fn, stdlib_fn, label: str):
     """Two-rung parser: the reference's library when importable, else the
     pure-stdlib extractor with matching output semantics."""
@@ -332,14 +531,16 @@ def _mk_fallback_parser(lib_name: str, lib_fn, stdlib_fn, label: str):
 
 
 _PARSERS = {
-    # pdf and docx parse end-to-end in ANY environment: reference library
-    # when importable, pure-stdlib extractor otherwise. OCR has no stdlib
-    # rung — image rows degrade to a per-row error without pytesseract.
+    # pdf, docx, AND image parse end-to-end in ANY environment: reference
+    # library when importable, pure-stdlib extractor otherwise (the OCR
+    # stdlib rung handles machine-rendered BMP text; photographs still
+    # need pytesseract and error per-row honestly).
     "pdf": _mk_fallback_parser("pdfplumber", _pdf_parse,
                                _pdf_parse_stdlib, "pdf"),
     "docx": _mk_fallback_parser("docx", _docx_parse,
                                 _docx_parse_stdlib, "docx"),
-    "image": _mk_parser(lambda: __import__("pytesseract"), _image_parse, "ocr"),
+    "image": _mk_fallback_parser("pytesseract", _image_parse,
+                                 _ocr_parse_stdlib, "ocr"),
 }
 
 

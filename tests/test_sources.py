@@ -403,3 +403,58 @@ def test_ignore_corrupt_files_scan(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
     assert got == 10
+
+
+def test_ocr_parses_rendered_bmp_end_to_end(spark, tmp_path):
+    """S4 upgraded (round-4): a machine-rendered BMP flows through
+    parse_documents and yields the text back via the pure-stdlib OCR rung
+    (BMP decode -> binarize -> line/char segmentation -> 5x7 template
+    match) — the same constrained-but-genuine-subset contract as the
+    stdlib PDF/DOCX rungs. pytesseract remains the first rung for real
+    scans when importable."""
+    bmp = parsers.render_text_bmp("INVOICE 42 TOTAL 1337\nPAID IN FULL")
+    (tmp_path / "scan.png").write_bytes(bmp)  # .png ext routes to "image"
+    out = parsers.parse_documents(read_landing_dir(spark, str(tmp_path)))
+    r = out.select("raw_text", "parse_error").collect()[0]
+    assert r["parse_error"] is None
+    assert r["raw_text"] == "INVOICE 42 TOTAL 1337\nPAID IN FULL"
+
+
+def test_ocr_tolerates_noise_and_flags_unreadable_glyphs():
+    """Template matching is tolerant (Hamming budget), not a byte
+    round-trip: salt-noise pixels do not change the reading, and a glyph
+    mangled beyond the budget reads as '?' instead of a wrong letter."""
+    import random
+
+    bmp = bytearray(parsers.render_text_bmp("QUICK BROWN FOX 0189"))
+    rng = random.Random(5)
+    flips = 0
+    while flips < 8:
+        i = rng.randrange(54, len(bmp))
+        if bmp[i] == 255:
+            bmp[i] = 0
+            flips += 1
+    assert parsers._ocr_parse_stdlib(bytes(bmp)) == "QUICK BROWN FOX 0189"
+    # obliterate one glyph entirely -> '?', neighbors unharmed
+    solid = parsers.render_text_bmp("AB")
+    px = parsers._decode_bmp_24(solid)
+    h, w = len(px), len(px[0])
+    blotted = bytearray(solid)
+    # fill the SECOND glyph slot (cols 8..13 at margin 2) with ink
+    stride = (w * 3 + 3) // 4 * 4
+    off = 54
+    for r in range(2, h - 2):
+        for c in range(8, min(13, w)):
+            bmp_row = h - 1 - r  # bottom-up
+            for byte in range(3):
+                blotted[off + bmp_row * stride + 3 * c + byte] = 0
+    got = parsers._ocr_parse_stdlib(bytes(blotted))
+    assert got.startswith("A")
+    assert "?" in got
+
+
+def test_ocr_rejects_non_bmp_per_row():
+    import pytest
+
+    with pytest.raises(ValueError):
+        parsers._ocr_parse_stdlib(b"\x89PNG\r\n\x1a\n garbage")
