@@ -185,7 +185,8 @@ def cmd_curate(args) -> dict:
     )
 
     spark = get_spark("doc-etl-curate")
-    flags = curation_flags(spark, args.sf_dir)
+    flags = curation_flags(spark, args.sf_dir,
+                           checkpoint_dir=args.checkpoint_dir)
     c1 = F.col("f_gopher")
     c2 = c1 & F.col("f_decon")
     c3 = c2 & F.col("f_exact")
@@ -213,6 +214,38 @@ def cmd_curate(args) -> dict:
     m = obs.get
     return {"success": True, "output": args.output_dir,
             "partitioned_by": "lang", **{k: int(v) for k, v in m.items()}}
+
+
+def cmd_split(args) -> dict:
+    """Write the corpus partitioned into train/val/test by the
+    deterministic hash-bucket assignment (td_split semantics: seeded md5
+    bucket mod 100 of the id — append-stable, engine-stable, retry-stable).
+    One job writes the partitioned parquet AND counts each split via the
+    observe API; directory layout <out>/split=train|val|test."""
+    from pyspark.sql import Observation
+
+    from multiagent_document_etl_system_spark.operators.dedup import hash64
+
+    spark = get_spark("doc-etl-split")
+    docs = spark.read.parquet(args.docs_parquet)
+    train_pct = 100 - args.val_pct - args.test_pct
+    assert 0 < train_pct < 100, "val+test percentages must leave 1-99 train"
+    b = hash64(F.col(args.id_col).cast("string"), seed=41) % 100
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + args.val_pct, "val")
+        .otherwise("test")
+    )
+    obs = Observation("split_counts")
+    one = lambda v: F.sum(F.when(F.col("split") == v, 1).otherwise(0))  # noqa: E731
+    out = docs.withColumn("split", split).observe(
+        obs, F.count(F.lit(1)).alias("n_total"),
+        one("train").alias("n_train"), one("val").alias("n_val"),
+        one("test").alias("n_test"))
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output_dir)
+    return {"success": True, "output": args.output_dir,
+            "partitioned_by": "split",
+            **{k: int(v) for k, v in obs.get.items()}}
 
 
 def cmd_build_dedup_index(args) -> dict:
@@ -315,6 +348,18 @@ def main(argv=None) -> int:
     cu = sub.add_parser("curate")
     cu.add_argument("output_dir")
     cu.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cu.add_argument("--checkpoint-dir", default=None,
+                    help="reliable (HDFS/object-store) checkpoint dir for "
+                         "the cluster-propagation rounds; default is "
+                         "executor-local localCheckpoint (fine for "
+                         "local[N], lossy under executor death)")
+
+    sp = sub.add_parser("split")
+    sp.add_argument("docs_parquet")
+    sp.add_argument("output_dir")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--val-pct", type=int, default=5)
+    sp.add_argument("--test-pct", type=int, default=5)
 
     bi = sub.add_parser("build-dedup-index")
     bi.add_argument("docs_parquet")
@@ -337,7 +382,7 @@ def main(argv=None) -> int:
     out = {"process": cmd_process, "upload-schema": cmd_upload_schema,
            "stats": cmd_stats, "query": cmd_query, "curate": cmd_curate,
            "build-dedup-index": cmd_build_dedup_index,
-           "dedup-check": cmd_dedup_check}[args.cmd](args)
+           "dedup-check": cmd_dedup_check, "split": cmd_split}[args.cmd](args)
     print(json.dumps(out))
     return 0 if out.get("success", True) else 1
 

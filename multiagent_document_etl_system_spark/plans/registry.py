@@ -1216,7 +1216,8 @@ _FUNNEL_DECON_SQL = f"""
 """.strip()
 
 
-def curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_flags(spark: SparkSession, sf_dir: str,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Row-level curation flags — the shared core of the funnel REPORT
     (td_curation_funnel aggregates this) and the CURATE write path
     (cli curate filters on the conjunction and persists survivors).
@@ -1256,7 +1257,8 @@ def curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_dirty", F.lit(True))
     )
     dupes = (
-        dedup.duplicate_clusters(dedup.minhash_lsh_pairs(d, threshold=0.5))
+        dedup.duplicate_clusters(dedup.minhash_lsh_pairs(d, threshold=0.5),
+                                 checkpoint_dir=checkpoint_dir)
         .filter(F.col("rep") != F.col("id"))
         .select(F.col("id").alias("doc_id"))
         .withColumn("_dupe", F.lit(True))

@@ -191,3 +191,49 @@ def test_dedup_index_roundtrip(spark, tmp_path, capsys):
     assert flags[900002]["n_band_matches"] > 0
     assert not flags[900003]["exact_dup"]
     assert flags[900003]["n_band_matches"] == 0
+
+
+def test_split_writes_partitioned_deterministic(spark, tmp_path, capsys):
+    """cli split: partitioned train/val/test layout, observe counts match
+    the files, and the assignment is append-stable — re-splitting a GROWN
+    corpus never moves an old doc between splits."""
+    import json
+
+    from multiagent_document_etl_system_spark import cli
+
+    src = str(tmp_path / "docs")
+    spark.range(500).selectExpr(
+        "id AS doc_id", "concat('text ', id) AS text").write.parquet(src)
+    out = str(tmp_path / "splits")
+    assert cli.main(["split", src, out]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["n_total"] == 500
+    assert m["n_train"] + m["n_val"] + m["n_test"] == 500
+    assert m["n_train"] > m["n_val"] > 0 and m["n_test"] > 0
+    first = {r["doc_id"]: r["split"]
+             for r in spark.read.parquet(out).collect()}
+    # grow the corpus and re-split into a fresh dir
+    src2 = str(tmp_path / "docs2")
+    spark.range(1000).selectExpr(
+        "id AS doc_id", "concat('text ', id) AS text").write.parquet(src2)
+    out2 = str(tmp_path / "splits2")
+    assert cli.main(["split", src2, out2]) == 0
+    capsys.readouterr()
+    second = {r["doc_id"]: r["split"]
+              for r in spark.read.parquet(out2).collect()}
+    assert all(second[k] == v for k, v in first.items())
+
+
+def test_curate_accepts_reliable_checkpoint_dir(spark, tmp_path, capsys):
+    import json
+    import os
+
+    from multiagent_document_etl_system_spark import cli
+
+    out = str(tmp_path / "curated")
+    ck = str(tmp_path / "ck")
+    assert cli.main(["curate", out, "--sf-dir", "/root/testdata/sf0.001",
+                     "--checkpoint-dir", ck]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["success"] and m["n_input"] > 0
+    assert any(os.scandir(ck)), "reliable checkpoints not written"
