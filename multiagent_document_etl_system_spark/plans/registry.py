@@ -2597,6 +2597,79 @@ def ta_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.heavy_hitters(_docs(spark, sf_dir), inv_epsilon=500)
 
 
+# ------------------------------------------------- corpus -> model inputs
+
+_TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@_q("td_tokenize_ids", f"""
+WITH toks AS (
+  SELECT doc_id, token, pos FROM (
+    SELECT doc_id, unnest(ts) AS token,
+      unnest(generate_series(1, len(ts))) AS pos
+    FROM (SELECT doc_id, {_TOKS_SQL} AS ts
+          FROM documents WHERE text IS NOT NULL)
+  ) WHERE token <> ''
+), vocab AS (
+  SELECT token,
+    row_number() OVER (ORDER BY cnt DESC, token ASC) AS tid
+  FROM (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+  ORDER BY cnt DESC, token ASC LIMIT 1024
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN tid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  array_to_string(list(CAST(coalesce(tid, 0) AS VARCHAR) ORDER BY pos), ',')
+    AS ids
+FROM toks LEFT JOIN vocab USING (token)
+GROUP BY doc_id
+""")
+def td_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → token-id sequences (the text-to-model-input step of a
+    training pipeline): learn a frequency-ranked vocabulary (top 1024
+    tokens, count-desc/token-asc tie-break — fully deterministic), then
+    map every document to its id sequence with 0 = out-of-vocabulary,
+    plus token/OOV counts. Docs with no tokens (NULL/empty text) have no
+    id sequence and are absent by definition.
+
+    Scale shape: the vocab is two aggregations ending in a GlobalLimit
+    (bounded 1024 rows — legitimately broadcast); the corpus side is one
+    posexplode + broadcast join + one shuffle on doc_id to reassemble
+    sequences in position order (array_sort(collect_list(struct)), the
+    v9 pattern). Ids emit as a CSV string — registry outputs are
+    scalar-only (driver canon cannot sort array cells)."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.lower("text")), r"\s+"))
+            .alias("pos0", "token"))
+        .filter(F.col("token") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(1024)
+        .withColumn("tid", F.row_number().over(w))
+        .select("token", "tid")
+    )
+    joined = toks.join(F.broadcast(vocab), "token", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("tid").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_oov"),
+            F.concat_ws(",", F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    "pos", F.coalesce(F.col("tid"), F.lit(0)).alias("tid")))),
+                lambda st: st["tid"].cast("string"),
+            )).alias("ids"),
+        )
+    )
+
+
 # ---------------------------------------------- train-prep assignment ops
 # (round-4 additions: the three assignment decisions every training-data
 # loader makes — split membership, importance acceptance, and global
