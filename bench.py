@@ -65,10 +65,11 @@ HEADLINE = [
     "v15_int8_quantize",
     "dedup_edit_distance",
     "ta_readability",
-    # round-4: train-prep assignment ops
+    # round-4: train-prep assignment ops + tokenization
     "td_split",
     "td_importance_resample",
     "td_shuffle_order",
+    "td_tokenize_ids",
 ]
 
 
