@@ -2504,6 +2504,64 @@ def st_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@_q("st_curation_stream", f"""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_in,
+  CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+  CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(sum(CASE WHEN g AND q >= 0.5 THEN nt ELSE 0 END) AS BIGINT)
+    AS kept_tokens
+FROM (
+  SELECT lang, {curation.gopher_keep_sql('text')} AS g,
+    {textstats.quality_score_sql('text')} AS q,
+    {textstats.token_count_sql('text')} AS nt
+  FROM documents WHERE doc_id % 10 = 7
+) GROUP BY lang
+""")
+def st_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run, oracle-checked: the CURATION GATE on continuous
+    ingest — each incoming document (the staged %10==7 file stream) is
+    gopher-gated and quality-scored per micro-batch, with a per-language
+    running funnel (inputs, gopher survivors, quality survivors, kept
+    token mass) in complete mode. The gates are pure narrow maps (the
+    same Catalyst expressions as the batch funnel — zero new code paths
+    for streaming), so the only streaming state is the per-lang
+    aggregate: at scale this is the front door of a training-data
+    pipeline, admitting documents into the corpus as they land. Exact
+    integer outputs => fully hash-checked against the batch oracle."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_incoming_docs_dir(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint").parquet(stage)
+    # stage the token array ONCE — the gopher stats reference it ~6
+    # times and codegen does not unify repeated split() across HOF
+    # lambdas (the 5x lesson from the batch funnel)
+    staged = stream.withColumn(
+        "_toks", F.split(F.trim(F.col("text")), r"\s+"))
+    flagged = staged.select(
+        "lang",
+        curation.gopher_keep(F.col("_toks")).alias("g"),
+        textstats.quality_score_expr(F.col("text")).alias("q"),
+        textstats.token_count(F.col("text")).alias("nt"),
+    )
+    agg = flagged.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_in"),
+        F.sum(F.when(F.col("g"), 1).otherwise(0)).cast("bigint")
+        .alias("n_gopher"),
+        F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).cast("bigint")
+        .alias("n_quality"),
+        F.sum(F.when(F.col("g") & (F.col("q") >= 0.5), F.col("nt"))
+              .otherwise(0)).cast("bigint").alias("kept_tokens"),
+    )
+    name = f"st_curation_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 _ZBITS = 12  # 4096-cell grid per dimension
 
 

@@ -270,3 +270,26 @@ def test_bigram_logprob_matches_python_reference(spark, texts):
         n = len(lps)
         want = (n, round(sum(lps) / 1e6 / n, 4) if n else 0.0)
         assert got[i] == want, (i, got[i], want)
+
+
+# ----------------------------------------------------------- OCR round-trip
+
+@given(st.lists(
+    st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ",
+            min_size=1, max_size=30).map(lambda s: s.strip()),
+    min_size=1, max_size=4))
+@settings(max_examples=40, deadline=None)
+def test_ocr_round_trips_any_rendered_text(lines):
+    """Property: for ANY machine-rendered A-Z/0-9/space text, the stdlib
+    OCR rung reads back exactly what the renderer drew (whitespace
+    normalized: blank lines vanish, runs of spaces read as one — the
+    segmenter cannot see how many blank columns a render intended)."""
+    import re
+
+    from multiagent_document_etl_system_spark.sources import parsers
+
+    lines = [re.sub(r" +", " ", ln).strip() for ln in lines]
+    expected = [ln for ln in lines if ln]
+    text = "\n".join(lines)
+    got = parsers._ocr_parse_stdlib(parsers.render_text_bmp(text))
+    assert [ln for ln in got.split("\n") if ln] == expected
