@@ -104,10 +104,16 @@ def exact_sum(col: Column) -> Column:
 
 
 def dec_sql(expr: str) -> str:
-    """DuckDB twin of :func:`dec` — BIGINT addend; DuckDB sums BIGINT as
-    HUGEINT (int128), which is the same exact integer Spark's decimal sum
-    produces."""
-    return f"CAST(floor(({expr}) * {_SCALE} + 0.5) AS BIGINT)"
+    """SQL twin of :func:`dec` — DECIMAL(38,0) addend, so ``sum()`` over it
+    is 128-bit exact on BOTH engines. This text is usually DuckDB-only
+    (the oracle), where a BIGINT addend would also be exact (native
+    HUGEINT accumulation) — but q_sql_api runs the IDENTICAL text through
+    ``spark.sql``, and there ``sum(BIGINT)`` is a plain int64 that silently
+    wraps around ~1e8 high-value rows per group. The decimal addend keeps
+    the portable-text path wrap-free at any scale; the engine's own plans
+    use :func:`exact_sum` (split-radix long path) instead."""
+    return (f"CAST(CAST(floor(({expr}) * {_SCALE} + 0.5) AS BIGINT)"
+            f" AS DECIMAL(38,0))")
 
 
 def _unscale(sum_col: Column) -> Column:

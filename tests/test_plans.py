@@ -426,3 +426,15 @@ def test_no_forced_broadcast_of_sf_scaling_tables(spark):
         if v:
             offenders[name] = v
     assert not offenders, offenders
+
+
+def test_tokenize_ids_vocab_is_bounded_and_broadcast(spark):
+    """td_tokenize_ids: the vocab subtree ends in a bounded limit
+    (TakeOrdered) and broadcasts; the corpus side regroups on doc_id —
+    one broadcast + two hash exchanges total (vocab count agg + doc_id
+    regroup), never a corpus-sized join shuffle."""
+    import re
+    p = physical_plan(QUERIES["td_tokenize_ids"][0](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastExchange") == 1
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 2
