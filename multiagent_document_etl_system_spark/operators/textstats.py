@@ -90,16 +90,23 @@ def lang_id_sql(text_expr: str) -> str:
     )
 
 
-def quality_score_expr(text: Column) -> Column:
+def quality_score_expr(text: Column, toks: Column | None = None) -> Column:
     """Composite quality ∈ [0,1]: length score (chars/500 capped), stopword
-    ratio, punctuation density penalty. Deterministic, documented weights."""
+    ratio, punctuation density penalty. Deterministic, documented weights.
+
+    ``toks``: a column already holding ``split(trim(text), '\\s+')`` —
+    callers that stage the token array for other gates (curation_flags
+    stages it for gopher) pass it here so the full-text split regex runs
+    once per row, not twice; ``size(toks)`` ≡ ``token_count(text)`` by
+    construction, so the score (and the oracle) is unchanged."""
     n = F.length(text).cast("double")
     len_score = F.least(n / 500.0, F.lit(1.0))
     stop = (
         occurrence_count(F.concat(F.lit(" "), F.lower(text), F.lit(" ")), " the ")
         + occurrence_count(F.concat(F.lit(" "), F.lower(text), F.lit(" ")), " a ")
     )
-    word_cnt = F.greatest(token_count(text).cast("double"), F.lit(1.0))
+    wc = F.size(toks) if toks is not None else token_count(text)
+    word_cnt = F.greatest(wc.cast("double"), F.lit(1.0))
     stop_ratio = F.least(stop * 10.0 / word_cnt, F.lit(1.0))
     punct = F.length(F.regexp_replace(text, r"[^.,:()\-]", "")).cast("double")
     punct_penalty = F.least(punct * 5.0 / F.greatest(n, F.lit(1.0)), F.lit(1.0))

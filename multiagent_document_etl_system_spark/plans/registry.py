@@ -1247,7 +1247,8 @@ def curation_flags(spark: SparkSession, sf_dir: str,
     ).select(
         "doc_id", "lang", "text",
         curation.gopher_keep(F.col("_toks")).alias("f_gopher"),
-        textstats.quality_score_expr(F.col("text")).alias("quality"),
+        textstats.quality_score_expr(F.col("text"), toks=F.col("_toks"))
+        .alias("quality"),
         F.size("_toks").cast("bigint").alias("n_tokens"),
         (F.row_number().over(w_exact) == 1).alias("f_exact"),
     )
@@ -2545,8 +2546,9 @@ def st_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = staged.select(
         "lang",
         curation.gopher_keep(F.col("_toks")).alias("g"),
-        textstats.quality_score_expr(F.col("text")).alias("q"),
-        textstats.token_count(F.col("text")).alias("nt"),
+        textstats.quality_score_expr(F.col("text"), toks=F.col("_toks"))
+        .alias("q"),
+        F.size("_toks").cast("bigint").alias("nt"),
     )
     agg = flagged.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_in"),

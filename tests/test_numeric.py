@@ -105,3 +105,43 @@ def test_exact_sum_equals_decimal_sum_path(spark):
     assert got
     for r in got:
         assert int(r["fast"]) == int(r["ref"]), r
+
+
+def test_grid_round_matches_duckdb_at_half_boundaries(spark):
+    """Differential property: grid_round must agree with the oracle's
+    grid_round_sql on adversarial inputs — exact half-boundaries, values
+    1 ulp either side of them, negatives, and random floats. This is the
+    cross-engine divergence class that kept td_prepare_corpus driver-red
+    for two rounds (engine round() differs by 1 ulp at half boundaries;
+    the shared floor-grid cannot)."""
+    import math
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.functions.numeric import (
+        grid_round,
+        grid_round_sql,
+    )
+
+    rng = random.Random(11)
+    vals = []
+    for k in range(-400, 400):
+        half = k / 100.0 + 0.005  # exact-ish half boundary at scale 2
+        vals += [half, math.nextafter(half, -math.inf),
+                 math.nextafter(half, math.inf)]
+    vals += [rng.uniform(-1e6, 1e6) for _ in range(500)]
+    vals += [0.0, -0.0, 1e-9, -1e-9]
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r[0] for r in df.select(grid_round(F.col("x"), 2)).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = [r[0] for r in
+            con.execute(f"SELECT {grid_round_sql('x', 2)} FROM t").fetchall()]
+    assert len(got) == len(want)
+    for g, w, v in zip(got, want, vals):
+        assert g == w and math.copysign(1, g) == math.copysign(1, w), \
+            (v, g, w)
