@@ -67,14 +67,18 @@ _DOC_MARKER = "Document:\n"
 
 
 def build_extract_prompt(text: str, schema_json: str | None = None,
-                         head_chars: int = 1000) -> str:
+                         head_chars: int = 1000,
+                         feedback: str | None = None) -> str:
     """The reference's schema-driven extraction prompt shape
-    (/root/reference/src/agents.py:159-206): field list + normalization
-    directives (dates YYYY-MM-DD, amounts numeric) + truncated document."""
+    (/root/reference/src/utils.py:36-89, agents.py:159-206): field list +
+    normalization directives (dates YYYY-MM-DD, amounts numeric) +
+    truncated document; on retry the validation agent's ``feedback``
+    rides along so the model can correct the rejected fields."""
     fields = schema_json or '{"email": "string", "date": "date", "amount": "number"}'
+    fb = f"Previous attempt was rejected: {feedback}\n" if feedback else ""
     return (
         "Extract the following fields as flat JSON "
-        f"(dates YYYY-MM-DD, amounts numeric): {fields}\n"
+        f"(dates YYYY-MM-DD, amounts numeric): {fields}\n{fb}"
         f"{_DOC_MARKER}{text[:head_chars]}"
     )
 
