@@ -2888,6 +2888,9 @@ _NEVER_CHECKED_TAIL = [
     "q_stats_moments", "q_approx_percentile", "q_interval_join_binned",
     "q_incremental_agg_merge", "q_scd2_intervals", "q_funnel_conversion",
     "q_retention_cohorts", "q_skew_salted_agg", "q_rollup_grouping_id",
+    # new in r4 — never driver-checked yet, next in line for the r5 window
+    "td_split", "td_importance_resample", "td_shuffle_order",
+    "td_tokenize_ids", "st_curation_stream",
 ]
 
 
