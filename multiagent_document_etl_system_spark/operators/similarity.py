@@ -710,6 +710,63 @@ def truncated_rerank_topk(queries: DataFrame, candidates: DataFrame,
                         q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec)
 
 
+# --------------------------------------------- binary (1-bit) quantization
+
+def sign_pack(vec: Column, dim: int = 64) -> tuple[Column, Column]:
+    """Sign-bit packing: a ``dim``-float vector becomes two BIGINTs (bit j
+    of ``lo`` = vec[j] >= 0 for j < 32; ``hi`` covers 32..63) — the 1-bit
+    storage rung (32x vs float32, below int8's 4x and PQ's 64x-with-
+    codebooks). Deterministic pure bit arithmetic on both engines, so
+    unlike the KMeans rungs it supports a full hash oracle."""
+    half = dim // 2
+    assert half == 32 and dim == 64, "sign_pack is specified for dim=64"
+
+    def pack(sl: Column) -> Column:
+        # 2^i via double pow (shiftleft needs a literal shift): the sum of
+        # distinct powers is < 2^32 — far inside double's exact-integer
+        # range — so the bigint cast is exact
+        return F.aggregate(
+            F.transform(sl, lambda x, i: F.when(
+                x >= 0, F.pow(F.lit(2.0), i.cast("double")))
+                .otherwise(F.lit(0.0))),
+            F.lit(0.0), lambda a, b: a + b).cast("bigint")
+
+    return (pack(F.slice(vec, 1, half)), pack(F.slice(vec, half + 1, half)))
+
+
+def binary_hamming_topk(queries: DataFrame, candidates: DataFrame,
+                        dim: int = 64, k: int = 5, k_coarse: int = 50,
+                        q_id: str = "q_id", c_id: str = "c_id",
+                        q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """Binary-quantized retrieval: coarse top-``k_coarse`` per query by
+    Hamming distance over the sign packs (XOR + popcount on two longs —
+    whole-stage-codegen integer ops, 64 floats of multiply become 2 XORs),
+    then exact cosine rerank of the survivors to top-``k``.
+
+    The coarse compare touches 16 BYTES per candidate (vs 256 for raw
+    float32), so at 100 TB the scan is 32x smaller and the per-pair cost
+    is 2 xor+popcount — the cheapest rung of the ladder; recall comes
+    back via the exact rerank, the v16 two-stage pattern. Queries
+    broadcast; the corpus is never shuffled. Deterministic end-to-end
+    (integer distances, id tie-breaks) => full DuckDB hash oracle."""
+    q_lo, q_hi = sign_pack(F.col(q_vec), dim)
+    c_lo, c_hi = sign_pack(F.col(c_vec), dim)
+    qp = queries.select(q_id, q_lo.alias("_qlo"), q_hi.alias("_qhi"))
+    cp = candidates.select(c_id, c_lo.alias("_clo"), c_hi.alias("_chi"))
+    ham = (F.bit_count(F.col("_qlo").bitwiseXOR(F.col("_clo")))
+           + F.bit_count(F.col("_qhi").bitwiseXOR(F.col("_chi"))))
+    w = Window.partitionBy(q_id).orderBy(F.asc("ham"), F.asc(c_id))
+    coarse = (
+        cp.crossJoin(F.broadcast(qp))
+        .filter(F.col(c_id) != F.col(q_id))
+        .select(q_id, c_id, ham.alias("ham"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k_coarse)
+    )
+    return exact_rerank(coarse, queries, candidates, k=k,
+                        q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec)
+
+
 # ----------------------------------------------------- product quantization
 
 def pq_fit(df: DataFrame, dim: int, n_subspaces: int = 4,

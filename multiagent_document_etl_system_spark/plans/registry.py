@@ -700,6 +700,64 @@ _V16_COS_PRE = similarity.cosine_sql("q.qv[1:16]", "c.cv[1:16]")
 _V16_COS_FULL = similarity.cosine_sql("q.qv", "c.cv")
 
 
+_V20_COS = similarity.cosine_sql("q.qv", "c.cv")
+
+
+@_q("v20_binary_hamming_topk", f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+qp AS (
+  SELECT q_id, qv,
+    sum(CASE WHEN i <= 32 AND qv[i] >= 0
+             THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS qlo,
+    sum(CASE WHEN i > 32 AND qv[i] >= 0
+             THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END) AS qhi
+  FROM q, generate_series(1, 64) g(i) GROUP BY q_id, qv
+), cp AS (
+  SELECT c_id, cv,
+    sum(CASE WHEN i <= 32 AND cv[i] >= 0
+             THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS clo,
+    sum(CASE WHEN i > 32 AND cv[i] >= 0
+             THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END) AS chi
+  FROM c, generate_series(1, 64) g(i) GROUP BY c_id, cv
+), coarse AS (
+  SELECT qp.q_id, cp.c_id,
+    bit_count(xor(qlo, clo)) + bit_count(xor(qhi, chi)) AS ham
+  FROM qp, cp WHERE cp.c_id != qp.q_id
+), cranked AS (
+  SELECT q_id, c_id, row_number() OVER (
+      PARTITION BY q_id ORDER BY ham ASC, c_id ASC) AS crank
+  FROM coarse
+), cand AS (
+  SELECT q_id, c_id FROM cranked WHERE crank <= 50
+), exact AS (
+  SELECT cand.q_id, cand.c_id, round({_V20_COS}, 4) AS score
+  FROM cand JOIN q ON cand.q_id = q.q_id JOIN c ON cand.c_id = c.c_id
+), ranked AS (
+  SELECT q_id, c_id, score, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS BIGINT) AS rank
+  FROM exact
+)
+SELECT q_id, c_id, score, rank FROM ranked WHERE rank <= 5
+""")
+def v20_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit sign) quantization + Hamming coarse retrieval + exact
+    rerank (similarity.binary_hamming_topk) — the 32x storage rung
+    completing the ladder (float32 > int8 v15 > PQ v17 > binary v20).
+    Coarse distances are 2 XOR+popcounts over packed longs; exact cosine
+    restores precision on 50 survivors per query. Fully deterministic
+    (integer distances, id tie-breaks) => full hash oracle, unlike the
+    KMeans rungs."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+    out = similarity.binary_hamming_topk(q, c, dim=64, k=5, k_coarse=50)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @_q("v16_matryoshka_topk", f"""
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
            WHERE vec_id % 100 = 0),
@@ -2890,7 +2948,7 @@ _NEVER_CHECKED_TAIL = [
     "q_retention_cohorts", "q_skew_salted_agg", "q_rollup_grouping_id",
     # new in r4 — never driver-checked yet, next in line for the r5 window
     "td_split", "td_importance_resample", "td_shuffle_order",
-    "td_tokenize_ids", "st_curation_stream",
+    "td_tokenize_ids", "st_curation_stream", "v20_binary_hamming_topk",
 ]
 
 
