@@ -439,3 +439,51 @@ def test_tokenize_ids_vocab_is_bounded_and_broadcast(spark):
     assert "TakeOrderedAndProject" in p
     assert p.count("BroadcastExchange") == 1
     assert len(re.findall(r"Exchange hashpartitioning", p)) <= 2
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime bloom-filter join pruning (the row-level sibling of dynamic
+    partition pruning): a selective dim filter plants a bloom_filter_agg
+    subquery whose might_contain() lands on the FACT scan filter, so
+    non-matching fact rows die at the scan instead of crossing the
+    shuffle. Session default is enabled; its 10GB application-side
+    threshold means it fires only at real scale, so the test lowers the
+    thresholds to demonstrate the mechanism on local data. Broadcast is
+    disabled to force the shuffle-join shape the filter exists for."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        p = load_table(spark, SF_DIR, "part") \
+            .filter(F.col("p_brand") == "Brand#1")
+        j = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:1500]
+        assert "bloom_filter_agg" in plan
+        # the filter sits on the FACT side scan (l_partkey), not the dim
+        assert re.search(r"might_contain.*l_partkey", plan)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
