@@ -1,0 +1,42 @@
+"""Generate QUERIES.md — the complete registry index (one row per named
+query: oracle kind + first docstring line). Regenerate after adding
+queries:
+
+    python tools/gen_query_index.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    lines = [
+        "# Query registry index (generated — tools/gen_query_index.py)",
+        "",
+        f"{len(QUERIES)} named queries; `hash` = full DuckDB value-hash "
+        "oracle, `rows` = rows-only (non-SQL-expressible by construction: "
+        "KMeans fits, model inference, media decode, custom stateful "
+        "streaming, float-summation-order kernels).",
+        "",
+        "| # | query | check | what |",
+        "|---|---|---|---|",
+    ]
+    for i, (name, (fn, sql)) in enumerate(QUERIES.items(), 1):
+        doc = (fn.__doc__ or "").strip().split("\n")[0].strip()
+        kind = "hash" if sql is not None else "rows"
+        lines.append(f"| {i} | `{name}` | {kind} | {doc} |")
+    out = Path(REPO) / "QUERIES.md"
+    out.write_text("\n".join(lines) + "\n")
+    print(f"wrote {out} ({len(QUERIES)} queries)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
