@@ -2949,6 +2949,7 @@ _NEVER_CHECKED_TAIL = [
     # new in r4 — never driver-checked yet, next in line for the r5 window
     "td_split", "td_importance_resample", "td_shuffle_order",
     "td_tokenize_ids", "st_curation_stream", "v20_binary_hamming_topk",
+    "q_full_outer_join",
 ]
 
 
