@@ -1,0 +1,60 @@
+"""Scaling probe: run selected headline queries at sf0.001 / 0.01 / 0.1
+and report best-of-3 times + the 0.01->0.1 scaling exponent. A plan that
+holds at 100 TB shows ~linear time in input size here (exponent <= ~1)
+once per-job fixed overhead (~0.1-0.3 s locally) stops dominating; a
+superlinear exponent flags an all-pairs/plan-cliff bug. Usage:
+
+    python tools/scale_probe.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, REPO)
+
+DEFAULT = [
+    "q1_pricing_summary", "q3_top_revenue_orders", "q7_nation_trade",
+    "q18_large_orders", "dedup_minhash_lsh", "dedup_exact_stats",
+    "ta_term_frequency", "td_tokenize_ids", "v2_cosine_topk",
+    "v20_binary_hamming_topk", "td_split", "q_full_outer_join",
+]
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+       "/root/testdata/sf0.1"]
+
+
+def main() -> int:
+    from multiagent_document_etl_system_spark import get_spark
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark(app_name="scale-probe")
+    QUERIES["q_global_topk"][0](spark, SFS[0]).collect()  # warm session
+    print(f"{'query':28s} {'sf0.001':>8s} {'sf0.01':>8s} {'sf0.1':>8s} "
+          f"{'exp(0.01->0.1)':>14s}")
+    for name in names:
+        fn, _ = QUERIES[name]
+        best = []
+        for sf in SFS:
+            df = fn(spark, sf)
+            df.write.format("noop").mode("overwrite").save()  # JIT warm
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                reps.append(time.time() - t0)
+            best.append(min(reps))
+        exp = math.log(best[2] / best[1], 10)
+        print(f"{name:28s} {best[0]:8.3f} {best[1]:8.3f} {best[2]:8.3f} "
+              f"{exp:14.2f}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
