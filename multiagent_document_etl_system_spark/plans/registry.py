@@ -2715,6 +2715,58 @@ def ta_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.heavy_hitters(_docs(spark, sf_dir), inv_epsilon=500)
 
 
+@_q("td_quality_calibration", f"""
+WITH scored AS (
+  SELECT doc_id, lang, {textstats.quality_score_sql('text')} AS q
+  FROM documents
+), ranked AS (
+  SELECT lang, q,
+    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS r,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN r * 2 <= n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(min(CASE WHEN r * 2 <= n
+                THEN CAST(floor(q * 10000 + 0.5) AS BIGINT) END) AS BIGINT)
+    AS thr_q1e4
+FROM ranked GROUP BY lang
+""")
+def td_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality thresholds: keep the top half of
+    each language by quality and report the cut point. Quality scores are
+    not comparable ACROSS languages (length/stopword priors differ), so
+    production curation calibrates the threshold per stratum rather than
+    applying one global cut — this computes each language's kept count
+    and its realized threshold (the lowest kept quality, as an exact
+    1e-4-scaled integer).
+
+    Deliberately RANK-based, not percentile-based: an interpolated
+    median sits between grid points, and the two engines' interpolation
+    formulas (``a+(b-a)d`` vs ``(1-d)a+db``) can differ by 1 ulp — a
+    threshold compare against it could flip a boundary doc. Ranking by
+    (quality desc, doc_id asc) is pure integer logic: zero cross-engine
+    boundary risk, same adaptive-cut semantics. One window shuffle on
+    lang; at 100 TB the same plan with quota fractions from a config
+    dim."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", "lang",
+        textstats.quality_score_expr(F.col("text")).alias("q"))
+    w = Window.partitionBy("lang").orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = scored.select(
+        "lang", "q",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"))
+    kept = F.col("r") * 2 <= F.col("n")
+    return ranked.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.min(F.when(kept, F.floor(F.col("q") * 10000 + F.lit(0.5))
+                     .cast("bigint"))).cast("bigint").alias("thr_q1e4"),
+    )
+
+
 # ------------------------------------------------- corpus -> model inputs
 
 _TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -2949,7 +3001,7 @@ _NEVER_CHECKED_TAIL = [
     # new in r4 — never driver-checked yet, next in line for the r5 window
     "td_split", "td_importance_resample", "td_shuffle_order",
     "td_tokenize_ids", "st_curation_stream", "v20_binary_hamming_topk",
-    "q_full_outer_join",
+    "q_full_outer_join", "td_quality_calibration",
 ]
 
 
