@@ -2767,6 +2767,54 @@ def td_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ta_dup_ngram_coverage", f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_SQL}) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS __toks
+        FROM documents)
+), h AS (
+  SELECT doc_id, {dedup.hash64_sql('s')} AS sh_h FROM sh
+), cnt AS (
+  SELECT sh_h, count(*) AS nd FROM h GROUP BY sh_h
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  CAST(floor(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 10000.0 / count(*)
+             + 0.5) AS BIGINT) AS cov_q1e4
+FROM h JOIN cnt USING (sh_h) GROUP BY doc_id
+""")
+def ta_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-n-gram coverage per document — the standard corpus
+    duplication DIAGNOSTIC (what fraction of a doc's 3-gram shingles also
+    appear in some other doc), the metric behind 'dedup improves LMs'
+    analyses: run it before/after a dedup pass to quantify what the
+    ladder removed. Distinct-shingle basis, so a shingle's global count
+    equals its document frequency.
+
+    Scale shape: shingles shuffle as 8-byte md5-derived hashes, never
+    strings (the repo's ids-only-shuffle convention); the count join is
+    equi on the hash (hot boilerplate shingles are the skew case — AQE
+    skew-join splits them); one final doc_id regroup. Exact integer
+    outputs (coverage as a scaled-int ratio) => full hash oracle."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.explode(dedup.shingles(F.col("text"), 3)).alias("s"))
+    h = sh.select("doc_id", dedup.hash64(F.col("s")).alias("sh_h"))
+    cnt = h.groupBy("sh_h").agg(F.count("*").alias("nd"))
+    dup_flag = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        h.join(cnt, "sh_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(dup_flag).cast("bigint").alias("n_dup"),
+            F.floor(F.sum(dup_flag) * 10000.0 / F.count("*") + F.lit(0.5))
+            .cast("bigint").alias("cov_q1e4"),
+        )
+    )
+
+
 # ------------------------------------------------- corpus -> model inputs
 
 _TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -3001,7 +3049,7 @@ _NEVER_CHECKED_TAIL = [
     # new in r4 — never driver-checked yet, next in line for the r5 window
     "td_split", "td_importance_resample", "td_shuffle_order",
     "td_tokenize_ids", "st_curation_stream", "v20_binary_hamming_topk",
-    "q_full_outer_join", "td_quality_calibration",
+    "q_full_outer_join", "td_quality_calibration", "ta_dup_ngram_coverage",
 ]
 
 
