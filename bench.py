@@ -70,6 +70,8 @@ HEADLINE = [
     "td_importance_resample",
     "td_shuffle_order",
     "td_tokenize_ids",
+    "ta_dup_ngram_coverage",
+    "v20_binary_hamming_topk",
 ]
 
 
