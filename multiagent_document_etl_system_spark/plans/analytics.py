@@ -427,6 +427,31 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- windows
 
+@_q("q_window_percent_rank", """
+SELECT o_custkey, o_orderkey,
+  CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_q1e6,
+  CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_q1e6
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+""")
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions (percent_rank, cume_dist) —
+    the remaining analytic rank family next to row_number/rank/dense_rank
+    (q_window_rank) and ntile. Both are ratios of small integers computed
+    from the same ordering in both engines, emitted on the 1e-6 scaled-int
+    grid so the hash compare never sees a raw float. Same single window
+    shuffle as any rank query."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey"))
+    gq = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return o.select(
+        "o_custkey", "o_orderkey",
+        gq(F.percent_rank().over(w)).alias("pr_q1e6"),
+        gq(F.cume_dist().over(w)).alias("cd_q1e6"),
+    )
+
+
 @_q("q_window_rank", """
 SELECT * FROM (
   SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,

@@ -3050,6 +3050,7 @@ _NEVER_CHECKED_TAIL = [
     "td_split", "td_importance_resample", "td_shuffle_order",
     "td_tokenize_ids", "st_curation_stream", "v20_binary_hamming_topk",
     "q_full_outer_join", "td_quality_calibration", "ta_dup_ngram_coverage",
+    "q_window_percent_rank",
 ]
 
 
