@@ -75,6 +75,35 @@ HEADLINE = [
 ]
 
 
+# Host-contention calibration: a fixed reference query (q_global_topk — a
+# scan + TakeOrderedAndProject whose cost is stable across rounds) is timed
+# right after warm-up AND after the full headline run; the ratio of the
+# better of the two against a recorded idle-host reference is emitted as
+# `load_factor`. BENCH_r04 shipped a 13.5x phantom regression caused purely
+# by driver-host co-tenancy (VERDICT r4: re-timed 15.0s -> 0.96s on an idle
+# host); with this field a contended run labels itself instead of
+# masquerading as a code regression. load_factor ≈ 1 ⇒ trust the numbers;
+# >> 1 ⇒ the host was loaded and per-query times are inflated accordingly.
+_CALIBRATION_QUERY = "q_global_topk"
+#: idle-host fully-JIT-warmed steady-state seconds for the calibration
+#: query, measured on the build host (local[32], 2026-08-14; the post-run
+#: calibration of an idle sf0.01 bench measured 0.04-0.09 s depending on
+#: JIT state — refs sit at the warm floor, so read load_factor coarsely:
+#: ≲2 healthy, ≳3 the host was loaded and per-query times are inflated)
+_CALIBRATION_REF_SEC = {"0.1": 0.12, "0.01": 0.05, "0.001": 0.05}
+
+
+def _time_calibration(spark, sf_dir: str) -> float:
+    fn, _ = QUERIES[_CALIBRATION_QUERY]
+    df = fn(spark, sf_dir)
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        reps.append(time.time() - t0)
+    return round(min(reps), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -83,6 +112,7 @@ def main() -> None:
     # warm the JVM/codegen path once so per-query numbers measure the plan,
     # not session startup
     QUERIES["q_global_topk"][0](spark, sf_dir).collect()
+    cal_first = _time_calibration(spark, sf_dir)
 
     times: dict[str, float] = {}
     total = 0.0
@@ -131,6 +161,9 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
+    cal_last = _time_calibration(spark, sf_dir)
+    ref = _CALIBRATION_REF_SEC.get(str(sf).rstrip("0").rstrip("."))
+    cal_best = min(cal_first, cal_last)
     print(json.dumps({
         "metric": "headline_queries_total_time",
         "value": round(total, 3),
@@ -138,6 +171,10 @@ def main() -> None:
         "queries": times,
         "n_queries": len(HEADLINE),
         "sf": sf,
+        "calibration_query": _CALIBRATION_QUERY,
+        "calibration_sec_first": cal_first,
+        "calibration_sec_last": cal_last,
+        "load_factor": (round(cal_best / ref, 2) if ref else None),
     }))
     spark.stop()
 

@@ -229,7 +229,11 @@ def cmd_split(args) -> dict:
     spark = get_spark("doc-etl-split")
     docs = spark.read.parquet(args.docs_parquet)
     train_pct = 100 - args.val_pct - args.test_pct
-    assert 0 < train_pct < 100, "val+test percentages must leave 1-99 train"
+    # user-input validation must survive `python -O` (assert would not)
+    if not 0 < train_pct < 100:
+        raise SystemExit(
+            f"--val-pct {args.val_pct} + --test-pct {args.test_pct} must "
+            "leave a 1-99% train share")
     b = hash64(F.col(args.id_col).cast("string"), seed=41) % 100
     split = (
         F.when(b < train_pct, "train")

@@ -169,11 +169,21 @@ _DOC_MARKER = "Document:\n"
 
 
 def build_classify_prompt(text: str, head_chars: int = HEAD_CHARS) -> str:
-    """The reference's prompt shape: label menu + truncated document."""
+    """The reference's prompt shape: label menu + truncated document.
+
+    The document is CLEANED before truncation (whitespace collapse +
+    charclass strip, the same normalization the deterministic twin
+    applies) so the prompt's head window sees the identical 500 chars the
+    twin scores — on raw text with collapsible whitespace, ``raw[:500]``
+    can end mid-way through what the twin still considers the head, and
+    the two paths would legitimately disagree. ``_clean_text_py`` is
+    idempotent and commutes with ``lower()``, so the mock client's own
+    clean→lower→truncate reproduces the twin's window exactly."""
     labels = ", ".join(list(LABEL_KEYWORDS) + ["other"])
     return (
         f"Classify the following document as one of: {labels}.\n"
-        f"Reply with the label only.\n{_DOC_MARKER}{text[:head_chars]}"
+        f"Reply with the label only.\n"
+        f"{_DOC_MARKER}{_clean_text_py(text)[:head_chars]}"
     )
 
 

@@ -34,6 +34,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from multiagent_document_etl_system_spark.functions.numeric import (
+    idiv_round,
+    idiv_round_sql,
+)
 from multiagent_document_etl_system_spark.functions.text import tokens
 from multiagent_document_etl_system_spark.operators.dedup import (
     hash64,
@@ -100,10 +104,16 @@ def _ngram_list(toks: Column, n: int) -> Column:
 
 def _gopher_stat_exprs(toks: Column) -> tuple[Column, Column, Column,
                                               Column]:
-    """(n_words, mean_word_len, dup2_frac, stop_hits) as Catalyst
+    """(n_words, mean_word_len_q1e4, dup2_frac_q1e4, stop_hits) as Catalyst
     expressions over an ALREADY-TOKENIZED column — shared by the audit
     table (:func:`gopher_rules`) and the inline gate (:func:`gopher_keep`)
-    so both apply identical (rounded) statistics.
+    so both apply identical statistics.
+
+    The two ratio stats are EXACT 1e-4-scaled BIGINTs (half-up integer
+    rounding via numeric.idiv_round), not rounded doubles: the gates
+    compare them against thresholds, and an integer compare can never
+    flip cross-engine the way an engine-``round()``ed double at a half
+    boundary can (the td_prepare_corpus driver-red class).
 
     Taking the token array (not raw text) matters for throughput: the four
     stats reference the array ~6 times, and codegen does not unify the
@@ -111,16 +121,19 @@ def _gopher_stat_exprs(toks: Column) -> tuple[Column, Column, Column,
     (2.65 s -> 0.51 s at sf0.1) when the caller stages ``tokens(text)`` as
     a materialized column first."""
     n_words = F.size(toks)
-    mean_wl = F.round(
-        F.aggregate(toks, F.lit(0).cast("bigint"),
-                    lambda s, t: s + F.length(t)).cast("double")
-        / n_words, 4)
+    sum_len = F.aggregate(toks, F.lit(0).cast("bigint"),
+                          lambda s, t: s + F.length(t))
+    mean_wl_q = idiv_round(sum_len * F.lit(10000),
+                           F.greatest(n_words.cast("bigint"),
+                                      F.lit(1).cast("bigint")))
     bigrams = _ngram_list(toks, 2)
-    dup2 = F.round(
-        (F.size(bigrams) - F.size(F.array_distinct(bigrams))).cast("double")
-        / F.size(bigrams), 4)
+    n_bg = F.greatest(F.size(bigrams).cast("bigint"),
+                      F.lit(1).cast("bigint"))
+    dup2_q = idiv_round(
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
+        .cast("bigint") * F.lit(10000), n_bg)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
-    return n_words, mean_wl, dup2, stop_hits
+    return n_words, mean_wl_q, dup2_q, stop_hits
 
 
 def gopher_keep(toks: Column,
@@ -133,12 +146,14 @@ def gopher_keep(toks: Column,
     column — for composed pipelines where the gate is a flag in a wider
     funnel (a narrow map, no self-join against the audit table). Callers
     stage ``tokens(text)`` as a materialized column and pass that (see
-    :func:`_gopher_stat_exprs` for the 5x rationale)."""
-    n_words, mean_wl, dup2, stop_hits = _gopher_stat_exprs(toks)
+    :func:`_gopher_stat_exprs` for the 5x rationale). Float thresholds
+    are mapped onto the exact 1e-4 integer grid the stats live on."""
+    n_words, mean_wl_q, dup2_q, stop_hits = _gopher_stat_exprs(toks)
     return (
         n_words.between(min_words, max_words)
-        & mean_wl.between(min_mean_word_len, max_mean_word_len)
-        & (dup2 <= max_dup2_frac)
+        & mean_wl_q.between(int(min_mean_word_len * 10000),
+                            int(max_mean_word_len * 10000))
+        & (dup2_q <= int(max_dup2_frac * 10000))
         & (stop_hits >= min_stop_hits)
     )
 
@@ -150,15 +165,21 @@ def gopher_keep_sql(text_expr: str,
                     max_dup2_frac: float = 0.75,
                     min_stop_hits: int = 2) -> str:
     """DuckDB twin of :func:`gopher_keep` (scalar subquery over the token
-    list so the stats are computed once per row)."""
+    list so the stats are computed once per row; same exact integer-grid
+    stats as the Spark side)."""
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    mean_q = idiv_round_sql(
+        "CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)"
+        " * 10000", "greatest(len(t), 1)")
+    dup2_q = idiv_round_sql(
+        "CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) * 10000",
+        "greatest(len(bg), 1)")
     return f"""
 (SELECT (len(t) BETWEEN {min_words} AND {max_words})
-    AND (round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-               / len(t), 4)
-         BETWEEN {min_mean_word_len} AND {max_mean_word_len})
-    AND (round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
-               / len(bg), 4) <= {max_dup2_frac})
+    AND ({mean_q}
+         BETWEEN {int(min_mean_word_len * 10000)}
+             AND {int(max_mean_word_len * 10000)})
+    AND ({dup2_q} <= {int(max_dup2_frac * 10000)})
     AND (len(list_filter(t, x -> x IN ({stops}))) >= {min_stop_hits})
  FROM (SELECT t, [array_to_string(t[i:i+1], ' ')
                   for i in generate_series(1, greatest(len(t)-1, 1))] AS bg
@@ -179,19 +200,19 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
     ``keep`` — keeping the individual rule columns makes the filter
     auditable (every serious corpus pipeline reports per-rule kill rates).
     """
-    n_words, mean_wl, dup2, stop_hits = _gopher_stat_exprs(F.col("_toks"))
+    n_words, mean_wl_q, dup2_q, stop_hits = _gopher_stat_exprs(F.col("_toks"))
     out = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")) \
         .select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        dup2.alias("dup2_frac"),
+        mean_wl_q.alias("mean_word_len_q1e4"),
+        dup2_q.alias("dup2_frac_q1e4"),
         stop_hits.cast("bigint").alias("stop_hits"),
     )
     r_len = F.col("n_words").between(min_words, max_words)
-    r_wl = F.col("mean_word_len").between(min_mean_word_len,
-                                          max_mean_word_len)
-    r_rep = F.col("dup2_frac") <= max_dup2_frac
+    r_wl = F.col("mean_word_len_q1e4").between(
+        int(min_mean_word_len * 10000), int(max_mean_word_len * 10000))
+    r_rep = F.col("dup2_frac_q1e4") <= int(max_dup2_frac * 10000)
     r_stop = F.col("stop_hits") >= min_stop_hits
     return out.select(
         "*",
@@ -208,8 +229,17 @@ def gopher_rules_sql(table: str = "documents", id_col: str = "doc_id",
                      max_mean_word_len: float = 10.0,
                      max_dup2_frac: float = 0.75,
                      min_stop_hits: int = 2) -> str:
-    """DuckDB twin of :func:`gopher_rules` (same stats, same gates)."""
+    """DuckDB twin of :func:`gopher_rules` (same exact integer-grid stats,
+    same gates)."""
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    mean_q = idiv_round_sql(
+        "CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)"
+        " * 10000", "greatest(len(t), 1)")
+    dup2_q = idiv_round_sql(
+        "CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) * 10000",
+        "greatest(len(bg), 1)")
+    wl_lo, wl_hi = int(min_mean_word_len * 10000), int(max_mean_word_len * 10000)
+    d2_hi = int(max_dup2_frac * 10000)
     return f"""
 WITH toks AS (
   SELECT {id_col}, string_split_regex(trim({text_col}), '\\s+') AS t
@@ -223,22 +253,19 @@ WITH toks AS (
 ), stats AS (
   SELECT {id_col},
     CAST(len(t) AS BIGINT) AS n_words,
-    round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-          / len(t), 4) AS mean_word_len,
-    round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
-      AS dup2_frac,
+    {mean_q} AS mean_word_len_q1e4,
+    {dup2_q} AS dup2_frac_q1e4,
     CAST(len(list_filter(t, x -> x IN ({stops}))) AS BIGINT) AS stop_hits
   FROM grams
 )
 SELECT *,
   n_words BETWEEN {min_words} AND {max_words} AS r_len,
-  mean_word_len BETWEEN {min_mean_word_len} AND {max_mean_word_len}
-    AS r_word_len,
-  dup2_frac <= {max_dup2_frac} AS r_repetition,
+  mean_word_len_q1e4 BETWEEN {wl_lo} AND {wl_hi} AS r_word_len,
+  dup2_frac_q1e4 <= {d2_hi} AS r_repetition,
   stop_hits >= {min_stop_hits} AS r_stopwords,
   (n_words BETWEEN {min_words} AND {max_words})
-    AND (mean_word_len BETWEEN {min_mean_word_len} AND {max_mean_word_len})
-    AND dup2_frac <= {max_dup2_frac}
+    AND (mean_word_len_q1e4 BETWEEN {wl_lo} AND {wl_hi})
+    AND dup2_frac_q1e4 <= {d2_hi}
     AND stop_hits >= {min_stop_hits} AS keep
 FROM stats
 """

@@ -299,8 +299,12 @@ def ivf_train_sample(cand_n: DataFrame, n_cells: int) -> DataFrame:
     class."""
     from pyspark.ml.functions import array_to_vector
 
+    # secondary sort key = the vector itself: a 64-bit hash collision
+    # between two DISTINCT vectors at the cap boundary would otherwise
+    # leave which one feeds KMeans partition-order dependent — exactly
+    # the nondeterminism the hash ordering exists to eliminate
     return (cand_n.select(F.col("_nv"), F.xxhash64(F.col("_nv")).alias("_h"))
-            .orderBy("_h")
+            .orderBy("_h", "_nv")
             .limit(ivf_fit_cap(n_cells))
             .select(array_to_vector(F.col("_nv")).alias("_v")))
 
@@ -783,8 +787,9 @@ def pq_fit(df: DataFrame, dim: int, n_subspaces: int = 4,
     assert width * n_subspaces == dim, "dim must split evenly"
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # smallest-content-hash sample, not bare limit() — see ivf_train_sample
+    # (vector itself as the tie-break for hash collisions at the boundary)
     sample = (df.select(v.alias("_v"), F.xxhash64(v).alias("_h"))
-              .orderBy("_h").limit(ivf_fit_cap(n_codes)).select("_v"))
+              .orderBy("_h", "_v").limit(ivf_fit_cap(n_codes)).select("_v"))
     books: list[list[list[float]]] = []
     for s in range(n_subspaces):
         sub = sample.select(

@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from multiagent_document_etl_system_spark.functions.numeric import (
+    idiv_round,
+    idiv_round_sql,
+)
 from multiagent_document_etl_system_spark.functions.text import (
     occurrence_count,
     occurrence_count_sql,
@@ -90,50 +94,78 @@ def lang_id_sql(text_expr: str) -> str:
     )
 
 
-def quality_score_expr(text: Column, toks: Column | None = None) -> Column:
-    """Composite quality ∈ [0,1]: length score (chars/500 capped), stopword
-    ratio, punctuation density penalty. Deterministic, documented weights.
+def quality_q1e4_expr(text: Column, toks: Column | None = None) -> Column:
+    """Composite quality ∈ [0,1] as an EXACT 1e-4-scaled BIGINT — computed
+    in pure integer arithmetic end-to-end (counts → integer-rounded ratio
+    components → integer-weighted blend), with zero float expressions.
+
+    Why integers: rounds 2-4 of the external driver kept hash-flagging
+    the quality-derived corpus-prep queries while every local comparator
+    passed — the per-row float blend (``0.5·a + 0.3·b + 0.2·c``) is the
+    one expression class where engine evaluation (contraction, vector
+    kernels) can drift an ulp, and a half-grid score then quantizes
+    differently. Integer kernels cannot drift, on any engine, ever.
+
+    Components (each half-up-rounded to the 1e-4 grid):
+    - length score  = min(chars/500, 1)          → min(20·chars, 10000)
+    - stopword      = min(stop·10/words, 1)      → idiv_round(stop·1e5, words)
+    - punct penalty = min(punct·5/chars, 1)      → idiv_round(punct·5e4, chars)
+    - blend         = (5·len + 3·stop + 2·(10000 − punct)) / 10, half-up.
 
     ``toks``: a column already holding ``split(trim(text), '\\s+')`` —
     callers that stage the token array for other gates (curation_flags
     stages it for gopher) pass it here so the full-text split regex runs
     once per row, not twice; ``size(toks)`` ≡ ``token_count(text)`` by
     construction, so the score (and the oracle) is unchanged."""
-    n = F.length(text).cast("double")
-    len_score = F.least(n / 500.0, F.lit(1.0))
-    stop = (
-        occurrence_count(F.concat(F.lit(" "), F.lower(text), F.lit(" ")), " the ")
-        + occurrence_count(F.concat(F.lit(" "), F.lower(text), F.lit(" ")), " a ")
-    )
+    ten_k = F.lit(10000).cast("bigint")
+    n = F.length(text).cast("bigint")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop = (occurrence_count(padded, " the ")
+            + occurrence_count(padded, " a ")).cast("bigint")
     wc = F.size(toks) if toks is not None else token_count(text)
-    word_cnt = F.greatest(wc.cast("double"), F.lit(1.0))
-    stop_ratio = F.least(stop * 10.0 / word_cnt, F.lit(1.0))
-    punct = F.length(F.regexp_replace(text, r"[^.,:()\-]", "")).cast("double")
-    punct_penalty = F.least(punct * 5.0 / F.greatest(n, F.lit(1.0)), F.lit(1.0))
-    score = 0.5 * len_score + 0.3 * stop_ratio + 0.2 * (1.0 - punct_penalty)
-    # floor-based 4-decimal rounding: engine round() implementations
-    # disagree by 1 ulp at half-boundaries (Spark BigDecimal HALF_UP vs
-    # DuckDB), which flipped one doc's last decimal at sf0.001; floor of
-    # the identical double is bit-deterministic on both engines
-    return F.floor(score * 10000.0 + F.lit(0.5)) / 10000.0
+    word_cnt = F.greatest(wc.cast("bigint"), F.lit(1).cast("bigint"))
+    punct = F.length(F.regexp_replace(text, r"[^.,:()\-]", "")).cast("bigint")
+    len_q = F.least(F.lit(20).cast("bigint") * n, ten_k)
+    stop_q = F.least(idiv_round(stop * F.lit(100000), word_cnt), ten_k)
+    punct_q = F.least(
+        idiv_round(punct * F.lit(50000),
+                   F.greatest(n, F.lit(1).cast("bigint"))), ten_k)
+    blend = (F.lit(5).cast("bigint") * len_q
+             + F.lit(3).cast("bigint") * stop_q
+             + F.lit(2).cast("bigint") * (ten_k - punct_q))
+    return idiv_round(blend, F.lit(10).cast("bigint"))
+
+
+def quality_q1e4_sql(col: str) -> str:
+    """DuckDB twin of :func:`quality_q1e4_expr` — identical integer ops."""
+    n = f"CAST(length({col}) AS BIGINT)"
+    padded = f"concat(' ', lower({col}), ' ')"
+    stop = (
+        f"CAST({occurrence_count_sql(padded, ' the ')} + "
+        f"{occurrence_count_sql(padded, ' a ')} AS BIGINT)"
+    )
+    word_cnt = f"greatest(CAST({token_count_sql(col)} AS BIGINT), 1)"
+    punct = (f"CAST(length(regexp_replace({col}, '[^.,:()\\-]', '', 'g'))"
+             f" AS BIGINT)")
+    len_q = f"least(20 * {n}, 10000)"
+    stop_q = f"least({idiv_round_sql(f'{stop} * 100000', word_cnt)}, 10000)"
+    punct_q = (f"least({idiv_round_sql(f'{punct} * 50000', f'greatest({n}, 1)')},"
+               f" 10000)")
+    return idiv_round_sql(
+        f"5 * {len_q} + 3 * {stop_q} + 2 * (10000 - {punct_q})", "10")
+
+
+def quality_score_expr(text: Column, toks: Column | None = None) -> Column:
+    """The quality score as a DOUBLE on the 1e-4 grid — exactly
+    ``quality_q1e4 / 10000``. Safe to emit/compare cross-engine: the
+    integer is bit-exact and the single division by 1e4 is IEEE
+    correctly-rounded identically everywhere. Gates like ``>= 0.5``
+    stay exact (k/10⁴ ≥ 0.5 ⇔ k ≥ 5000 bit-for-bit)."""
+    return quality_q1e4_expr(text, toks) / 10000.0
 
 
 def quality_score_sql(col: str) -> str:
-    n = f"CAST(length({col}) AS DOUBLE)"
-    padded = f"concat(' ', lower({col}), ' ')"
-    stop = (
-        f"({occurrence_count_sql(padded, ' the ')} + "
-        f"{occurrence_count_sql(padded, ' a ')})"
-    )
-    word_cnt = f"greatest(CAST({token_count_sql(col)} AS DOUBLE), 1.0)"
-    len_score = f"least({n} / 500.0, 1.0)"
-    stop_ratio = f"least({stop} * 10.0 / {word_cnt}, 1.0)"
-    punct = f"CAST(length(regexp_replace({col}, '[^.,:()\\-]', '', 'g')) AS DOUBLE)"
-    punct_penalty = f"least({punct} * 5.0 / greatest({n}, 1.0), 1.0)"
-    return (
-        f"(floor((0.5 * {len_score} + 0.3 * {stop_ratio}"
-        f" + 0.2 * (1.0 - {punct_penalty})) * 10000.0 + 0.5) / 10000.0)"
-    )
+    return f"(CAST({quality_q1e4_sql(col)} AS DOUBLE) / 10000.0)"
 
 
 def fingerprint_expr(text: Column) -> Column:
@@ -275,28 +307,35 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     tf = tok.groupBy("id", "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
+    # score on the 1e-4 integer grid: floor(tf·ln(N/df)·1e4 + 0.5) — the
+    # ranking AND the output use the same integer, so cross-engine rank
+    # order is pure (BIGINT, token) comparison. A 1-ulp libm ln()
+    # difference could only flip the floor at an exact half-grid point,
+    # which a transcendental output never hits in practice (and the
+    # integer output is immune to float canonicalization entirely).
     scored = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
-            "tfidf",
-            F.round(
+            "tfidf_q1e4",
+            F.floor(
                 F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("dfreq")),
-                4,
-            ),
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq"))
+                * 10000.0 + F.lit(0.5)).cast("bigint"),
         )
     )
-    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("token"))
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf_q1e4"), F.asc("token"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
-        .select(F.col("id").alias(id_col), "token", "tfidf", "rank")
+        .select(F.col("id").alias(id_col), "token", "tfidf_q1e4", "rank")
     )
 
 
 def tfidf_top_terms_sql(table: str = "documents", text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5) -> str:
+    score = ("CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.dfreq)"
+             " * 10000.0 + 0.5) AS BIGINT)")
     return f"""
 WITH tok AS (
   SELECT id, token FROM (
@@ -309,12 +348,11 @@ WITH tok AS (
 ), dfq AS (
   SELECT token, count(*) AS dfreq FROM tf GROUP BY 1
 ), n AS (SELECT count(*) AS n_docs FROM {table})
-SELECT id AS {id_col}, token, tfidf, rank FROM (
+SELECT id AS {id_col}, token, tfidf_q1e4, rank FROM (
   SELECT tf.id, tf.token,
-    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.dfreq), 4) AS tfidf,
+    {score} AS tfidf_q1e4,
     CAST(row_number() OVER (PARTITION BY tf.id
-      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.dfreq) DESC,
-               tf.token ASC) AS BIGINT) AS rank
+      ORDER BY {score} DESC, tf.token ASC) AS BIGINT) AS rank
   FROM tf JOIN dfq USING (token) CROSS JOIN n
 ) WHERE rank <= {k}
 """
@@ -399,6 +437,15 @@ def heavy_hitters(df: DataFrame, text_col: str = "text",
     spark = df.sparkSession
     candidates = spark.createDataFrame(
         [(t,) for t in cand_tokens], "token string")
+    # share as an exact 1e-6-scaled BIGINT — round(freq/N·1e6) via the
+    # integer identity (2·freq·1e6 + N) div (2N) on DECIMAL(38,0)
+    # (freq·1e6 overflows int64 at ~1e13-token corpora), mirrored as
+    # HUGEINT // in the oracle: no engine round(), no float output
+    two = F.lit(2).cast("decimal(38,0)")
+    g = F.lit(1_000_000).cast("decimal(38,0)")
+    nt = F.lit(n_total).cast("decimal(38,0)")
+    num = two * F.col("freq").cast("decimal(38,0)") * g + nt
+    den = two * nt
     return (
         terms.join(F.broadcast(candidates), "token")
         .groupBy("token")
@@ -406,7 +453,7 @@ def heavy_hitters(df: DataFrame, text_col: str = "text",
         .filter(F.col("freq") * inv_epsilon >= F.lit(n_total))
         .select(
             "token", "freq",
-            F.round(F.col("freq") / F.lit(n_total), 6).alias("share"),
+            ((num - num % den) / den).cast("bigint").alias("share_q1e6"),
         )
         .orderBy(F.desc("freq"), F.asc("token"))
     )
@@ -424,7 +471,8 @@ WITH t AS (
   ) WHERE length(token) > 0
 ), tot AS (SELECT count(*) AS n_total FROM t)
 SELECT token, CAST(count(*) AS BIGINT) AS freq,
-  round(count(*) * 1.0 / n_total, 6) AS share
+  CAST((2 * CAST(count(*) AS HUGEINT) * 1000000 + CAST(n_total AS HUGEINT))
+       // (2 * CAST(n_total AS HUGEINT)) AS BIGINT) AS share_q1e6
 FROM t CROSS JOIN tot
 GROUP BY token, n_total
 HAVING count(*) * {inv_epsilon} >= n_total
@@ -487,16 +535,26 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
         F.count("*").alias("n_bigrams"),
         F.sum(dec(F.col("lp"))).alias("_s"),
     )
+    # integer-only mean: lp ≤ 0 always (add-one ratio < 1), so negate into
+    # the non-negative domain, round-half-up with the exact 128-bit
+    # integer identity round(a/b) = (2a+b) div (2b), and negate back —
+    # avg_logprob_q1e4 = -round(-S·1e4 / (1e6·n)) as BIGINT, with no
+    # double division or float output anywhere (driver-hash-proof)
+    two = F.lit(2).cast("decimal(38,0)")
+    g = F.lit(10_000).cast("decimal(38,0)")
+    m = F.lit(1_000_000).cast("decimal(38,0)") \
+        * F.col("n_bigrams").cast("decimal(38,0)")
+    pos = (-F.col("_s")).cast("decimal(38,0)")
+    num, den = two * pos * g + m, two * m
+    avg_q = -((num - num % den) / den).cast("bigint")
     return (
         d.select("id").join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
             .alias("n_bigrams"),
-            F.coalesce(
-                F.round(F.col("_s").cast("double") / 1e6 / F.col("n_bigrams"),
-                        4),
-                F.lit(0.0)).alias("avg_logprob"),
+            F.coalesce(avg_q, F.lit(0)).cast("bigint")
+            .alias("avg_logprob_q1e4"),
         )
     )
 
@@ -539,8 +597,11 @@ WITH d AS (
 )
 SELECT d.id AS {id_col},
   CAST(coalesce(per_doc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-  coalesce(round(CAST(per_doc.s AS DOUBLE) / 1000000.0 / per_doc.n_bigrams,
-                 4), 0.0) AS avg_logprob
+  CAST(coalesce(
+    -((2 * CAST(-per_doc.s AS HUGEINT) * 10000
+       + 1000000 * CAST(per_doc.n_bigrams AS HUGEINT))
+      // (2 * 1000000 * CAST(per_doc.n_bigrams AS HUGEINT))),
+    0) AS BIGINT) AS avg_logprob_q1e4
 FROM d LEFT JOIN per_doc USING (id)
 """
 
@@ -567,7 +628,29 @@ def readability_expr(text: Column) -> Column:
     return F.floor(score * 10000.0 + F.lit(0.5)) / 10000.0
 
 
-def readability_sql(col: str) -> str:
+def readability_q1e4_expr(text: Column) -> Column:
+    """:func:`readability_expr` as the 1e-4-scaled BIGINT itself (the
+    floor-grid integer WITHOUT the final /1e4) — the driver-hash-proof
+    output form: an integer survives any engine float canonicalization,
+    and the floor-grid quantization is computed on an identical double
+    (integer counts → IEEE-exact divisions → fixed-order blend) on both
+    engines. Flesch can be negative; ``floor`` (not truncation) is used
+    on both engines so negatives round identically."""
+    lower = F.lower(text)
+    words = F.greatest(
+        F.size(F.filter(tokens(lower), lambda t: F.length(t) > 0)),
+        F.lit(1)).cast("double")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0)),
+        F.lit(1)).cast("double")
+    syllables = F.size(
+        F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0)).cast("double")
+    score = (F.lit(206.835) - 1.015 * (words / sentences)
+             - 84.6 * (syllables / words))
+    return F.floor(score * 10000.0 + F.lit(0.5)).cast("bigint")
+
+
+def _readability_grid_sql(col: str) -> str:
     return f"""
 floor((206.835
   - 1.015 * (greatest(len(list_filter(string_split_regex(trim(lower({col})),
@@ -576,5 +659,13 @@ floor((206.835
   - 84.6 * (len(regexp_extract_all(lower({col}), '[aeiouy]+'))::DOUBLE
       / greatest(len(list_filter(string_split_regex(trim(lower({col})),
           '\\s+'), t -> length(t) > 0)), 1)::DOUBLE)) * 10000.0 + 0.5)
-/ 10000.0
 """.strip().replace("\n", " ")
+
+
+def readability_sql(col: str) -> str:
+    return f"({_readability_grid_sql(col)} / 10000.0)"
+
+
+def readability_q1e4_sql(col: str) -> str:
+    """DuckDB twin of :func:`readability_q1e4_expr`."""
+    return f"CAST({_readability_grid_sql(col)} AS BIGINT)"

@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 from multiagent_document_etl_system_spark.functions.numeric import (
     dec,
     dec_sql,
+    grid_round,
+    idiv_round,
+    idiv_round_sql,
     stable_avg,
     stable_avg_sql,
     stable_ratio,
@@ -2339,17 +2342,20 @@ WITH s AS (
     CAST({dec_sql('l_quantity')} AS HUGEINT) AS y
   FROM lineitem
 ), agg AS (
-  SELECT l_returnflag, count(*) AS n,
+  SELECT l_returnflag, count(*) AS n, sum(x) AS sxi,
     CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
     CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
     CAST(sum(x * y) AS DOUBLE) AS sxy
   FROM s GROUP BY 1
 )
 SELECT l_returnflag, n,
-  round(sx / n / 1000000.0, 4) AS mean_price,
-  round(sqrt((sxx - sx * sx / n) / (n - 1)) / 1000000.0, 4) AS stddev_price,
-  round((n * sxy - sx * sy)
-        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_price_qty
+  CAST((2 * sxi * 10000 + 1000000 * CAST(n AS HUGEINT))
+       // (2 * 1000000 * CAST(n AS HUGEINT)) AS BIGINT) AS mean_price_q1e4,
+  CAST(floor((sqrt((sxx - sx * sx / n) / (n - 1)) / 1000000.0) * 10000.0
+             + 0.5) AS BIGINT) AS stddev_price_q1e4,
+  CAST(floor(((n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000.0
+             + 0.5) AS BIGINT) AS corr_price_qty_q1e6
 FROM agg
 """)
 def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2360,7 +2366,10 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     float accumulations whose partial-merge order flips the last decimals
     between runs — the same hazard stable_sum fixes for plain sums, fixed
     the same way one power up. Squares of 1e-6-scaled values stay ≤ ~1e30,
-    well inside 128-bit."""
+    well inside 128-bit. Outputs are scaled BIGINTs: the mean via the
+    pure-integer round identity (no double division at all), stddev/corr
+    floor-grid-quantized from the identically-computed double (sqrt is
+    IEEE-exact; no engine round(), no float column in the hash)."""
     li = _t(spark, sf_dir, "lineitem")
     x = dec(F.col("l_extendedprice"))
     y = dec(F.col("l_quantity"))
@@ -2369,23 +2378,31 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.sum("x").cast("double").alias("sx"),
+            F.sum("x").alias("sxi"),
             F.sum("y").cast("double").alias("sy"),
             F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
             F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
             F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
         )
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    n, sy = F.col("n"), F.col("sy")
+    sx = F.col("sxi").cast("double")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    two = F.lit(2).cast("decimal(38,0)")
+    g = F.lit(10000).cast("decimal(38,0)")
+    m = F.lit(1_000_000).cast("decimal(38,0)") * n.cast("decimal(38,0)")
+    num = two * F.col("sxi").cast("decimal(38,0)") * g + m
+    den = two * m
     return agg.select(
         "l_returnflag", "n",
-        F.round(sx / n / 1000000.0, 4).alias("mean_price"),
-        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)) / 1000000.0, 4)
-        .alias("stddev_price"),
-        F.round((n * sxy - sx * sy)
-                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-        .alias("corr_price_qty"),
+        ((num - num % den) / den).cast("bigint").alias("mean_price_q1e4"),
+        F.floor((F.sqrt((sxx - sx * sx / n) / (n - 1)) / 1000000.0)
+                * 10000.0 + F.lit(0.5)).cast("bigint")
+        .alias("stddev_price_q1e4"),
+        F.floor(((n * sxy - sx * sy)
+                 / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                * 1000000.0 + F.lit(0.5)).cast("bigint")
+        .alias("corr_price_qty_q1e6"),
     )
 
 
@@ -2507,12 +2524,15 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.sum("_n").alias("_n"), F.sum("_s").alias("_s"))
     )
+    # grid_round (floor-grid), NOT F.round: the oracle's stable_*_sql
+    # twins quantize with the floor grid, and engine round() can differ
+    # from it by one last-decimal step at half boundaries
     unscaled = F.col("_s").cast("double") / F.lit(1e6)
     return merged.select(
         "o_orderstatus",
         F.col("_n").cast("bigint").alias("n_orders"),
-        F.round(unscaled, 2).alias("total_price"),
-        F.round(unscaled / F.col("_n"), 4).alias("avg_price"),
+        grid_round(unscaled, 2).alias("total_price"),
+        grid_round(unscaled / F.col("_n"), 4).alias("avg_price"),
     )
 
 
@@ -2554,7 +2574,7 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ funnel / cohort analytics
 
-@_q("q_funnel_conversion", """
+@_q("q_funnel_conversion", f"""
 WITH fv AS (
   SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_view
   FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -2569,9 +2589,12 @@ WITH fv AS (
 SELECT
   (SELECT CAST(count(*) AS BIGINT) FROM fv) AS n_viewers,
   CAST(count(*) AS BIGINT) AS n_converted,
-  round(count(*) * 1.0 / (SELECT count(*) FROM fv), 4) AS conversion_rate,
-  round(CAST(sum(date_diff('second', first_view, conv_ts) // 60) AS DOUBLE)
-        / count(*), 4) AS avg_minutes_to_convert
+  {idiv_round_sql('count(*) * 10000', '(SELECT count(*) FROM fv)')}
+    AS conversion_rate_q1e4,
+  CAST((2 * CAST(sum(date_diff('second', first_view, conv_ts) // 60)
+                 AS HUGEINT) * 10000 + CAST(count(*) AS HUGEINT))
+       // (2 * CAST(count(*) AS HUGEINT)) AS BIGINT)
+    AS avg_minutes_q1e4
 FROM conv
 """)
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2596,6 +2619,11 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_viewers = fv.agg(F.count("*").alias("n_viewers"))
     mins = (F.unix_timestamp("conv_ts") - F.unix_timestamp("first_view")) \
         .cast("bigint") / F.lit(60)
+    two = F.lit(2).cast("decimal(38,0)")
+    g = F.lit(10000).cast("decimal(38,0)")
+    nc = F.col("n_converted").cast("decimal(38,0)")
+    num = two * F.col("_sum_mins").cast("decimal(38,0)") * g + nc
+    den = two * nc
     return (
         conv.select(F.floor(mins).cast("bigint").alias("mins"))
         .agg(F.count("*").alias("n_converted"),
@@ -2604,10 +2632,10 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_viewers").cast("bigint"),
             F.col("n_converted").cast("bigint"),
-            F.round(F.col("n_converted") / F.col("n_viewers"), 4)
-            .alias("conversion_rate"),
-            F.round(F.col("_sum_mins").cast("double") / F.col("n_converted"),
-                    4).alias("avg_minutes_to_convert"),
+            idiv_round(F.col("n_converted") * F.lit(10000),
+                       F.col("n_viewers")).alias("conversion_rate_q1e4"),
+            ((num - num % den) / den).cast("bigint")
+            .alias("avg_minutes_q1e4"),
         )
     )
 

@@ -21,8 +21,8 @@ from multiagent_document_etl_system_spark.functions.hashing import (
     schema_id_sql,
 )
 from multiagent_document_etl_system_spark.functions.numeric import (
-    stable_avg,
-    stable_avg_sql,
+    stable_avg_q,
+    stable_avg_q_sql,
     stable_sum,
     stable_sum_sql,
 )
@@ -1154,7 +1154,7 @@ scored AS (
 )
 SELECT lang, count(*) AS n_docs,
   sum({{TOKENS}}) AS total_tokens,
-  {stable_avg_sql('quality')} AS avg_quality
+  {stable_avg_q_sql('quality')} AS avg_quality_q1e4
 FROM clean GROUP BY lang
 """.replace("{QUALITY}", textstats.quality_score_sql("text"))
    .replace("{TOKENS}", textstats.token_count_sql("text")))
@@ -1180,7 +1180,7 @@ def td_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(textstats.token_count(F.col("text"))).alias("total_tokens"),
-        stable_avg(F.col("quality")).alias("avg_quality"),
+        stable_avg_q(F.col("quality")).alias("avg_quality_q1e4"),
     )
 
 
@@ -1219,7 +1219,7 @@ scored AS (
 )
 SELECT lang, count(*) AS n_docs,
   sum({{TOKENS}}) AS total_tokens,
-  {stable_avg_sql('quality')} AS avg_quality
+  {stable_avg_q_sql('quality')} AS avg_quality_q1e4
 FROM clean GROUP BY lang
 """.replace("{QUALITY}", textstats.quality_score_sql("text"))
    .replace("{TOKENS}", textstats.token_count_sql("text")))
@@ -1248,7 +1248,7 @@ def td_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(textstats.token_count(F.col("text"))).alias("total_tokens"),
-        stable_avg(F.col("quality")).alias("avg_quality"),
+        stable_avg_q(F.col("quality")).alias("avg_quality_q1e4"),
     )
 
 
@@ -1365,9 +1365,9 @@ SELECT lang,
            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
   CAST(sum(CASE WHEN f_gopher AND f_decon AND f_exact AND f_near
            THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
-  {stable_avg_sql(
+  {stable_avg_q_sql(
       "CASE WHEN f_gopher AND f_decon AND f_exact AND f_near "
-      "THEN quality END")} AS avg_kept_quality
+      "THEN quality END")} AS avg_kept_quality_q1e4
 FROM flags GROUP BY lang
 """.replace("{QUALITY}", textstats.quality_score_sql("c.text"))
    .replace("{TOKENS}", textstats.token_count_sql("c.text")))
@@ -1403,7 +1403,7 @@ def td_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(c4).alias("n_kept"),
         F.sum(F.when(c4, F.col("n_tokens")).otherwise(0)).cast("bigint")
         .alias("kept_tokens"),
-        stable_avg(F.when(c4, F.col("quality"))).alias("avg_kept_quality"),
+        stable_avg_q(F.when(c4, F.col("quality"))).alias("avg_kept_quality_q1e4"),
     )
 
 
@@ -1835,10 +1835,15 @@ def ta_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q("ta_quality_score",
-    f"SELECT doc_id, {textstats.quality_score_sql('text')} AS quality FROM documents")
+    f"SELECT doc_id, {textstats.quality_q1e4_sql('text')} AS quality_q1e4 "
+    f"FROM documents")
 def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document composite quality on the exact 1e-4 integer grid
+    (textstats.quality_q1e4_expr — pure integer kernel, no float channel
+    anywhere; divide by 1e4 downstream when a [0,1] double is wanted)."""
     return _docs(spark, sf_dir).select(
-        "doc_id", textstats.quality_score_expr(F.col("text")).alias("quality"))
+        "doc_id",
+        textstats.quality_q1e4_expr(F.col("text")).alias("quality_q1e4"))
 
 
 @_q("ta_fingerprint", f"""
@@ -1910,16 +1915,18 @@ def ta_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q("ta_readability", f"""
-SELECT doc_id, {textstats.readability_sql('text')} AS flesch
+SELECT doc_id, {textstats.readability_q1e4_sql('text')} AS flesch_q1e4
 FROM documents
 """)
 def ta_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-reading-ease-style readability per document
-    (textstats.readability_expr) — word/sentence/vowel-group counts only,
-    a narrow map; extreme scores flag word-salad and run-on boilerplate
+    (textstats.readability_q1e4_expr) — word/sentence/vowel-group counts
+    only, a narrow map, emitted on the exact 1e-4 integer grid (hash-proof
+    integer output); extreme scores flag word-salad and run-on boilerplate
     in a curation pass."""
     return _docs(spark, sf_dir).select(
-        "doc_id", textstats.readability_expr(F.col("text")).alias("flesch"))
+        "doc_id",
+        textstats.readability_q1e4_expr(F.col("text")).alias("flesch_q1e4"))
 
 
 @_q("ta_bigram_logprob", textstats.bigram_logprob_sql())
@@ -2717,7 +2724,7 @@ def ta_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("td_quality_calibration", f"""
 WITH scored AS (
-  SELECT doc_id, lang, {textstats.quality_score_sql('text')} AS q
+  SELECT doc_id, lang, {textstats.quality_q1e4_sql('text')} AS q
   FROM documents
 ), ranked AS (
   SELECT lang, q,
@@ -2727,9 +2734,7 @@ WITH scored AS (
 )
 SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN r * 2 <= n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-  CAST(min(CASE WHEN r * 2 <= n
-                THEN CAST(floor(q * 10000 + 0.5) AS BIGINT) END) AS BIGINT)
-    AS thr_q1e4
+  CAST(min(CASE WHEN r * 2 <= n THEN q END) AS BIGINT) AS thr_q1e4
 FROM ranked GROUP BY lang
 """)
 def td_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2752,7 +2757,7 @@ def td_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     scored = d.select(
         "doc_id", "lang",
-        textstats.quality_score_expr(F.col("text")).alias("q"))
+        textstats.quality_q1e4_expr(F.col("text")).alias("q"))
     w = Window.partitionBy("lang").orderBy(F.desc("q"), F.asc("doc_id"))
     ranked = scored.select(
         "lang", "q",
@@ -2762,8 +2767,7 @@ def td_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("lang").agg(
         F.max("n").cast("bigint").alias("n_docs"),
         F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
-        F.min(F.when(kept, F.floor(F.col("q") * 10000 + F.lit(0.5))
-                     .cast("bigint"))).cast("bigint").alias("thr_q1e4"),
+        F.min(F.when(kept, F.col("q"))).cast("bigint").alias("thr_q1e4"),
     )
 
 
@@ -2922,13 +2926,13 @@ def td_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q("td_importance_resample", f"""
-SELECT doc_id, lang, quality,
-  p_row < quality * quality AS accepted
+SELECT doc_id, lang, quality_q1e4,
+  p_q1e6 * 100 < quality_q1e4 * quality_q1e4 AS accepted
 FROM (
   SELECT doc_id, lang,
-    {textstats.quality_score_sql('text')} AS quality,
+    {textstats.quality_q1e4_sql('text')} AS quality_q1e4,
     CAST({dedup.hash64_sql('CAST(doc_id AS VARCHAR)', seed=13)} % 1000000
-         AS DOUBLE) / 1000000.0 AS p_row
+         AS BIGINT) AS p_q1e6
   FROM documents
 )
 """)
@@ -2937,19 +2941,21 @@ def td_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     move): accept each doc with probability quality², via a deterministic
     hash-uniform draw — high-quality docs pass ~1:1, junk is heavily
     downsampled, and the SAME docs are accepted on every run/engine/retry.
-    The acceptance test is pure multiplication of grid-rounded doubles
-    (quality is on a 1e-4 grid), so the threshold compare can never flake
-    cross-engine the way exp()-based weights could (libm exp differs by
-    1 ulp between runtimes). Narrow map, zero shuffles."""
+    The acceptance test is PURE INTEGER: draw p ∈ [0,1) as hash‰1e6,
+    accept iff p·100 < q1e4² (both sides exact BIGINTs ≤ 1e8) — no float
+    compare to flake cross-engine the way exp()-based weights could
+    (libm exp differs by 1 ulp between runtimes). Narrow map, zero
+    shuffles."""
     d = _docs(spark, sf_dir)
-    q = textstats.quality_score_expr(F.col("text"))
-    p_row = (dedup.hash64(F.col("doc_id").cast("string"), seed=13)
-             % 1_000_000).cast("double") / 1_000_000.0
+    q = textstats.quality_q1e4_expr(F.col("text"))
+    p = (dedup.hash64(F.col("doc_id").cast("string"), seed=13)
+         % 1_000_000).cast("bigint")
     return d.select(
-        "doc_id", "lang", q.alias("quality"), p_row.alias("_p"),
+        "doc_id", "lang", q.alias("quality_q1e4"), p.alias("_p"),
     ).select(
-        "doc_id", "lang", "quality",
-        (F.col("_p") < F.col("quality") * F.col("quality")).alias("accepted"),
+        "doc_id", "lang", "quality_q1e4",
+        (F.col("_p") * F.lit(100).cast("bigint")
+         < F.col("quality_q1e4") * F.col("quality_q1e4")).alias("accepted"),
     )
 
 
@@ -3032,31 +3038,85 @@ _DRIVER_WINDOW_R4 = [
     "q_json_events", "q_sessionize",
 ]
 
-# never-driver-checked as of r3 (CORRECTNESS_r01..r03 keys), minus the
-# window above — kept at the front of the tail so round 5's window rotation
-# reaches them next
-_NEVER_CHECKED_TAIL = [
-    "td_token_budget_pack", "ta_tfidf", "ta_inverted_index",
-    "ta_readability", "ta_bigram_logprob", "q_asof_forward",
-    "q_asof_nearest", "l4_embed_dedup", "mm_frame_sample", "mm_resize",
-    "td_zorder_layout", "ta_heavy_hitters", "q_argmax_agg",
-    "q_nullsafe_join", "q_collect_agg", "q_set_ops_all", "q_limit_offset",
-    "q_array_hof", "q_histogram", "q_resample_gapfill",
-    "q_tumbling_window", "q_sliding_window", "q_date_arithmetic",
-    "q_stats_moments", "q_approx_percentile", "q_interval_join_binned",
-    "q_incremental_agg_merge", "q_scd2_intervals", "q_funnel_conversion",
+# Round-5 window: completes the rotation. Head = the 2 cells that have
+# been driver-hash-red for three consecutive rounds (fixed this round by
+# removing their ONLY float output column — avg_quality_q1e4 BIGINT via
+# pure-integer rounding, functions/numeric.stable_avg_q), then the 38
+# never-driver-checked ORACLED queries (every rows-only query is excluded:
+# a window slot that can only return `no_oracle` buys no evidence), then
+# 10 re-confirmations — greens whose output contract this round's
+# integer-grid sweep changed (quality/gopher columns) or that the r4
+# verdict asked to re-show under the float-canon changes. After this
+# window runs, every oracled query in the registry has ≥1 driver row.
+_DRIVER_WINDOW_R5 = [
+    # 3-round red cells, fixed via integer-only outputs — must re-show
+    "td_prepare_corpus", "td_prepare_corpus_v2",
+    # the 38 never-driver-checked oracled queries (r1-r4 complement);
+    # the ones whose outputs this round converted to the integer grid
+    # lead (highest information value)
+    "td_importance_resample", "td_quality_calibration", "ta_quality_score",
+    "ta_readability", "ta_tfidf", "ta_bigram_logprob", "ta_heavy_hitters",
+    "q_stats_moments", "q_incremental_agg_merge", "q_funnel_conversion",
+    "st_curation_stream", "ta_dup_ngram_coverage", "td_token_budget_pack",
+    "ta_inverted_index", "q_asof_forward", "q_asof_nearest",
+    "td_zorder_layout", "q_argmax_agg", "q_nullsafe_join", "q_collect_agg",
+    "q_set_ops_all", "q_limit_offset", "q_array_hof", "q_histogram",
+    "q_resample_gapfill", "q_tumbling_window", "q_sliding_window",
+    "q_date_arithmetic", "q_interval_join_binned", "q_scd2_intervals",
     "q_retention_cohorts", "q_skew_salted_agg", "q_rollup_grouping_id",
-    # new in r4 — never driver-checked yet, next in line for the r5 window
-    "td_split", "td_importance_resample", "td_shuffle_order",
-    "td_tokenize_ids", "st_curation_stream", "v20_binary_hamming_topk",
-    "q_full_outer_join", "td_quality_calibration", "ta_dup_ngram_coverage",
-    "q_window_percent_rank",
+    "td_split", "td_shuffle_order", "td_tokenize_ids",
+    "v20_binary_hamming_topk", "q_full_outer_join", "q_window_percent_rank",
+    # re-confirmations: contract changed this round (quality/gopher grid)
+    # or explicitly requested by the r4 verdict
+    "ta_gopher_rules", "td_curation_funnel", "dedup_minhash_lsh",
+    "q1_pricing_summary", "v2_cosine_topk", "pipeline_flagship",
+    "dedup_clusters", "td_decontaminate", "td_domain_mix",
 ]
 
 
 def _driver_ordered(q: dict) -> dict:
-    head = [n for n in _DRIVER_WINDOW_R4 + _NEVER_CHECKED_TAIL if n in q]
+    head = [n for n in _DRIVER_WINDOW_R5 if n in q]
     return {n: q[n] for n in head + [n for n in q if n not in set(head)]}
 
 
 QUERIES = _driver_ordered(QUERIES)
+
+#: Why each rows-only query has NO DuckDB oracle — BY CONSTRUCTION, not by
+#: omission. A driver `no_oracle` row for these is the expected (and only
+#: possible) outcome; each op still carries a pytest-level equivalence or
+#: property check (noted). Surfaced in QUERIES.md and
+#: __spark_entry__.no_oracle_reasons() so the evidence ledger is explicit.
+NO_ORACLE_REASONS: dict[str, str] = {
+    "v8_ivf_topk": "KMeans coarse-quantizer fit (iterative, non-SQL); "
+                   "recall vs exact top-k asserted in tests/test_similarity",
+    "v19_ivfpq_topk": "KMeans coarse + PQ codebook fits (iterative, "
+                      "non-SQL); recall property in tests/test_similarity",
+    "v18_pq_adc_topk": "PQ codebook KMeans fit (iterative, non-SQL); ADC "
+                       "vs exact-distance property in tests/test_similarity",
+    "v17_pq_codes": "PQ codebook KMeans fit (iterative, non-SQL); "
+                    "determinism + round-trip pytest",
+    "v13_topk_matmul": "BLAS GEMM sums floats in a different order than "
+                       "any SQL restatement; set-equality vs v2 in pytest",
+    "v14_ann_lsh_matmul": "per-bucket GEMM (same summation-order class); "
+                          "set-equality vs exact top-k in pytest",
+    "q_approx_distinct": "HLL++ sketch — approximate by construction, "
+                         "engine-internal; bounds asserted in pytest",
+    "q_approx_percentile": "KLL-style quantile sketch — engine-internal; "
+                           "bracketed by exact percentiles in pytest",
+    "l4_embed": "model inference (deterministic fake embedder — no SQL "
+                "twin); executor-singleton + shape pytest",
+    "l4_embed_dedup": "same inference path behind dedup-before-inference; "
+                      "equivalence to l4_embed asserted in pytest",
+    "s1_parse_dispatch": "parses BINARY fixture files (PDF/DOCX/BMP) — "
+                         "DuckDB has no parser; round-trip pytest",
+    "mm_decode_features": "opaque media decode via mapInPandas "
+                          "(deterministic fake, no media libs); pytest",
+    "mm_frame_sample": "video frame explode over opaque binary; pytest",
+    "mm_resize": "NumPy nearest-neighbor resize kernel (no SQL twin); "
+                 "golden-pixel pytest",
+    "st_dedup_stream": "dropDuplicatesWithinWatermark state semantics "
+                       "(watermark-dependent, not a batch-SQL twin); "
+                       "batch-equivalence pytest in test_streaming",
+    "st_stateful_totals": "applyInPandasWithState custom state machine; "
+                          "batch-twin equivalence pytest in test_streaming",
+}

@@ -400,16 +400,13 @@ def _glyph_templates() -> dict[str, list[list[bool]]]:
 _TEMPLATES = _glyph_templates()
 
 
-def render_text_bmp(text: str, margin: int = 2) -> bytes:
-    """Render A-Z/0-9/space text (newlines = line breaks) as an
-    uncompressed 24-bit BMP — the deterministic twin of the OCR rung."""
-    import struct
-
+def _render_text_pixels(text: str, margin: int = 2) -> list[list[int]]:
+    """A-Z/0-9/space text → top-down luminance raster (white canvas,
+    black 5x7 glyphs) — shared by the BMP and PNG renderer twins."""
     lines = [ln.upper() for ln in text.split("\n")]
     n_cols = max((len(ln) for ln in lines), default=0)
     w = margin * 2 + max(n_cols * (_GLYPH_W + 1) - 1, 1)
     h = margin * 2 + len(lines) * (_GLYPH_H + 1) - 1
-    # white canvas, row-major top-down
     px = [[255] * w for _ in range(h)]
     for li, ln in enumerate(lines):
         y0 = margin + li * (_GLYPH_H + 1)
@@ -422,6 +419,16 @@ def render_text_bmp(text: str, margin: int = 2) -> bytes:
                 for c in range(_GLYPH_W):
                     if bits >> (_GLYPH_W - 1 - c) & 1:
                         px[y0 + r][x0 + c] = 0
+    return px
+
+
+def render_text_bmp(text: str, margin: int = 2) -> bytes:
+    """Render A-Z/0-9/space text (newlines = line breaks) as an
+    uncompressed 24-bit BMP — the deterministic twin of the OCR rung."""
+    import struct
+
+    px = _render_text_pixels(text, margin)
+    h, w = len(px), len(px[0])
     row_pad = (-(w * 3)) % 4
     body = bytearray()
     for row in reversed(px):  # BMP is bottom-up
@@ -432,6 +439,27 @@ def render_text_bmp(text: str, margin: int = 2) -> bytes:
                       2835, 2835, 0, 0)
     hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
     return bytes(hdr + dib + body)
+
+
+def render_text_png(text: str, margin: int = 2) -> bytes:
+    """Render text as an 8-bit grayscale zlib-compressed PNG (filter 0)
+    — the deterministic twin of the PNG OCR rung."""
+    import struct
+    import zlib
+
+    px = _render_text_pixels(text, margin)
+    h, w = len(px), len(px[0])
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        raw = typ + data
+        return struct.pack(">I", len(data)) + raw \
+            + struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, no interlace
+    raw = b"".join(b"\x00" + bytes(row) for row in px)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
 
 
 def _decode_bmp_24(b: bytes) -> list[list[int]]:
@@ -458,9 +486,100 @@ def _decode_bmp_24(b: bytes) -> list[list[int]]:
     return rows[::-1] if bottom_up else rows
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(b: bytes) -> list[list[int]]:
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA / palette)
+    → top-down luminance rows, pure stdlib: chunk walk + zlib inflate +
+    full filter reconstruction (None/Sub/Up/Average/Paeth per the PNG
+    spec §9). Covers what screenshot and render tools actually emit; 16-bit
+    and interlaced files raise and degrade per-row honestly."""
+    import struct
+    import zlib
+
+    if not b.startswith(_PNG_SIG):
+        raise ValueError("not a PNG file")
+    pos, idat, palette = len(_PNG_SIG), bytearray(), None
+    w = h = ctype = None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # chunk header + payload + CRC
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or comp != 0 or filt != 0 or ilace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, interlace={ilace})")
+            if ctype not in (0, 2, 3, 4, 6):
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif typ == b"PLTE":
+            palette = [data[i:i + 3] for i in range(0, len(data), 3)]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = w * nch
+    rows: list[list[int]] = []
+    prev = bytearray(stride)
+    off = 0
+    for _ in range(h):
+        ft = raw[off]
+        off += 1
+        cur = bytearray(raw[off:off + stride])
+        off += stride
+        if ft == 1:  # Sub
+            for i in range(nch, stride):
+                cur[i] = (cur[i] + cur[i - nch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                cur[i] = (cur[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                up = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (up if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        prev = cur
+        if ctype == 0:
+            lum = list(cur)
+        elif ctype == 4:
+            lum = [cur[i] for i in range(0, stride, 2)]
+        elif ctype == 2:
+            lum = [(cur[i] + cur[i + 1] + cur[i + 2]) // 3
+                   for i in range(0, stride, 3)]
+        elif ctype == 6:
+            lum = [(cur[i] + cur[i + 1] + cur[i + 2]) // 3
+                   for i in range(0, stride, 4)]
+        else:
+            if palette is None:
+                raise ValueError("paletted PNG missing PLTE")
+            lum = [sum(palette[v]) // 3 for v in cur]
+        rows.append(lum)
+    return rows
+
+
 def _ocr_parse_stdlib(b: bytes) -> str:
-    """Template-matching OCR over a decoded bitmap (see module comment)."""
-    px = _decode_bmp_24(b)
+    """Template-matching OCR over a decoded bitmap (see module comment).
+    Accepts uncompressed 24-bit BMP and 8-bit PNG (the two formats
+    machine renders/screenshots actually produce without media libs)."""
+    px = _decode_png(b) if b.startswith(_PNG_SIG) else _decode_bmp_24(b)
     ink = [[v < 128 for v in row] for row in px]
     h, w = len(ink), len(ink[0]) if ink else 0
     # segment lines on blank pixel-rows

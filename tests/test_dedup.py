@@ -116,3 +116,31 @@ def test_duplicate_clusters_matches_union_find(spark):
         got = {r["id"]: r["rep"]
                for r in duplicate_clusters(pairs).collect()}
         assert got == expect, f"{name}: CC mismatch"
+
+
+def test_duplicate_clusters_reliable_checkpoint_path(spark, tmp_path):
+    """The ``checkpoint_dir=`` path (reliable HDFS-style checkpoints, the
+    real-cluster mode where an executor loss must not kill the iteration
+    lineage) must produce exactly the clusters the default localCheckpoint
+    path produces — same graph, both paths, row-for-row equality."""
+    import random
+
+    from multiagent_document_etl_system_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    rng = random.Random(23)
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in ((rng.randrange(60), rng.randrange(60))
+                                 for _ in range(80)) if a != b})
+    edges += [(200 + i, 201 + i) for i in range(25)]  # deep chain
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {r["id"]: r["rep"] for r in duplicate_clusters(pairs).collect()}
+    ckpt = str(tmp_path / "reliable_ckpt")
+    reliable = {r["id"]: r["rep"]
+                for r in duplicate_clusters(
+                    pairs, checkpoint_dir=ckpt).collect()}
+    assert reliable == local
+    # and the reliable run actually wrote checkpoint state to the dir
+    import os
+    assert any(os.scandir(ckpt)), "no files under the checkpoint dir"

@@ -251,7 +251,7 @@ def test_bigram_logprob_matches_python_reference(spark, texts):
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
-    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob_q1e4"])
            for r in bigram_logprob(df).collect()}
     toks = {i: [w for w in t.lower().split() if w]
             for i, t in enumerate(texts)}
@@ -268,7 +268,11 @@ def test_bigram_logprob_matches_python_reference(spark, texts):
             math.log((big[(a, b)] + 1.0) / (uni[a] + v)) * 1e6 + 0.5)
             for a, b in zip(ts, ts[1:])]
         n = len(lps)
-        want = (n, round(sum(lps) / 1e6 / n, 4) if n else 0.0)
+        # integer mean contract: avg_logprob_q1e4 = -round(-S·1e4/(1e6·n))
+        # half-up via the exact (2a+b)//(2b) identity (lps are ≤ 0)
+        s = sum(lps)
+        want = (n, -((2 * -s * 10_000 + 1_000_000 * n)
+                     // (2 * 1_000_000 * n)) if n else 0)
         assert got[i] == want, (i, got[i], want)
 
 
@@ -293,3 +297,82 @@ def test_ocr_round_trips_any_rendered_text(lines):
     text = "\n".join(lines)
     got = parsers._ocr_parse_stdlib(parsers.render_text_bmp(text))
     assert [ln for ln in got.split("\n") if ln] == expected
+
+
+@given(st.lists(
+    st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ",
+            min_size=1, max_size=30).map(lambda s: s.strip()),
+    min_size=1, max_size=4))
+@settings(max_examples=40, deadline=None)
+def test_ocr_round_trips_any_rendered_png(lines):
+    """The PNG rung: render → zlib-compressed grayscale PNG → stdlib
+    decode (inflate + filter reconstruction) → OCR reads back the text.
+    Same whitespace-normalization contract as the BMP property."""
+    import re
+
+    from multiagent_document_etl_system_spark.sources import parsers
+
+    lines = [re.sub(r" +", " ", ln).strip() for ln in lines]
+    expected = [ln for ln in lines if ln]
+    text = "\n".join(lines)
+    got = parsers._ocr_parse_stdlib(parsers.render_text_png(text))
+    assert [ln for ln in got.split("\n") if ln] == expected
+
+
+def test_png_decoder_reconstructs_every_filter_type():
+    """The PNG filter reconstruction (Sub/Up/Average/Paeth) must invert
+    each spec filter exactly — encode a known raster once per filter type
+    (and cycling through all of them) and assert pixel-exact decode."""
+    import struct
+    import zlib
+
+    from multiagent_document_etl_system_spark.sources.parsers import (
+        _PNG_SIG,
+        _decode_png,
+    )
+
+    def encode_gray(px, filters):
+        h, w = len(px), len(px[0])
+
+        def chunk(typ, data):
+            raw = typ + data
+            return (struct.pack(">I", len(data)) + raw
+                    + struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF))
+
+        raw = bytearray()
+        prev = bytes(w)
+        for r, row in enumerate(px):
+            ft = filters[r % len(filters)]
+            cur = bytes(row)
+            if ft == 0:
+                enc = cur
+            elif ft == 1:  # Sub
+                enc = bytes((cur[i] - (cur[i - 1] if i else 0)) & 0xFF
+                            for i in range(w))
+            elif ft == 2:  # Up
+                enc = bytes((cur[i] - prev[i]) & 0xFF for i in range(w))
+            elif ft == 3:  # Average
+                enc = bytes((cur[i] - ((cur[i - 1] if i else 0)
+                                       + prev[i]) // 2) & 0xFF
+                            for i in range(w))
+            else:  # Paeth
+                def paeth(a, b, c):
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    return a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                enc = bytes((cur[i] - paeth(cur[i - 1] if i else 0, prev[i],
+                                            prev[i - 1] if i else 0)) & 0xFF
+                            for i in range(w))
+            raw += bytes([ft]) + enc
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (_PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    import random
+    rng = random.Random(5)
+    px = [[rng.randrange(256) for _ in range(13)] for _ in range(9)]
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert _decode_png(encode_gray(px, filters)) == px, filters

@@ -76,23 +76,24 @@ def test_extract_llm_survives_broken_json(spark):
 
 
 def test_extract_llm_threads_schema_column(spark):
-    """schema_col lands in the prompt (the /upload-schema flow)."""
-    seen = {}
+    """schema_col lands in the prompt (the /upload-schema flow).
 
-    def spy_client(prompt: str) -> str:
-        seen["prompt"] = prompt
-        return '{"email": ""}'
+    The client runs in the executor's Python WORKER process, so a
+    driver-side spy dict never sees the call — instead the client echoes
+    its prompt back through the JSON reply and the assertion reads the
+    collected output column (the only channel that crosses the worker
+    boundary)."""
+
+    def echo_client(prompt: str) -> str:
+        return json.dumps({"echo": prompt})
 
     df = spark.createDataFrame(
         [(1, "text", '{"email": "string"}')],
         "doc_id long, text string, schema_json string")
-    extract.extract_llm(df, schema_col="schema_json",
-                        client=spy_client).collect()
-    # the spy runs executor-side; in local mode that's the same process
-    # tree but a different python worker — assert via the OUTPUT contract
-    # instead when the dict comes back empty
-    if seen:
-        assert '{"email": "string"}' in seen["prompt"]
+    r = extract.extract_llm(df, schema_col="schema_json",
+                            client=echo_client).collect()[0]
+    echoed = json.loads(r["extracted"])["echo"]
+    assert '{"email": "string"}' in echoed, echoed
 
 
 def test_classify_llm_is_arrow_batched_not_row_udf(spark):

@@ -80,6 +80,57 @@ def test_stable_avg_excludes_nulls(spark):
     assert row["a"] == 3.0  # (2+4)/2, not /3
 
 
+def test_stable_avg_q_matches_duckdb_and_reference(spark, tmp_path):
+    """stable_avg_q (integer-only scaled average, the td_prepare_corpus
+    driver-red fix) must (a) equal the exact Python rational reference
+    round(S*10^4 / (1e6*n)) half-up, (b) bit-match the DuckDB HUGEINT
+    twin, (c) be partition-order invariant — on boundary-adversarial
+    non-negative inputs (quality-score domain [0,1], incl. exact grid
+    half-points like 0.00005 whose scaled average lands on .5)."""
+    rng = random.Random(13)
+    vals = (
+        [k / 10_000.0 for k in range(0, 50)]          # exact 1e-4 grid
+        + [k / 100_000.0 for k in range(0, 50)]       # half-grid magnets
+        + [rng.uniform(0.0, 1.0) for _ in range(300)]
+        + [0.0, 1.0, 0.5, 0.99995, 0.00005]
+    )
+
+    def q6(v: float) -> int:
+        return math.floor(v * 1_000_000 + 0.5)
+
+    S, n = sum(q6(v) for v in vals), len(vals)
+    want = (2 * S * 10_000 + 1_000_000 * n) // (2 * 1_000_000 * n)
+
+    from multiagent_document_etl_system_spark.functions.numeric import (
+        stable_avg_q,
+        stable_avg_q_sql,
+    )
+
+    pq = str(tmp_path / "q.parquet")
+    _df(spark, vals, 9).write.parquet(pq)
+    outs = set()
+    for parts in (1, 7, 32):
+        row = spark.read.parquet(pq).repartition(parts).agg(
+            stable_avg_q(F.col("x")).alias("a")).first()
+        outs.add(row["a"])
+    assert outs == {want}, (outs, want)
+    con = duckdb.connect()
+    orow = con.sql(
+        f"SELECT {stable_avg_q_sql('x')} AS a "
+        f"FROM read_parquet('{pq}/*.parquet')").fetchall()[0]
+    assert orow[0] == want
+    # null semantics: nulls excluded from sum AND count, both engines
+    ndf = spark.createDataFrame(
+        [(1, 2.0 / 3.0), (2, None), (3, 1.0 / 3.0)], "id long, x double")
+    assert ndf.agg(stable_avg_q(F.col("x")).alias("a")).first()["a"] == 5000
+    # all-null group -> NULL, not an error (both engines)
+    adf = spark.createDataFrame([(1, None)], "id long, x double")
+    assert adf.agg(stable_avg_q(F.col("x")).alias("a")).first()["a"] is None
+    assert con.sql(
+        f"SELECT {stable_avg_q_sql('x')} FROM "
+        "(SELECT CAST(NULL AS DOUBLE) AS x)").fetchall()[0][0] is None
+
+
 def test_exact_sum_equals_decimal_sum_path(spark):
     """The split-radix long-path exact_sum must produce the identical
     exact integer as the 128-bit decimal sum for positive/negative/mixed

@@ -1,19 +1,21 @@
-"""Driver-window ordering invariants (round-4).
+"""Driver-window ordering invariants (round-5).
 
 The external driver checks the FIRST 50 registry entries each round; these
-tests pin that the window contains exactly what round 4 needs to show it:
-the fixed red cells from r2/r3 and only queries with no prior driver-green
-row (so every window slot produces NEW hard evidence).
+tests pin that the round-5 window contains exactly what completes the
+rotation: the two 3-round-red cells (fixed via integer-only outputs), every
+oracled query with no driver row in r1-r4, and deliberate re-confirmations
+of greens whose output contract this round's integer-grid sweep changed.
+After this window runs, every oracled query has ≥1 driver row.
 """
 
 from __future__ import annotations
 
 from multiagent_document_etl_system_spark.plans.registry import (
-    _DRIVER_WINDOW_R4,
+    _DRIVER_WINDOW_R5,
     QUERIES,
 )
 
-#: queries with a driver row in CORRECTNESS_r01/r02/r03 (frozen snapshot —
+#: queries with a driver row in CORRECTNESS_r01..r04 (frozen snapshot —
 #: the historical record cannot change)
 _EVER_DRIVER_CHECKED = {
     "dedup_clusters", "dedup_containment", "dedup_edit_distance",
@@ -30,7 +32,7 @@ _EVER_DRIVER_CHECKED = {
     "q_rollup_region_nation", "q_semi_join", "q_set_ops", "q_sql_api",
     "q_window_firstlast", "q_window_lag", "q_window_range_frame",
     "q_window_rank", "q_window_running", "s1_parse_dispatch",
-    "st_tumbling_stream", "ta_chunk_segments", "ta_fingerprint",
+    "st_tumbling_stream", "ta_bigrams", "ta_chunk_segments", "ta_fingerprint",
     "ta_gopher_rules", "ta_lang_id", "ta_pii_redact", "ta_quality_score",
     "ta_repetition", "ta_term_frequency", "ta_token_stats",
     "td_curation_funnel", "td_decontaminate", "td_domain_mix",
@@ -42,34 +44,77 @@ _EVER_DRIVER_CHECKED = {
     "v3_filtered_topk", "v4_top1_argmax", "v5_fallback_cascade",
     "v6_ann_lsh_topk", "v6_namespace_scoped", "v7_schema_id",
     "v8_ivf_topk", "v9_label_centroids",
+    # added by the r4 window (CORRECTNESS_r04 keys not already above)
+    "q2_min_cost_supplier", "q4_priority_order_check", "q6_revenue_forecast",
+    "q7_nation_trade", "q8_market_share", "q9_product_type_profit",
+    "q10_returned_revenue", "q11_important_share",
+    "q12_late_shipment_priority", "q13_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_filter", "q20_heavy_suppliers", "q21_sole_supplier",
+    "q22_dormant_balances", "q_scalar_subquery", "q_correlated_subquery",
+    "q_exists_subquery", "q_lateral_topk", "q_recursive_cte",
+    "q_window_ntile", "q_rolling_time_window", "q_pivot_status_priority",
+    "q_unpivot", "q_date_functions", "q_string_functions",
+    "q_math_functions", "q_map_functions", "q_bitwise_functions",
+    "q_interval_functions", "q_regex_functions", "q_null_functions",
+    "st_sliding_stream", "st_session_stream", "st_interval_join_stream",
+    "st_dedup_stream", "st_stateful_totals", "st_enrich_stream",
+    "st_dedup_vs_corpus", "q_json_events", "q_sessionize",
 }
 
-#: red or FAIL in some round, fixed in r4, must re-enter the window
-_MUST_RESHOW = {"td_prepare_corpus", "td_prepare_corpus_v2",
-                "v9_label_centroids", "v17_pq_codes", "q_sql_api"}
+#: driver hash-red in r2/r3/r4, fixed this round (integer-only outputs) —
+#: must lead the window
+_MUST_RESHOW = {"td_prepare_corpus", "td_prepare_corpus_v2"}
+
+#: deliberately re-shown greens: the integer-grid sweep changed their
+#: output contract (quality/gopher columns), or the r4 verdict asked for
+#: re-confirmation under the float-canon changes
+_RECONFIRM = {
+    "ta_quality_score", "ta_gopher_rules", "td_curation_funnel",
+    "dedup_minhash_lsh", "q1_pricing_summary", "v2_cosine_topk",
+    "pipeline_flagship", "dedup_clusters", "td_decontaminate",
+    "td_domain_mix",
+}
 
 
 def test_window_is_exactly_the_head():
-    assert list(QUERIES)[: len(_DRIVER_WINDOW_R4)] == _DRIVER_WINDOW_R4
+    assert list(QUERIES)[: len(_DRIVER_WINDOW_R5)] == _DRIVER_WINDOW_R5
 
 
 def test_window_is_50_slots():
-    assert len(_DRIVER_WINDOW_R4) == 50
-    assert len(set(_DRIVER_WINDOW_R4)) == 50
+    assert len(_DRIVER_WINDOW_R5) == 50
+    assert len(set(_DRIVER_WINDOW_R5)) == 50
 
 
 def test_window_slots_all_produce_new_evidence():
-    """Every slot is either a re-show of a fixed red cell or a query the
-    driver has never sampled."""
-    wasted = [n for n in _DRIVER_WINDOW_R4
-              if n in _EVER_DRIVER_CHECKED and n not in _MUST_RESHOW]
+    """Every slot is a fixed-red re-show, a never-driver-checked query, or
+    a deliberate re-confirmation of a contract-changed green."""
+    wasted = [n for n in _DRIVER_WINDOW_R5
+              if n in _EVER_DRIVER_CHECKED
+              and n not in _MUST_RESHOW | _RECONFIRM]
     assert not wasted, wasted
 
 
+def test_window_covers_every_never_checked_oracled_query():
+    """The rotation's whole point: after r5, no oracled query is without a
+    driver row. rows-only queries are excluded by construction (their only
+    possible driver outcome is `no_oracle`)."""
+    never = [n for n, (_, oracle) in QUERIES.items()
+             if oracle and n not in _EVER_DRIVER_CHECKED]
+    missing = [n for n in never if n not in _DRIVER_WINDOW_R5]
+    assert not missing, missing
+
+
+def test_no_rows_only_query_wastes_a_slot():
+    rows_only = [n for n in _DRIVER_WINDOW_R5 if not QUERIES[n][1]]
+    assert not rows_only, rows_only
+
+
 def test_reshow_queries_lead_the_window():
-    assert set(_DRIVER_WINDOW_R4[:5]) == _MUST_RESHOW
+    assert set(_DRIVER_WINDOW_R5[:2]) == _MUST_RESHOW
 
 
 def test_every_window_name_exists():
-    missing = [n for n in _DRIVER_WINDOW_R4 if n not in QUERIES]
+    missing = [n for n in _DRIVER_WINDOW_R5 if n not in QUERIES]
     assert not missing, missing
