@@ -22,7 +22,19 @@ DEFAULT = [
     "q18_large_orders", "dedup_minhash_lsh", "dedup_exact_stats",
     "ta_term_frequency", "td_tokenize_ids", "v2_cosine_topk",
     "v20_binary_hamming_topk", "td_split", "q_full_outer_join",
+    # the quadratic-risk composites — candidate-pair generation, corpus-wide
+    # document-frequency joins, and iterative clustering are exactly where
+    # an all-pairs bug would show as a superlinear exponent
+    "td_curation_funnel", "ta_dup_ngram_coverage", "td_prepare_corpus_v2",
+    "dedup_clusters", "ta_heavy_hitters",
 ]
+
+#: iterative-clustering composites materialize eager per-round checkpoints
+#: at PLAN-BUILD time; timing only the final write would skip the
+#: propagation rounds, so these rebuild the DataFrame inside each rep
+#: (same contract as bench.py's REBUILD_PER_REP)
+REBUILD_PER_REP = {"td_curation_funnel", "td_prepare_corpus_v2",
+                   "dedup_clusters"}
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
        "/root/testdata/sf0.1"]
@@ -39,6 +51,7 @@ def main() -> int:
           f"{'exp(0.01->0.1)':>14s}")
     for name in names:
         fn, _ = QUERIES[name]
+        rebuild = name in REBUILD_PER_REP
         best = []
         for sf in SFS:
             df = fn(spark, sf)
@@ -46,7 +59,8 @@ def main() -> int:
             reps = []
             for _ in range(3):
                 t0 = time.time()
-                df.write.format("noop").mode("overwrite").save()
+                (fn(spark, sf) if rebuild else df) \
+                    .write.format("noop").mode("overwrite").save()
                 reps.append(time.time() - t0)
             best.append(min(reps))
         exp = math.log(best[2] / best[1], 10)
