@@ -72,6 +72,8 @@ HEADLINE = [
     "td_tokenize_ids",
     "ta_dup_ngram_coverage",
     "v20_binary_hamming_topk",
+    # round-5: passage-level duplicated-span removal
+    "td_span_dedup",
 ]
 
 

@@ -584,3 +584,124 @@ def build_dedup_index(docs: DataFrame, text_col: str = "text",
         shingle_sets(docs, text_col=text_col, id_col=id_col)) \
         .select("band", "bh").distinct()
     return md5_index, band_index
+
+
+# ------------------------------------------- duplicated-span REMOVAL
+
+def span_dedup(df: DataFrame, n: int = 3, min_df: int = 2,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicated-SPAN removal — cut every token n-gram span that
+    also appears in ``min_df`` or more distinct documents, and return the
+    cleaned text fingerprint plus removal accounting per doc:
+    ``(doc_id, n_tokens, n_removed, cleaned_fp)``.
+
+    This is the span-granular form of exact-substring deduplication (the
+    "dedup the REPEATED PASSAGES, not whole documents" recipe of
+    Lee et al. 2022, arXiv:2107.06499, approximated at token-shingle
+    granularity instead of a suffix array): boilerplate headers, license
+    blocks, and templated passages are removed from otherwise-unique
+    documents, which whole-doc dedup (exact or MinHash) cannot touch.
+    Distinct from ta_dup_ngram_coverage: that MEASURES duplication, this
+    REMOVES it — a token is dropped iff some duplicated shingle covers it
+    (interval union of the flagged [s, s+n-1] windows).
+
+    Plan at 100 TB: positional shingles shuffle as 8-byte hashes
+    (ids-only-shuffle convention) into a distinct-doc-frequency count
+    (AQE skew-splits hot boilerplate hashes); flagged starts explode to
+    covered positions — volume proportional to the duplicated mass being
+    removed, not the corpus; token reassembly is one co-partitioned
+    (id, pos) join plus a doc_id regroup using the sorted-struct
+    collect pattern. No driver-side state, no all-pairs anywhere.
+
+    Empty/NULL-text docs have no tokens and are absent by definition
+    (the td_tokenize_ids convention). Fully-duplicated docs come back
+    with ``n_removed = n_tokens`` and the md5 of the empty string.
+    """
+    ts = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                  lambda t: F.length(t) > 0)
+    d = (df.filter(F.col(text_col).isNotNull())
+         .select(F.col(id_col).alias("id"), ts.alias("ts"))
+         .filter(F.size("ts") > 0))
+    nt = F.size("ts")
+    sh_structs = F.transform(
+        F.sequence(F.lit(1), F.greatest(nt - (n - 1), F.lit(1))),
+        lambda i: F.struct(
+            i.alias("s0"),
+            F.array_join(F.slice(F.col("ts"), i, n), " ").alias("s")),
+    )
+    sh = (d.select("id", nt.alias("nt"),
+                   F.explode(sh_structs).alias("sh"))
+          .select("id", "nt", F.col("sh.s0").alias("s0"),
+                  hash64(F.col("sh.s")).alias("h")))
+    dfreq = sh.groupBy("h").agg(F.count_distinct("id").alias("nd"))
+    dup_starts = (sh.join(dfreq.filter(F.col("nd") >= min_df), "h")
+                  .select("id", "s0", "nt"))
+    covered = (dup_starts
+               .select("id", F.explode(F.sequence(
+                   F.col("s0"),
+                   F.least(F.col("s0") + (n - 1), F.col("nt")))).alias("pos"))
+               .distinct()
+               .withColumn("_c", F.lit(True)))
+    toks = (d.select("id", F.posexplode("ts").alias("pos0", "token"))
+            .select("id", (F.col("pos0") + 1).alias("pos"), "token"))
+    kept_struct = F.when(F.col("_c").isNull(),
+                         F.struct(F.col("pos"), F.col("token")))
+    return (
+        toks.join(covered, ["id", "pos"], "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_c"), 1).otherwise(0)).cast("bigint")
+            .alias("n_removed"),
+            F.md5(F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept_struct)),
+                            lambda st: st.token), " ")).alias("cleaned_fp"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "n_removed",
+                "cleaned_fp")
+    )
+
+
+def span_dedup_sql(table: str = "documents", n: int = 3, min_df: int = 2,
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`span_dedup` — same shingle hashes, same
+    distinct-doc-frequency flag, same interval-union removal."""
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS id,
+    list_filter(string_split_regex(trim({text_col}), '\\s+'),
+                t -> t <> '') AS ts
+  FROM {table} WHERE {text_col} IS NOT NULL
+), d2 AS (SELECT * FROM d WHERE len(ts) > 0),
+st AS (
+  SELECT id, len(ts) AS nt, ts,
+    unnest(generate_series(1, greatest(len(ts) - {n - 1}, 1))) AS s0
+  FROM d2
+), sh AS (
+  SELECT id, nt, s0,
+    {hash64_sql(f"array_to_string(ts[s0:least(s0 + {n - 1}, nt)], ' ')")} AS h
+  FROM st
+), dfreq AS (
+  SELECT h, count(DISTINCT id) AS nd FROM sh GROUP BY h
+), dupst AS (
+  SELECT id, s0, nt FROM sh JOIN dfreq USING (h) WHERE nd >= {min_df}
+), cov AS (
+  SELECT DISTINCT id,
+    unnest(generate_series(s0, least(s0 + {n - 1}, nt))) AS pos
+  FROM dupst
+), toks AS (
+  SELECT id, pos, token FROM (
+    SELECT id, unnest(ts) AS token,
+      unnest(generate_series(1, len(ts))) AS pos
+    FROM d2)
+)
+SELECT t.id AS {id_col},
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  md5(coalesce(array_to_string(
+    list(t.token ORDER BY t.pos) FILTER (WHERE c.pos IS NULL), ' '), ''))
+    AS cleaned_fp
+FROM toks t LEFT JOIN cov c ON t.id = c.id AND t.pos = c.pos
+GROUP BY t.id
+"""

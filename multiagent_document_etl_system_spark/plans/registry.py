@@ -2819,6 +2819,19 @@ def ta_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("td_span_dedup", dedup.span_dedup_sql(n=3, min_df=2))
+def td_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN removal (operators/dedup.span_dedup): cut every
+    token 3-gram span appearing in ≥2 distinct documents and report
+    per-doc removal accounting + the cleaned-text fingerprint — the
+    passage-level dedup whole-doc exact/MinHash cannot do (boilerplate
+    headers, license blocks, templated passages inside otherwise-unique
+    docs; the Lee et al. 2022 exact-substring recipe at shingle
+    granularity). Complements ta_dup_ngram_coverage: that measures, this
+    removes. Integer + md5-string outputs => full hash oracle."""
+    return dedup.span_dedup(_docs(spark, sf_dir), n=3, min_df=2)
+
+
 # ------------------------------------------------- corpus -> model inputs
 
 _TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -3068,9 +3081,10 @@ _DRIVER_WINDOW_R5 = [
     "v20_binary_hamming_topk", "q_full_outer_join", "q_window_percent_rank",
     # re-confirmations: contract changed this round (quality/gopher grid)
     # or explicitly requested by the r4 verdict
+    "td_span_dedup",
     "ta_gopher_rules", "td_curation_funnel", "dedup_minhash_lsh",
     "q1_pricing_summary", "v2_cosine_topk", "pipeline_flagship",
-    "dedup_clusters", "td_decontaminate", "td_domain_mix",
+    "dedup_clusters", "td_decontaminate",
 ]
 
 

@@ -144,3 +144,49 @@ def test_duplicate_clusters_reliable_checkpoint_path(spark, tmp_path):
     # and the reliable run actually wrote checkpoint state to the dir
     import os
     assert any(os.scandir(ckpt)), "no files under the checkpoint dir"
+
+
+def test_span_dedup_removes_shared_passages_only(spark):
+    """span_dedup must cut exactly the tokens covered by cross-doc
+    duplicated 3-gram spans: a boilerplate passage shared by two docs
+    vanishes from both, unique surroundings survive, a fully-unique doc
+    is untouched, and an exact-duplicate pair is removed entirely."""
+    import hashlib
+
+    from multiagent_document_etl_system_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    boiler = "all rights reserved by the example corporation"
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta epsilon zeta"),
+        (2, f"one two three {boiler} four five six"),
+        (3, "totally unique text with no shared passages here"),
+        (4, "clone clone text body identical everywhere"),
+        (5, "clone clone text body identical everywhere"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dedup(df, n=3, min_df=2).collect()}
+
+    def fp(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # unique doc: nothing removed, fingerprint of the original tokens
+    assert got[3]["n_removed"] == 0
+    assert got[3]["cleaned_fp"] == fp(rows[2][1])
+    # exact-dup pair: everything removed
+    for i in (4, 5):
+        assert got[i]["n_removed"] == got[i]["n_tokens"]
+        assert got[i]["cleaned_fp"] == fp("")
+    # boilerplate passage: the 7 shared tokens go; every shingle fully
+    # inside the unique flank survives. The shared span is tokens 4-10 of
+    # 13 (0-indexed 3..9); covering shingles [s, s+2] with s in 4..8 ⇒
+    # removed positions 4..10 = 7 tokens
+    for i, (head, tail) in ((1, ("alpha beta gamma", "delta epsilon zeta")),
+                            (2, ("one two three", "four five six"))):
+        assert got[i]["n_tokens"] == 13
+        assert got[i]["n_removed"] == 7
+        assert got[i]["cleaned_fp"] == fp(f"{head} {tail}")
+    # NULL-text doc absent by definition
+    assert 6 not in got

@@ -74,7 +74,6 @@ _RECONFIRM = {
     "ta_quality_score", "ta_gopher_rules", "td_curation_funnel",
     "dedup_minhash_lsh", "q1_pricing_summary", "v2_cosine_topk",
     "pipeline_flagship", "dedup_clusters", "td_decontaminate",
-    "td_domain_mix",
 }
 
 
