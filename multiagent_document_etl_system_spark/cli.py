@@ -216,6 +216,42 @@ def cmd_curate(args) -> dict:
             "partitioned_by": "lang", **{k: int(v) for k, v in m.items()}}
 
 
+def cmd_span_dedup(args) -> dict:
+    """Write the corpus with duplicated SPANS removed (passage-level
+    dedup, operators/dedup.span_dedup): every token n-gram appearing in
+    >= --min-df distinct docs is cut; docs left empty are dropped
+    entirely. One job writes the cleaned parquet and counts token mass
+    before/after via the observe API."""
+    from pyspark.sql import Observation
+
+    from multiagent_document_etl_system_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    spark = get_spark("doc-etl-span-dedup")
+    docs = spark.read.parquet(args.docs_parquet)
+    cleaned = span_dedup(docs, n=args.ngram, min_df=args.min_df,
+                         emit_text=True)
+    obs = Observation("span_dedup")
+    out = (
+        cleaned.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_in"),
+            F.sum("n_removed").alias("tokens_removed"),
+            F.sum(F.when(F.col("n_removed") == F.col("n_tokens"), 1)
+                  .otherwise(0)).alias("docs_emptied"),
+        )
+        .filter(F.col("n_removed") < F.col("n_tokens"))
+        .select("doc_id", F.col("cleaned_text").alias("text"),
+                "n_tokens", "n_removed")
+    )
+    out.write.mode("overwrite").parquet(args.output_dir)
+    m = obs.get
+    return {"success": True, "output": args.output_dir,
+            **{k: int(v) for k, v in m.items()}}
+
+
 def cmd_split(args) -> dict:
     """Write the corpus partitioned into train/val/test by the
     deterministic hash-bucket assignment (td_split semantics: seeded md5
@@ -358,6 +394,14 @@ def main(argv=None) -> int:
                          "executor-local localCheckpoint (fine for "
                          "local[N], lossy under executor death)")
 
+    sd = sub.add_parser("span-dedup")
+    sd.add_argument("docs_parquet")
+    sd.add_argument("output_dir")
+    sd.add_argument("--ngram", type=int, default=3)
+    sd.add_argument("--min-df", type=int, default=2,
+                    help="a span is duplicated when it appears in at "
+                         "least this many distinct documents")
+
     sp = sub.add_parser("split")
     sp.add_argument("docs_parquet")
     sp.add_argument("output_dir")
@@ -386,7 +430,8 @@ def main(argv=None) -> int:
     out = {"process": cmd_process, "upload-schema": cmd_upload_schema,
            "stats": cmd_stats, "query": cmd_query, "curate": cmd_curate,
            "build-dedup-index": cmd_build_dedup_index,
-           "dedup-check": cmd_dedup_check, "split": cmd_split}[args.cmd](args)
+           "dedup-check": cmd_dedup_check, "split": cmd_split,
+           "span-dedup": cmd_span_dedup}[args.cmd](args)
     print(json.dumps(out))
     return 0 if out.get("success", True) else 1
 

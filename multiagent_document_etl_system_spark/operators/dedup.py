@@ -589,7 +589,8 @@ def build_dedup_index(docs: DataFrame, text_col: str = "text",
 # ------------------------------------------- duplicated-span REMOVAL
 
 def span_dedup(df: DataFrame, n: int = 3, min_df: int = 2,
-               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+               id_col: str = "doc_id", text_col: str = "text",
+               emit_text: bool = False) -> DataFrame:
     """Exact duplicated-SPAN removal — cut every token n-gram span that
     also appears in ``min_df`` or more distinct documents, and return the
     cleaned text fingerprint plus removal accounting per doc:
@@ -616,6 +617,11 @@ def span_dedup(df: DataFrame, n: int = 3, min_df: int = 2,
     Empty/NULL-text docs have no tokens and are absent by definition
     (the td_tokenize_ids convention). Fully-duplicated docs come back
     with ``n_removed = n_tokens`` and the md5 of the empty string.
+
+    ``emit_text=True`` returns the cleaned text itself
+    (``cleaned_text``) instead of its md5 fingerprint — the corpus-write
+    path (`cli span-dedup`); the fingerprint form is the registry/oracle
+    contract (scalar-only outputs).
     """
     ts = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                   lambda t: F.length(t) > 0)
@@ -646,20 +652,23 @@ def span_dedup(df: DataFrame, n: int = 3, min_df: int = 2,
             .select("id", (F.col("pos0") + 1).alias("pos"), "token"))
     kept_struct = F.when(F.col("_c").isNull(),
                          F.struct(F.col("pos"), F.col("token")))
-    return (
+    out = (
         toks.join(covered, ["id", "pos"], "left")
         .groupBy("id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
             F.sum(F.when(F.col("_c"), 1).otherwise(0)).cast("bigint")
             .alias("n_removed"),
-            F.md5(F.array_join(
+            F.array_join(
                 F.transform(F.array_sort(F.collect_list(kept_struct)),
-                            lambda st: st.token), " ")).alias("cleaned_fp"),
+                            lambda st: st.token), " ").alias("cleaned_text"),
         )
-        .select(F.col("id").alias(id_col), "n_tokens", "n_removed",
-                "cleaned_fp")
     )
+    if emit_text:
+        return out.select(F.col("id").alias(id_col), "n_tokens",
+                          "n_removed", "cleaned_text")
+    return out.select(F.col("id").alias(id_col), "n_tokens", "n_removed",
+                      F.md5("cleaned_text").alias("cleaned_fp"))
 
 
 def span_dedup_sql(table: str = "documents", n: int = 3, min_df: int = 2,

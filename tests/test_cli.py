@@ -237,3 +237,35 @@ def test_curate_accepts_reliable_checkpoint_dir(spark, tmp_path, capsys):
     m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m["success"] and m["n_input"] > 0
     assert any(os.scandir(ck)), "reliable checkpoints not written"
+
+
+def test_span_dedup_writes_cleaned_corpus(spark, tmp_path, capsys):
+    """cli span-dedup: shared passages are cut from the written text,
+    fully-duplicated docs are dropped, observe metrics account for the
+    removed token mass."""
+    import json
+
+    from multiagent_document_etl_system_spark import cli
+
+    boiler = "all rights reserved by the example corporation"
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta epsilon zeta"),
+        (2, f"one two three {boiler} four five six"),
+        (3, "totally unique text with no shared passages here"),
+        (4, "clone clone text body identical everywhere"),
+        (5, "clone clone text body identical everywhere"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+    out = str(tmp_path / "cleaned")
+    assert cli.main(["span-dedup", src, out]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["n_docs"] == 5 and m["docs_emptied"] == 2
+    assert m["tokens_removed"] == 7 * 2 + 6 * 2  # passages + both clones
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2, 3}  # emptied clones dropped
+    assert got[1] == "alpha beta gamma delta epsilon zeta"
+    assert got[2] == "one two three four five six"
+    assert got[3] == rows[2][1]
