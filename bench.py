@@ -72,8 +72,9 @@ HEADLINE = [
     "td_tokenize_ids",
     "ta_dup_ngram_coverage",
     "v20_binary_hamming_topk",
-    # round-5: passage-level duplicated-span removal
+    # round-5: passage-level duplicated-span removal + semantic decontam
     "td_span_dedup",
+    "td_semantic_decontaminate",
 ]
 
 

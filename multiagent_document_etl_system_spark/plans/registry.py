@@ -1473,6 +1473,55 @@ def td_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("td_semantic_decontaminate", f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ev AS (SELECT v FROM e WHERE vec_id % 90 = 8),
+corpus AS (SELECT vec_id, v FROM e WHERE vec_id % 90 <> 8),
+p AS (
+  SELECT vec_id,
+    CAST(floor({similarity.cosine_sql('corpus.v', 'ev.v')} * 10000.0 + 0.5)
+         AS BIGINT) AS sq
+  FROM corpus CROSS JOIN ev
+)
+SELECT vec_id AS doc_id, CAST(max(sq) AS BIGINT) AS max_sim_q1e4,
+  max(sq) >= 3000 AS contaminated
+FROM p GROUP BY vec_id
+""")
+def td_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval-set decontamination: flag training docs whose
+    EMBEDDING is too close (cosine ≥ 0.3 here; ≥0.9 in production) to any
+    held-out eval doc (vec_id % 90 == 8, the same split as the n-gram
+    td_decontaminate). Paraphrased or translated benchmark material
+    shares almost no 3-gram shingles but sits next to the eval set in
+    embedding space — this is the leakage channel n-gram overlap cannot
+    see, and modern corpus builds run BOTH gates.
+
+    Plan: the eval side is benchmark-sized ⇒ broadcast; the corpus
+    streams through one narrow crossJoin (|eval| comparisons per row —
+    no corpus shuffle, no LSH needed because the right side is tiny,
+    unlike the corpus×corpus near-dup problem where blocking is
+    mandatory) into a per-doc max. Scores land on the 1e-4 integer grid
+    before max/threshold (the dedup_embedding_cosine convention), so the
+    output is integers + booleans only."""
+    emb = _emb(spark, sf_dir)
+    ev = emb.filter(F.col("vec_id") % 90 == 8) \
+        .select(F.col("embedding").alias("_ev"))
+    corpus = emb.filter(F.col("vec_id") % 90 != 8)
+    sq = F.floor(
+        similarity.cosine(F.col("embedding"), F.col("_ev")) * 10000.0
+        + F.lit(0.5)).cast("bigint")
+    return (
+        corpus.crossJoin(F.broadcast(ev))
+        .groupBy("vec_id")
+        .agg(F.max(sq).cast("bigint").alias("max_sim_q1e4"))
+        .select(
+            F.col("vec_id").alias("doc_id"), "max_sim_q1e4",
+            (F.col("max_sim_q1e4") >= 3000).alias("contaminated"),
+        )
+    )
+
+
 @_q("ta_gopher_rules", curation.gopher_rules_sql())
 def ta_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gates (word-count bounds, mean word length,
@@ -3081,10 +3130,10 @@ _DRIVER_WINDOW_R5 = [
     "v20_binary_hamming_topk", "q_full_outer_join", "q_window_percent_rank",
     # re-confirmations: contract changed this round (quality/gopher grid)
     # or explicitly requested by the r4 verdict
-    "td_span_dedup",
+    "td_span_dedup", "td_semantic_decontaminate",
     "ta_gopher_rules", "td_curation_funnel", "dedup_minhash_lsh",
     "q1_pricing_summary", "v2_cosine_topk", "pipeline_flagship",
-    "dedup_clusters", "td_decontaminate",
+    "td_decontaminate",
 ]
 
 
