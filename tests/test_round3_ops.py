@@ -111,8 +111,10 @@ def _expected_logprob(docs: dict[int, str]) -> dict[int, tuple[int, float]]:
         lps = [math.floor(
             math.log((big[(a, b)] + 1.0) / (uni[a] + v)) * 1e6 + 0.5)
             for a, b in zip(ts, ts[1:])]
-        n = len(lps)
-        out[i] = (n, round(sum(lps) / 1e6 / n, 4) if n else 0.0)
+        n, sm = len(lps), sum(lps)
+        # integer mean contract: -round(-S*1e4/(1e6*n)) half-up (S <= 0)
+        out[i] = (n, -((2 * -sm * 10_000 + 1_000_000 * n)
+                       // (2 * 1_000_000 * n)) if n else 0)
     return out
 
 
@@ -125,11 +127,11 @@ def test_bigram_logprob_matches_hand_model(spark):
         5: "the cat sat on the mat the cat sat on the mat",
     }
     df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
-    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob_q1e4"])
            for r in textstats.bigram_logprob(df).collect()}
     want = _expected_logprob(docs)
     assert got == want
-    assert got[3] == (0, 0.0) and got[4] == (0, 0.0)
+    assert got[3] == (0, 0) and got[4] == (0, 0)
 
 
 def test_bigram_logprob_repetitive_scores_higher(spark):
@@ -138,7 +140,7 @@ def test_bigram_logprob_repetitive_scores_higher(spark):
     docs = [(i, "alpha beta alpha beta alpha beta") for i in range(10)]
     docs.append((99, "zeta omega"))
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    got = {r["doc_id"]: r["avg_logprob"]
+    got = {r["doc_id"]: r["avg_logprob_q1e4"]
            for r in textstats.bigram_logprob(df).collect()}
     assert got[0] > got[99]
 
