@@ -305,16 +305,21 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
         .filter(F.length("token") > 0)
     )
     tf = tok.groupBy("id", "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
+    # document frequency as count(*) over a token-partitioned WINDOW on
+    # the (id, token)-distinct tf rows — one exchange instead of a df
+    # count-table + join-back (the ta_dup_ngram_coverage pattern;
+    # measured 1.2x here, identical rows; stop-word-grade hot tokens are
+    # the window-skew case, bounded by |docs| per token).
     # score on the 1e-4 integer grid: floor(tf·ln(N/df)·1e4 + 0.5) — the
     # ranking AND the output use the same integer, so cross-engine rank
     # order is pure (BIGINT, token) comparison. A 1-ulp libm ln()
     # difference could only flip the floor at an exact half-grid point,
     # which a transcendental output never hits in practice (and the
     # integer output is immune to float canonicalization entirely).
+    dfreq = F.count("*").over(Window.partitionBy("token"))
     scored = (
-        tf.join(dfreq, "token")
+        tf.withColumn("dfreq", dfreq)
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf_q1e4",
