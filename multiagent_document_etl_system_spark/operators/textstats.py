@@ -527,10 +527,18 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
         d.select(F.explode("tk").alias("token"))
         .groupBy("token").agg(F.count("*").alias("cu"))
     )
-    big = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
     vocab = uni.agg(F.count("*").cast("double").alias("v"))
+    # bigram count as count(*) over a bigram-partitioned window — one
+    # exchange of the bigram stream instead of a count-table + join-back
+    # (the ta_dup_ngram_coverage pattern; measured 1.3x, identical rows).
+    # The unigram count cannot window the same way: cu counts w1 at EVERY
+    # position incl. final, which the bigram stream doesn't carry — it
+    # stays a (vocabulary-sized, AQE-broadcastable) join.
+    from pyspark.sql import Window
+
+    cb = F.count("*").over(Window.partitionBy("bigram"))
     scored = (
-        bg.join(big, "bigram")
+        bg.withColumn("cb", cb)
         .join(uni.withColumnRenamed("token", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
         .select("id", F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v")))
