@@ -1497,10 +1497,15 @@ def td_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding space — this is the leakage channel n-gram overlap cannot
     see, and modern corpus builds run BOTH gates.
 
-    Plan: the eval side is benchmark-sized ⇒ broadcast; the corpus
-    streams through one narrow crossJoin (|eval| comparisons per row —
-    no corpus shuffle, no LSH needed because the right side is tiny,
-    unlike the corpus×corpus near-dup problem where blocking is
+    Plan: the eval side is benchmark-sized BY WORKLOAD CONTRACT (a
+    benchmark suite is MMLU-sized no matter how big the training corpus
+    grows — the %90 carve from the embeddings table merely stands in for
+    that fixed set), so its broadcast hint is sanctioned the same way
+    td_decontaminate's eval-shingle broadcast is
+    (tests/test_plans._WORKLOAD_BOUNDED_HINTS documents both); the
+    corpus streams through one narrow crossJoin (|eval| comparisons per
+    row — no corpus shuffle, no LSH needed because the right side is
+    tiny, unlike the corpus×corpus near-dup problem where blocking is
     mandatory) into a per-doc max. Scores land on the 1e-4 integer grid
     before max/threshold (the dedup_embedding_cosine convention), so the
     output is integers + booleans only."""

@@ -362,12 +362,17 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
 #   - td_decontaminate / td_curation_funnel: the EVAL-SUITE side of
 #     decontamination (eval benchmarks are thousands of docs, broadcast as
 #     64-bit shingle hashes).
+#   - td_semantic_decontaminate: the same eval-suite contract, broadcast
+#     as embedding vectors (a benchmark set is MMLU-sized regardless of
+#     corpus SF; the %90 carve from the embeddings table is the harness
+#     stand-in for that fixed set).
 _WORKLOAD_BOUNDED_HINTS = {
     "v2_cosine_topk", "v3_filtered_topk", "v4_top1_argmax",
     "v5_fallback_cascade", "v10_ann_recall", "v12_topk_auto",
     "v16_matryoshka_topk", "v18_pq_adc_topk", "v19_ivfpq_topk",
     "v20_binary_hamming_topk",
     "td_decontaminate", "td_curation_funnel",
+    "td_semantic_decontaminate",
 }
 
 #: tables whose size is a constant of the schema, not the SF (io.py
