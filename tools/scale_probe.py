@@ -27,6 +27,8 @@ DEFAULT = [
     # an all-pairs bug would show as a superlinear exponent
     "td_curation_funnel", "ta_dup_ngram_coverage", "td_prepare_corpus_v2",
     "dedup_clusters", "ta_heavy_hitters",
+    # r5 session-2/3 additions: passage dedup + eval-embedding gate
+    "td_span_dedup", "td_semantic_decontaminate",
 ]
 
 #: iterative-clustering composites materialize eager per-round checkpoints
