@@ -376,3 +376,116 @@ def test_png_decoder_reconstructs_every_filter_type():
     px = [[rng.randrange(256) for _ in range(13)] for _ in range(9)]
     for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
         assert _decode_png(encode_gray(px, filters)) == px, filters
+
+
+# ------------------------------------------- integer quality kernel
+
+ASCII_TEXTS = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E)
+            | st.sampled_from("\t\n"),
+            max_size=120),
+    min_size=1, max_size=30,
+)
+
+
+def py_quality_q1e4(s: str) -> int:
+    """Exact Python twin of textstats.quality_q1e4_expr — pure integers."""
+    import re as _re
+
+    def idiv(a: int, b: int) -> int:
+        return (2 * a + b) // (2 * b)
+
+    def occ(hay: str, word: str) -> int:
+        return (len(hay) - len(hay.replace(word, ""))) // len(word)
+
+    n = len(s)
+    padded = f" {s.lower()} "
+    stop = occ(padded, " the ") + occ(padded, " a ")
+    # Spark trim strips 0x20 only; Java \s+ == Python ASCII \s+
+    toks = _re.split(r"\s+", s.strip(" "), flags=_re.ASCII)
+    word_cnt = max(len(toks), 1)
+    punct = len(_re.sub(r"[^.,:()\-]", "", s, flags=_re.ASCII))
+    ls = min(20 * n, 10_000)
+    sr = min(idiv(stop * 100_000, word_cnt), 10_000)
+    pp = min(idiv(punct * 50_000, max(n, 1)), 10_000)
+    return idiv(5 * ls + 3 * sr + 2 * (10_000 - pp), 10)
+
+
+@settings(max_examples=15, deadline=None)
+@given(ASCII_TEXTS)
+def test_quality_q1e4_matches_python_reference(spark, texts):
+    """The integer quality kernel (the r5 float-channel fix) must equal an
+    independent pure-Python integer implementation on arbitrary printable
+    text — and its DuckDB SQL twin must produce the identical integers on
+    the same rows."""
+    import duckdb
+
+    from multiagent_document_etl_system_spark.operators.textstats import (
+        quality_q1e4_expr,
+        quality_q1e4_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["q"]
+           for r in df.select(
+               "doc_id", quality_q1e4_expr(F.col("text")).alias("q"))
+           .collect()}
+    want = {i: py_quality_q1e4(t) for i, t in enumerate(texts)}
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(texts)])
+    duck = {i: q for i, q in con.execute(
+        f"SELECT doc_id, {quality_q1e4_sql('text')} FROM t").fetchall()}
+    assert duck == want
+
+
+# ------------------------------------------- span dedup interval union
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12)
+    .map(lambda ws: " ".join(ws)),
+    min_size=2, max_size=10))
+def test_span_dedup_matches_bruteforce(spark, docs):
+    """span_dedup's removal accounting must equal a brute-force Python
+    model on arbitrary tiny corpora: a token is removed iff covered by a
+    3-gram window whose shingle occurs in >= 2 distinct docs (short docs
+    contribute their whole-doc shingle)."""
+    import hashlib
+
+    from multiagent_document_etl_system_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    n = 3
+    tok = {i: [w for w in d.split() if w] for i, d in enumerate(docs)}
+    tok = {i: ts for i, ts in tok.items() if ts}
+
+    def doc_shingles(ts):
+        if len(ts) <= n:
+            return [(1, " ".join(ts))]
+        return [(s + 1, " ".join(ts[s:s + n]))
+                for s in range(len(ts) - n + 1)]
+
+    df_count: dict[str, set] = {}
+    for i, ts in tok.items():
+        for _, sh in doc_shingles(ts):
+            df_count.setdefault(sh, set()).add(i)
+    want = {}
+    for i, ts in tok.items():
+        covered = set()
+        for s0, sh in doc_shingles(ts):
+            if len(df_count[sh]) >= 2:
+                covered.update(range(s0, min(s0 + n - 1, len(ts)) + 1))
+        kept = [t for p, t in enumerate(ts, 1) if p not in covered]
+        want[i] = (len(ts), len(covered),
+                   hashlib.md5(" ".join(kept).encode()).hexdigest())
+
+    sdf = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_fp"])
+           for r in span_dedup(sdf, n=n, min_df=2).collect()}
+    assert got == want
