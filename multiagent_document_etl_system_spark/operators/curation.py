@@ -401,3 +401,195 @@ def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
         terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(terms) + ")"
+
+
+# ------------------------------------------------- model-based quality gate
+
+CLASSIFIER_SEED = 11
+CLASSIFIER_BUCKETS = 2001  # weights on the 1e-3 grid: [-1000, +1000]
+
+
+def _feature_weight(feat: Column, seed: int = CLASSIFIER_SEED) -> Column:
+    """Integer weight in [-1000, 1000] for one hashed feature (q1e3 grid).
+
+    The weight table is a DETERMINISTIC HASH PROJECTION standing in for
+    trained fastText/logistic weights — the container ships no model
+    weights (same honesty contract as operators/embed.py's fake encoder).
+    A real model drops in by replacing this one expression with a lookup
+    into a broadcast (feature-hash → weight) map; every other part of the
+    plan — tokenization, bigram featurization, the sparse dot product,
+    the zero-shuffle row-local fold — is exactly the production shape.
+    """
+    return hash64(feat, seed=seed) % CLASSIFIER_BUCKETS - 1000
+
+
+def quality_classifier(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """fastText-family hashed linear quality classifier (inference):
+    (id, n_feats, score_q1e3, keep) per document.
+
+    This is the model-based quality gate every modern pretraining corpus
+    runs beside the heuristic one (CCNet's fastText LM filter; LLaMA's
+    wiki-reference classifier; Gopher §A1.2): features = unigrams +
+    adjacent-bigram hashes (the fastText hashing trick), score = mean
+    feature weight, keep = score ≥ 0 (docs scoring below the hyperplane
+    are dropped).
+
+    Everything is integer-exact on the q1e3 grid: weights are integers in
+    [-1000, 1000] derived from the shared md5 60-bit hash (oracle-
+    reproducible), the mean is the half-up integer identity shifted into
+    the non-negative domain (score = round((Σw + 1000·n)/n) − 1000), and
+    the keep flag is an integer compare — no float anywhere.
+
+    Scale posture (100 TB): a pure narrow map — the feature fold runs as
+    ``F.aggregate`` over the row-local token array, so NOTHING shuffles
+    and no per-feature row ever exists (contrast a naive explode →
+    groupBy, which would ship one row per token across the wire). The
+    classifier scans the corpus once at full codegen speed.
+    """
+    toks = F.filter(tokens(F.lower(F.col(text_col))),
+                    lambda x: F.length(x) > 0)
+    d = df.select(F.col(id_col), toks.alias("_tk"))
+    n1 = F.greatest(F.size("_tk") - F.lit(1), F.lit(0))
+    pairs = F.zip_with(F.slice("_tk", 1, n1), F.slice(F.col("_tk"), 2, n1),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    feats = F.concat(F.col("_tk"), pairs)
+    scored = d.select(
+        id_col,
+        F.size(feats).cast("bigint").alias("n_feats"),
+        F.aggregate(feats, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + _feature_weight(x)).alias("_wsum"),
+    )
+    n = F.col("n_feats")
+    score = (
+        idiv_round(F.col("_wsum") + F.lit(1000) * n, F.greatest(n, F.lit(1)))
+        - F.lit(1000)
+    )
+    return scored.select(
+        id_col, "n_feats",
+        F.when(n > 0, score).otherwise(F.lit(0)).cast("bigint")
+        .alias("score_q1e3"),
+        ((n > 0) & (score >= 0)).alias("keep"),
+    )
+
+
+def quality_classifier_sql(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """DuckDB twin of :func:`quality_classifier` (same hash, same grid)."""
+    from multiagent_document_etl_system_spark.operators.dedup import (
+        hash64_sql,
+    )
+    tk = (f"list_filter(string_split_regex(trim(lower({text_col})), "
+          f"'\\s+'), t -> length(t) > 0)")
+    w = f"({hash64_sql('f', seed=CLASSIFIER_SEED)} % {CLASSIFIER_BUCKETS} - 1000)"
+    score = idiv_round_sql("wsum + 1000 * n_feats", "greatest(n_feats, 1)")
+    return f"""
+WITH d AS (
+  SELECT {id_col}, {tk} AS tk FROM {table}
+), f AS (
+  SELECT {id_col},
+    list_concat(tk, list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS feats
+  FROM d
+), s AS (
+  SELECT {id_col}, CAST(len(feats) AS BIGINT) AS n_feats,
+    CAST(coalesce(list_sum(list_transform(feats, f -> {w})), 0)
+         AS BIGINT) AS wsum
+  FROM f
+)
+SELECT {id_col}, n_feats,
+  CAST(CASE WHEN n_feats > 0 THEN {score} - 1000 ELSE 0 END
+       AS BIGINT) AS score_q1e3,
+  (n_feats > 0 AND {score} - 1000 >= 0) AS keep
+FROM s
+"""
+
+
+# ------------------------------------------------- temperature-scaled mix
+
+def _isqrt(x: Column) -> Column:
+    """Exact integer sqrt ``floor(√x)`` for non-negative BIGINT ``x``.
+
+    floor(sqrt(double)) then a ±1 correction in exact 64-bit integer
+    arithmetic: IEEE sqrt is correctly rounded and the double conversion
+    of x ≤ ~9e18 perturbs √x by ≪ 1, so the uncorrected guess is off by
+    at most 1 — the two integer compares repair it exactly, identically
+    on every engine. Domain: x ≤ ~9.2e18 ((g+1)² must not wrap int64).
+    """
+    g = F.floor(F.sqrt(x.cast("double"))).cast("bigint")
+    return (
+        F.when((g + 1) * (g + 1) <= x, g + 1)
+        .when(g * g > x, g - 1)
+        .otherwise(g)
+    )
+
+
+def _isqrt_sql(x: str) -> str:
+    """DuckDB twin of :func:`_isqrt` (same guess-and-correct algebra)."""
+    g = f"CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS BIGINT)"
+    return (f"(CASE WHEN ({g} + 1) * ({g} + 1) <= ({x}) THEN {g} + 1 "
+            f"WHEN {g} * {g} > ({x}) THEN {g} - 1 ELSE {g} END)")
+
+
+def temperature_mix(df: DataFrame, source_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Temperature-scaled source mixing weights at T = 2 (α = 1/2): per
+    source, sampling share ∝ p_i^(1/2) — the standard low-resource
+    up-weighting rule of multilingual/multi-domain pretraining corpora
+    (XLM-R §3.1, mT5 §3.2 use exactly this exponential smoothing; T = 2
+    is the most common published setting).
+
+    Output per source: (source, n_docs, nat_share_q1e4, temp_share_q1e4,
+    boost_q1e4) — natural share p_i, temperature share
+    √n_i / Σ√n_j (the N⁻¹ᐟ² normalization cancels), and the resampling
+    boost temp/nat, all half-up integers on the 1e-4 grid. √n_i is
+    computed as the EXACT integer sqrt of n_i·10⁴ (q1e2 grid,
+    :func:`_isqrt` — guess-and-correct, no engine libm disagreement
+    possible), so every output cell is a BIGINT with a single
+    deterministic value.
+
+    Scale posture: one tiny shuffle on the low-cardinality source key;
+    the totals are a one-row broadcast; nothing else moves. The weights
+    feed :func:`domain_mix`-style hash-Bernoulli sampling downstream.
+    Domain: exact while n_i ≤ ~4·10¹¹ docs per source (idiv_round's 2⁵³
+    window on n_i·10⁴); beyond that, pre-scale counts to thousands.
+    """
+    agg = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    agg = agg.withColumn("_s", _isqrt(F.col("n_docs") * F.lit(10_000)))
+    tot = agg.agg(F.sum("n_docs").alias("_n"), F.sum("_s").alias("_ss"))
+    j = agg.crossJoin(F.broadcast(tot))
+    nat = idiv_round(F.col("n_docs") * F.lit(10_000), F.col("_n"))
+    temp = idiv_round(F.col("_s") * F.lit(10_000), F.col("_ss"))
+    return j.select(
+        source_col, "n_docs",
+        nat.alias("nat_share_q1e4"),
+        temp.alias("temp_share_q1e4"),
+        idiv_round(temp * F.lit(10_000),
+                   F.greatest(nat, F.lit(1).cast("bigint")))
+        .alias("boost_q1e4"),
+    )
+
+
+def temperature_mix_sql(table: str = "documents",
+                        source_col: str = "source") -> str:
+    """DuckDB twin of :func:`temperature_mix` (same isqrt, same grid)."""
+    nat = idiv_round_sql("n_docs * 10000", "n_total")
+    temp = idiv_round_sql("s * 10000", "s_total")
+    return f"""
+WITH agg AS (
+  SELECT {source_col}, CAST(count(*) AS BIGINT) AS n_docs FROM {table}
+  GROUP BY {source_col}
+), sq AS (
+  SELECT {source_col}, n_docs,
+    {_isqrt_sql('n_docs * 10000')} AS s
+  FROM agg
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+    CAST(sum(s) AS BIGINT) AS s_total FROM sq
+)
+SELECT {source_col}, n_docs,
+  {nat} AS nat_share_q1e4,
+  {temp} AS temp_share_q1e4,
+  {idiv_round_sql(f'({temp}) * 10000', f'greatest({nat}, 1)')} AS boost_q1e4
+FROM sq, tot
+"""

@@ -28,6 +28,7 @@ from multiagent_document_etl_system_spark.functions.numeric import (
     dec,
     dec_sql,
     grid_round,
+    grid_round_sql,
     idiv_round,
     idiv_round_sql,
     stable_avg,
@@ -2101,7 +2102,8 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("q_skew_salted_agg", f"""
 SELECT event_type, count(*) AS n,
   {stable_sum_sql('value')} AS total,
-  round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
+  {grid_round_sql('min(value)', 4)} AS vmin,
+  {grid_round_sql('max(value)', 4)} AS vmax
 FROM events GROUP BY event_type
 """)
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2126,11 +2128,16 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt_from="event_id", n_salts=8,
     )
+    # grid_round on every float output (NOT engine round): min/max commute
+    # with the monotone floor grid, and the oracle's stable_sum_sql/
+    # grid_round_sql quantize the same way — engine round() is the 1-ulp
+    # cross-engine channel that kept td_prepare_corpus driver-red r2-r4
     return out.select(
         "event_type", "n",
-        F.round(F.col("_scaled").cast("double") / 1000000.0, 2).alias("total"),
-        F.round("vmin", 4).alias("vmin"),
-        F.round("vmax", 4).alias("vmax"),
+        grid_round(F.col("_scaled").cast("double") / 1000000.0, 2)
+        .alias("total"),
+        grid_round(F.col("vmin"), 4).alias("vmin"),
+        grid_round(F.col("vmax"), 4).alias("vmax"),
     )
 
 

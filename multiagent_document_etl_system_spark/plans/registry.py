@@ -1576,6 +1576,34 @@ def td_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                                sample_scale=0.5, seed=7)
 
 
+@_q("td_quality_classifier", curation.quality_classifier_sql())
+def td_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: fastText-family hashed linear classifier
+    over unigram + adjacent-bigram features (the learned filter modern
+    corpus builds run BESIDE the heuristic gopher gates — CCNet's fastText
+    LM filter, LLaMA's wiki-reference classifier). Weights are a
+    deterministic hash projection on the q1e3 integer grid standing in
+    for trained parameters (the container ships no model weights; a real
+    model is a broadcast-map swap), so every output cell is BIGINT/BOOL
+    with one engine-independent value. Pure narrow map: the sparse dot
+    product folds over the row-local feature array (F.aggregate) — zero
+    shuffles, no per-feature row ever exists. At 100 TB this is one
+    full-codegen corpus scan, the cheapest possible shape for a gate."""
+    return curation.quality_classifier(_docs(spark, sf_dir))
+
+
+@_q("td_temperature_mix", curation.temperature_mix_sql())
+def td_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing at T = 2: per-source sampling
+    share ∝ √p_i — the low-resource up-weighting rule of multilingual
+    pretraining corpora (XLM-R §3.1, mT5 §3.2). √(n_i·10⁴) is an EXACT
+    integer sqrt (guess-and-correct around libm, operators/curation.py)
+    so the shares and boosts are single-valued BIGINTs on the 1e-4 grid.
+    One tiny shuffle on the low-cardinality source key + a one-row
+    broadcast of the totals — nothing else moves at any corpus size."""
+    return curation.temperature_mix(_docs(spark, sf_dir))
+
+
 _PII_AUG_SQL = """
 substr(text, 1, 40)
 || CASE WHEN doc_id % 3 = 0
@@ -3215,12 +3243,13 @@ _DRIVER_WINDOW_R5 = [
     "q_retention_cohorts", "q_skew_salted_agg", "q_rollup_grouping_id",
     "td_split", "td_shuffle_order", "td_tokenize_ids",
     "v20_binary_hamming_topk", "q_full_outer_join", "q_window_percent_rank",
+    # new-this-round oracled queries (never driver-checked by definition)
+    "td_span_dedup", "td_semantic_decontaminate", "st_span_gate",
+    "td_quality_classifier", "td_temperature_mix",
     # re-confirmations: contract changed this round (quality/gopher grid)
     # or explicitly requested by the r4 verdict
-    "td_span_dedup", "td_semantic_decontaminate", "st_span_gate",
     "ta_gopher_rules", "td_curation_funnel", "dedup_minhash_lsh",
-    "q1_pricing_summary", "pipeline_flagship",
-    "td_decontaminate",
+    "pipeline_flagship",
 ]
 
 

@@ -489,3 +489,138 @@ def test_span_dedup_matches_bruteforce(spark, docs):
     got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_fp"])
            for r in span_dedup(sdf, n=n, min_df=2).collect()}
     assert got == want
+
+
+# ----------------------------------------------- hashed quality classifier
+
+def py_classifier(text: str) -> tuple[int, int, bool]:
+    """Exact Python twin of curation.quality_classifier — pure integers."""
+    import hashlib
+    import re as _re
+
+    toks = [t for t in _re.split(r"\s+", text.lower().strip(" "),
+                                 flags=_re.ASCII) if t]
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    n = len(feats)
+    wsum = sum(
+        int(hashlib.md5(f"11:{f}".encode()).hexdigest()[:15], 16)
+        % 2001 - 1000
+        for f in feats)
+    if n == 0:
+        return 0, 0, False
+    a = wsum + 1000 * n
+    score = (2 * a + n) // (2 * n) - 1000
+    return n, score, score >= 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(ASCII_TEXTS)
+def test_quality_classifier_matches_python_reference(spark, texts):
+    """The hashed linear classifier (unigram+bigram features, q1e3 integer
+    weights, half-up integer mean) must equal an independent pure-Python
+    integer implementation on arbitrary printable text — and its DuckDB
+    twin must produce identical integers on the same rows."""
+    import duckdb
+
+    from multiagent_document_etl_system_spark.operators.curation import (
+        quality_classifier,
+        quality_classifier_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_feats"], r["score_q1e3"], r["keep"])
+           for r in quality_classifier(df).collect()}
+    want = {i: py_classifier(t) for i, t in enumerate(texts)}
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") t(doc_id, text)", texts)
+    oracle = {r[0]: (r[1], r[2], r[3])
+              for r in con.execute(quality_classifier_sql()).fetchall()}
+    assert oracle == want
+
+
+# -------------------------------------------------- exact integer sqrt
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.integers(0, 9_200_000_000_000_000_000)
+    | st.integers(0, 3_000_000_000).map(lambda k: k * k)
+    | st.integers(1, 3_000_000_000).map(lambda k: k * k - 1),
+    min_size=1, max_size=60))
+def test_isqrt_matches_math_isqrt(spark, xs):
+    """curation._isqrt (floor(sqrt) guess + exact-integer ±1 correction)
+    must equal math.isqrt across the full int64 domain, including the
+    adversarial perfect-square ± 1 boundaries where the double guess is
+    most likely to land one off — and the DuckDB twin must agree."""
+    import math
+
+    import duckdb
+
+    from multiagent_document_etl_system_spark.operators.curation import (
+        _isqrt,
+        _isqrt_sql,
+    )
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                               "i long, x long")
+    got = {r["i"]: r["g"]
+           for r in df.select("i", _isqrt(F.col("x")).alias("g")).collect()}
+    want = {i: math.isqrt(x) for i, x in enumerate(xs)}
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, {x}::BIGINT)" for i, x in enumerate(xs))
+                + ") t(i, x)")
+    oracle = {r[0]: r[1] for r in con.execute(
+        f"SELECT i, {_isqrt_sql('x')} FROM t").fetchall()}
+    assert oracle == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.dictionaries(
+    st.text(alphabet=st.characters(min_codepoint=0x61, max_codepoint=0x7A),
+            min_size=1, max_size=8),
+    st.integers(1, 500_000), min_size=1, max_size=12))
+def test_temperature_mix_matches_python_reference(spark, counts):
+    """temperature_mix's q1e4 shares/boosts must equal a Python model
+    built on math.isqrt + the half-up identity, for arbitrary per-source
+    doc counts; temperature shares must sum to 10000 within rounding slack
+    and up-weight below-average sources (√ smoothing's defining property)."""
+    import math
+
+    from multiagent_document_etl_system_spark.operators.curation import (
+        temperature_mix,
+    )
+
+    def idiv(a: int, b: int) -> int:
+        return (2 * a + b) // (2 * b)
+
+    rows = [(f"{src}#{i}", src) for src, n in counts.items()
+            for i in range(n % 97 + 1)]  # cap per-source rows, keep ratios
+    eff = {}
+    for _, src in rows:
+        eff[src] = eff.get(src, 0) + 1
+    sq = {s: math.isqrt(n * 10_000) for s, n in eff.items()}
+    n_tot, s_tot = sum(eff.values()), sum(sq.values())
+    want = {}
+    for s, n in eff.items():
+        nat = idiv(n * 10_000, n_tot)
+        temp = idiv(sq[s] * 10_000, s_tot)
+        want[s] = (n, nat, temp, idiv(temp * 10_000, max(nat, 1)))
+
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    got = {r["source"]: (r["n_docs"], r["nat_share_q1e4"],
+                         r["temp_share_q1e4"], r["boost_q1e4"])
+           for r in temperature_mix(df).collect()}
+    assert got == want
+    assert abs(sum(v[2] for v in got.values()) - 10_000) <= len(got)
+    mean_n = n_tot / len(eff)
+    for s, (n, nat, temp, _) in got.items():
+        if n < mean_n:
+            assert temp >= nat - 1  # √ smoothing never down-weights small

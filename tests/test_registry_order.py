@@ -72,8 +72,7 @@ _MUST_RESHOW = {"td_prepare_corpus", "td_prepare_corpus_v2"}
 #: re-confirmation under the float-canon changes
 _RECONFIRM = {
     "ta_quality_score", "ta_gopher_rules", "td_curation_funnel",
-    "dedup_minhash_lsh", "q1_pricing_summary",
-    "pipeline_flagship", "td_decontaminate",
+    "dedup_minhash_lsh", "pipeline_flagship",
 }
 
 
