@@ -31,7 +31,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from multiagent_document_etl_system_spark.functions.numeric import (
@@ -548,16 +548,23 @@ def temperature_mix(df: DataFrame, source_col: str = "source",
     possible), so every output cell is a BIGINT with a single
     deterministic value.
 
-    Scale posture: one tiny shuffle on the low-cardinality source key;
-    the totals are a one-row broadcast; nothing else moves. The weights
+    Scale posture: one tiny shuffle on the low-cardinality source key,
+    then the corpus-wide totals come from an empty-frame window over the
+    per-source aggregate (#sources rows — one SinglePartition exchange of
+    KILOBYTES), so the corpus is scanned exactly ONCE. A naive
+    ``agg.crossJoin(broadcast(agg.agg(sum(...))))`` re-expands the totals
+    subtree into a SECOND full corpus scan (Catalyst does not share the
+    un-materialized aggregate) — the window form is the same
+    one-exchange pattern ta_tfidf/ta_dup_ngram_coverage use. The weights
     feed :func:`domain_mix`-style hash-Bernoulli sampling downstream.
     Domain: exact while n_i ≤ ~4·10¹¹ docs per source (idiv_round's 2⁵³
     window on n_i·10⁴); beyond that, pre-scale counts to thousands.
     """
     agg = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
     agg = agg.withColumn("_s", _isqrt(F.col("n_docs") * F.lit(10_000)))
-    tot = agg.agg(F.sum("n_docs").alias("_n"), F.sum("_s").alias("_ss"))
-    j = agg.crossJoin(F.broadcast(tot))
+    w = Window.partitionBy()
+    j = agg.withColumn("_n", F.sum("n_docs").over(w)) \
+        .withColumn("_ss", F.sum("_s").over(w))
     nat = idiv_round(F.col("n_docs") * F.lit(10_000), F.col("_n"))
     temp = idiv_round(F.col("_s") * F.lit(10_000), F.col("_ss"))
     return j.select(

@@ -1599,8 +1599,9 @@ def td_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining corpora (XLM-R §3.1, mT5 §3.2). √(n_i·10⁴) is an EXACT
     integer sqrt (guess-and-correct around libm, operators/curation.py)
     so the shares and boosts are single-valued BIGINTs on the 1e-4 grid.
-    One tiny shuffle on the low-cardinality source key + a one-row
-    broadcast of the totals — nothing else moves at any corpus size."""
+    ONE corpus scan + one tiny shuffle on the low-cardinality source key;
+    totals come from an empty-frame window over the #sources-row
+    aggregate — nothing else moves at any corpus size (plan-pinned)."""
     return curation.temperature_mix(_docs(spark, sf_dir))
 
 

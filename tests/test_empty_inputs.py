@@ -69,3 +69,11 @@ def test_similarity_kernels_on_empty_sides(spark):
     assert one.count() <= 3 and set(one.columns) >= {"q_id", "c_id", "score"}
     auto_out, strategy = similarity.topk_auto(q0, c, dim=64)
     assert strategy == "broadcast_exact" and auto_out.count() == 0
+
+
+def test_round5_curation_ops_on_empty_corpus(spark):
+    from multiagent_document_etl_system_spark.operators import curation
+
+    d0 = _docs0(spark)
+    assert curation.quality_classifier(d0).count() == 0
+    assert curation.temperature_mix(d0).count() == 0

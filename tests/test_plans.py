@@ -492,3 +492,27 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quality_classifier_is_narrow_map(spark):
+    """td_quality_classifier: the hashed-classifier dot product folds over
+    the row-local feature array — no Exchange, no Generate. At 100 TB an
+    explode→groupBy formulation would shuffle one row PER FEATURE (~1000x
+    the corpus); the F.aggregate fold keeps the whole gate a single
+    full-codegen corpus scan."""
+    p = physical_plan(QUERIES["td_quality_classifier"][0](spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "Generate" not in p
+
+
+def test_temperature_mix_scans_corpus_once(spark):
+    """td_temperature_mix: ONE corpus scan → one hash exchange on the
+    low-cardinality source key; the corpus-wide totals are an empty-frame
+    window over the #sources-row aggregate (one SinglePartition exchange
+    of kilobytes). The crossJoin(broadcast(agg.agg(...))) formulation
+    would re-expand into a SECOND full corpus scan — pinned against."""
+    p = physical_plan(QUERIES["td_temperature_mix"][0](spark, SF_DIR))
+    import re
+    assert p.count("FileScan") == 1, p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "Window" in p
