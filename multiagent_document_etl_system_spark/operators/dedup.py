@@ -57,6 +57,42 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
     )
 
 
+def cross_source_matrix(df: DataFrame, key: Column,
+                        source_col: str = "source") -> DataFrame:
+    """(source_a, source_b, n_groups, dup_pairs) for every source pair
+    with a <= b sharing the duplicate ``key`` (md5(text) for byte-exact,
+    the token-set fingerprint for reordered copies) — which feed
+    plagiarizes which, the diagnostic that decides dedup order and source
+    trust. Within-source cells (a = b) count C(n,2) internal copies.
+
+    Pair counts come from per-(key, source) COUNTS, never from exploding
+    the duplicate pairs: a key held by n_a docs in a and n_b in b
+    contributes n_a*n_b by multiplication, so a page duplicated 10^6
+    times moves 2 aggregate rows, not 10^12 join rows. One shuffle on
+    (key, source), a self-join on key over the collapsed per-(key,
+    source) rows, and a tiny final groupBy on the source-pair cell.
+    All-integer outputs (C(n,2) via shiftright on an always-even
+    product — no float division)."""
+    per = (df.select(key.alias("_h"), F.col(source_col).alias("_src"))
+           .groupBy("_h", "_src").agg(F.count("*").alias("_n")))
+    a = per.select("_h", F.col("_src").alias("source_a"),
+                   F.col("_n").alias("_na"))
+    b = per.select("_h", F.col("_src").alias("source_b"),
+                   F.col("_n").alias("_nb"))
+    pairs = (a.join(b, "_h")
+             .filter(F.col("source_a") <= F.col("source_b"))
+             .select(
+                 "source_a", "source_b",
+                 F.when(F.col("source_a") == F.col("source_b"),
+                        F.shiftright(F.col("_na") * (F.col("_na") - 1), 1))
+                 .otherwise(F.col("_na") * F.col("_nb")).alias("_p")))
+    return (pairs.filter(F.col("_p") > 0)
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("n_groups"),
+                 F.sum("_p").alias("dup_pairs"))
+            .orderBy("source_a", "source_b"))
+
+
 # ---------------------------------------------------------------- shingles
 
 def shingles(text: Column, n: int = 3) -> Column:

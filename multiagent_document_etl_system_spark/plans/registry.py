@@ -21,6 +21,8 @@ from multiagent_document_etl_system_spark.functions.hashing import (
     schema_id_sql,
 )
 from multiagent_document_etl_system_spark.functions.numeric import (
+    idiv_round,
+    idiv_round_sql,
     stable_avg_q,
     stable_avg_q_sql,
     stable_sum,
@@ -799,6 +801,163 @@ def v16_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+_V21_COS_EX = similarity.cosine_sql("q.qv", "c.cv")
+_V21_COS_PRE = similarity.cosine_sql("q.qv[1:16]", "c.cv[1:16]")
+
+
+@_q("v21_recall_matrix", f"""
+WITH {_ANN_SIG_CTE},
+q AS (SELECT vec_id AS q_id, v AS qv, s AS qs FROM sig
+      WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS c_id, v AS cv, s AS cs FROM sig),
+exact_scored AS (
+  SELECT q.q_id, c.c_id, round({_V21_COS_EX}, 4) AS score
+  FROM q, c WHERE c.c_id <> q.q_id
+), exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank
+    FROM exact_scored) WHERE rank <= 5
+), lsh_scored AS (
+  SELECT q.q_id, c.c_id, round({_V21_COS_EX}, 4) AS score
+  FROM q JOIN c ON q.qs = c.cs AND c.c_id <> q.q_id
+), lsh AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank
+    FROM lsh_scored) WHERE rank <= 5
+), probes AS (
+  SELECT q_id, qv,
+    unnest([qs, xor(qs, 1), xor(qs, 2), xor(qs, 4),
+            xor(qs, 8), xor(qs, 16), xor(qs, 32)]) AS ps
+  FROM q
+), mp_scored AS (
+  SELECT q.q_id, c.c_id, round({_V21_COS_EX}, 4) AS score
+  FROM probes q JOIN c ON c.cs = q.ps AND c.c_id <> q.q_id
+), mp AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank
+    FROM mp_scored) WHERE rank <= 5
+), mat_coarse AS (
+  SELECT q.q_id, c.c_id, round({_V21_COS_PRE}, 4) AS cscore
+  FROM q, c WHERE c.c_id <> q.q_id
+), mat_cand AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (
+        PARTITION BY q_id ORDER BY cscore DESC, c_id ASC) AS crank
+    FROM mat_coarse) WHERE crank <= 50
+), mat_scored AS (
+  SELECT m.q_id, m.c_id, round({_V21_COS_EX}, 4) AS score
+  FROM mat_cand m JOIN q ON m.q_id = q.q_id JOIN c ON m.c_id = c.c_id
+), mat AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank
+    FROM mat_scored) WHERE rank <= 5
+), qp AS (
+  SELECT q_id,
+    sum(CASE WHEN i <= 32 AND qv[i] >= 0
+             THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS qlo,
+    sum(CASE WHEN i > 32 AND qv[i] >= 0
+             THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END) AS qhi
+  FROM q, generate_series(1, 64) g(i) GROUP BY q_id
+), cp AS (
+  SELECT c_id,
+    sum(CASE WHEN i <= 32 AND cv[i] >= 0
+             THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS clo,
+    sum(CASE WHEN i > 32 AND cv[i] >= 0
+             THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END) AS chi
+  FROM c, generate_series(1, 64) g(i) GROUP BY c_id
+), bh_cand AS (
+  SELECT q_id, c_id FROM (
+    SELECT qp.q_id, cp.c_id, row_number() OVER (
+        PARTITION BY qp.q_id
+        ORDER BY bit_count(xor(qlo, clo)) + bit_count(xor(qhi, chi)) ASC,
+                 cp.c_id ASC) AS crank
+    FROM qp, cp WHERE cp.c_id <> qp.q_id) WHERE crank <= 50
+), bh_scored AS (
+  SELECT b.q_id, b.c_id, round({_V21_COS_EX}, 4) AS score
+  FROM bh_cand b JOIN q ON b.q_id = q.q_id JOIN c ON b.c_id = c.c_id
+), bh AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank
+    FROM bh_scored) WHERE rank <= 5
+), ann AS (
+  SELECT 'binary_hamming' AS method, q_id, c_id FROM bh
+  UNION ALL SELECT 'lsh', q_id, c_id FROM lsh
+  UNION ALL SELECT 'lsh_multiprobe', q_id, c_id FROM mp
+  UNION ALL SELECT 'matryoshka16', q_id, c_id FROM mat
+), hits AS (
+  SELECT method, count(*) AS n
+  FROM ann JOIN exact USING (q_id, c_id) GROUP BY method
+), tot AS (SELECT count(*) AS n FROM exact),
+methods AS (SELECT unnest(
+  ['binary_hamming', 'lsh', 'lsh_multiprobe', 'matryoshka16']) AS method)
+SELECT m.method, CAST(t.n AS BIGINT) AS n_exact,
+  CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+  {idiv_round_sql('coalesce(h.n, 0) * 10000', 'greatest(t.n, 1)')}
+    AS recall_q1e4
+FROM methods m LEFT JOIN hits h ON m.method = h.method, tot t
+ORDER BY m.method
+""")
+def v21_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of EVERY deterministic ANN rung against the exact
+    brute-force top-k, in one evaluation frame — the index-selection
+    report a 100 TB retrieval deployment reads before choosing its
+    speed/recall point (v10 evaluates the single-bucket LSH rung; this is
+    the whole deterministic ladder: LSH, multi-probe LSH, matryoshka
+    truncated-prefilter, binary sign+Hamming). The KMeans rungs
+    (IVF/PQ) are excluded by construction — their fits are not
+    SQL-expressible, so they carry pytest recall properties instead.
+
+    Every output cell is a string or BIGINT (recall on the exact 1e-4
+    integer grid via idiv_round — no float ever leaves the plan), so the
+    hash oracle covers the recall NUMBERS themselves. The union of the
+    four rungs' (method, q_id, c_id) picks makes this one semi-join
+    against the exact set and one tiny groupBy — the exact side is
+    computed twice (hits + denominator), same shape as v10.
+
+    Scale: each rung is its own bounded plan (signature equi-joins /
+    50-candidate coarse heaps); the exact side is the only Q x N scan and
+    runs on the sampled query set (1% of ids), which is how a recall
+    audit runs against a production corpus too."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+    exact = similarity.topk_join(q, c, k=5).select("q_id", "c_id")
+    rungs = {
+        "binary_hamming": similarity.binary_hamming_topk(
+            q, c, dim=64, k=5, k_coarse=50),
+        "lsh": similarity.ann_lsh_topk(q, c, dim=64, k=5, n_planes=6),
+        "lsh_multiprobe": similarity.ann_lsh_topk_multiprobe(
+            q, c, dim=64, k=5, n_planes=6),
+        "matryoshka16": similarity.truncated_rerank_topk(
+            q, c, k=5, prefix_dims=16, k_coarse=50),
+    }
+    tagged = None
+    for name in sorted(rungs):
+        t = rungs[name].select(F.lit(name).alias("method"), "q_id", "c_id")
+        tagged = t if tagged is None else tagged.unionAll(t)
+    hits = (tagged.join(exact, ["q_id", "c_id"], "left_semi")
+            .groupBy("method").agg(F.count("*").alias("_n")))
+    base = spark.range(1).select(F.explode(F.array(
+        *[F.lit(m) for m in sorted(rungs)])).alias("method"))
+    tot = exact.agg(F.count("*").alias("n_exact"))
+    nh = F.coalesce(F.col("_n"), F.lit(0)).cast("bigint")
+    return (base.join(hits, "method", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "method", "n_exact", nh.alias("n_hits"),
+                idiv_round(nh * F.lit(10_000),
+                           F.greatest(F.col("n_exact"), F.lit(1)))
+                .alias("recall_q1e4"))
+            .orderBy("method"))
+
+
 # memoized namespace-partitioned schema-registry stagings, keyed like the
 # streaming staging: the write is fixture setup, the QUERY is the pruned read
 _NS_REGISTRY_CACHE: dict[tuple[str, str], str] = {}
@@ -928,6 +1087,38 @@ def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+@_q("dedup_cross_source_matrix", f"""
+WITH per AS (
+  SELECT {textstats.fingerprint_sql('text')} AS h, source, count(*) AS n
+  FROM documents GROUP BY 1, source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CASE WHEN a.source = b.source THEN (a.n * (a.n - 1)) // 2
+         ELSE a.n * b.n END AS p
+  FROM per a JOIN per b ON a.h = b.h AND a.source <= b.source
+)
+SELECT source_a, source_b,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(p) AS BIGINT) AS dup_pairs
+FROM pairs WHERE p > 0
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+""")
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair (a <= b),
+    how many duplicate document pairs span them — the diagnostic that
+    decides dedup ORDER and source trust when assembling a corpus from
+    overlapping crawls/dumps (which feed plagiarizes which). Within-
+    source cells (a = b) count C(n,2) internal copies. Keyed on the
+    order-insensitive token-set fingerprint (the dedup_fingerprint_groups
+    rung — catches reordered copies; swap in md5(text) for byte-exact).
+
+    Scale shape + the no-pair-explosion contract: see
+    dedup.cross_source_matrix."""
+    return dedup.cross_source_matrix(
+        _docs(spark, sf_dir), key=textstats.fingerprint_expr(F.col("text")))
 
 
 _SHINGLE_SQL = """
@@ -3247,10 +3438,14 @@ _DRIVER_WINDOW_R5 = [
     # new-this-round oracled queries (never driver-checked by definition)
     "td_span_dedup", "td_semantic_decontaminate", "st_span_gate",
     "td_quality_classifier", "td_temperature_mix",
-    # re-confirmations: contract changed this round (quality/gopher grid)
-    # or explicitly requested by the r4 verdict
-    "ta_gopher_rules", "td_curation_funnel", "dedup_minhash_lsh",
-    "pipeline_flagship",
+    "v21_recall_matrix", "dedup_cross_source_matrix",
+    # re-confirmations: contract changed this round (quality/gopher grid —
+    # ta_quality_score rides in the never-checked block above) or the
+    # composed north-star flagship. dedup_minhash_lsh / pipeline_flagship
+    # re-shows were dropped for the two new queries: their r03 greens
+    # stand on unchanged contracts, and a never-checked slot outranks a
+    # re-confirmation.
+    "ta_gopher_rules", "td_curation_funnel",
 ]
 
 

@@ -190,3 +190,22 @@ def test_span_dedup_removes_shared_passages_only(spark):
         assert got[i]["cleaned_fp"] == fp(f"{head} {tail}")
     # NULL-text doc absent by definition
     assert 6 not in got
+
+
+def test_cross_source_matrix_counts(spark):
+    """dedup.cross_source_matrix on a hand-built corpus: fingerprint f1
+    has 2 copies in source a + 1 in b (1 within-a pair, 2 cross pairs),
+    f2 has 2 copies in b (1 within-b pair), f3 is unique (no row)."""
+    from multiagent_document_etl_system_spark.operators import textstats
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "x y", "a"), (2, "y x", "a"), (3, "x  y", "b"),
+         (4, "p q", "b"), (5, "q p", "b"), (6, "unique text here", "a")],
+        "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): (r.n_groups, r.dup_pairs)
+           for r in dedup.cross_source_matrix(
+               docs, key=textstats.fingerprint_expr(F.col("text")))
+           .collect()}
+    assert out == {("a", "a"): (1, 1), ("a", "b"): (1, 2),
+                   ("b", "b"): (1, 1)}

@@ -68,11 +68,12 @@ _EVER_DRIVER_CHECKED = {
 _MUST_RESHOW = {"td_prepare_corpus", "td_prepare_corpus_v2"}
 
 #: deliberately re-shown greens: the integer-grid sweep changed their
-#: output contract (quality/gopher columns), or the r4 verdict asked for
-#: re-confirmation under the float-canon changes
+#: output contract (quality/gopher columns), or the composed north-star
+#: flagship (dedup_minhash_lsh / pipeline_flagship re-shows were dropped
+#: mid-round for two new never-checked queries — their r03 greens stand
+#: on unchanged contracts)
 _RECONFIRM = {
     "ta_quality_score", "ta_gopher_rules", "td_curation_funnel",
-    "dedup_minhash_lsh", "pipeline_flagship",
 }
 
 

@@ -252,3 +252,22 @@ def test_lsh_matmul_matches_lsh_fold(spark):
     b = {(r.q_id, r.c_id, r.rank) for r in similarity.ann_lsh_topk_matmul(
         q, c, dim=64, k=5, n_planes=6).collect()}
     assert a == b
+
+
+def test_recall_matrix_shape_and_bounds(spark):
+    """v21_recall_matrix: one row per deterministic ANN rung, recall on
+    the exact 1e-4 integer grid, and the superset guarantee — multi-probe
+    LSH probes a strict superset of the single-bucket LSH's candidates,
+    so its recall can never be lower."""
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    rows = {r.method: r for r in
+            QUERIES["v21_recall_matrix"][0](
+                spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"binary_hamming", "lsh", "lsh_multiprobe",
+                         "matryoshka16"}
+    for r in rows.values():
+        assert 0 <= r.n_hits <= r.n_exact
+        assert 0 <= r.recall_q1e4 <= 10_000
+        assert r.n_exact == rows["lsh"].n_exact  # shared denominator
+    assert rows["lsh_multiprobe"].recall_q1e4 >= rows["lsh"].recall_q1e4
