@@ -75,6 +75,12 @@ HEADLINE = [
     # round-5: passage-level duplicated-span removal + semantic decontam
     "td_span_dedup",
     "td_semantic_decontaminate",
+    # round-5 continuation: model-based gate, temperature mixing, the
+    # ANN recall report, and the cross-source duplication matrix
+    "td_quality_classifier",
+    "td_temperature_mix",
+    "v21_recall_matrix",
+    "dedup_cross_source_matrix",
 ]
 
 
