@@ -81,6 +81,7 @@ HEADLINE = [
     "td_temperature_mix",
     "v21_recall_matrix",
     "dedup_cross_source_matrix",
+    "td_shard_manifest",
 ]
 
 

@@ -3357,6 +3357,52 @@ def td_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("td_shard_manifest", f"""
+SELECT {dedup.hash64_sql('CAST(doc_id AS VARCHAR)', seed=97)} % 8 AS shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len({textfns.tokens_sql('text')})) AS BIGINT) AS n_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+  CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+  bit_xor({dedup.hash64_sql('text', seed=11)}) AS content_xor64
+FROM documents GROUP BY 1 ORDER BY shard
+""")
+def td_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard MANIFEST for the training-data export — the terminal
+    artifact a dataloader (and an auditor) reads next to the shard files:
+    per shard (td_shuffle_order's deterministic hash-mod-8 assignment),
+    the doc count, total whitespace tokens, total chars, the doc-id
+    range, and an order-insensitive 60-bit content checksum (bit_xor of
+    the seeded content hash — any lost, duplicated, or altered document
+    flips it, and XOR commutes so the value is independent of task
+    scheduling). Both engines aggregate the identical md5-derived BIGINT,
+    so even the checksums are hash-oracled.
+
+    Scale: ONE corpus scan, one shuffle on the 8-row shard key with full
+    map-side partial aggregation (count/sum/min/max/xor all combine);
+    the manifest is #shards rows at any corpus size."""
+    d = _docs(spark, sf_dir)
+    shard = dedup.hash64(F.col("doc_id").cast("string"), seed=97) % 8
+    return (
+        d.select(
+            shard.alias("shard"),
+            "doc_id", "n_chars",
+            F.size(textfns.tokens(F.col("text"))).alias("_nt"),
+            dedup.hash64(F.col("text"), seed=11).alias("_ch"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.expr("bit_xor(_ch)").alias("content_xor64"),
+        )
+        .orderBy("shard")
+    )
+
+
 # relational surface (analytics.py)
 QUERIES.update(RELATIONAL_QUERIES)
 
@@ -3446,6 +3492,13 @@ _DRIVER_WINDOW_R5 = [
     # stand on unchanged contracts, and a never-checked slot outranks a
     # re-confirmation.
     "ta_gopher_rules", "td_curation_funnel",
+]
+
+#: oracled queries added AFTER the r5 window filled its 50 slots — they
+#: queue for the r6 window head (the r4 precedent: new queries wait one
+#: rotation rather than displace a contract-changed re-confirmation).
+_QUEUED_FOR_R6 = [
+    "td_shard_manifest",
 ]
 
 

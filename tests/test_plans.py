@@ -516,3 +516,15 @@ def test_temperature_mix_scans_corpus_once(spark):
     assert p.count("FileScan") == 1, p
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert "Window" in p
+
+
+def test_shard_manifest_single_scan_partial_agg(spark):
+    """td_shard_manifest: ONE corpus scan -> map-side partial aggregation
+    -> one hash exchange on the 8-row shard key. All six aggregates
+    (count/sum/min/max/bit_xor) combine, so only 8 partial rows per task
+    cross the network at any corpus size."""
+    p = physical_plan(QUERIES["td_shard_manifest"][0](spark, SF_DIR))
+    assert p.count("FileScan") == 1, p
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert "partial_count" in p or "HashAggregate" in p

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from multiagent_document_etl_system_spark.plans.registry import (
     _DRIVER_WINDOW_R5,
+    _QUEUED_FOR_R6,
     QUERIES,
 )
 
@@ -98,11 +99,21 @@ def test_window_slots_all_produce_new_evidence():
 def test_window_covers_every_never_checked_oracled_query():
     """The rotation's whole point: after r5, no oracled query is without a
     driver row. rows-only queries are excluded by construction (their only
-    possible driver outcome is `no_oracle`)."""
+    possible driver outcome is `no_oracle`); queries added after the
+    window filled its 50 slots queue for r6 (`_QUEUED_FOR_R6`) rather
+    than displace a contract-changed re-confirmation."""
     never = [n for n, (_, oracle) in QUERIES.items()
              if oracle and n not in _EVER_DRIVER_CHECKED]
-    missing = [n for n in never if n not in _DRIVER_WINDOW_R5]
+    missing = [n for n in never
+               if n not in _DRIVER_WINDOW_R5 and n not in _QUEUED_FOR_R6]
     assert not missing, missing
+
+
+def test_r6_queue_entries_are_oracled_and_unchecked():
+    for n in _QUEUED_FOR_R6:
+        assert n in QUERIES and QUERIES[n][1], n
+        assert n not in _EVER_DRIVER_CHECKED, n
+        assert n not in _DRIVER_WINDOW_R5, n
 
 
 def test_no_rows_only_query_wastes_a_slot():
