@@ -288,6 +288,60 @@ def cmd_split(args) -> dict:
             **{k: int(v) for k, v in obs.get.items()}}
 
 
+def cmd_export_shards(args) -> dict:
+    """Write the corpus as deterministic training shards + a manifest —
+    the terminal export step of the pipeline (td_shuffle_order +
+    td_shard_manifest as a WRITE): shard = seeded-md5(id) mod N
+    (append/retry/engine-stable), rows inside each shard sorted by the
+    hash-derived position, directory layout <out>/shard=K. The manifest
+    (<out>/_manifest — underscore-prefixed, so readers of <out> never see
+    it as data) is computed by READING THE WRITTEN FILES BACK, not from
+    the input plan: it describes what is actually on disk (doc/token/char
+    counts, id range, order-insensitive bit_xor 60-bit content checksum
+    per shard — any lost, duplicated, or altered row flips it).
+
+    Scale: one hash repartition on the shard key + an in-task sort for
+    the write; the read-back manifest pass is one scan of the output with
+    full map-side partial aggregation (#shards rows cross the network)."""
+    from multiagent_document_etl_system_spark.functions.text import tokens
+    from multiagent_document_etl_system_spark.operators.dedup import hash64
+
+    spark = get_spark("doc-etl-export-shards")
+    docs = spark.read.parquet(args.docs_parquet)
+    if not 1 <= args.n_shards <= 100_000:
+        raise SystemExit(f"--n-shards {args.n_shards} out of range")
+    h = hash64(F.col(args.id_col).cast("string"), seed=97)
+    staged = (docs.withColumn("shard", h % args.n_shards)
+              .withColumn("_pos", h)
+              .repartition(args.n_shards, "shard")
+              .sortWithinPartitions("shard", "_pos", args.id_col)
+              .drop("_pos"))
+    staged.write.mode("overwrite").partitionBy("shard") \
+        .parquet(args.output_dir)
+
+    written = spark.read.parquet(args.output_dir)
+    manifest = (
+        written.select(
+            "shard", F.col(args.id_col).alias("_id"),
+            F.size(tokens(F.col(args.text_col))).alias("_nt"),
+            F.length(args.text_col).alias("_nc"),
+            hash64(F.col(args.text_col), seed=11).alias("_ch"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("_nt").cast("bigint").alias("n_tokens"),
+             F.sum("_nc").cast("bigint").alias("n_chars"),
+             F.min("_id").alias("min_id"), F.max("_id").alias("max_id"),
+             F.expr("bit_xor(_ch)").alias("content_xor64")))
+    manifest_dir = args.output_dir.rstrip("/") + "/_manifest"
+    manifest.coalesce(1).write.mode("overwrite").parquet(manifest_dir)
+    rows = sorted(spark.read.parquet(manifest_dir).collect(),
+                  key=lambda r: r.shard)
+    return {"success": True, "output": args.output_dir,
+            "manifest": manifest_dir, "n_shards": len(rows),
+            "n_docs": int(sum(r.n_docs for r in rows)),
+            "n_tokens": int(sum(r.n_tokens for r in rows))}
+
+
 def cmd_build_dedup_index(args) -> dict:
     """Persist the corpus dedup index (the two tiny parquet sets every
     future drop checks membership against): <index_dir>/md5 (distinct
@@ -409,6 +463,13 @@ def main(argv=None) -> int:
     sp.add_argument("--val-pct", type=int, default=5)
     sp.add_argument("--test-pct", type=int, default=5)
 
+    ex = sub.add_parser("export-shards")
+    ex.add_argument("docs_parquet")
+    ex.add_argument("output_dir")
+    ex.add_argument("--n-shards", type=int, default=8)
+    ex.add_argument("--id-col", default="doc_id")
+    ex.add_argument("--text-col", default="text")
+
     bi = sub.add_parser("build-dedup-index")
     bi.add_argument("docs_parquet")
     bi.add_argument("index_dir")
@@ -431,7 +492,8 @@ def main(argv=None) -> int:
            "stats": cmd_stats, "query": cmd_query, "curate": cmd_curate,
            "build-dedup-index": cmd_build_dedup_index,
            "dedup-check": cmd_dedup_check, "split": cmd_split,
-           "span-dedup": cmd_span_dedup}[args.cmd](args)
+           "span-dedup": cmd_span_dedup,
+           "export-shards": cmd_export_shards}[args.cmd](args)
     print(json.dumps(out))
     return 0 if out.get("success", True) else 1
 

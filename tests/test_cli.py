@@ -269,3 +269,45 @@ def test_span_dedup_writes_cleaned_corpus(spark, tmp_path, capsys):
     assert got[1] == "alpha beta gamma delta epsilon zeta"
     assert got[2] == "one two three four five six"
     assert got[3] == rows[2][1]
+
+
+def test_export_shards_manifest_matches_files(spark, tmp_path, capsys):
+    """export-shards end-to-end: the written shard files and the read-back
+    manifest agree on counts AND the order-insensitive bit_xor content
+    checksum (recomputed here from the shard files), rows inside each
+    shard are sorted by the hash position, and the _manifest dir is
+    invisible to a plain read of the output."""
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.operators.dedup import hash64
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "shards")
+    rc, resp = _run(capsys, ["export-shards", src, out, "--n-shards", "4"])
+    assert rc == 0 and resp["success"] and resp["n_shards"] == 4
+    n_src = spark.read.parquet(src).count()
+    assert resp["n_docs"] == n_src
+
+    data = spark.read.parquet(out)
+    assert "shard" in data.columns and data.count() == n_src
+    # the _manifest dir must not leak into the data read
+    assert "n_docs" not in data.columns
+
+    manifest = {r.shard: r for r in
+                spark.read.parquet(out + "/_manifest").collect()}
+    recomputed = {r.shard: r for r in (
+        data.select("shard", hash64(F.col("text"), seed=11).alias("_ch"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"),
+             F.expr("bit_xor(_ch)").alias("x")).collect())}
+    assert set(manifest) == set(recomputed) == {0, 1, 2, 3}
+    for s, m in manifest.items():
+        assert m.n_docs == recomputed[s].n_docs
+        assert m.content_xor64 == recomputed[s].x
+
+    # in-shard order: position = seeded id hash, ascending within files
+    one = (spark.read.parquet(out + "/shard=0")
+           .withColumn("_h", hash64(F.col("doc_id").cast("string"),
+                                    seed=97)).collect())
+    hs = [r._h for r in one]
+    assert hs == sorted(hs)
