@@ -89,6 +89,66 @@ def decontaminate(corpus: DataFrame, eval_docs: DataFrame,
     )
 
 
+def split_cross_leakage(docs: DataFrame, split_col: Column,
+                        n: int = 3, min_shared: int = 5,
+                        train_value: str = "train",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Cross-SPLIT leakage audit: for every held-out doc (``split_col !=
+    train_value``), the number of distinct word-``n``-gram shingles it
+    shares with ANY training doc — (id, split, n_shared, leaked) with
+    ``leaked = n_shared >= min_shared``.
+
+    This is the self-audit every training-data build runs AFTER splitting:
+    :func:`decontaminate` guards against an EXTERNAL benchmark set, but a
+    val/test split carved from the same crawl leaks through internal
+    near-duplicates (two mirrors of one page landing on opposite sides of
+    the hash split), which silently inflates eval scores. Run it after
+    dedup: surviving leaks mean the dedup threshold is too loose.
+
+    Plan — and why it is NOT :func:`decontaminate`'s plan: there the eval
+    side is workload-bounded (MMLU-sized forever) and broadcasting it is
+    sanctioned; here BOTH sides are split fractions of the corpus and grow
+    with it, so nothing may be broadcast. Each side reduces to 64-bit
+    shingle hashes (train side distinct ⇒ one map-side-combined shuffle of
+    8-byte keys; held-out shingles are distinct per doc by construction),
+    then a plain shuffle equi-join on the hash feeds a per-doc count —
+    ids + 8-byte hashes are the ONLY thing on the wire, AQE splits
+    boilerplate-shingle skew, and every stage scales with the cluster.
+    """
+    sides = docs.select(F.col(id_col), F.col(text_col),
+                        split_col.alias("split"))
+    train_sh = (
+        sides.filter(F.col("split") == train_value)
+        .select(F.explode(shingles(F.col(text_col), n)).alias("_sh"))
+        .select(hash64(F.col("_sh")).alias("_sh_h"))
+        .distinct()
+    )
+    held = sides.filter(F.col("split") != train_value)
+    held_sh = held.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("_sh"),
+    ).select(F.col(id_col), hash64(F.col("_sh")).alias("_sh_h"))
+    # held-out shingle sets are distinct per doc and train_sh is distinct
+    # ⇒ count(*) == distinct-shared-shingle count
+    matches = (
+        held_sh.join(train_sh, "_sh_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        held.select(id_col, "split")
+        .join(matches, id_col, "left")
+        .select(
+            id_col, "split",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint")
+            .alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= min_shared)
+            .alias("leaked"),
+        )
+    )
+
+
 # ---------------------------------------------------------- quality rules
 
 GOPHER_STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to")

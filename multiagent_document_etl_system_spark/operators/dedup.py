@@ -289,6 +289,49 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+SWEEP_THRESHOLDS: tuple[int, ...] = (
+    3000, 4000, 5000, 6000, 7000, 8000, 9000)
+
+
+def threshold_sweep(pairs: DataFrame,
+                    thresholds: tuple[int, ...] = SWEEP_THRESHOLDS,
+                    ) -> DataFrame:
+    """Dedup threshold-tuning report over a verified near-dup pair stream
+    (id_a, id_b, jaccard): per Jaccard threshold (1e-4 integer grid), the
+    surviving pair count and the number of docs a keep-lowest-id policy
+    would remove (distinct id_b). One row per threshold, zero rows of
+    input ⇒ all-zero rows out (the report still renders).
+
+    Plan: ONE pass with len(thresholds) conditional aggregates — no join
+    against the threshold list, full map-side partial aggregation; the
+    1-row global aggregate explodes into the report rows. jaccard is
+    round(·,4); floor(j·1e4+0.5) recovers the exact grid integer on any
+    engine.
+    """
+    jq = F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("bigint")
+    pq = pairs.select("id_a", "id_b", jq.alias("jq"))
+    aggs = []
+    for t in thresholds:
+        aggs.append(F.count(F.when(F.col("jq") >= t, 1))
+                    .cast("bigint").alias(f"_p{t}"))
+        aggs.append(F.countDistinct(F.when(F.col("jq") >= t, F.col("id_b")))
+                    .cast("bigint").alias(f"_d{t}"))
+    rows = F.array(*[
+        F.struct(
+            F.lit(t).cast("bigint").alias("threshold_q1e4"),
+            F.col(f"_p{t}").alias("n_pairs"),
+            F.col(f"_d{t}").alias("n_dup_docs"),
+        )
+        for t in thresholds
+    ])
+    return (
+        pq.agg(*aggs)
+        .select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("threshold_q1e4")
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -247,6 +247,65 @@ GROUP BY token ORDER BY freq DESC, token ASC LIMIT {top_n}
 """
 
 
+def vocab_stats(df: DataFrame, group_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Per-``group_col`` vocabulary profile: total token count, distinct
+    type count, hapax-legomenon count (types seen exactly once), and the
+    type-token ratio on the 1e-4 integer grid — the Heaps'-law lexical-
+    diversity fingerprint that separates template/boilerplate feeds (low
+    TTR, few hapaxes) from organic text when deciding source mix and
+    dedup order for a corpus build.
+
+    Plan: explode → groupBy(group, token) count (map-side partial agg on
+    the dominant stage) → groupBy(group) rollup; only (group, token-hash-
+    sized strings, counts) ever shuffle, and the second exchange is
+    #groups-sized. TTR via idiv_round — integer-exact on both engines.
+    """
+    per_tok = (
+        df.select(F.col(group_col).alias("grp"),
+                  F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("grp", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_tok.groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_hapax"),
+        )
+        .select(
+            F.col("grp").alias(group_col), "n_tokens", "n_types", "n_hapax",
+            idiv_round(F.col("n_types") * 10000,
+                       F.greatest(F.col("n_tokens"), F.lit(1)))
+            .alias("ttr_q1e4"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def vocab_stats_sql(table: str = "documents", group_col: str = "source",
+                    text_col: str = "text") -> str:
+    return f"""
+SELECT {group_col},
+  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_types,
+  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  {idiv_round_sql('count(*) * 10000', 'greatest(sum(cnt), 1)')} AS ttr_q1e4
+FROM (
+  SELECT {group_col}, token, count(*) AS cnt FROM (
+    SELECT {group_col},
+      unnest({tokens_sql(f"lower({text_col})")}) AS token
+    FROM {table}
+  ) WHERE length(token) > 0
+  GROUP BY {group_col}, token
+)
+GROUP BY {group_col} ORDER BY {group_col}
+"""
+
+
 def bigram_frequencies(df: DataFrame, text_col: str = "text",
                        top_n: int = 20) -> DataFrame:
     """Corpus-wide top-N word bigrams: (bigram, freq), deterministic order

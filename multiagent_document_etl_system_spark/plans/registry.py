@@ -1236,6 +1236,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
+@_q("dedup_threshold_sweep", f"""
+WITH pairs AS ({_minhash_pairs_sql(0.3)}),
+pq AS (
+  SELECT id_a, id_b,
+    CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS jq
+  FROM pairs
+),
+t AS (SELECT unnest({list(dedup.SWEEP_THRESHOLDS)}) AS threshold_q1e4)
+SELECT CAST(threshold_q1e4 AS BIGINT) AS threshold_q1e4,
+  CAST(count(id_a) AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT id_b) AS BIGINT) AS n_dup_docs
+FROM t LEFT JOIN pq ON pq.jq >= t.threshold_q1e4
+GROUP BY threshold_q1e4 ORDER BY threshold_q1e4
+""")
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD TUNING report: how many verified near-dup pairs —
+    and how many docs a keep-lowest-id policy would remove — survive at
+    each Jaccard threshold from 0.30 to 0.90. The knob-selection artifact
+    a corpus build reads before committing to a dedup pass (too low ⇒
+    distinct docs merged; too high ⇒ boilerplate mirrors survive);
+    the dedup analog of v21_recall_matrix's ANN index-selection report.
+    Pair source is the LSH-verified stream (bounded by banding +
+    max_bucket — never all-pairs); see dedup.threshold_sweep for the
+    single-pass conditional-aggregate plan."""
+    return dedup.threshold_sweep(
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3))
+
+
 @_q("dedup_simhash", f"""
 WITH tok AS (
   SELECT doc_id AS id,
@@ -2099,6 +2127,14 @@ def ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("ta_term_frequency", textstats.term_frequencies_sql())
 def ta_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.term_frequencies(_docs(spark, sf_dir))
+
+
+@_q("ta_vocab_stats", textstats.vocab_stats_sql())
+def ta_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile (tokens / types / hapaxes / TTR on
+    the integer grid) — the lexical-diversity report behind source-mix
+    decisions; see textstats.vocab_stats for the plan shape."""
+    return textstats.vocab_stats(_docs(spark, sf_dir))
 
 
 @_q("ta_lang_id",
@@ -3294,6 +3330,52 @@ def td_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("td_split_leakage", f"""
+WITH sp AS (
+  SELECT doc_id, text,
+    CASE WHEN {_SPLIT_B} < 90 THEN 'train'
+         WHEN {_SPLIT_B} < 95 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+), tr AS (
+  SELECT DISTINCT {_DECON_SH_H} AS sh_h FROM (
+    SELECT unnest({_SHINGLE_SQL}) AS sh
+    FROM (SELECT string_split_regex(trim(text), '\\s+') AS __toks
+          FROM sp WHERE split = 'train')
+  )
+), ev AS (
+  SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS __toks
+        FROM sp WHERE split <> 'train')
+), m AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM (SELECT doc_id, {_DECON_SH_H} AS sh_h FROM ev) e
+  JOIN tr USING (sh_h) GROUP BY doc_id
+)
+SELECT s.doc_id, s.split,
+  CAST(coalesce(m.n_shared, 0) AS BIGINT) AS n_shared,
+  coalesce(m.n_shared, 0) >= 5 AS leaked
+FROM (SELECT doc_id, split FROM sp WHERE split <> 'train') s
+LEFT JOIN m USING (doc_id)
+""")
+def td_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→held-out leakage audit over td_split's own hash split: for
+    every val/test doc, the distinct 3-gram shingles it shares with ANY
+    train doc, and a leaked flag at the td_decontaminate threshold (≥5).
+    The self-audit step of a corpus build — internal near-duplicates that
+    straddle the split boundary inflate eval scores in a way external-
+    benchmark decontamination never sees.
+
+    Unlike td_decontaminate (eval side workload-bounded ⇒ broadcast
+    sanctioned), BOTH sides here scale with the corpus, so the plan is a
+    pure shuffle equi-join of 64-bit shingle hashes — see
+    curation.split_cross_leakage for the full scale argument."""
+    d = _docs(spark, sf_dir)
+    b = dedup.hash64(F.col("doc_id").cast("string"), seed=41) % 100
+    split = (F.when(b < 90, "train").when(b < 95, "val").otherwise("test"))
+    return curation.split_cross_leakage(d, split, n=3, min_shared=5)
+
+
 @_q("td_importance_resample", f"""
 SELECT doc_id, lang, quality_q1e4,
   p_q1e6 * 100 < quality_q1e4 * quality_q1e4 AS accepted
@@ -3499,6 +3581,9 @@ _DRIVER_WINDOW_R5 = [
 #: rotation rather than displace a contract-changed re-confirmation).
 _QUEUED_FOR_R6 = [
     "td_shard_manifest",
+    "td_split_leakage",
+    "dedup_threshold_sweep",
+    "ta_vocab_stats",
 ]
 
 

@@ -1,0 +1,120 @@
+"""Planted-corpus tests for the round-5 continuation ops: cross-split
+leakage audit, dedup threshold sweep, per-source vocabulary stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.io import load_table
+from multiagent_document_etl_system_spark.operators import (
+    curation,
+    dedup,
+    textstats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_LONG_A = " ".join(f"w{i}" for i in range(40))        # 38 distinct 3-grams
+_LONG_B = " ".join(f"x{i}" for i in range(40))
+
+
+def _planted_docs(spark):
+    """doc 1 (train) == doc 2 (test) verbatim; doc 3 (test) unique;
+    doc 4 (val) shares nothing with train either."""
+    return spark.createDataFrame(
+        [
+            (1, _LONG_A, "train"),
+            (2, _LONG_A, "test"),
+            (3, _LONG_B, "test"),
+            (4, "one tiny val doc", "val"),
+        ],
+        "doc_id long, text string, split string",
+    )
+
+
+def test_split_leakage_detects_planted_duplicate(spark):
+    out = curation.split_cross_leakage(
+        _planted_docs(spark), F.col("split"), n=3, min_shared=5)
+    rows = {r.doc_id: r for r in out.collect()}
+    # only held-out docs are audited; the train doc never appears
+    assert set(rows) == {2, 3, 4}
+    assert rows[2].leaked and rows[2].n_shared == 38
+    assert not rows[3].leaked and rows[3].n_shared == 0
+    assert not rows[4].leaked and rows[4].n_shared == 0
+    assert rows[2].split == "test" and rows[4].split == "val"
+
+
+def test_split_leakage_counts_distinct_shared_shingles(spark):
+    """A held-out doc matching TWO train docs on the same shingles must
+    not double-count (train side is distinct by construction)."""
+    docs = spark.createDataFrame(
+        [
+            (1, _LONG_A, "train"),
+            (2, _LONG_A, "train"),     # duplicate inside train
+            (3, _LONG_A, "test"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    out = curation.split_cross_leakage(docs, F.col("split")).collect()
+    assert len(out) == 1 and out[0].n_shared == 38
+
+
+def test_split_leakage_empty_corpus(spark):
+    d0 = load_table(spark, SF, "documents").limit(0)
+    out = curation.split_cross_leakage(
+        d0, F.when(F.col("doc_id") % 2 == 0, "train").otherwise("test"))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "split", "n_shared", "leaked"]
+
+
+def test_threshold_sweep_monotone_and_anchored(spark):
+    """On a planted corpus with one exact pair (J=1.0) and one partial-
+    overlap pair, counts are non-increasing in the threshold and the
+    exact duplicate survives every rung."""
+    half = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, _LONG_A), (2, _LONG_A),                     # J = 1.0
+            (3, half + " " + _LONG_B), (4, half + " y0 y1"),  # partial
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.0)
+    out = dedup.threshold_sweep(pairs).collect()
+    assert [r.threshold_q1e4 for r in out] == list(dedup.SWEEP_THRESHOLDS)
+    n_pairs = [r.n_pairs for r in out]
+    n_docs = [r.n_dup_docs for r in out]
+    assert n_pairs == sorted(n_pairs, reverse=True)
+    assert n_docs == sorted(n_docs, reverse=True)
+    # the verbatim duplicate (J=1.0 ⇒ jq=10000) survives the 0.9 rung
+    assert n_pairs[-1] >= 1 and n_docs[-1] >= 1
+
+
+def test_threshold_sweep_empty_pairs_renders_zero_report(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+    out = dedup.threshold_sweep(pairs).collect()
+    assert len(out) == len(dedup.SWEEP_THRESHOLDS)
+    assert all(r.n_pairs == 0 and r.n_dup_docs == 0 for r in out)
+
+
+def test_vocab_stats_planted_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a A b", "X"),       # lowercased: a a b
+            (2, "c", "Y"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in textstats.vocab_stats(docs).collect()}
+    x, y = rows["X"], rows["Y"]
+    assert (x.n_tokens, x.n_types, x.n_hapax) == (3, 2, 1)
+    assert x.ttr_q1e4 == 6667          # round(2e4/3)
+    assert (y.n_tokens, y.n_types, y.n_hapax, y.ttr_q1e4) == (1, 1, 1, 10000)
+
+
+def test_vocab_stats_empty_corpus(spark):
+    d0 = load_table(spark, SF, "documents").limit(0)
+    out = textstats.vocab_stats(d0)
+    assert out.count() == 0
+    assert out.columns == ["source", "n_tokens", "n_types", "n_hapax",
+                           "ttr_q1e4"]
