@@ -365,6 +365,64 @@ def cmd_build_dedup_index(args) -> dict:
     }
 
 
+def cmd_build_ann_index(args) -> dict:
+    """Build the parquet-native ANN index: vectors partitioned by their
+    hyperplane-LSH signature so later queries partition-prune to the
+    buckets they probe (operators/ann_index.py — the batch twin of the
+    reference's Pinecone upsert, /root/reference/src/pinecone_utils.py)."""
+    from multiagent_document_etl_system_spark.operators.ann_index import (
+        build_ann_index,
+    )
+
+    spark = get_spark("doc-etl-build-ann-index")
+    vecs = spark.read.parquet(args.embeddings_parquet)
+    meta = build_ann_index(vecs, args.index_dir,
+                           n_planes=args.n_planes, seed=args.seed,
+                           id_col=args.id_col, vec_col=args.vec_col)
+    return {"success": True, "index": args.index_dir, **meta}
+
+
+def cmd_ann_query(args) -> dict:
+    """Top-k cosine search against a persisted ANN index. Queries come
+    from a parquet of (q_id, q_vec) rows (--query-parquet) or from the
+    index itself (--query-id, self-match excluded). Writes per-pair rows
+    with --output; always returns the (bounded, ≤ k·n_queries) matches."""
+    from multiagent_document_etl_system_spark.operators.ann_index import (
+        ann_index_topk,
+    )
+
+    spark = get_spark("doc-etl-ann-query")
+    if (args.query_parquet is None) == (args.query_id is None):
+        raise SystemExit("pass exactly one of --query-parquet / --query-id")
+    if args.query_parquet:
+        queries = spark.read.parquet(args.query_parquet)
+        exclude_self = False
+    else:
+        queries = (
+            spark.read.parquet(f"{args.index_dir}/vectors")
+            .filter(F.col("c_id") == args.query_id)
+            .select(F.col("c_id").alias("q_id"),
+                    F.col("c_vec").alias("q_vec"))
+        )
+        exclude_self = True
+    out = ann_index_topk(spark, args.index_dir, queries, k=args.k,
+                         multiprobe=args.multiprobe,
+                         exclude_self=exclude_self)
+    if args.output:
+        from multiagent_document_etl_system_spark.io import write_parquet
+        write_parquet(out, args.output)
+        out = spark.read.parquet(args.output)
+    rows = out.orderBy("q_id", "rank").collect()
+    return {
+        "success": True,
+        "n_matches": len(rows),
+        "matches": [{"q_id": r["q_id"], "c_id": r["c_id"],
+                     "score": r["score"], "rank": r["rank"]}
+                    for r in rows],
+        "output": args.output,
+    }
+
+
 def cmd_dedup_check(args) -> dict:
     """Check a document drop against a persisted dedup index: per doc,
     exact membership (md5) and near-dup band matches — batch twin of the
@@ -479,6 +537,27 @@ def main(argv=None) -> int:
     dc.add_argument("index_dir")
     dc.add_argument("--output", default=None)
 
+    ba = sub.add_parser("build-ann-index")
+    ba.add_argument("embeddings_parquet")
+    ba.add_argument("index_dir")
+    ba.add_argument("--n-planes", type=int, default=8)
+    ba.add_argument("--seed", type=int, default=42)
+    ba.add_argument("--id-col", default="vec_id")
+    ba.add_argument("--vec-col", default="embedding")
+
+    aq = sub.add_parser("ann-query")
+    aq.add_argument("index_dir")
+    aq.add_argument("--query-parquet", default=None,
+                    help="parquet of (q_id, q_vec) rows")
+    aq.add_argument("--query-id", type=int, default=None,
+                    help="query BY ID from the index itself "
+                         "(self-match excluded)")
+    aq.add_argument("--k", type=int, default=5)
+    aq.add_argument("--multiprobe", action="store_true",
+                    help="probe every Hamming-1 neighbor bucket too "
+                         "(higher recall, ~n_planes x the buckets read)")
+    aq.add_argument("--output", default=None)
+
     q = sub.add_parser("query")
     q.add_argument("name", nargs="?", default=None)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -492,6 +571,8 @@ def main(argv=None) -> int:
            "stats": cmd_stats, "query": cmd_query, "curate": cmd_curate,
            "build-dedup-index": cmd_build_dedup_index,
            "dedup-check": cmd_dedup_check, "split": cmd_split,
+           "build-ann-index": cmd_build_ann_index,
+           "ann-query": cmd_ann_query,
            "span-dedup": cmd_span_dedup,
            "export-shards": cmd_export_shards}[args.cmd](args)
     print(json.dumps(out))
