@@ -82,6 +82,12 @@ HEADLINE = [
     "v21_recall_matrix",
     "dedup_cross_source_matrix",
     "td_shard_manifest",
+    # round-5 continuation: cross-split leakage audit, dedup threshold
+    # tuning report, per-source vocabulary profile
+    "td_split_leakage",
+    "dedup_threshold_sweep",
+    "ta_vocab_stats",
+    "v22_ann_index_topk",
 ]
 
 

@@ -41,6 +41,7 @@ from multiagent_document_etl_system_spark.functions.text import (
 )
 from multiagent_document_etl_system_spark.io import load_table
 from multiagent_document_etl_system_spark.operators import (
+    ann_index,
     curation,
     dedup,
     similarity,
@@ -520,6 +521,54 @@ def v11_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     return similarity.ann_lsh_topk_multiprobe(q, c, dim=64, k=5, n_planes=6)
+
+
+# memoized persisted-ANN-index staging (operators/ann_index.py): the build
+# is fixture setup — the QUERY is the partition-pruned read, exactly the
+# v6_namespace_scoped convention
+_ANN_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _ANN_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ann_index_")
+        ann_index.build_ann_index(_emb(spark, sf_dir), path,
+                                  n_planes=6, seed=42)
+        _ANN_INDEX_CACHE[key] = path
+    return path
+
+
+@_q("v22_ann_index_topk", f"""
+WITH {_ANN_SIG_CTE},
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, round({_ANN_COS}, 4) AS score
+  FROM sig q JOIN sig c ON q.s = c.s AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % 50 = 7
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, score, rank FROM ranked WHERE rank <= 5
+""")
+def v22_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k against the PERSISTED ANN index (operators/ann_index.py): the
+    corpus vectors live in a parquet index partitioned by their 6-bit LSH
+    signature (memoized build = fixture), and THIS query is the serving
+    read — probe signatures prune the scan to the touched bucket
+    directories (PartitionFilters, plan-tested in tests/test_ann_index),
+    then the usual exact re-rank. Same planes/rounding/tie-break as
+    v6_ann_lsh_topk, so the oracle restates it exactly; the result is the
+    amortized-index twin of that in-memory rung, on a different query
+    carve (vec_id % 50 == 7)."""
+    q = _emb(spark, sf_dir).filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return ann_index.ann_index_topk(
+        spark, _ann_index_dir(spark, sf_dir), q, k=5, exclude_self=True)
 
 
 @_q("v10_ann_recall", f"""
@@ -2954,6 +3003,88 @@ def st_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_QUERY_VEC_STAGE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _staged_query_vectors_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _QUERY_VEC_STAGE_CACHE.get(key)
+    if stage is None:
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="st_qvec_in_")
+        _emb(spark, sf_dir).filter(F.col("vec_id") % 100 == 0) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        _QUERY_VEC_STAGE_CACHE[key] = stage
+    return stage
+
+
+@_q("st_ann_stream", f"""
+WITH {_ANN_SIG_CTE},
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, round({_ANN_COS}, 4) AS score
+  FROM sig q JOIN sig c ON q.s = c.s AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % 100 = 0
+)
+SELECT q_id, c_id, score FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+""")
+def st_ann_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run, oracle-checked: CONTINUOUS RETRIEVAL against
+    the persisted ANN index — query vectors arrive as a file stream
+    (staged vec_id%100==0 carve), each micro-batch hashes them with the
+    index's planes, stream-static-joins its signature bucket from the
+    parquet index (operators/ann_index.py — the same index
+    v22_ann_index_topk serves in batch), and emits the per-query best
+    match. The streaming front door of the reference's per-document
+    Pinecone query (/root/reference/src/agents.py:110-125), corpus-scale:
+    the index never recomputes, the stream never shuffles more than
+    (q_id, signature, vector) rows, and streaming state is one aggregate
+    per query.
+
+    Streaming can't window-rank, so top-1 is an ARGMAX aggregate:
+    max(struct(score, -c_id)) reproduces the (score DESC, c_id ASC)
+    tie-break exactly — the oracle restates it as rank-1 over the same
+    rounded grid. Single micro-batch + complete mode ⇒ batch-equal."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    idx_dir = _ann_index_dir(spark, sf_dir)
+    meta = ann_index.load_ann_meta(spark, idx_dir)
+    planes = similarity.hyperplanes(meta["dim"], meta["n_planes"],
+                                    meta["seed"])
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>, label int") \
+        .parquet(_staged_query_vectors_dir(spark, sf_dir))
+    q = stream.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        similarity.norm(F.col("embedding")).alias("_qn"),
+        similarity.lsh_signature(F.col("embedding"), planes).alias("sig"),
+    )
+    cand = spark.read.parquet(f"{idx_dir}/vectors")
+    j = q.join(cand, "sig").filter(F.col("q_id") != F.col("c_id"))
+    denom = F.col("_qn") * F.col("c_norm")
+    score = F.when(denom == 0, F.lit(0.0)) \
+        .otherwise(similarity.dot(F.col("q_vec"), F.col("c_vec")) / denom)
+    best = (
+        j.select("q_id", F.round(score, 4).alias("score"), "c_id")
+        .groupBy("q_id")
+        .agg(F.max(F.struct(
+            F.col("score"), (-F.col("c_id")).alias("_nc"))).alias("b"))
+        .select("q_id",
+                (-F.col("b._nc")).cast("bigint").alias("c_id"),
+                F.col("b.score").alias("score"))
+    )
+    name = f"st_ann_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(best, name, output_mode="complete")
+    return spark.table(name)
+
+
 @_q("st_curation_stream", f"""
 SELECT lang,
   CAST(count(*) AS BIGINT) AS n_in,
@@ -3584,6 +3715,8 @@ _QUEUED_FOR_R6 = [
     "td_split_leakage",
     "dedup_threshold_sweep",
     "ta_vocab_stats",
+    "v22_ann_index_topk",
+    "st_ann_stream",
 ]
 
 

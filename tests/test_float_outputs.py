@@ -115,6 +115,10 @@ FLOAT_ALLOWLIST: dict[str, list[str]] = {
     "v3_filtered_topk": ["score"],
     "v4_top1_argmax": ["score"],
     "v6_ann_lsh_topk": ["score"],
+    # persisted-index twin of the driver-green LSH rungs: same planes,
+    # same round(cosine, 4) grid score, same tie-break (st_ann_stream
+    # shares the grid but is exempt below like every streaming query)
+    "v22_ann_index_topk": ["score"],
     "v8_ivf_topk": ["score"],
 }
 
@@ -124,8 +128,9 @@ def test_no_new_float_output_columns(spark):
     frozen allowlist — convert computed values to the scaled-int grid
     (numeric.stable_avg_q / idiv_round / floor-grid) instead. Streaming
     queries are exempted from the scan (building one executes a real
-    run); their outputs are all-integer by contract and hash-pinned by
-    the r4/r5 driver rows."""
+    run); their outputs are integer-or-proven-grid by contract
+    (st_ann_stream's score rides the round(·,4) grid the batch ANN
+    rungs proved) and hash-pinned by the r4/r5 driver rows."""
     got: dict[str, list[str]] = {}
     for name, (fn, _) in QUERIES.items():
         if name.startswith("st_"):
