@@ -29,6 +29,9 @@ DEFAULT = [
     "dedup_clusters", "ta_heavy_hitters",
     # r5 session-2/3 additions: passage dedup + eval-embedding gate
     "td_span_dedup", "td_semantic_decontaminate",
+    # r5 session-5: the corpus×corpus split-leakage join is the newest
+    # quadratic-risk shape; sweep + index query ride along as cheap pins
+    "td_split_leakage", "dedup_threshold_sweep", "v22_ann_index_topk",
 ]
 
 #: iterative-clustering composites materialize eager per-round checkpoints
