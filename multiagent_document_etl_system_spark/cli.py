@@ -371,15 +371,21 @@ def cmd_build_ann_index(args) -> dict:
     buckets they probe (operators/ann_index.py — the batch twin of the
     reference's Pinecone upsert, /root/reference/src/pinecone_utils.py)."""
     from multiagent_document_etl_system_spark.operators.ann_index import (
+        append_ann_index,
         build_ann_index,
     )
 
     spark = get_spark("doc-etl-build-ann-index")
     vecs = spark.read.parquet(args.embeddings_parquet)
-    meta = build_ann_index(vecs, args.index_dir,
-                           n_planes=args.n_planes, seed=args.seed,
-                           id_col=args.id_col, vec_col=args.vec_col)
-    return {"success": True, "index": args.index_dir, **meta}
+    if args.append:
+        meta = append_ann_index(vecs, args.index_dir,
+                                id_col=args.id_col, vec_col=args.vec_col)
+    else:
+        meta = build_ann_index(vecs, args.index_dir,
+                               n_planes=args.n_planes, seed=args.seed,
+                               id_col=args.id_col, vec_col=args.vec_col)
+    return {"success": True, "index": args.index_dir,
+            "appended": bool(args.append), **meta}
 
 
 def cmd_ann_query(args) -> dict:
@@ -544,6 +550,10 @@ def main(argv=None) -> int:
     ba.add_argument("--seed", type=int, default=42)
     ba.add_argument("--id-col", default="vec_id")
     ba.add_argument("--vec-col", default="embedding")
+    ba.add_argument("--append", action="store_true",
+                    help="add NEW vectors to an existing index (new files "
+                         "in their signature partitions, nothing "
+                         "rewritten; colliding ids raise)")
 
     aq = sub.add_parser("ann-query")
     aq.add_argument("index_dir")

@@ -74,6 +74,50 @@ def build_ann_index(vectors: DataFrame, index_dir: str,
     return {"dim": dim, "n_planes": n_planes, "seed": seed, "n_vectors": n}
 
 
+def append_ann_index(vectors: DataFrame, index_dir: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> dict:
+    """Incrementally add NEW vectors to an existing index — the bounded
+    path for a growing corpus: each appended vector lands as new files in
+    its signature's partition directory; nothing existing is rewritten.
+
+    Append-only by contract: an id already in the index raises (a true
+    MERGE that relocates a re-embedded id across signature partitions
+    needs a transactional table format — on Delta/Iceberg this becomes
+    MERGE INTO, exactly the io.upsert_parquet note). The collision check
+    is one column-pruned scan of the stored ids, not a data read.
+    """
+    spark = vectors.sparkSession
+    meta = load_ann_meta(spark, index_dir)
+    planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    existing_ids = spark.read.parquet(f"{index_dir}/vectors").select("c_id")
+    n_dup = (vectors.select(F.col(id_col).alias("c_id"))
+             .join(existing_ids, "c_id", "left_semi").count())
+    if n_dup:
+        raise ValueError(
+            f"{n_dup} incoming id(s) already exist in the index; "
+            "append is new-ids-only (rebuild, or MERGE on a "
+            "transactional format, to re-embed)")
+    (
+        vectors.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
+            lsh_signature(F.col(vec_col), planes).alias("sig"),
+        )
+        .repartition("sig")
+        .write.mode("append").partitionBy("sig")
+        .parquet(f"{index_dir}/vectors")
+    )
+    n = spark.read.parquet(f"{index_dir}/vectors").count()
+    new_meta = dict(meta, n_vectors=n)
+    spark.createDataFrame(
+        [(new_meta["dim"], new_meta["n_planes"], new_meta["seed"], n)],
+        "dim int, n_planes int, seed int, n_vectors long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    return new_meta
+
+
 def load_ann_meta(spark: SparkSession, index_dir: str) -> dict:
     row = spark.read.parquet(f"{index_dir}/meta").first()
     return {k: int(row[k]) for k in ("dim", "n_planes", "seed", "n_vectors")}
