@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "ta_vocab_stats",
     "v22_ann_index_topk",
+    "ta_source_divergence",
 ]
 
 

@@ -306,6 +306,122 @@ GROUP BY {group_col} ORDER BY {group_col}
 """
 
 
+def source_divergence(df: DataFrame, group_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Pairwise TOTAL-VARIATION distance between per-``group_col`` unigram
+    distributions, on an exact integer grid: (source_a, source_b,
+    n_shared_tokens, tv_q1e4) for every unordered pair — the
+    source-similarity matrix read next to vocab_stats/temperature_mix
+    when composing a corpus (two near-identical feeds ⇒ dedup across
+    them first; a distributional outlier ⇒ inspect before upweighting).
+
+    Exactness: per-token probabilities are quantized to the 1e-6 grid via
+    idiv_round (exact on both engines), so TV = Σ|p−q|/2 is pure integer
+    arithmetic end-to-end — no float sum can reorder, no libm is
+    involved. Missing-token mass uses the identity Σ_{a-only} p_a =
+    Σ_all p_a − Σ_shared p_a, so the join only ever touches SHARED
+    tokens. The quantization bias is ≤ vocab·5e-7 per side — tv_q1e4 is
+    exact for the grid distributions both engines compute identically.
+
+    Scale: token counts shuffle once (map-side partial agg); the shared-
+    token self-join fans each token row out by the number of OTHER
+    sources containing it — bounded by S² with S = #sources, a workload
+    constant (tens), not a corpus-scaled quantity; the pair frame is
+    S²/2 rows. Grid probabilities keep every addend ≤ 1e6, so the sums
+    stay in int64 at any corpus size (raw-count cross products would
+    overflow at ~1e12 tokens per source).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(group_col).alias("grp"),
+                  F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("grp", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("grp")
+    p = counts.select(
+        "grp", "token",
+        idiv_round(F.col("cnt") * 1_000_000,
+                   F.sum("cnt").over(w)).alias("p_q"),
+    )
+    totals = p.groupBy("grp").agg(F.sum("p_q").cast("bigint").alias("sq"))
+    a = p.select(F.col("grp").alias("source_a"), "token",
+                 F.col("p_q").alias("pa"))
+    b = p.select(F.col("grp").alias("source_b"), "token",
+                 F.col("p_q").alias("pb"))
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared_tokens"),
+            F.sum(F.abs(F.col("pa") - F.col("pb"))).cast("bigint")
+            .alias("s1"),
+            F.sum("pa").cast("bigint").alias("sa"),
+            F.sum("pb").cast("bigint").alias("sb"),
+        )
+    )
+    ta = totals.select(F.col("grp").alias("source_a"),
+                       F.col("sq").alias("sqa"))
+    tb = totals.select(F.col("grp").alias("source_b"),
+                       F.col("sq").alias("sqb"))
+    pairs = (
+        ta.crossJoin(tb)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(shared, ["source_a", "source_b"], "left")
+    )
+    z = F.lit(0).cast("bigint")
+    num = (F.coalesce(F.col("s1"), z)
+           + (F.col("sqa") - F.coalesce(F.col("sa"), z))
+           + (F.col("sqb") - F.coalesce(F.col("sb"), z)))
+    return pairs.select(
+        "source_a", "source_b",
+        F.coalesce(F.col("n_shared_tokens"), z).alias("n_shared_tokens"),
+        idiv_round(num * 10_000, F.lit(2_000_000)).alias("tv_q1e4"),
+    ).orderBy("source_a", "source_b")
+
+
+def source_divergence_sql(table: str = "documents",
+                          group_col: str = "source",
+                          text_col: str = "text") -> str:
+    p_q = idiv_round_sql("cnt * 1000000", "sum(cnt) OVER (PARTITION BY grp)")
+    return f"""
+WITH counts AS (
+  SELECT grp, token, count(*) AS cnt FROM (
+    SELECT {group_col} AS grp,
+      unnest({tokens_sql(f"lower({text_col})")}) AS token
+    FROM {table}
+  ) WHERE length(token) > 0
+  GROUP BY grp, token
+), p AS (
+  SELECT grp, token, {p_q} AS p_q FROM counts
+), totals AS (
+  SELECT grp, CAST(sum(p_q) AS BIGINT) AS sq FROM p GROUP BY grp
+), shared AS (
+  SELECT a.grp AS source_a, b.grp AS source_b,
+    CAST(count(*) AS BIGINT) AS n_shared_tokens,
+    CAST(sum(abs(a.p_q - b.p_q)) AS BIGINT) AS s1,
+    CAST(sum(a.p_q) AS BIGINT) AS sa,
+    CAST(sum(b.p_q) AS BIGINT) AS sb
+  FROM p a JOIN p b ON a.token = b.token AND a.grp < b.grp
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT ta.grp AS source_a, tb.grp AS source_b, ta.sq AS sqa, tb.sq AS sqb
+  FROM totals ta JOIN totals tb ON ta.grp < tb.grp
+)
+SELECT source_a, source_b,
+  CAST(coalesce(n_shared_tokens, 0) AS BIGINT) AS n_shared_tokens,
+  {idiv_round_sql(
+      "(coalesce(s1, 0) + (sqa - coalesce(sa, 0))"
+      " + (sqb - coalesce(sb, 0))) * 10000",
+      "2000000")} AS tv_q1e4
+FROM pairs LEFT JOIN shared USING (source_a, source_b)
+ORDER BY source_a, source_b
+"""
+
+
 def bigram_frequencies(df: DataFrame, text_col: str = "text",
                        top_n: int = 20) -> DataFrame:
     """Corpus-wide top-N word bigrams: (bigram, freq), deterministic order

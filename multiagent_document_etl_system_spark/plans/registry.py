@@ -2178,6 +2178,15 @@ def ta_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.term_frequencies(_docs(spark, sf_dir))
 
 
+@_q("ta_source_divergence", textstats.source_divergence_sql())
+def ta_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between per-source unigram
+    distributions, integer-exact on the 1e-6 probability grid — the
+    source-similarity matrix behind mixture/dedup-order decisions; see
+    textstats.source_divergence for the exactness and S²-bound argument."""
+    return textstats.source_divergence(_docs(spark, sf_dir))
+
+
 @_q("ta_vocab_stats", textstats.vocab_stats_sql())
 def ta_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary profile (tokens / types / hapaxes / TTR on
@@ -3717,6 +3726,7 @@ _QUEUED_FOR_R6 = [
     "ta_vocab_stats",
     "v22_ann_index_topk",
     "st_ann_stream",
+    "ta_source_divergence",
 ]
 
 

@@ -112,6 +112,42 @@ def test_vocab_stats_planted_exact(spark):
     assert (y.n_tokens, y.n_types, y.n_hapax, y.ttr_q1e4) == (1, 1, 1, 10000)
 
 
+def test_source_divergence_planted_exact(spark):
+    """Hand-computed TV: X = {a:2/3, b:1/3}, Y = {a:1/2, c:1/2} ⇒
+    TV = (|2/3−1/2| + 1/3 + 1/2)/2 = 1/2 exactly, and the 1e-6 grid
+    quantization reproduces it as 5000 on the q1e4 grid."""
+    docs = spark.createDataFrame(
+        [(1, "a a b", "X"), (2, "a c", "Y")],
+        "doc_id long, text string, source string",
+    )
+    out = textstats.source_divergence(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source_a, r.source_b, r.n_shared_tokens) == ("X", "Y", 1)
+    assert r.tv_q1e4 == 5000
+
+
+def test_source_divergence_disjoint_and_identical(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b", "X"), (2, "a b", "Y"), (3, "z z z", "Z")],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r.source_a, r.source_b): r
+            for r in textstats.source_divergence(docs).collect()}
+    assert rows[("X", "Y")].tv_q1e4 == 0          # identical distributions
+    assert rows[("X", "Z")].tv_q1e4 == 10000      # disjoint supports
+    assert rows[("X", "Z")].n_shared_tokens == 0
+    assert len(rows) == 3
+
+
+def test_source_divergence_empty_corpus(spark):
+    d0 = load_table(spark, SF, "documents").limit(0)
+    out = textstats.source_divergence(d0)
+    assert out.count() == 0
+    assert out.columns == ["source_a", "source_b", "n_shared_tokens",
+                           "tv_q1e4"]
+
+
 def test_vocab_stats_empty_corpus(spark):
     d0 = load_table(spark, SF, "documents").limit(0)
     out = textstats.vocab_stats(d0)
