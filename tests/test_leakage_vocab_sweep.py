@@ -3,6 +3,9 @@ leakage audit, dedup threshold sweep, per-source vocabulary stats."""
 
 from __future__ import annotations
 
+import re
+
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from multiagent_document_etl_system_spark.io import load_table
@@ -154,3 +157,95 @@ def test_vocab_stats_empty_corpus(spark):
     assert out.count() == 0
     assert out.columns == ["source", "n_tokens", "n_types", "n_hapax",
                            "ttr_q1e4"]
+
+
+# ------------------------------------------- hypothesis reference models
+
+def _idiv_round(a: int, b: int) -> int:
+    return (2 * a + b) // (2 * b)
+
+
+def _toks(s: str) -> list[str]:
+    return [t for t in re.split(r"\s+", s.strip(" ")) if t]
+
+
+_SRC_DOCS = st.lists(
+    st.tuples(st.sampled_from(["s1", "s2", "s3"]),
+              st.text(alphabet="ab ", max_size=30)),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_SRC_DOCS)
+def test_source_divergence_matches_python_reference(spark, docs):
+    """tv_q1e4 must equal a pure-Python model of the grid-quantized TV
+    (idiv_round probabilities, shared/only mass identity) on arbitrary
+    tiny corpora — including empty-token docs and vanished sources."""
+    from collections import Counter
+
+    counts: dict[str, Counter] = {}
+    for src, text in docs:
+        ts = _toks(text)
+        if ts:
+            counts.setdefault(src, Counter()).update(ts)
+    p = {s: {t: _idiv_round(c * 1_000_000, sum(cnt.values()))
+             for t, c in cnt.items()}
+         for s, cnt in counts.items()}
+    want = {}
+    srcs = sorted(p)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            sh = set(p[a]) & set(p[b])
+            s1 = sum(abs(p[a][t] - p[b][t]) for t in sh)
+            only = (sum(p[a].values()) - sum(p[a][t] for t in sh)) + \
+                   (sum(p[b].values()) - sum(p[b][t] for t in sh))
+            want[(a, b)] = (len(sh),
+                            _idiv_round((s1 + only) * 10_000, 2_000_000))
+
+    sdf = spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(docs)],
+        "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): (r.n_shared_tokens, r.tv_q1e4)
+           for r in textstats.source_divergence(sdf).collect()}
+    assert got == want
+
+
+_SPLIT_DOCS = st.lists(
+    st.tuples(st.sampled_from(["train", "val", "test"]),
+              st.text(alphabet="ab ", max_size=30)),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_SPLIT_DOCS)
+def test_split_leakage_matches_python_reference(spark, docs):
+    """n_shared must equal |doc_shingles ∩ train_shingle_union| computed
+    by a brute-force model mirroring dedup.shingles (whole-doc shingle
+    for short docs, distinct sets)."""
+    n = 3
+
+    def sh_set(s: str) -> set[str]:
+        ts = re.split(r"\s+", s.strip(" "))   # [''] for empty, like trim+split
+        if len(ts) <= n:
+            return {" ".join(ts[:n])}
+        return {" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)}
+
+    train = set()
+    for split, text in docs:
+        if split == "train":
+            train |= sh_set(text)
+    want = {}
+    for i, (split, text) in enumerate(docs):
+        if split != "train":
+            shared = len(sh_set(text) & train)
+            want[i] = (split, shared, shared >= 2)
+
+    sdf = spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(docs)],
+        "doc_id long, text string, split string")
+    got = {r.doc_id: (r.split, r.n_shared, r.leaked)
+           for r in curation.split_cross_leakage(
+               sdf, F.col("split"), n=n, min_shared=2).collect()}
+    assert got == want
