@@ -808,3 +808,72 @@ SELECT t.id AS {id_col},
 FROM toks t LEFT JOIN cov c ON t.id = c.id AND t.pos = c.pos
 GROUP BY t.id
 """
+
+
+# ---------------------------------------------------------------- bloom
+
+#: Demo sizing (registry/oracle contract): small enough that the false-
+#: positive path is actually exercised by the synthetic corpus. Production
+#: sizes m at ~10-15 bits per expected key (m = 4096 saturates around a
+#: thousand keys — deliberately undersized here so FP rows exist to check).
+BLOOM_M = 4096
+BLOOM_K = 3
+
+
+def bloom_positions(key: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> Column:
+    """array<long> — the k Bloom bit positions of a string key.
+
+    Each position is an independently-seeded 60-bit md5 hash reduced mod m
+    (:func:`hash64` seed = the hash index), so the construction is
+    bit-exact across Spark and DuckDB and any membership structure built
+    on it stays fully oracle-checkable.
+    """
+    return F.array(*[hash64(key, seed=i) % m for i in range(k)])
+
+
+def bloom_positions_sql(key: str, m: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    """DuckDB twin of :func:`bloom_positions` (a LIST literal of the k
+    seeded position expressions)."""
+    return ("[" + ", ".join(f"{hash64_sql(key, seed=i)} % {m}"
+                            for i in range(k)) + "]")
+
+
+def bloom_membership(corpus: DataFrame, probes: DataFrame,
+                     key: Column, probe_key: Column,
+                     id_col: str = "doc_id",
+                     m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Bloom-filter membership check of ``probes`` against ``corpus`` —
+    the constant-memory dedup/decontamination pre-filter: "might this
+    incoming document already be in the corpus?" answered from a bitmap of
+    ``m`` bits instead of the corpus itself.
+
+    Returns one row per probe: ``(id, bloom_hit, exact_hit)`` with
+    ``bloom_hit >= exact_hit`` guaranteed (a Bloom filter has NO false
+    negatives; false positives are the m/k trade — rows with
+    ``bloom_hit=1, exact_hit=0``).
+
+    Relational form of the bitmap: the set-bit SET (distinct positions,
+    **bounded by m rows** — NOT by corpus size) joined per probe position;
+    a probe hits iff all k of its positions are set. At 100 TB the
+    set-bit side stays ≤ m rows after the distinct, so AQE broadcasts it
+    and probing is a map-side join against what is effectively the
+    broadcast bitmap; building it is one explode + distinct over the
+    corpus keys. The exact twin (``exact_hit``, a left-semi join on the
+    full key) is what the Bloom pre-filter SAVES at scale: it only needs
+    to run behind bloom_hit=1 rows, and is computed for every probe here
+    solely so the differential oracle can audit the FP set.
+    """
+    bits = (corpus.select(F.explode(bloom_positions(key, m, k)).alias("pos"))
+            .distinct().withColumn("_set", F.lit(1)))
+    ppos = (probes.select(F.col(id_col).alias("id"),
+                          probe_key.alias("_k"))
+            .withColumn("pos", F.explode(bloom_positions(F.col("_k"), m, k))))
+    bloom = (ppos.join(bits, "pos", "left")
+             .groupBy("id", "_k")
+             .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k)
+                  .cast("int").alias("bloom_hit")))
+    exact_keys = corpus.select(key.alias("_k")).distinct() \
+        .withColumn("_x", F.lit(1))
+    return (bloom.join(exact_keys, "_k", "left")
+            .select(F.col("id").alias(id_col), "bloom_hit",
+                    F.coalesce(F.col("_x"), F.lit(0)).alias("exact_hit")))

@@ -1068,3 +1068,100 @@ def ivfpq_topk(queries: DataFrame, candidates: DataFrame, dim: int,
     )
     return exact_rerank(adc, queries, candidates, k=k,
                         q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec)
+
+
+# ----------------------------------------------------------- kNN graph
+
+def cosine_parity_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`cosine` with the SAME evaluation shape
+    (dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))), zero-vector → 0.0).
+    ``list_dot_product`` folds left-to-right exactly like the Spark
+    ``aggregate`` (the bit-parity claim :func:`lsh_signature_sql` already
+    rides on), so callers may floor-grid the result instead of rounding
+    at display precision."""
+    na, nb = f"sqrt(list_dot_product({a},{a}))", f"sqrt(list_dot_product({b},{b}))"
+    return (f"CASE WHEN {na} * {nb} = 0 THEN 0.0 "
+            f"ELSE list_dot_product({a},{b}) / ({na} * {nb}) END")
+
+
+def knn_graph_stats(vectors: DataFrame, dim: int, k: int = 3,
+                    n_planes: int = 6, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """LSH-blocked mutual-kNN graph over an embedding column — the
+    similarity-graph construction under diversity pruning / SemDeDup-style
+    curation and graph-based cluster quality checks: each vector's k
+    nearest in-bucket neighbours become directed edges; an edge is MUTUAL
+    when both endpoints pick each other.
+
+    Returns one row per vector that has at least one in-bucket neighbour:
+    ``(id, out_deg, mutual_deg, top1_id)`` — all BIGINT (ranking happens
+    on the 1e-4 score grid with an id tie-break, so the integer outputs
+    carry a full DuckDB oracle; no float column leaves the operator).
+
+    Plan at 100 TB: the only shuffle of the vector set is the signature
+    equi-join (uniform 2^n_planes-ary key — the embedding_near_pairs
+    blocking argument); pair volume is O(Σ bucket²), never all-pairs.
+    Ranking is one row_number window per bucket-join output partition;
+    the mutual check joins the (ids-only, ≤ k·N rows) edge list with its
+    own transpose on the (id, id) key.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        lsh_signature(F.col(vec_col), planes).alias("_sig"))
+    a = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                   "_sig")
+    b = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                   "_sig")
+    pairs = (a.join(b, "_sig").filter(F.col("id_a") != F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.floor(cosine(F.col("_va"), F.col("_vb"))
+                             * F.lit(10000.0) + F.lit(0.5))
+                     .cast("long").alias("score_q")))
+    w = Window.partitionBy("id_a").orderBy(F.desc("score_q"), F.asc("id_b"))
+    edges = (pairs.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k))
+    rev = edges.select(F.col("id_a").alias("id_b"),
+                       F.col("id_b").alias("id_a"),
+                       F.lit(1).alias("_m"))
+    return (edges.join(rev, ["id_a", "id_b"], "left")
+            .groupBy("id_a")
+            .agg(F.count("*").cast("bigint").alias("out_deg"),
+                 F.sum(F.coalesce(F.col("_m"), F.lit(0))).cast("bigint")
+                 .alias("mutual_deg"),
+                 F.min(F.when(F.col("rank") == 1, F.col("id_b")))
+                 .cast("bigint").alias("top1_id"))
+            .select(F.col("id_a").alias(id_col), "out_deg", "mutual_deg",
+                    "top1_id"))
+
+
+def knn_graph_stats_sql(table: str = "embeddings", dim: int = 64,
+                        k: int = 3, n_planes: int = 6, seed: int = 42,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`knn_graph_stats` — restates the plane
+    literals, the parity cosine, the 1e-4 grid, and the rank tie-break."""
+    sig = lsh_signature_sql(f"{vec_col}::DOUBLE[]", hyperplanes(dim, n_planes, seed))
+    return f"""
+WITH sig AS (
+  SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v, {sig} AS s FROM {table}
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    CAST(floor({cosine_parity_sql('a.v', 'b.v')} * 10000.0 + 0.5)
+         AS BIGINT) AS score_q
+  FROM sig a JOIN sig b ON a.s = b.s AND a.id <> b.id
+), edges AS (
+  SELECT id_a, id_b, score_q,
+    row_number() OVER (PARTITION BY id_a
+                       ORDER BY score_q DESC, id_b ASC) AS rank
+  FROM pairs QUALIFY rank <= {k}
+)
+SELECT e.id_a AS {id_col},
+  CAST(count(*) AS BIGINT) AS out_deg,
+  CAST(sum(CASE WHEN r.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS mutual_deg,
+  CAST(min(CASE WHEN e.rank = 1 THEN e.id_b END) AS BIGINT) AS top1_id
+FROM edges e LEFT JOIN edges r ON e.id_a = r.id_b AND e.id_b = r.id_a
+GROUP BY e.id_a
+"""

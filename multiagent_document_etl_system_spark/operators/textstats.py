@@ -857,3 +857,125 @@ def readability_sql(col: str) -> str:
 def readability_q1e4_sql(col: str) -> str:
     """DuckDB twin of :func:`readability_q1e4_expr`."""
     return f"CAST({_readability_grid_sql(col)} AS BIGINT)"
+
+
+# -------------------------------------------------- content-defined chunks
+
+#: boundary selectivity: a chunk boundary falls AFTER any token whose
+#: 60-bit hash is ≡ 0 (mod 2^4) ⇒ expected chunk length 16 tokens — the
+#: classic content-defined-chunking (Rabin/FastCDC-style) cut rule lifted
+#: to token granularity so the whole pipeline stays relational.
+CDC_BOUNDARY_MOD = 16
+
+
+def cdc_chunks(df: DataFrame, boundary_mod: int = CDC_BOUNDARY_MOD,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content-defined chunking + shift-robust chunk-level dedup stats.
+
+    Cuts every document into variable-length chunks whose boundaries
+    depend only on LOCAL content (a token is a cut point iff
+    ``hash64(token) % boundary_mod == 0``), then counts, per document, how
+    many of its chunks also occur verbatim in other documents:
+    ``(doc_id, n_tokens, n_chunks, n_dup_chunks, max_chunk_tokens)``.
+
+    Why content-defined instead of fixed windows: inserting one token near
+    the head of a copied passage shifts EVERY fixed-size chunk after it
+    (so fixed chunking finds no duplicates), but leaves all content-
+    defined boundaries after the edit point untouched — the property that
+    makes CDC the standard dedup primitive for storage systems, applied
+    here to catch large copied passages between documents that whole-doc
+    hashing misses and token-shingle span dedup (span_dedup) prices per
+    n-gram. The md5 hash family keeps the cut rule bit-exact across
+    engines, so the registry query carries a full DuckDB oracle.
+
+    Plan at 100 TB: tokens never leave their document until they are
+    reduced to per-chunk hashes (narrow posexplode → two same-key windows
+    over ONE (id) exchange for the running boundary count, then a groupBy
+    (id, chunk) that collapses each chunk to an 8-byte hash); the chunk-
+    hash stream shuffles ONCE for the distinct-doc frequency (the
+    span_dedup window-count pattern: lag-flag + partition sum, no count
+    table + join-back), and the final per-doc regroup rides the (id)
+    key again. No driver-side state; volume after the first groupBy is
+    ~n_tokens/boundary_mod rows of fixed width.
+    """
+    from pyspark.sql import Window
+
+    from multiagent_document_etl_system_spark.operators.dedup import hash64
+
+    d = (df.filter(F.col(text_col).isNotNull())
+         .select(F.col(id_col).alias("id"),
+                 F.filter(tokens(F.col(text_col)),
+                          lambda t: F.length(t) > 0).alias("ts"))
+         .filter(F.size("ts") > 0))
+    toks = (d.select("id", F.posexplode("ts").alias("pos0", "token"))
+            .select("id", (F.col("pos0") + 1).alias("pos"), "token",
+                    (hash64(F.col("token")) % boundary_mod == 0)
+                    .cast("int").alias("cut")))
+    # chunk index = # of cut tokens strictly BEFORE this one (a cut token
+    # closes its own chunk), via a running frame over the (id) exchange
+    w_prev = (Window.partitionBy("id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    chunked = toks.withColumn(
+        "chunk", F.coalesce(F.sum("cut").over(w_prev), F.lit(0)))
+    chunks = (chunked.groupBy("id", "chunk")
+              .agg(F.count("*").cast("bigint").alias("clen"),
+                   hash64(F.array_join(F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "token"))),
+                       lambda st: st["token"]), " ")).alias("ch")))
+    # distinct-doc frequency of each chunk hash in ONE exchange
+    w_sort = Window.partitionBy("ch").orderBy("id", "chunk")
+    first_of_doc = (F.lag("id").over(w_sort).isNull()
+                    | (F.lag("id").over(w_sort) != F.col("id"))).cast("int")
+    nd = F.sum(first_of_doc).over(Window.partitionBy("ch"))
+    return (chunks.withColumn("_nd", nd)
+            .groupBy("id")
+            .agg(F.sum("clen").cast("bigint").alias("n_tokens"),
+                 F.count("*").cast("bigint").alias("n_chunks"),
+                 F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+                 .cast("bigint").alias("n_dup_chunks"),
+                 F.max("clen").cast("bigint").alias("max_chunk_tokens"))
+            .select(F.col("id").alias(id_col), "n_tokens", "n_chunks",
+                    "n_dup_chunks", "max_chunk_tokens"))
+
+
+def cdc_chunks_sql(table: str = "documents",
+                   boundary_mod: int = CDC_BOUNDARY_MOD,
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`cdc_chunks` — same md5 cut rule, same
+    strictly-before running boundary count, same chunk reassembly."""
+    from multiagent_document_etl_system_spark.operators.dedup import hash64_sql
+
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS id,
+    list_filter({tokens_sql(text_col)}, t -> t <> '') AS ts
+  FROM {table} WHERE {text_col} IS NOT NULL
+), d2 AS (SELECT * FROM d WHERE len(ts) > 0),
+toks AS (
+  SELECT id, pos, token,
+    CASE WHEN {hash64_sql('token')} % {boundary_mod} = 0
+         THEN 1 ELSE 0 END AS cut
+  FROM (SELECT id, unnest(ts) AS token,
+          unnest(generate_series(1, len(ts))) AS pos
+        FROM d2)
+), chunked AS (
+  SELECT id, pos, token,
+    coalesce(sum(cut) OVER (PARTITION BY id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+  FROM toks
+), chunks AS (
+  SELECT id, chunk, CAST(count(*) AS BIGINT) AS clen,
+    {hash64_sql("array_to_string(list(token ORDER BY pos), ' ')")} AS ch
+  FROM chunked GROUP BY id, chunk
+), dfreq AS (
+  SELECT ch, count(DISTINCT id) AS nd FROM chunks GROUP BY ch
+)
+SELECT id AS {id_col},
+  CAST(sum(clen) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+  CAST(max(clen) AS BIGINT) AS max_chunk_tokens
+FROM chunks JOIN dfreq USING (ch)
+GROUP BY id
+"""

@@ -3625,6 +3625,66 @@ def td_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- bloom / CDC / kNN graph
+
+@_q("dedup_bloom_membership", f"""
+WITH corpus AS (
+  SELECT md5(text) AS k FROM documents WHERE doc_id % 10 <> 0
+), bits AS (
+  SELECT DISTINCT unnest({dedup.bloom_positions_sql('k')}) AS pos
+  FROM (SELECT DISTINCT k FROM corpus)
+), probes AS (
+  SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 10 = 0
+), ppos AS (
+  SELECT doc_id, k, unnest({dedup.bloom_positions_sql('k')}) AS pos
+  FROM probes
+), bloom AS (
+  SELECT doc_id, k,
+    CAST(CASE WHEN sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+              = {dedup.BLOOM_K} THEN 1 ELSE 0 END AS INT) AS bloom_hit
+  FROM ppos p LEFT JOIN bits b USING (pos) GROUP BY doc_id, k
+)
+SELECT doc_id, bloom_hit,
+  CAST(CASE WHEN k IN (SELECT k FROM corpus) THEN 1 ELSE 0 END AS INT)
+    AS exact_hit
+FROM bloom
+""")
+def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter for continuous dedup: probes
+    (doc_id % 10 = 0 — the 'incoming batch') checked against the corpus
+    remainder through an m-bit Bloom bitmap in its relational form (set-bit
+    set ≤ m rows, so it broadcasts at ANY corpus size), next to the exact
+    answer so the oracle audits the no-false-negative guarantee and the
+    false-positive rate of the (m, k) sizing. See dedup.bloom_membership
+    for the 100 TB argument; m is deliberately undersized (4096 bits) so
+    the FP path is exercised at sf0.01."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    probes = d.filter(F.col("doc_id") % 10 == 0)
+    return dedup.bloom_membership(
+        corpus, probes, key=F.md5("text"), probe_key=F.md5("text"))
+
+
+@_q("ta_cdc_chunks", textstats.cdc_chunks_sql())
+def ta_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (token-level FastCDC-style cut rule) +
+    shift-robust cross-document chunk dedup accounting — catches copied
+    PASSAGES whose surrounding edits defeat fixed-window chunking. All
+    outputs integer; full oracle (md5 hash family cut rule). See
+    textstats.cdc_chunks for semantics and the one-exchange plan."""
+    return textstats.cdc_chunks(_docs(spark, sf_dir))
+
+
+@_q("v23_knn_graph", similarity.knn_graph_stats_sql())
+def v23_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked mutual-kNN similarity graph (out-degree, mutual degree,
+    nearest neighbour id per vector) — the graph construction under
+    diversity pruning and SemDeDup-style curation. Ranking on the 1e-4
+    score grid with id tie-break ⇒ integer-only outputs, full oracle
+    (plane literals + parity cosine restated in SQL)."""
+    return similarity.knn_graph_stats(_emb(spark, sf_dir), dim=64)
+
+
 # relational surface (analytics.py)
 QUERIES.update(RELATIONAL_QUERIES)
 
@@ -3727,6 +3787,9 @@ _QUEUED_FOR_R6 = [
     "v22_ann_index_topk",
     "st_ann_stream",
     "ta_source_divergence",
+    "dedup_bloom_membership",
+    "ta_cdc_chunks",
+    "v23_knn_graph",
 ]
 
 
