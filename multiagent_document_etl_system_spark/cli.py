@@ -316,10 +316,11 @@ def cmd_export_shards(args) -> dict:
               .repartition(args.n_shards, "shard")
               .sortWithinPartitions("shard", "_pos", args.id_col)
               .drop("_pos"))
+    fmt = getattr(args, "format", "parquet")
     staged.write.mode("overwrite").partitionBy("shard") \
-        .parquet(args.output_dir)
+        .format(fmt).save(args.output_dir)
 
-    written = spark.read.parquet(args.output_dir)
+    written = spark.read.format(fmt).load(args.output_dir)
     manifest = (
         written.select(
             "shard", F.col(args.id_col).alias("_id"),
@@ -533,6 +534,10 @@ def main(argv=None) -> int:
     ex.add_argument("--n-shards", type=int, default=8)
     ex.add_argument("--id-col", default="doc_id")
     ex.add_argument("--text-col", default="text")
+    ex.add_argument("--format", choices=("parquet", "orc"),
+                    default="parquet",
+                    help="shard file format (both columnar, both "
+                         "partition-pruned; orc for Hive/Trino interop)")
 
     bi = sub.add_parser("build-dedup-index")
     bi.add_argument("docs_parquet")

@@ -180,6 +180,25 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    """ORC sink (Spark's built-in native ORC writer) — the columnar
+    format interop path for Hive/Trino-adjacent warehouses. Same layout
+    levers as :func:`write_parquet`: ``partition_by`` drives partition
+    pruning; ORC carries min/max stripe statistics, so pushed-down
+    predicates skip stripes on read just like parquet row groups."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (native reader — ``spark.sql.orc.impl=native`` is the
+    default); filter/column pushdown works as with parquet."""
+    return spark.read.orc(path)
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()

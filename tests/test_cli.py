@@ -311,3 +311,18 @@ def test_export_shards_manifest_matches_files(spark, tmp_path, capsys):
                                     seed=97)).collect())
     hs = [r._h for r in one]
     assert hs == sorted(hs)
+
+
+def test_export_shards_orc_format(spark, tmp_path, capsys):
+    """--format orc produces the same rows and manifest counts as the
+    parquet path (format is a layout choice, not a semantics one)."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "shards_orc")
+    rc, resp = _run(capsys, ["export-shards", src, out,
+                             "--n-shards", "2", "--format", "orc"])
+    assert rc == 0 and resp["success"] and resp["n_shards"] == 2
+    data = spark.read.orc(out)
+    src_ids = {r.doc_id for r in spark.read.parquet(src).collect()}
+    assert {r.doc_id for r in data.collect()} == src_ids
+    manifest = spark.read.parquet(out + "/_manifest")
+    assert sum(r.n_docs for r in manifest.collect()) == len(src_ids)

@@ -458,3 +458,32 @@ def test_ocr_rejects_non_bmp_per_row():
 
     with pytest.raises(ValueError):
         parsers._ocr_parse_stdlib(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    """ORC sink/source: values and schema survive a partitioned
+    round-trip, and a partition filter prunes to the selected lang
+    directories (same contract as the parquet path)."""
+    from multiagent_document_etl_system_spark.io import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by=["lang"])
+
+    back = read_orc(spark, path)
+    assert {f.name for f in back.schema.fields} \
+        == {f.name for f in docs.schema.fields}
+    a = {(r.doc_id, r.text, r.lang, r.source, r.n_chars)
+         for r in docs.collect()}
+    b = {(r.doc_id, r.text, r.lang, r.source, r.n_chars)
+         for r in back.collect()}
+    assert a == b
+
+    pruned = back.filter(F.col("lang") == "en").select("doc_id")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    assert pruned.count() == docs.filter(F.col("lang") == "en").count()
