@@ -3012,6 +3012,65 @@ def st_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@_q("st_bloom_gate", f"""
+WITH bits AS (
+  SELECT DISTINCT unnest({dedup.bloom_positions_sql('md5(text)')}) AS pos
+  FROM documents WHERE doc_id % 10 <> 7
+), ppos AS (
+  SELECT doc_id, unnest({dedup.bloom_positions_sql('md5(text)')}) AS pos
+  FROM documents WHERE doc_id % 10 = 7
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_set,
+  CAST(CASE WHEN sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+            = {dedup.BLOOM_K} THEN 1 ELSE 0 END AS INT) AS bloom_hit
+FROM ppos p LEFT JOIN bits b USING (pos)
+GROUP BY doc_id
+""")
+def st_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run, oracle-checked: the BLOOM MEMBERSHIP GATE on
+    continuous ingest — each incoming document (the staged %10==7 file
+    stream) has its k seeded-md5 Bloom positions checked per micro-batch
+    against the STATIC set-bit relation of the corpus remainder
+    (dedup.bloom_positions — bounded by the bitmap size m, NOT the
+    corpus). bloom_hit=0 proves the doc is new with zero corpus access;
+    bloom_hit=1 routes it to the exact dedup path (st_dedup_vs_corpus's
+    md5-set join). This is the constant-memory front tier of streaming
+    dedup: at 100 TB the bits relation is still ≤ m rows, broadcast once
+    per micro-batch, while the exact index scales with the corpus and is
+    only consulted behind a hit. Stream-static join only; single
+    micro-batch + complete mode => batch-equal, fully hash-checked via
+    the seeded-md5 position family."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_incoming_docs_dir(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 != 7)
+    bits = (corpus.select(
+        F.explode(dedup.bloom_positions(F.md5("text"))).alias("pos"))
+        .distinct().withColumn("_set", F.lit(1)))
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint").parquet(stage)
+    gated = (
+        stream.select("doc_id",
+                      F.explode(dedup.bloom_positions(F.md5("text")))
+                      .alias("pos"))
+        .join(bits, "pos", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("_set", F.lit(0))).cast("bigint")
+             .alias("n_set"))
+        .select("doc_id", "n_set",
+                (F.col("n_set") == dedup.BLOOM_K).cast("int")
+                .alias("bloom_hit"))
+    )
+    name = f"st_bloom_gate_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(gated, name, output_mode="complete")
+    return spark.table(name)
+
+
 _QUERY_VEC_STAGE_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -3790,6 +3849,7 @@ _QUEUED_FOR_R6 = [
     "dedup_bloom_membership",
     "ta_cdc_chunks",
     "v23_knn_graph",
+    "st_bloom_gate",
 ]
 
 

@@ -32,6 +32,10 @@ DEFAULT = [
     # r5 session-5: the corpus×corpus split-leakage join is the newest
     # quadratic-risk shape; sweep + index query ride along as cheap pins
     "td_split_leakage", "dedup_threshold_sweep", "v22_ann_index_topk",
+    # r5 session-7: bloom probe (bitmap-bounded join), CDC chunk dedup
+    # (corpus-wide chunk-frequency window), LSH-blocked kNN graph
+    # (bucket² pair risk)
+    "dedup_bloom_membership", "ta_cdc_chunks", "v23_knn_graph",
 ]
 
 #: iterative-clustering composites materialize eager per-round checkpoints
