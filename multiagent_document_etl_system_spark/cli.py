@@ -344,12 +344,15 @@ def cmd_export_shards(args) -> dict:
 
 
 def cmd_build_dedup_index(args) -> dict:
-    """Persist the corpus dedup index (the two tiny parquet sets every
+    """Persist the corpus dedup index (the three tiny parquet sets every
     future drop checks membership against): <index_dir>/md5 (distinct
-    content hashes) + <index_dir>/bands (distinct MinHash band keys).
-    Refreshing the index = re-running this command; nothing downstream
-    restarts (operators/dedup.py:build_dedup_index)."""
+    content hashes), <index_dir>/bands (distinct MinHash band keys), and
+    <index_dir>/bloom (distinct Bloom set-bit positions, ≤ BLOOM_M rows —
+    the constant-memory pre-filter tier). Refreshing the index =
+    re-running this command; nothing downstream restarts
+    (operators/dedup.py:build_dedup_index, build_bloom_bits)."""
     from multiagent_document_etl_system_spark.operators.dedup import (
+        build_bloom_bits,
         build_dedup_index,
     )
 
@@ -358,11 +361,15 @@ def cmd_build_dedup_index(args) -> dict:
     md5_index, band_index = build_dedup_index(docs)
     md5_index.write.mode("overwrite").parquet(f"{args.index_dir}/md5")
     band_index.write.mode("overwrite").parquet(f"{args.index_dir}/bands")
+    build_bloom_bits(docs).write.mode("overwrite") \
+        .parquet(f"{args.index_dir}/bloom")
     return {
         "success": True,
         "index": args.index_dir,
         "n_md5": spark.read.parquet(f"{args.index_dir}/md5").count(),
         "n_band_keys": spark.read.parquet(f"{args.index_dir}/bands").count(),
+        "n_bloom_bits": spark.read.parquet(
+            f"{args.index_dir}/bloom").count(),
     }
 
 
@@ -435,15 +442,35 @@ def cmd_dedup_check(args) -> dict:
     exact membership (md5) and near-dup band matches — batch twin of the
     st_dedup_vs_corpus streaming query, same operator
     (operators/dedup.py:dedup_against_index). Writes per-doc flags with
-    --output; always returns the summary counts."""
+    --output; always returns the summary counts.
+
+    ``--tier bloom`` runs only the constant-memory Bloom pre-filter
+    (operators/dedup.py:bloom_check_index against <index_dir>/bloom —
+    the batch twin of st_bloom_gate): bloom_hit=0 docs are provably new
+    and can skip the md5/band tiers entirely on a later full check."""
     from pyspark.sql import functions as F
 
     from multiagent_document_etl_system_spark.operators.dedup import (
+        bloom_check_index,
         dedup_against_index,
     )
 
     spark = get_spark("doc-etl-dedup-check")
     docs = spark.read.parquet(args.docs_parquet)
+    if getattr(args, "tier", "full") == "bloom":
+        flags = bloom_check_index(
+            docs, spark.read.parquet(f"{args.index_dir}/bloom"))
+        if args.output:
+            from multiagent_document_etl_system_spark.io import write_parquet
+            write_parquet(flags, args.output)
+            flags = spark.read.parquet(args.output)
+        agg = flags.agg(
+            F.count("*").alias("n"),
+            F.sum("bloom_hit").alias("hits")).first()
+        return {"success": True, "documents": agg["n"],
+                "bloom_hits": int(agg["hits"]),
+                "provably_new": agg["n"] - int(agg["hits"]),
+                "output": args.output}
     flags = dedup_against_index(
         docs,
         spark.read.parquet(f"{args.index_dir}/md5"),
@@ -547,6 +574,9 @@ def main(argv=None) -> int:
     dc.add_argument("docs_parquet")
     dc.add_argument("index_dir")
     dc.add_argument("--output", default=None)
+    dc.add_argument("--tier", choices=("full", "bloom"), default="full",
+                    help="bloom = constant-memory pre-filter only "
+                         "(bloom_hit=0 docs are provably new)")
 
     ba = sub.add_parser("build-ann-index")
     ba.add_argument("embeddings_parquet")

@@ -877,3 +877,34 @@ def bloom_membership(corpus: DataFrame, probes: DataFrame,
     return (bloom.join(exact_keys, "_k", "left")
             .select(F.col("id").alias(id_col), "bloom_hit",
                     F.coalesce(F.col("_x"), F.lit(0)).alias("exact_hit")))
+
+
+def build_bloom_bits(docs: DataFrame, text_col: str = "text",
+                     m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """The persisted Bloom tier of the corpus dedup index: the DISTINCT
+    set-bit positions (single ``pos`` column, ≤ m rows at ANY corpus
+    size) of every document's content-md5 key. Sits in front of the
+    md5/band tiers (`build_dedup_index`): a probe missing ANY of its k
+    positions is provably absent without touching them."""
+    return (docs.select(
+        F.explode(bloom_positions(F.md5(text_col), m, k)).alias("pos"))
+        .distinct())
+
+
+def bloom_check_index(docs: DataFrame, bits: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Membership pre-check of ``docs`` (batch OR streaming) against a
+    persisted set-bit relation (:func:`build_bloom_bits`):
+    ``(id, n_set, bloom_hit)``. Stream-static-join-safe — this is the
+    per-micro-batch body of the st_bloom_gate registry query."""
+    bits = bits.select("pos").withColumn("_set", F.lit(1))
+    return (docs.select(
+        F.col(id_col),
+        F.explode(bloom_positions(F.md5(text_col), m, k)).alias("pos"))
+        .join(bits, "pos", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce("_set", F.lit(0))).cast("bigint")
+             .alias("n_set"))
+        .select(id_col, "n_set",
+                (F.col("n_set") == k).cast("int").alias("bloom_hit")))

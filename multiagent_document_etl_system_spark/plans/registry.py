@@ -3048,24 +3048,11 @@ def st_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = _staged_incoming_docs_dir(spark, sf_dir)
     corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 != 7)
-    bits = (corpus.select(
-        F.explode(dedup.bloom_positions(F.md5("text"))).alias("pos"))
-        .distinct().withColumn("_set", F.lit(1)))
+    bits = dedup.build_bloom_bits(corpus)
     stream = spark.readStream.schema(
         "doc_id bigint, text string, lang string, source string, "
         "n_chars bigint").parquet(stage)
-    gated = (
-        stream.select("doc_id",
-                      F.explode(dedup.bloom_positions(F.md5("text")))
-                      .alias("pos"))
-        .join(bits, "pos", "left")
-        .groupBy("doc_id")
-        .agg(F.sum(F.coalesce("_set", F.lit(0))).cast("bigint")
-             .alias("n_set"))
-        .select("doc_id", "n_set",
-                (F.col("n_set") == dedup.BLOOM_K).cast("int")
-                .alias("bloom_hit"))
-    )
+    gated = dedup.bloom_check_index(stream, bits)
     name = f"st_bloom_gate_{uuid.uuid4().hex[:8]}"
     streamx.run_to_memory(gated, name, output_mode="complete")
     return spark.table(name)

@@ -179,6 +179,8 @@ def test_dedup_index_roundtrip(spark, tmp_path, capsys):
 
     rc, resp = _run(capsys, ["build-dedup-index", corpus_dir, index_dir])
     assert rc == 0 and resp["n_md5"] > 0 and resp["n_band_keys"] > 0
+    from multiagent_document_etl_system_spark.operators.dedup import BLOOM_M
+    assert 0 < resp["n_bloom_bits"] <= BLOOM_M
 
     out_dir = str(tmp_path / "flags")
     rc, resp = _run(capsys, ["dedup-check", drop_dir, index_dir,
@@ -191,6 +193,17 @@ def test_dedup_index_roundtrip(spark, tmp_path, capsys):
     assert flags[900002]["n_band_matches"] > 0
     assert not flags[900003]["exact_dup"]
     assert flags[900003]["n_band_matches"] == 0
+
+    # bloom pre-filter tier: the exact copy MUST hit (no false
+    # negatives); the summary partitions the drop
+    bloom_out = str(tmp_path / "bloom_flags")
+    rc, resp = _run(capsys, ["dedup-check", drop_dir, index_dir,
+                             "--tier", "bloom", "--output", bloom_out])
+    assert rc == 0 and resp["documents"] == 3
+    assert resp["bloom_hits"] + resp["provably_new"] == 3
+    bflags = {r["doc_id"]: r
+              for r in spark.read.parquet(bloom_out).collect()}
+    assert bflags[900001]["bloom_hit"] == 1
 
 
 def test_split_writes_partitioned_deterministic(spark, tmp_path, capsys):
