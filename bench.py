@@ -89,6 +89,11 @@ HEADLINE = [
     "ta_vocab_stats",
     "v22_ann_index_topk",
     "ta_source_divergence",
+    # session-7: constant-memory membership, passage-level CDC dedup,
+    # similarity-graph construction
+    "dedup_bloom_membership",
+    "ta_cdc_chunks",
+    "v23_knn_graph",
 ]
 
 

@@ -528,3 +528,35 @@ def test_shard_manifest_single_scan_partial_agg(spark):
     import re
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
     assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_bloom_membership_joins_on_positions_no_cartesian(spark):
+    """Bloom probe: both joins are equi-joins (position / key); the
+    set-bit side is bounded by the bitmap size so AQE may broadcast it,
+    and nothing degenerates to a cartesian/NLJ."""
+    p = plan_of(QUERIES["dedup_bloom_membership"][0](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cdc_chunks_single_window_count_no_join_back(spark):
+    """CDC chunk doc-frequency rides the window-count pattern: the chunk
+    stream shuffles on the chunk hash for ONE Window node (lag-flag +
+    partition sum), not a count-table groupBy + join-back; no cartesian
+    anywhere."""
+    df = QUERIES["ta_cdc_chunks"][0](spark, SF_DIR)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    # exactly one join (the covered-position reassembly is a groupBy,
+    # not a join, so the only join-like node is none at all)
+    assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1
+
+
+def test_knn_graph_blocks_on_signature(spark):
+    """kNN graph pair generation is the signature equi-join — never
+    all-pairs; the mutual check joins the bounded edge list with itself
+    on (id, id)."""
+    p = plan_of(QUERIES["v23_knn_graph"][0](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "_sig" in p
