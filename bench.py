@@ -94,6 +94,7 @@ HEADLINE = [
     "dedup_bloom_membership",
     "ta_cdc_chunks",
     "v23_knn_graph",
+    "ta_countmin_freq",
 ]
 
 

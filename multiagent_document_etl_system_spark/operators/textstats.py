@@ -979,3 +979,100 @@ SELECT id AS {id_col},
 FROM chunks JOIN dfreq USING (ch)
 GROUP BY id
 """
+
+
+# ---------------------------------------------------- count-min sketch
+
+#: d×w sizing of the demo sketch: 3 seeded hash rows × 16 counters.
+#: Production sizes w ≈ e/ε for an ε·N additive error bound and
+#: d ≈ ln(1/δ) for failure probability δ — deliberately undersized here
+#: (the synthetic corpus has a ~31-token vocabulary) so collisions
+#: (cms_est > freq, 11 of the 20 probes at sf0.01) are actually
+#: exercised while the structure stays bit-reproducible.
+CMS_D = 3
+CMS_W = 16
+
+
+def countmin_freq(df: DataFrame, d: int = CMS_D, w: int = CMS_W,
+                  probe_k: int = 20, text_col: str = "text") -> DataFrame:
+    """Count-Min sketch token-frequency estimation, audited against the
+    exact counts: build the d×w counter table from one corpus scan, then
+    answer point queries for the ``probe_k`` most frequent tokens —
+    ``(token, freq, cms_est)`` with the one-sided CMS guarantee
+    ``cms_est >= freq`` (collisions only ever inflate).
+
+    Why next to heavy_hitters: Misra-Gries answers "which tokens are
+    frequent" exactly with bounded memory; CMS answers "how frequent is
+    ANY given token" from a fixed d·w-integer table that merges by plain
+    addition — the mergeable-summary property that lets 1000 executors
+    sketch partitions independently and a coordinator add the tables.
+    The relational form IS that plan: per-partition partial counts of
+    (row, pos) cells (map-side combine = the partition sketches),
+    shuffled on ≤ d·w distinct keys (the merge). The exact ``freq``
+    column is the AUDIT side — a second scan the sketch precisely exists
+    to avoid at 100 TB; it is computed here so the differential oracle
+    can measure the overestimate on every probe.
+
+    The seeded-md5 position family (:func:`...dedup.hash64`) keeps the
+    counter table bit-identical across engines, so the registry query
+    carries a full value-hash oracle — unlike HLL/KLL sketches whose
+    internals are engine-private (q_approx_distinct is rows-only for
+    exactly that reason).
+    """
+    from multiagent_document_etl_system_spark.operators.dedup import hash64
+
+    toks = df.select(F.explode(
+        F.filter(tokens(F.lower(F.col(text_col))),
+                 lambda t: F.length(t) > 0)).alias("token"))
+
+    def pos_arr(col: Column) -> Column:
+        return F.array(*[hash64(col, seed=i) % w for i in range(d)])
+
+    counters = (toks.select(F.posexplode(pos_arr(F.col("token")))
+                            .alias("row", "pos"))
+                .groupBy("row", "pos").agg(F.count("*").alias("c")))
+    probes = (toks.groupBy("token")
+              .agg(F.count("*").cast("bigint").alias("freq"))
+              .orderBy(F.desc("freq"), F.asc("token")).limit(probe_k))
+    pcells = probes.select(
+        "token", "freq",
+        F.posexplode(pos_arr(F.col("token"))).alias("row", "pos"))
+    return (pcells.join(counters, ["row", "pos"])
+            .groupBy("token", "freq")
+            .agg(F.min("c").cast("bigint").alias("cms_est")))
+
+
+def countmin_freq_sql(table: str = "documents", d: int = CMS_D,
+                      w: int = CMS_W, probe_k: int = 20,
+                      text_col: str = "text") -> str:
+    """DuckDB twin of :func:`countmin_freq` — same seeded position
+    family, same d×w table, same top-k probe tie-break."""
+    from multiagent_document_etl_system_spark.operators.dedup import hash64_sql
+
+    rows = "[" + ", ".join(str(i) for i in range(d)) + "]"
+
+    def poss(col: str) -> str:
+        return ("[" + ", ".join(f"{hash64_sql(col, seed=i)} % {w}"
+                                for i in range(d)) + "]")
+
+    return f"""
+WITH t AS (
+  SELECT token FROM (
+    SELECT unnest({tokens_sql(f"lower({text_col})")}) AS token FROM {table}
+  ) WHERE length(token) > 0
+), cells AS (
+  SELECT row, pos, count(*) AS c FROM (
+    SELECT unnest({rows}) AS row, unnest({poss('token')}) AS pos FROM t
+  ) GROUP BY row, pos
+), probes AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY token
+  ORDER BY freq DESC, token ASC LIMIT {probe_k}
+), pcells AS (
+  SELECT token, freq, unnest({rows}) AS row,
+    unnest({poss('token')}) AS pos
+  FROM probes
+)
+SELECT token, freq, CAST(min(c) AS BIGINT) AS cms_est
+FROM pcells JOIN cells USING (row, pos)
+GROUP BY token, freq
+"""

@@ -3721,6 +3721,20 @@ def ta_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.cdc_chunks(_docs(spark, sf_dir))
 
 
+@_q("ta_countmin_freq", textstats.countmin_freq_sql())
+def ta_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimation audited against exact
+    counts — the mergeable-summary sketch next to Misra-Gries
+    (ta_heavy_hitters) and the engine-private HLL/KLL rungs: per-partition
+    partial counts ARE the partition sketches, the ≤ d·w-key shuffle is
+    the merge, and the seeded-md5 position family keeps the whole counter
+    table bit-exact on both engines (full hash oracle — the only sketch
+    family in the registry where that is possible). Output: top-20 tokens
+    with (freq, cms_est), cms_est >= freq one-sided by construction. See
+    textstats.countmin_freq."""
+    return textstats.countmin_freq(_docs(spark, sf_dir))
+
+
 @_q("v23_knn_graph", similarity.knn_graph_stats_sql())
 def v23_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked mutual-kNN similarity graph (out-degree, mutual degree,
@@ -3837,6 +3851,7 @@ _QUEUED_FOR_R6 = [
     "ta_cdc_chunks",
     "v23_knn_graph",
     "st_bloom_gate",
+    "ta_countmin_freq",
 ]
 
 

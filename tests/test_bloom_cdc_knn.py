@@ -240,3 +240,38 @@ def test_knn_graph_mutual_is_symmetric_count(spark):
         "vec_id long, embedding array<double>")
     rows = similarity.knn_graph_stats(df, dim=6, k=2, n_planes=2).collect()
     assert sum(r.mutual_deg for r in rows) % 2 == 0
+
+
+# -------------------------------------------------------- count-min sketch
+
+def _cms_model(docs: list[str], d: int, w: int, probe_k: int):
+    toks = [t for text in docs
+            for t in text.strip().lower().split() if t]
+    cells: dict[tuple[int, int], int] = {}
+    for t in toks:
+        for i in range(d):
+            cells[(i, _h64(t, seed=i) % w)] = \
+                cells.get((i, _h64(t, seed=i) % w), 0) + 1
+    freq: dict[str, int] = {}
+    for t in toks:
+        freq[t] = freq.get(t, 0) + 1
+    probes = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:probe_k]
+    return {t: (f, min(cells[(i, _h64(t, seed=i) % w)] for i in range(d)))
+            for t, f in probes}
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from([f"t{i}" for i in range(25)]),
+             min_size=1, max_size=30),
+    min_size=1, max_size=5))
+def test_countmin_matches_python_model(spark, token_lists):
+    docs = [" ".join(toks) for toks in token_lists]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "doc_id long, text string")
+    got = {r.token: (r.freq, r.cms_est)
+           for r in textstats.countmin_freq(df, d=2, w=8, probe_k=10)
+           .collect()}
+    assert got == _cms_model(docs, d=2, w=8, probe_k=10)
+    for f, est in got.values():
+        assert est >= f  # one-sided CMS guarantee
