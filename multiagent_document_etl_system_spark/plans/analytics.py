@@ -2543,6 +2543,61 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_merge_scd1", """
+WITH src AS (
+  SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                  AS HUGEINT)) AS BIGINT) AS spend_cents
+  FROM orders GROUP BY 1
+), src2 AS (
+  SELECT custkey, n_orders, spend_cents FROM src
+  UNION ALL
+  SELECT custkey + 10000000, n_orders, spend_cents
+  FROM src WHERE custkey % 100 = 0
+), tgt AS (SELECT c_custkey AS custkey FROM customer)
+SELECT coalesce(t.custkey, s.custkey) AS custkey,
+  CASE WHEN t.custkey IS NULL THEN 'insert'
+       WHEN s.custkey IS NULL THEN 'keep'
+       ELSE 'update' END AS action,
+  CAST(coalesce(s.n_orders, 0) AS BIGINT) AS n_orders,
+  CAST(coalesce(s.spend_cents, 0) AS BIGINT) AS spend_cents
+FROM tgt t FULL JOIN src2 s ON t.custkey = s.custkey
+""")
+def q_merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / SCD Type-1 upsert expressed relationally: a change set
+    (per-customer order stats, plus a synthetic shifted-key slice playing
+    the not-yet-known customers) merged into the customer dimension with
+    the three MERGE branches made explicit — matched → ``update``, target
+    only → ``keep``, source only → ``insert``. This is the QUERY-side
+    twin of the io.upsert_parquet sink (which implements the same
+    semantics as a crash-safe write); lake-format MERGE INTO compiles to
+    exactly this full-outer-join + branch-projection plan. One shuffle
+    per side on the merge key; order totals sum as DECIMAL(38,0) over
+    exact integer cents (floor-grid), so the output is wrap-free and
+    bit-identical on both engines at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    src = (orders.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.count("*").cast("bigint").alias("n_orders"),
+                F.sum(cents.cast("decimal(38,0)")).cast("bigint")
+                .alias("spend_cents")))
+    src2 = src.unionByName(
+        src.filter(F.col("custkey") % 100 == 0)
+        .withColumn("custkey", F.col("custkey") + 10_000_000))
+    tgt = cust.select(F.col("c_custkey").alias("t_key"))
+    j = tgt.join(src2, tgt.t_key == src2.custkey, "full_outer")
+    return j.select(
+        F.coalesce("t_key", "custkey").alias("custkey"),
+        F.when(F.col("t_key").isNull(), F.lit("insert"))
+        .when(F.col("custkey").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update")).alias("action"),
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("spend_cents", F.lit(0)).cast("bigint")
+        .alias("spend_cents"),
+    )
+
+
 @_q("q_scd2_intervals", """
 SELECT o_custkey AS custkey, o_orderkey AS version_key,
   o_orderstatus AS status,

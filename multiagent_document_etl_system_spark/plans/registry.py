@@ -3721,6 +3721,45 @@ def ta_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.cdc_chunks(_docs(spark, sf_dir))
 
 
+#: conjunctive-search demo terms: one rare marker token + two common ones,
+#: so the AND-intersection actually prunes (the rare posting list drives
+#: the result size — the classic term-ordering observation)
+_SEARCH_TERMS = ("dup", "vector", "key")
+
+
+@_q("ta_boolean_search", f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+      unnest({textfns.tokens_sql('lower(text)')}) AS token
+    FROM documents
+  ) WHERE token IN {str(tuple(_SEARCH_TERMS))}
+)
+GROUP BY doc_id
+HAVING count(DISTINCT token) = {len(_SEARCH_TERMS)}
+""")
+def ta_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) boolean retrieval over the corpus — the query
+    side of the ta_inverted_index build: documents containing EVERY query
+    term, scored by total term occurrences (n_hits — the integer TF
+    relevance a ranker would start from). Relationally this is a
+    posting-list intersection: explode filters to the query terms FIRST
+    (the scan emits only matching postings — at 100 TB the rare term's
+    posting list bounds the intersection, the standard term-ordering
+    win), then one groupBy on doc_id checks all terms are present via a
+    distinct count. No joins at all; one shuffle on doc_id."""
+    d = _docs(spark, sf_dir)
+    toks = (d.select("doc_id", F.explode(
+        textfns.tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token").isin(*_SEARCH_TERMS)))
+    return (toks.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits"),
+                 F.count_distinct("token").alias("_nd"))
+            .filter(F.col("_nd") == len(_SEARCH_TERMS))
+            .select("doc_id", "n_hits"))
+
+
 @_q("ta_countmin_freq", textstats.countmin_freq_sql())
 def ta_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch point-frequency estimation audited against exact
@@ -3852,6 +3891,8 @@ _QUEUED_FOR_R6 = [
     "v23_knn_graph",
     "st_bloom_gate",
     "ta_countmin_freq",
+    "ta_boolean_search",
+    "q_merge_scd1",
 ]
 
 
