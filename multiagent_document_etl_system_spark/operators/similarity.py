@@ -1165,3 +1165,125 @@ SELECT e.id_a AS {id_col},
 FROM edges e LEFT JOIN edges r ON e.id_a = r.id_b AND e.id_b = r.id_a
 GROUP BY e.id_a
 """
+
+
+# ------------------------------------------------------------- graph ranking
+
+PR_SCALE = 1_000_000
+PR_BASE = 150_000  # floor(0.15 * PR_SCALE) — the damping teleport term
+
+
+def graph_pagerank(vectors: DataFrame, dim: int, k: int = 3,
+                   n_planes: int = 6, seed: int = 42, iters: int = 4,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """PageRank over the MUTUAL-kNN similarity graph — graph centrality as
+    a curation signal (PageRank-style centrality picks *representative*
+    documents inside semantic neighborhoods; low-rank isolates are
+    outliers). The graph is the mutual subgraph of :func:`knn_graph_stats`
+    (edge kept only when both endpoints choose each other), which makes it
+    symmetric: every node has out_deg == in_deg == deg ∈ [1, k], so there
+    are no dangling nodes and each iteration is one bounded equi-join.
+
+    INTEGER-EXACT damped iteration (hash-oracle-able, no float channel):
+    rank is a BIGINT on the 1e-6 grid, rank_0 = PR_SCALE, and
+
+        rank_{t+1}(v) = PR_BASE + (85 * Σ_{u~v} (rank_t(u) div deg(u))) div 100
+
+    with `div` = integer division — both engines evaluate the identical
+    integer recurrence, so ``iters`` unrolled rounds match DuckDB's
+    unrolled CTEs bit-for-bit.
+
+    Plan at 100 TB: edge construction is the LSH-signature equi-join
+    (never all-pairs) + one self-join of the ids-only edge list; the edge
+    list (≤ k·N rows, 3 longs wide) is localCheckpointed ONCE and each of
+    the ``iters`` rounds is join(edges, ranks) → groupBy(dst) — shuffles
+    of ids-only rows on the same key, exactly the connected-components
+    shape (operators/dedup.py:462). Returns (id, deg, pr_q)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        lsh_signature(F.col(vec_col), planes).alias("_sig"))
+    a = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                   "_sig")
+    b = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                   "_sig")
+    pairs = (a.join(b, "_sig").filter(F.col("id_a") != F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.floor(cosine(F.col("_va"), F.col("_vb"))
+                             * F.lit(10000.0) + F.lit(0.5))
+                     .cast("long").alias("score_q")))
+    w = Window.partitionBy("id_a").orderBy(F.desc("score_q"), F.asc("id_b"))
+    edges = (pairs.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k).select("id_a", "id_b"))
+    rev = edges.select(F.col("id_a").alias("id_b"),
+                       F.col("id_b").alias("id_a"))
+    mutual = edges.join(rev, ["id_a", "id_b"], "semi") \
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    deg = mutual.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    # one edge relation carrying the source degree, reused every round —
+    # truncate lineage so the LSH join runs once, not `iters` times
+    e = (mutual.join(deg, "src")
+         .select("src", "dst", "deg")
+         .localCheckpoint(eager=True))
+    pr = deg.select(F.col("src").alias("id"),
+                    F.lit(PR_SCALE).cast("long").alias("pr"))
+    for _ in range(iters):
+        pr = (e.join(pr, e.src == pr.id)
+              .select(F.col("dst"), F.expr("pr div deg").alias("c"))
+              .groupBy("dst")
+              .agg(F.sum("c").alias("s"))
+              .select(F.col("dst").alias("id"),
+                      (F.lit(PR_BASE)
+                       + F.expr("(85 * s) div 100")).cast("long")
+                      .alias("pr")))
+    return (deg.join(pr, deg.src == pr.id)
+            .select(F.col("src").alias(id_col), F.col("deg"),
+                    F.col("pr").alias("pr_q")))
+
+
+def graph_pagerank_sql(table: str = "embeddings", dim: int = 64,
+                       k: int = 3, n_planes: int = 6, seed: int = 42,
+                       iters: int = 4, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`graph_pagerank` — same plane literals, grid,
+    tie-breaks, and the identical integer recurrence unrolled as one CTE
+    per iteration (`//` on positive BIGINTs == Spark's `div`)."""
+    sig = lsh_signature_sql(f"{vec_col}::DOUBLE[]",
+                            hyperplanes(dim, n_planes, seed))
+    it_ctes = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        it_ctes.append(f"""r{t} AS (
+  SELECT m.dst AS id,
+    {PR_BASE} + (85 * sum(p.pr // d.deg)) // 100 AS pr
+  FROM mutual m
+  JOIN {prev} p ON m.src = p.id
+  JOIN deg d ON m.src = d.src
+  GROUP BY m.dst
+)""")
+        prev = f"r{t}"
+    return f"""
+WITH sig AS (
+  SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v, {sig} AS s FROM {table}
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    CAST(floor({cosine_parity_sql('a.v', 'b.v')} * 10000.0 + 0.5)
+         AS BIGINT) AS score_q
+  FROM sig a JOIN sig b ON a.s = b.s AND a.id <> b.id
+), edges AS (
+  SELECT id_a, id_b,
+    row_number() OVER (PARTITION BY id_a
+                       ORDER BY score_q DESC, id_b ASC) AS rank
+  FROM pairs QUALIFY rank <= {k}
+), mutual AS (
+  SELECT e.id_a AS src, e.id_b AS dst
+  FROM edges e SEMI JOIN edges r ON e.id_a = r.id_b AND e.id_b = r.id_a
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM mutual GROUP BY src
+), r0 AS (
+  SELECT src AS id, CAST({PR_SCALE} AS BIGINT) AS pr FROM deg
+), {', '.join(it_ctes)}
+SELECT d.src AS {id_col}, d.deg, CAST(p.pr AS BIGINT) AS pr_q
+FROM deg d JOIN {prev} p ON d.src = p.id
+"""

@@ -2737,3 +2737,199 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+# ------------------------------------------------- bucketed co-located join
+
+#: (applicationId, sf_dir) -> (orders_table, customer_table) — bucketed
+#: tables are a WAREHOUSE fixture (written once per session via
+#: saveAsTable), not a per-query step; memoized exactly like the
+#: namespace-registry / streaming staging dirs in plans/registry.py.
+_BUCKETED_TABLE_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+_N_BUCKETS = 8
+
+
+def bucketed_order_customer(spark: SparkSession,
+                            sf_dir: str) -> tuple[str, str]:
+    """Write `orders` and `customer` as BUCKETED tables (8 buckets on the
+    join key, sorted within buckets) into the session warehouse and return
+    the two table names. Bucketing is the write-once/join-many layout
+    lever at 100 TB: both sides pre-hash-partitioned on custkey means
+    every subsequent equi-join or groupBy on that key reads co-located
+    buckets and needs NO Exchange at query time (plan-pinned in
+    tests/test_plans.py). `sortBy` additionally pre-sorts each bucket
+    file so the sort-merge join can skip its per-task sort."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    names = _BUCKETED_TABLE_CACHE.get(key)
+    if names is None:
+        import hashlib
+
+        h = hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:8]
+        ot, ct = f"orders_bkt_{h}", f"customer_bkt_{h}"
+        # repartition on the bucket column with n_partitions == n_buckets:
+        # Spark's bucket hash is the same Murmur3 hashpartitioning, so each
+        # write task holds exactly one bucket -> ONE file per bucket ->
+        # the reader can trust sortBy order and elide the SMJ sorts too
+        (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+         .repartition(_N_BUCKETS, "o_custkey")
+         .write.mode("overwrite").format("parquet")
+         .bucketBy(_N_BUCKETS, "o_custkey").sortBy("o_custkey")
+         .saveAsTable(ot))
+        (_t(spark, sf_dir, "customer")
+         .select("c_custkey", "c_mktsegment", "c_nationkey")
+         .repartition(_N_BUCKETS, "c_custkey")
+         .write.mode("overwrite").format("parquet")
+         .bucketBy(_N_BUCKETS, "c_custkey").sortBy("c_custkey")
+         .saveAsTable(ct))
+        names = (ot, ct)
+        _BUCKETED_TABLE_CACHE[key] = names
+    return names
+
+
+@_q("q_bucketed_join", f"""
+SELECT c.c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+  {stable_sum_sql('o.o_totalprice')} AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""")
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join off BUCKETED tables — the layout
+    answer to "this fact-dim join shuffles 100 TB every night". Both
+    sides are saved bucketed on the join key (8 buckets, sorted — the
+    memoized warehouse fixture above), so the o_custkey = c_custkey
+    sort-merge join matches bucket-for-bucket with ZERO Exchange under
+    it (pinned: tests/test_plans.py::test_bucketed_join_no_exchange;
+    a groupBy on the bucket key is likewise exchange-free). The only
+    shuffle in THIS plan is the final 5-row mktsegment rollup. The
+    oracle recomputes the identical join/agg from the raw parquet —
+    bucketing is a physical layout choice and must not change results."""
+    ot, ct = bucketed_order_customer(spark, sf_dir)
+    o, c = spark.table(ot), spark.table(ct)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.countDistinct("o_custkey").alias("n_customers"),
+             stable_sum(F.col("o_totalprice")).alias("total_price"))
+    )
+
+
+# ------------------------------------------------------- VARIANT shredding
+
+@_q("q_variant_shred", """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+       AS BIGINT) AS n_with_k,
+  CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+       AS BIGINT) AS min_k,
+  CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+       AS BIGINT) AS max_k,
+  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+       AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1
+""")
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via the Spark 4 VARIANT type:
+    ``parse_json`` turns the schema-on-read props string into an open
+    VARIANT value once, and ``variant_get`` shreds typed fields out of it
+    — the engine-native path for JSON event payloads (vs
+    get_json_object's per-access string re-parse in q_json_events). Both
+    stay inside whole-stage codegen; at 100 TB the VARIANT encoding is
+    the one you'd persist (parse once at ingest, shred many times at
+    query). Typed extraction then an ordinary partial-agg rollup per
+    event_type; integer-only outputs. Oracle: DuckDB JSON extraction of
+    the same field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.count("k").alias("n_with_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"),
+             F.sum("k").cast("bigint").alias("sum_k"))
+    )
+
+
+# --------------------------------------------- integer-exact EWMA smoothing
+
+_EWMA_LAGS = 8
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    """(numerator, denominator) SQL for the 8-term halving EWMA over the
+    per-user ts/event_id order — lag j carries weight 2^(7-j), absent
+    lags (fewer than 8 predecessors) drop out of BOTH sums."""
+    num, den = [], []
+    for j in range(_EWMA_LAGS):
+        w = 1 << (_EWMA_LAGS - 1 - j)
+        v = (f"lag(v_q, {j}) OVER (PARTITION BY user_id "
+             f"ORDER BY ts, event_id)") if j else "v_q"
+        num.append(f"coalesce({v} * {w}, 0)")
+        den.append(f"CASE WHEN {v} IS NOT NULL THEN {w} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+@_q("q_ewma_smooth", f"""
+WITH vq AS (
+  SELECT user_id, ts, event_id,
+    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_q
+  FROM events
+), sm AS (
+  SELECT user_id, event_id, v_q,
+    ({_ewma_terms_sql()[0]}) // ({_ewma_terms_sql()[1]}) AS ewma_q1e2,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn,
+    count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM vq
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+  v_q AS last_v_q1e2, CAST(ewma_q1e2 AS BIGINT) AS ewma_q1e2
+FROM sm WHERE rn = 1
+""")
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average — time-series smoothing as a
+    WINDOW of explicit lags, not a recursive scan: with a halving decay
+    the weight of lag 8+ is < 1/256 of the head, so the 8-term truncation
+    is the practical operator and is expressible as one window pass
+    (Spark has no recursive per-row state in batch SQL; this shape keeps
+    the whole computation in codegen). Weights are powers of two on the
+    1e-2 value grid, numerator and denominator summed as BIGINT, one
+    floor division at the end — bit-exact across engines, no float
+    channel. One shuffle (user_id window); emits each user's final-event
+    smoothed value. ~100 TB: identical window machinery to
+    q_rolling_time_window; partial ordering per user key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vq = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")
+        .alias("v_q"))
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for j in range(_EWMA_LAGS):
+        wgt = 1 << (_EWMA_LAGS - 1 - j)
+        v = F.lag("v_q", j).over(w) if j else F.col("v_q")
+        num = num + F.coalesce(v * wgt, F.lit(0))
+        den = den + F.when(v.isNotNull(), F.lit(wgt)).otherwise(F.lit(0))
+    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                               F.desc("event_id"))
+    sm = (
+        vq.withColumn("ewma_q1e2", (num - num % den) / den)
+        .withColumn("rn", F.row_number().over(wd))
+        .withColumn("n_events",
+                    F.count("*").over(Window.partitionBy("user_id")))
+    )
+    return (
+        sm.filter(F.col("rn") == 1)
+        .select("user_id", F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("v_q").alias("last_v_q1e2"),
+                F.col("ewma_q1e2").cast("bigint").alias("ewma_q1e2"))
+    )

@@ -3784,6 +3784,21 @@ def v23_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_graph_stats(_emb(spark, sf_dir), dim=64)
 
 
+@_q("v24_graph_pagerank", similarity.graph_pagerank_sql())
+def v24_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the mutual-kNN similarity graph — graph
+    centrality as a curation signal (central docs are the representative
+    cores of semantic neighborhoods, rank-starved isolates the outliers).
+    The whole iteration is INTEGER-EXACT on the 1e-6 rank grid
+    (rank' = 150000 + (85·Σ rank div deg) div 100, 4 unrolled rounds), so
+    an iterative graph algorithm carries a full DuckDB hash oracle — the
+    recurrence is restated as one CTE per round. Edge list built once
+    (LSH-blocked, never all-pairs) and localCheckpointed; each round is
+    an ids-only join+groupBy on the same key: connected-components shape,
+    linear plan depth. See operators/similarity.py:graph_pagerank."""
+    return similarity.graph_pagerank(_emb(spark, sf_dir), dim=64)
+
+
 # relational surface (analytics.py)
 QUERIES.update(RELATIONAL_QUERIES)
 
@@ -3893,6 +3908,10 @@ _QUEUED_FOR_R6 = [
     "ta_countmin_freq",
     "ta_boolean_search",
     "q_merge_scd1",
+    "q_bucketed_join",
+    "q_variant_shred",
+    "q_ewma_smooth",
+    "v24_graph_pagerank",
 ]
 
 

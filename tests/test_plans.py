@@ -560,3 +560,73 @@ def test_knn_graph_blocks_on_signature(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "_sig" in p
+
+
+def test_bucketed_join_no_exchange(spark):
+    """q_bucketed_join: both sides bucketed (8 buckets) + sorted on the
+    join key, so the custkey sort-merge join needs NO Exchange and NO Sort
+    under it — the bucket layout IS the shuffle, paid once at write time.
+    Pinned with broadcast disabled (at sf0.001 AQE would otherwise turn
+    the dim side into a BHJ and hide the property this test exists to
+    protect); a groupBy on the bucket key is likewise exchange-free."""
+    from multiagent_document_etl_system_spark.plans.analytics import (
+        bucketed_order_customer,
+    )
+
+    ot, ct = bucketed_order_customer(spark, SF_DIR)
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    # sorted-bucket scan ORDERING is opt-in since Spark 3.0 (SPARK-28632:
+    # the one-file-per-bucket listing check costs a file listing, so it's
+    # behind a flag); the fixture writes one file per bucket precisely so
+    # this holds
+    old_ord = conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        o, c = spark.table(ot), spark.table(ct)
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        p = physical_plan(j)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p
+        # sortBy pre-sorted the bucket files -> both SMJ sorts elided
+        assert "Sort " not in p.replace("SortMergeJoin", ""), p
+        # groupBy on the bucket key: partial+final agg collapse onto the
+        # bucket layout, still no Exchange
+        g = o.groupBy("o_custkey").count()
+        pg = physical_plan(g)
+        assert "Exchange" not in pg, pg
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+                 old_ord)
+
+
+def test_variant_shred_stays_in_codegen(spark):
+    """q_variant_shred: parse_json/variant_get evaluate inside
+    whole-stage codegen (no Python eval, no Generate); one scan, one
+    hash exchange for the event_type rollup."""
+    df = QUERIES["q_variant_shred"][0](spark, SF_DIR)
+    p = physical_plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("FileScan") == 1, p
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+
+
+def test_ewma_single_user_window_pair(spark):
+    """q_ewma_smooth: the 8-lag EWMA and the final-row pick ride windows
+    over the SAME user_id partitioning — one hash exchange on user_id
+    total (Catalyst reuses the partitioning for both Window nodes); no
+    joins, no Python."""
+    df = QUERIES["q_ewma_smooth"][0](spark, SF_DIR)
+    p = physical_plan(df)
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
