@@ -95,6 +95,13 @@ HEADLINE = [
     "ta_cdc_chunks",
     "v23_knn_graph",
     "ta_countmin_freq",
+    # session-8: co-located bucketed join (write cost excluded — the
+    # memoized fixture is the point: pay the shuffle once), VARIANT
+    # shredding, integer EWMA, kNN-graph PageRank
+    "q_bucketed_join",
+    "q_variant_shred",
+    "q_ewma_smooth",
+    "v24_graph_pagerank",
 ]
 
 
@@ -146,7 +153,11 @@ def main() -> None:
     # re-timing Catalyst analysis of the very large expression trees
     # (MinHash permutations, classifier staging) per rep would re-count
     # driver-side planning that a long-lived cluster amortizes to zero.
-    REBUILD_PER_REP = {"td_prepare_corpus_v2", "td_curation_funnel"}
+    REBUILD_PER_REP = {"td_prepare_corpus_v2", "td_curation_funnel",
+                       # eager-checkpoints its edge list at build time —
+                       # rebuilding per rep keeps the LSH join in the
+                       # measurement
+                       "v24_graph_pagerank"}
 
     for name in HEADLINE:
         fn, _ = QUERIES[name]

@@ -3058,6 +3058,49 @@ def st_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@_q("st_variant_stream", f"""
+SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S') AS hour_start,
+  CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS BIGINT)
+    AS k_bucket,
+  count(*) AS n,
+  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+       AS BIGINT) AS sum_k
+FROM events GROUP BY 1, 2
+""")
+def st_variant_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run, oracle-checked: VARIANT shredding INSIDE a
+    watermarked streaming aggregation — the continuous-ingest twin of
+    q_variant_shred. Each micro-batch parses the raw JSON payload to a
+    VARIANT once (``parse_json``) and shreds the typed field in codegen
+    (``variant_get``), then feeds a watermarked 1-hour tumbling window
+    keyed by the shredded value — the shape of a 100 TB event firehose
+    where the payload schema is open but the hot fields are typed at the
+    aggregation. Single staged micro-batch + complete mode ⇒ batch-equal
+    and fully hash-checked (the st_tumbling_stream determinism trick)."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_events_dir(spark, sf_dir)
+    stream = streamx.read_event_stream(spark, stage,
+                                       max_files_per_trigger=10)
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    shred = (
+        stream.select("ts", k.alias("k"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"),
+                 (F.col("k") % 5).cast("bigint").alias("k_bucket"))
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("bigint").alias("sum_k"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("hour_start"), "k_bucket", "n", "sum_k")
+    )
+    name = f"st_variant_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(shred, name, output_mode="complete")
+    return spark.table(name)
+
+
 _QUERY_VEC_STAGE_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -3912,6 +3955,7 @@ _QUEUED_FOR_R6 = [
     "q_variant_shred",
     "q_ewma_smooth",
     "v24_graph_pagerank",
+    "st_variant_stream",
 ]
 
 

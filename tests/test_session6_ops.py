@@ -115,3 +115,18 @@ def test_pagerank_star_concentrates_rank(spark):
         assert out[1].pr_q > out[2].pr_q
         assert out[1].pr_q > out[3].pr_q
         assert out[2].pr_q == out[3].pr_q
+
+
+def test_st_variant_stream_totals_match_events(spark):
+    """The streaming VARIANT shred partitions every event into exactly one
+    (hour, k_bucket) group — total n must equal the event count, and each
+    group's sum_k must be consistent with its bucket (sum_k % 5 has the
+    bucket's residue when all k in a bucket share it: k ≡ bucket (mod 5)
+    ⇒ sum_k ≡ n * bucket (mod 5))."""
+    fn, _ = QUERIES["st_variant_stream"]
+    rows = fn(spark, SF_DIR).collect()
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r.n for r in rows) == n_events
+    for r in rows:
+        if r.k_bucket is not None:
+            assert r.sum_k % 5 == (r.n * r.k_bucket) % 5
