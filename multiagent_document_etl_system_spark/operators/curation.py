@@ -660,3 +660,97 @@ SELECT {source_col}, n_docs,
   {idiv_round_sql(f'({temp}) * 10000', f'greatest({nat}, 1)')} AS boost_q1e4
 FROM sq, tot
 """
+
+
+# ------------------------------------------------- data-constrained epochs
+
+#: repeat cap on the 1e-2 epoch grid: 4 epochs. Repeating pretraining data
+#: up to ~4 passes costs little vs fresh tokens; beyond that returns decay
+#: rapidly (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+#: Models", §4 — the public result this cap encodes).
+EPOCH_CAP_Q100 = 400
+
+
+def epoch_plan(df: DataFrame, source_col: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Data-constrained epoch planning: given a training token budget
+    (here: half the corpus total — a fixed, oracle-restatable policy) and
+    temperature-T=2 source weights, compute per source how many EPOCHS of
+    its data the plan consumes, capped at 4 repeats.
+
+    Per source: n_tokens, its temperature-weighted allocation
+    ``alloc_tokens = floor(B·√tok_i / Σ√tok)`` (floor, never round —
+    allocations must not overshoot the budget), realized
+    ``epochs_q100 = min(400, floor(100·alloc/tok))``, the repeat-capped
+    ``planned_tokens = min(alloc, 4·tok)``, and ``data_constrained`` —
+    true when the weight asks for more than 4 passes of the source (the
+    signal to go get more of that data). Everything is integer
+    arithmetic on exact token sums (√ via :func:`_isqrt`), so every cell
+    is single-valued and the op carries a full hash oracle.
+
+    Scale posture: identical to :func:`temperature_mix` — one corpus
+    scan into a per-source token sum (partial agg), totals via an
+    empty-frame window over the #sources-row aggregate; nothing else
+    moves at any corpus size."""
+    from multiagent_document_etl_system_spark.operators.textstats import (
+        token_count,
+    )
+
+    agg = (df.groupBy(source_col)
+           .agg(F.sum(token_count(F.col(text_col))).cast("bigint")
+                .alias("n_tokens")))
+    agg = agg.withColumn("_s", _isqrt(F.col("n_tokens") * F.lit(10_000)))
+    w = Window.partitionBy()
+    j = (agg.withColumn("_tot", F.sum("n_tokens").over(w))
+         .withColumn("_ss", F.sum("_s").over(w)))
+    budget = F.expr("_tot div 2")
+    alloc_num = F.col("_s").cast("decimal(38,0)") \
+        * budget.cast("decimal(38,0)")
+    alloc = ((alloc_num - alloc_num % F.col("_ss").cast("decimal(38,0)"))
+             / F.col("_ss").cast("decimal(38,0)")).cast("bigint")
+    j = j.withColumn("alloc_tokens", alloc)
+    epochs = F.least(
+        F.lit(EPOCH_CAP_Q100).cast("bigint"),
+        F.expr("(100 * alloc_tokens) div n_tokens"))
+    return j.select(
+        source_col, "n_tokens", "alloc_tokens",
+        epochs.alias("epochs_q100"),
+        F.least(F.col("alloc_tokens"), F.col("n_tokens") * 4)
+        .alias("planned_tokens"),
+        (F.col("alloc_tokens") > F.col("n_tokens") * 4)
+        .alias("data_constrained"),
+    )
+
+
+def epoch_plan_sql(table: str = "documents", source_col: str = "source",
+                   text_col: str = "text") -> str:
+    """DuckDB twin of :func:`epoch_plan` — same isqrt, same floor
+    divisions (`//` on non-negative BIGINT/HUGEINT == Spark's `div`)."""
+    from multiagent_document_etl_system_spark.operators.textstats import (
+        token_count_sql,
+    )
+
+    return f"""
+WITH agg AS (
+  SELECT {source_col},
+    CAST(sum({token_count_sql(text_col)}) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY {source_col}
+), sq AS (
+  SELECT {source_col}, n_tokens,
+    {_isqrt_sql('n_tokens * 10000')} AS s
+  FROM agg
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
+    CAST(sum(s) AS BIGINT) AS s_total FROM sq
+), plan AS (
+  SELECT {source_col}, n_tokens,
+    CAST((s * (t_total // 2)) // s_total AS BIGINT) AS alloc_tokens
+  FROM sq, tot
+)
+SELECT {source_col}, n_tokens, alloc_tokens,
+  CAST(least({EPOCH_CAP_Q100}, (100 * alloc_tokens) // n_tokens)
+       AS BIGINT) AS epochs_q100,
+  CAST(least(alloc_tokens, n_tokens * 4) AS BIGINT) AS planned_tokens,
+  alloc_tokens > n_tokens * 4 AS data_constrained
+FROM plan
+"""

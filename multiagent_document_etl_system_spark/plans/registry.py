@@ -1873,6 +1873,72 @@ def td_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.temperature_mix(_docs(spark, sf_dir))
 
 
+@_q("td_epoch_plan", curation.epoch_plan_sql())
+def td_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planning: a temperature-weighted token
+    budget is allocated per source and converted into repeat counts
+    capped at 4 epochs (the published point where repeating pretraining
+    data stops being nearly-free — Muennighoff et al. 2023). Flags the
+    sources whose allocation exceeds the cap (`data_constrained` — the
+    "go collect more of this" signal). Exact integer arithmetic end to
+    end (isqrt weights, floor divisions), full hash oracle; one corpus
+    scan + kilobyte-sized window totals, the temperature_mix plan shape.
+    See operators/curation.py:epoch_plan."""
+    return curation.epoch_plan(_docs(spark, sf_dir))
+
+
+@_q("td_curriculum_phases", f"""
+WITH scored AS (
+  SELECT doc_id, lang, {textstats.quality_q1e4_sql('text')} AS q,
+    {textstats.token_count_sql('text')} AS toks
+  FROM documents
+), ranked AS (
+  SELECT lang, q, toks,
+    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS r,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT lang,
+  CASE WHEN r * 5 <= n THEN 'anneal'
+       WHEN r * 5 <= 4 * n THEN 'main'
+       ELSE 'warmup' END AS phase,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(toks) AS BIGINT) AS n_tokens,
+  CAST(min(q) AS BIGINT) AS min_q1e4,
+  CAST(max(q) AS BIGINT) AS max_q1e4
+FROM ranked GROUP BY 1, 2
+""")
+def td_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/annealing phase assignment: within each language, docs
+    are ranked by quality (desc, doc_id tiebreak) and cut into the three
+    standard pretraining phases — top 20% reserved for the ANNEAL tail
+    (end-of-training high-quality upsample, the documented practice of
+    recent open pretraining recipes), middle 60% MAIN, bottom 20%
+    WARMUP. Rank-based cuts (not percentile interpolation) for the same
+    reason as td_quality_calibration: pure integer logic, zero
+    cross-engine boundary risk. Emits per (lang, phase) doc/token counts
+    and the quality range. One window shuffle on lang; at 100 TB the
+    same plan with per-stratum quota fractions from a config dim."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", "lang",
+        textstats.quality_q1e4_expr(F.col("text")).alias("q"),
+        textstats.token_count(F.col("text")).alias("toks"))
+    w = Window.partitionBy("lang").orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = scored.select(
+        "lang", "q", "toks",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"))
+    phase = (F.when(F.col("r") * 5 <= F.col("n"), F.lit("anneal"))
+             .when(F.col("r") * 5 <= 4 * F.col("n"), F.lit("main"))
+             .otherwise(F.lit("warmup")))
+    return (ranked.groupBy("lang", phase.alias("phase"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("toks").cast("bigint").alias("n_tokens"),
+                 F.min("q").cast("bigint").alias("min_q1e4"),
+                 F.max("q").cast("bigint").alias("max_q1e4")))
+
+
 _PII_AUG_SQL = """
 substr(text, 1, 40)
 || CASE WHEN doc_id % 3 = 0
@@ -3956,6 +4022,8 @@ _QUEUED_FOR_R6 = [
     "q_ewma_smooth",
     "v24_graph_pagerank",
     "st_variant_stream",
+    "td_epoch_plan",
+    "td_curriculum_phases",
 ]
 
 

@@ -630,3 +630,25 @@ def test_ewma_single_user_window_pair(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+
+
+def test_epoch_plan_scans_corpus_once(spark):
+    """td_epoch_plan rides the temperature_mix plan shape: ONE corpus
+    scan -> per-source partial agg -> empty-frame window totals. A
+    crossJoin(broadcast(totals)) formulation would re-expand a second
+    full scan — pinned against."""
+    p = physical_plan(QUERIES["td_epoch_plan"][0](spark, SF_DIR))
+    assert p.count("FileScan") == 1, p
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert "Window" in p
+
+
+def test_curriculum_single_lang_window_chain(spark):
+    """td_curriculum_phases: the rank and per-lang count ride windows on
+    the SAME lang partitioning — one lang hash exchange feeds both Window
+    nodes and the final phase rollup adds the only other exchange."""
+    p = physical_plan(QUERIES["td_curriculum_phases"][0](spark, SF_DIR))
+    assert p.count("FileScan") == 1, p
+    assert "Join" not in p, p

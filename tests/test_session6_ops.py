@@ -130,3 +130,49 @@ def test_st_variant_stream_totals_match_events(spark):
     for r in rows:
         if r.k_bucket is not None:
             assert r.sum_k % 5 == (r.n * r.k_bucket) % 5
+
+
+def test_epoch_plan_matches_oracle(spark, duck):
+    _diff(spark, duck, "td_epoch_plan")
+
+
+def test_epoch_plan_budget_invariants(spark):
+    """Allocations never overshoot: sum(alloc) <= budget (= total div 2,
+    floor divisions only round DOWN); epochs capped at 4.00; the
+    data_constrained flag is exactly `alloc > 4*tokens`; planned tokens
+    respect both the allocation and the repeat cap."""
+    fn, _ = QUERIES["td_epoch_plan"]
+    rows = fn(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    assert sum(r.alloc_tokens for r in rows) <= total // 2
+    for r in rows:
+        assert 0 <= r.epochs_q100 <= 400
+        assert r.data_constrained == (r.alloc_tokens > 4 * r.n_tokens)
+        assert r.planned_tokens == min(r.alloc_tokens, 4 * r.n_tokens)
+
+
+def test_curriculum_phases_matches_oracle(spark, duck):
+    _diff(spark, duck, "td_curriculum_phases")
+
+
+def test_curriculum_phase_quotas(spark):
+    """Per language: phases partition the docs, anneal holds exactly
+    floor(n/5) docs (rank cut r*5 <= n), and quality ranges are ordered
+    anneal >= main >= warmup (rank is by quality desc)."""
+    fn, _ = QUERIES["td_curriculum_phases"]
+    rows = fn(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.phase] = r
+    n_docs_total = spark.read.parquet(
+        f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for lang, ph in by_lang.items():
+        n = sum(p.n_docs for p in ph.values())
+        if "anneal" in ph:
+            assert ph["anneal"].n_docs == n // 5, lang
+        if {"anneal", "main"} <= ph.keys():
+            assert ph["anneal"].min_q1e4 >= ph["main"].max_q1e4
+        if {"main", "warmup"} <= ph.keys():
+            assert ph["main"].min_q1e4 >= ph["warmup"].max_q1e4
