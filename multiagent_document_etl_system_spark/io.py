@@ -170,6 +170,29 @@ def read_csv_corpus(spark: SparkSession, path: str, schema: str,
     return lines.select(parsed.alias("_r")).select("_r.*")
 
 
+def read_xml_corpus(spark: SparkSession, path: str, row_tag: str = "doc",
+                    schema: str | None = None) -> DataFrame:
+    """S6 variant — XML corpus ingest (Spark 4's built-in ``xml`` source;
+    the spark-xml package was merged into core in 4.0), same per-row
+    fault contract as :func:`read_jsonl_corpus`: with an explicit schema,
+    PERMISSIVE mode parks each malformed record's raw XML in
+    ``_corrupt_record`` instead of failing the job; without one, the
+    source schema-infers (a second pass over the data — fine for a
+    one-off exploration, pass a schema for production ingest).
+
+    Scale note: XML records spanning lines make the format non-splittable
+    per row-tag region the way JSONL is per line, but the source still
+    parallelizes per FILE — a 100 TB XML drop should arrive as many
+    files, which is how such dumps (e.g. wiki exports) ship anyway.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = (reader.schema(schema + ", _corrupt_record string")
+                  .option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", "_corrupt_record"))
+    return reader.load(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: list[str] | None = None) -> None:
     """K1/K2-style sink as parquet. ``partition_by`` (e.g. ingest date,

@@ -711,7 +711,7 @@ def epoch_plan(df: DataFrame, source_col: str = "source",
     j = j.withColumn("alloc_tokens", alloc)
     epochs = F.least(
         F.lit(EPOCH_CAP_Q100).cast("bigint"),
-        F.expr("(100 * alloc_tokens) div n_tokens"))
+        F.expr("(100 * alloc_tokens) div greatest(n_tokens, 1)"))
     return j.select(
         source_col, "n_tokens", "alloc_tokens",
         epochs.alias("epochs_q100"),
@@ -748,7 +748,7 @@ WITH agg AS (
   FROM sq, tot
 )
 SELECT {source_col}, n_tokens, alloc_tokens,
-  CAST(least({EPOCH_CAP_Q100}, (100 * alloc_tokens) // n_tokens)
+  CAST(least({EPOCH_CAP_Q100}, (100 * alloc_tokens) // greatest(n_tokens, 1))
        AS BIGINT) AS epochs_q100,
   CAST(least(alloc_tokens, n_tokens * 4) AS BIGINT) AS planned_tokens,
   alloc_tokens > n_tokens * 4 AS data_constrained

@@ -487,3 +487,30 @@ def test_orc_round_trip_and_pushdown(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan
     assert pruned.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_read_xml_corpus(spark, tmp_path):
+    """Spark 4 built-in XML source: schema'd PERMISSIVE read with the
+    same per-row corrupt-record contract as the JSONL/CSV ingests — a
+    type-mismatched record costs one row, not the job."""
+    from multiagent_document_etl_system_spark.io import read_xml_corpus
+
+    p = tmp_path / "corpus.xml"
+    p.write_text(
+        "<docs>"
+        "<doc><doc_id>1</doc_id><text>hello</text><n>10</n></doc>"
+        "<doc><doc_id>2</doc_id><text>world</text></doc>"
+        "<doc><doc_id>3</doc_id><text>bad</text><n>notanum</n></doc>"
+        "</docs>")
+    df = read_xml_corpus(spark, str(p), row_tag="doc",
+                         schema="doc_id long, text string, n long")
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert df.count() == 3
+    assert rows[1]["n"] == 10 and rows[1]["_corrupt_record"] is None
+    # missing field: schema drift tolerated, NULL, not corrupt
+    assert rows[2]["n"] is None and rows[2]["_corrupt_record"] is None
+    # type mismatch: raw record parked for the audit trail
+    assert rows[3]["n"] is None and rows[3]["_corrupt_record"] is not None
+    # schema-inference path (no schema given)
+    inf = read_xml_corpus(spark, str(p), row_tag="doc")
+    assert inf.count() == 3 and "text" in inf.columns
