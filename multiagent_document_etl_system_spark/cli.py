@@ -511,6 +511,19 @@ def cmd_stats(args) -> dict:
     }
 
 
+def cmd_compact(args) -> dict:
+    """Small-file compaction of a parquet table/partition directory —
+    see io.compact_parquet (coalesce rewrite + crash-safe swap)."""
+    from multiagent_document_etl_system_spark.io import compact_parquet
+
+    if args.target_mb <= 0:
+        raise SystemExit(f"--target-mb {args.target_mb} must be positive")
+    spark = get_spark("doc-etl-compact")
+    out = compact_parquet(spark, args.path, target_mb=args.target_mb)
+    out["success"] = True
+    return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="doc-etl")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -603,6 +616,10 @@ def main(argv=None) -> int:
                          "(higher recall, ~n_planes x the buckets read)")
     aq.add_argument("--output", default=None)
 
+    cp = sub.add_parser("compact")
+    cp.add_argument("path")
+    cp.add_argument("--target-mb", type=int, default=512)
+
     q = sub.add_parser("query")
     q.add_argument("name", nargs="?", default=None)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -619,6 +636,7 @@ def main(argv=None) -> int:
            "build-ann-index": cmd_build_ann_index,
            "ann-query": cmd_ann_query,
            "span-dedup": cmd_span_dedup,
+           "compact": cmd_compact,
            "export-shards": cmd_export_shards}[args.cmd](args)
     print(json.dumps(out))
     return 0 if out.get("success", True) else 1

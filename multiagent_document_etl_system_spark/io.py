@@ -269,6 +269,43 @@ def safe_overwrite_parquet(spark: SparkSession, df: DataFrame,
     _swap_into_place(fs, HPath, tmp, path, old)
 
 
+def compact_parquet(spark: SparkSession, path: str,
+                    target_mb: int = 512) -> dict:
+    """Small-file compaction — the lake-maintenance op that keeps a table
+    written by thousands of streaming micro-batches / incremental runs
+    scannable. Many tiny files mean per-file open/footer overhead
+    dominates and task scheduling explodes; the fix is a periodic rewrite
+    into ~``target_mb`` files. Computes the file count/bytes from the
+    filesystem, rewrites via coalesce (NO shuffle — compaction must not
+    pay a redistribution; coalesce merges existing partitions read-side),
+    and swaps crash-safely through the same aside-swap machinery as
+    :func:`safe_overwrite_parquet` (the read and the overwrite never
+    touch the same files; a crash leaves either the old or the new table
+    intact). Returns {files_before, bytes, files_after}.
+
+    At 100 TB this runs per PARTITION directory (date/source), not per
+    table — pass the partition path; the op never needs to see the whole
+    table at once."""
+    fs, HPath = _hadoop_fs(spark, path)
+    it = fs.listFiles(HPath(path), True)
+    n_files = 0
+    n_bytes = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet"):
+            n_files += 1
+            n_bytes += f.getLen()
+    target = max(1, -(-n_bytes // (target_mb * 1024 * 1024)))
+    if n_files <= target:
+        return {"files_before": n_files, "bytes": n_bytes,
+                "files_after": n_files, "compacted": False}
+    df = spark.read.parquet(path).coalesce(int(target))
+    safe_overwrite_parquet(spark, df, path)
+    return {"files_before": n_files, "bytes": n_bytes,
+            "files_after": int(target), "compacted": True}
+
+
 def upsert_parquet(spark: SparkSession, df: DataFrame, path: str,
                    key_cols: list[str]) -> None:
     """K3 — MERGE-style upsert keyed on ``key_cols``

@@ -176,3 +176,47 @@ def test_curriculum_phase_quotas(spark):
             assert ph["anneal"].min_q1e4 >= ph["main"].max_q1e4
         if {"main", "warmup"} <= ph.keys():
             assert ph["main"].min_q1e4 >= ph["warmup"].max_q1e4
+
+
+# --------------------------------------------------------------- compaction
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Compaction: a directory of many tiny files is rewritten to the
+    byte-target file count with IDENTICAL content; a second run is a
+    no-op (already at target)."""
+    from multiagent_document_etl_system_spark.io import compact_parquet
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(32).write.parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    out = compact_parquet(spark, path, target_mb=512)
+    assert out["compacted"] is True
+    assert out["files_before"] == 32
+    assert out["files_after"] < out["files_before"]
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after == before
+    # idempotent: second invocation finds nothing to do
+    again = compact_parquet(spark, path, target_mb=512)
+    assert again["compacted"] is False
+    assert again["files_before"] == out["files_after"]
+
+
+def test_compact_cli(tmp_path):
+    from multiagent_document_etl_system_spark import get_spark
+    from multiagent_document_etl_system_spark.cli import main
+
+    spark = get_spark(app_name="tests", cpus=8)
+    path = str(tmp_path / "tbl")
+    spark.range(0, 1000).repartition(16).write.parquet(path)
+    import contextlib
+    import io as _io
+    import json as _json
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["compact", path, "--target-mb", "64"])
+    assert rc == 0
+    out = _json.loads(buf.getvalue())
+    assert out["success"] and out["files_before"] == 16
