@@ -2933,3 +2933,86 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v_q").alias("last_v_q1e2"),
                 F.col("ewma_q1e2").cast("bigint").alias("ewma_q1e2"))
     )
+
+
+# ------------------------------------------------ generator / ANSI sweeps
+
+@_q("q_generator_funcs", """
+WITH g AS (
+  SELECT event_id, unnest(range(1, CAST(event_id % 3 AS INT) + 2)) AS val
+  FROM events
+)
+SELECT CAST(val AS BIGINT) AS val,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+  CAST(sum(val - 1) AS BIGINT) AS sum_pos
+FROM g GROUP BY val
+""")
+def q_generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/table-function sweep: ``sequence`` builds a per-row
+    arithmetic array and ``posexplode`` lateral-fans it with ORDINALITY —
+    the Generate node (Spark's LATERAL VIEW machinery) under an
+    aggregation. The ordinality contract is verified through arithmetic:
+    sequence(1, n) makes pos ≡ val - 1, so the oracle reconstructs
+    ``sum_pos`` exactly without needing WITH ORDINALITY support. Generate
+    is a narrow row-expansion (no shuffle of its own); the only exchange
+    is the 3-row val rollup. At 100 TB the expansion factor (here ≤ 3) is
+    the number to watch — it multiplies the scan's output, not its
+    cost."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.sequence(F.lit(1), (F.col("event_id") % 3 + 1).cast("int"))
+    g = ev.select("event_id", F.posexplode(seq).alias("pos", "val"))
+    return (g.groupBy(F.col("val").cast("bigint").alias("val"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("event_id").cast("bigint").alias("sum_event_id"),
+                 F.sum("pos").cast("bigint").alias("sum_pos")))
+
+
+_BIGINT_MAX = 9223372036854775807
+
+
+@_q("q_try_arithmetic", f"""
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_div0,
+  CAST(sum(CASE WHEN event_id % 5 <> 0
+           THEN floor((100 * (event_id % 7)) / (event_id % 5))
+           ELSE 0 END) AS BIGINT) AS sum_quot,
+  CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_add_overflow,
+  CAST(sum(CASE WHEN event_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_mul_overflow
+FROM events GROUP BY 1
+""")
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic: Spark 4 runs ANSI SQL by default
+    (overflow/÷0 RAISE instead of silently wrapping), and ``try_divide``
+    / ``try_add`` / ``try_multiply`` are the per-expression opt-outs that
+    return NULL instead of failing the 100 TB job on one poisoned row.
+    The sweep drives all three into their NULL branches on real data:
+    ÷0 whenever event_id ≡ 0 (mod 5), int64 add-overflow on odd ids
+    (MAX + 1), multiply-overflow when event_id ≡ 3 (mod 4)
+    ((MAX div 2)·3). DuckDB 1.0 has no generic TRY(), so the oracle
+    restates the NULL conditions arithmetically — same contract, like
+    the plane-literal restatements elsewhere. The quotient sum stays on
+    the integer grid (floor of small-int division: exact on both
+    engines)."""
+    ev = _t(spark, sf_dir, "events")
+    quot = F.floor(F.try_divide(100 * (F.col("event_id") % 7),
+                                F.col("event_id") % 5))
+    add_of = F.try_add(F.lit(_BIGINT_MAX), F.col("event_id") % 2)
+    mul_of = F.try_multiply(F.expr(f"{_BIGINT_MAX} div 2"),
+                            F.col("event_id") % 4)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.when(quot.isNull(), 1).otherwise(0)).cast("bigint")
+             .alias("n_div0"),
+             F.sum(F.coalesce(quot, F.lit(0))).cast("bigint")
+             .alias("sum_quot"),
+             F.sum(F.when(add_of.isNull(), 1).otherwise(0)).cast("bigint")
+             .alias("n_add_overflow"),
+             F.sum(F.when(mul_of.isNull(), 1).otherwise(0)).cast("bigint")
+             .alias("n_mul_overflow"))
+    )

@@ -2776,6 +2776,66 @@ def st_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("st_interval_join_outer_stream", """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+v AS (SELECT * FROM events WHERE event_type = 'view'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+    CAST(date_diff('second', CAST(v.ts AS TIMESTAMP),
+                   CAST(p.ts AS TIMESTAMP)) AS BIGINT) AS secs_to_purchase
+  FROM v JOIN p ON v.user_id = p.user_id
+  WHERE p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+)
+SELECT * FROM matched
+UNION ALL
+SELECT v.event_id AS view_id, CAST(NULL AS BIGINT) AS purchase_id,
+  v.user_id, CAST(NULL AS BIGINT) AS secs_to_purchase
+FROM v, mx
+WHERE NOT EXISTS (
+    SELECT 1 FROM p WHERE p.user_id = v.user_id
+      AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+  AND v.ts + INTERVAL 3 HOUR < m
+""")
+def st_interval_join_outer_stream(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """REAL stream-stream LEFT OUTER interval join run, oracle-checked:
+    the attribution join that also reports non-conversions. The outer
+    semantics make the WATERMARK ITSELF part of the result contract — a
+    NULL-padded view emits only once the purchase-side watermark has
+    passed its whole 1-hour match window, so the oracle restates the
+    eviction rule arithmetically: unmatched views appear iff
+    ``v.ts + horizon(1h) + delay(2h) < max(ts)``; later views are
+    withheld at query end (at sf0.01 the nearest unmatched view sits
+    ~16 minutes from that boundary — measured min gap 958.6 s — so the
+    ms-granularity watermark cannot flip a row). Matched pairs emit eagerly exactly like
+    st_interval_join_stream. State per key stays bounded by
+    horizon + delay at any stream length."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_events_dir(spark, sf_dir)
+    views = streamx.read_event_stream(spark, stage,
+                                      max_files_per_trigger=10) \
+        .filter(F.col("event_type") == "view")
+    purchases = streamx.read_event_stream(spark, stage,
+                                          max_files_per_trigger=10) \
+        .filter(F.col("event_type") == "purchase")
+    joined = streamx.interval_join_outer(views, purchases, on="user_id",
+                                         horizon="1 hour",
+                                         watermark="2 hours")
+    name = f"st_ijoin_outer_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(joined, name, output_mode="append")
+    return spark.table(name).select(
+        F.col("l_id").alias("view_id"),
+        F.col("r_id").alias("purchase_id"),
+        "user_id",
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts"))
+        .cast("bigint").alias("secs_to_purchase"),
+    )
+
+
 @_q("st_dedup_stream", None)
 def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming dedup run: ``dropDuplicatesWithinWatermark`` on
@@ -4024,6 +4084,9 @@ _QUEUED_FOR_R6 = [
     "st_variant_stream",
     "td_epoch_plan",
     "td_curriculum_phases",
+    "q_generator_funcs",
+    "q_try_arithmetic",
+    "st_interval_join_outer_stream",
 ]
 
 

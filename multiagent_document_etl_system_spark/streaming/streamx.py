@@ -122,6 +122,35 @@ def interval_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     return l.join(r, cond).drop("_r_on")
 
 
+def interval_join_outer(left: DataFrame, right: DataFrame,
+                        on: str = "user_id", horizon: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """LEFT OUTER flavor of :func:`interval_join` — the attribution join
+    that also has to REPORT the non-conversions (views with no purchase
+    inside the horizon). A streaming outer join cannot emit the NULL side
+    eagerly (the match may still arrive); Spark buffers each left row
+    until the right-side watermark passes its entire match window
+    (``l_ts + horizon``) and only then emits the NULL-padded row. So the
+    emission rule is deterministic: a left row with no match appears iff
+    ``l_ts + horizon < final_watermark`` (= max event time − delay);
+    later rows are withheld when the query ends. State stays bounded by
+    horizon + delay per key, exactly as the inner join."""
+    l = left.select(
+        F.col("event_id").alias("l_id"), F.col(on),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("event_id").alias("r_id"), F.col(on).alias("_r_on"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col(on) == F.col("_r_on"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return l.join(r, cond, "leftOuter").drop("_r_on")
+
+
 def enrich_with_dim(stream: DataFrame, dim: DataFrame,
                     on_left: str, on_right: str) -> DataFrame:
     """Stream-static enrichment join: every micro-batch joins against the

