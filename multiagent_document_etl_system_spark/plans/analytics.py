@@ -2792,7 +2792,8 @@ def bucketed_order_customer(spark: SparkSession,
 SELECT c.c_mktsegment,
   CAST(count(*) AS BIGINT) AS n_orders,
   CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
-  {stable_sum_sql('o.o_totalprice')} AS total_price
+  CAST(sum(floor(o.o_totalprice * 100.0 + 0.5)) AS BIGINT)
+    AS total_price_q100
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """)
@@ -2814,7 +2815,8 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"),
              F.countDistinct("o_custkey").alias("n_customers"),
-             stable_sum(F.col("o_totalprice")).alias("total_price"))
+             F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)))
+             .cast("bigint").alias("total_price_q100"))
     )
 
 
