@@ -3018,3 +3018,54 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.when(mul_of.isNull(), 1).otherwise(0)).cast("bigint")
              .alias("n_mul_overflow"))
     )
+
+
+# ------------------------------------------------------------- collations
+
+@_q("q_collation_group", """
+WITH var AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 3 = 0 THEN upper(source)
+         WHEN doc_id % 3 = 1 THEN
+           upper(substr(source, 1, 1)) || substr(source, 2)
+         ELSE source END AS sv
+  FROM documents
+)
+SELECT lower(sv) AS source_ci,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT sv) AS BIGINT) AS n_case_variants,
+  CAST(sum(CASE WHEN lower(lang) = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_en
+FROM var GROUP BY 1
+""")
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4's collated string type): the raw
+    feed carries case-inconsistent source labels (reconstructed here as a
+    deterministic doc_id-keyed case scramble), and the rollup groups them
+    under ``UTF8_LCASE`` — engine-native case-insensitive semantics
+    instead of normalizing with lower() in every expression. Two
+    footguns are handled explicitly: the collated GROUP BY key's
+    representative value is arbitrary (whichever variant a partition saw
+    first), so the emitted key is lowercased; and collated columns carry
+    collation in their TYPE, so the key is re-collated to UTF8_BINARY
+    before leaving the query (a collated output column would change the
+    result schema). A collated equality (lang = 'EN') exercises the
+    comparison path too. The oracle restates everything with lower() —
+    the two formulations must agree exactly. Same aggregation plan shape
+    as any groupBy: collation only changes the grouping hash/equality
+    functions, not the exchange structure."""
+    d = _t(spark, sf_dir, "documents")
+    sv = (F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+          .when(F.col("doc_id") % 3 == 1, F.initcap("source"))
+          .otherwise(F.col("source")))
+    var = d.select("doc_id", "lang", sv.alias("sv"))
+    lcase = F.collate("sv", "UTF8_LCASE")
+    en = F.collate("lang", "UTF8_LCASE") == F.lit("EN")
+    return (
+        var.groupBy(lcase.alias("k"))
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("sv").alias("n_case_variants"),
+             F.sum(F.when(en, 1).otherwise(0)).cast("bigint").alias("n_en"))
+        .select(F.collate(F.lower("k"), "UTF8_BINARY").alias("source_ci"),
+                "n_docs", "n_case_variants", "n_en")
+    )

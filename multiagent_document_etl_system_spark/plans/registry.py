@@ -4087,6 +4087,7 @@ _QUEUED_FOR_R6 = [
     "q_generator_funcs",
     "q_try_arithmetic",
     "st_interval_join_outer_stream",
+    "q_collation_group",
 ]
 
 

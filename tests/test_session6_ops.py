@@ -248,3 +248,15 @@ def test_st_interval_join_outer_accounting(spark):
         assert r.ts + horizon_delay >= max_ts, r
     for r in nulls:
         assert r.secs_to_purchase is None
+
+
+def test_collation_group_matches_oracle(spark, duck):
+    _diff(spark, duck, "q_collation_group")
+
+
+def test_generator_funcs_matches_oracle(spark, duck):
+    _diff(spark, duck, "q_generator_funcs")
+
+
+def test_try_arithmetic_matches_oracle(spark, duck):
+    _diff(spark, duck, "q_try_arithmetic")
