@@ -14,7 +14,7 @@ distinct tokens first).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from multiagent_document_etl_system_spark.functions.numeric import (
@@ -1075,4 +1075,95 @@ WITH t AS (
 SELECT token, freq, CAST(min(c) AS BIGINT) AS cms_est
 FROM pcells JOIN cells USING (row, pos)
 GROUP BY token, freq
+"""
+
+
+def collocations(df: DataFrame, text_col: str = "text",
+                 min_count: int = 5, top_n: int = 20) -> DataFrame:
+    """PMI-ranked collocations: the bigrams whose parts co-occur far more
+    than their unigram frequencies predict — multiword-expression mining
+    ("new york", "machine learning") for tokenizer vocab curation and
+    boilerplate fingerprinting.
+
+    PMI is log of the ratio r = P(ab) / (P(a)·P(b)); since log is
+    monotonic, ranking by r needs NO log — r is computed as the exact
+    integer ``pmi_ratio_q1e4 = (10⁴ · n_ab · N_uni²) div (N_bi · n_a ·
+    n_b)`` in DECIMAL(38,0) (DuckDB: HUGEINT), so the score is a BIGINT
+    with a full hash oracle. Exact while n_ab·N_uni² < 10³⁴ — i.e. up to
+    ~10¹⁵ corpus tokens with n_ab ≤ 10⁴·min-share, far past 100 TB; the
+    ``min_count`` floor kills the hapax-pair noise PMI is infamous for.
+
+    Plan: one corpus scan exploded twice (unigrams, bigrams) into two
+    vocab-sized count tables; totals ride empty-frame windows over those
+    aggregates (kilobytes); the scoring join is bigram ⋈ unigram ⋈
+    unigram on token keys; final top-N is a TakeOrderedAndProject."""
+    t = tokens(F.lower(F.col(text_col)))
+    toks = df.select(t.alias("t"))
+    uni = (toks.select(F.explode("t").alias("token"))
+           .filter(F.length("token") > 0)
+           .groupBy("token").agg(F.count("*").alias("n_tok")))
+    w = Window.partitionBy()
+    uni = uni.withColumn("n_uni_total", F.sum("n_tok").over(w))
+    s1 = F.size("t") - F.lit(1)
+    pairs = F.zip_with(
+        F.slice("t", 1, s1), F.slice(F.col("t"), 2, s1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = (toks.select(F.explode(pairs).alias("bigram"))
+          .filter(F.length("bigram") > 1)
+          .groupBy("bigram").agg(F.count("*").alias("n_ab")))
+    bi = (bi.withColumn("n_bi_total", F.sum("n_ab").over(w))
+          .filter(F.col("n_ab") >= min_count)
+          .withColumn("tok_a", F.split("bigram", " ")[0])
+          .withColumn("tok_b", F.split("bigram", " ")[1]))
+    a = uni.select(F.col("token").alias("tok_a"),
+                   F.col("n_tok").alias("n_a"), "n_uni_total")
+    b = uni.select(F.col("token").alias("tok_b"),
+                   F.col("n_tok").alias("n_b"))
+    j = bi.join(a, "tok_a").join(b, "tok_b")
+    d38 = "decimal(38,0)"
+    num = (F.lit(10_000).cast(d38) * F.col("n_ab").cast(d38)
+           * F.col("n_uni_total").cast(d38) * F.col("n_uni_total").cast(d38))
+    den = (F.col("n_bi_total").cast(d38) * F.col("n_a").cast(d38)
+           * F.col("n_b").cast(d38))
+    ratio = ((num - num % den) / den).cast("bigint")
+    return (j.select("bigram", "n_ab", "n_a", "n_b",
+                     ratio.alias("pmi_ratio_q1e4"))
+            .orderBy(F.desc("pmi_ratio_q1e4"), F.asc("bigram"))
+            .limit(top_n))
+
+
+def collocations_sql(table: str = "documents", text_col: str = "text",
+                     min_count: int = 5, top_n: int = 20) -> str:
+    """DuckDB twin of :func:`collocations` (HUGEINT products, `//`)."""
+    toks = tokens_sql(f"lower({text_col})")
+    return f"""
+WITH toks AS (
+  SELECT {toks} AS t FROM {table}
+), uni AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_tok,
+    CAST(sum(count(*)) OVER () AS BIGINT) AS n_uni_total
+  FROM (SELECT unnest(t) AS token FROM toks)
+  WHERE length(token) > 0 GROUP BY token
+), bi0 AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab,
+    CAST(sum(count(*)) OVER () AS BIGINT) AS n_bi_total
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t)-1),
+                                 i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM toks)
+  WHERE length(bigram) > 1 GROUP BY bigram
+), bi AS (
+  SELECT bigram, n_ab, n_bi_total,
+    string_split(bigram, ' ')[1] AS tok_a,
+    string_split(bigram, ' ')[2] AS tok_b
+  FROM bi0 WHERE n_ab >= {min_count}
+)
+SELECT bigram, n_ab, a.n_tok AS n_a, b.n_tok AS n_b,
+  CAST((10000::HUGEINT * n_ab::HUGEINT
+        * a.n_uni_total::HUGEINT * a.n_uni_total::HUGEINT)
+       // (n_bi_total::HUGEINT * a.n_tok::HUGEINT * b.n_tok::HUGEINT)
+       AS BIGINT) AS pmi_ratio_q1e4
+FROM bi JOIN uni a ON bi.tok_a = a.token JOIN uni b ON bi.tok_b = b.token
+ORDER BY pmi_ratio_q1e4 DESC, bigram ASC LIMIT {top_n}
 """

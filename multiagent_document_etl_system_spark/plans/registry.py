@@ -2348,6 +2348,17 @@ def ta_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bigram_frequencies(_docs(spark, sf_dir))
 
 
+@_q("ta_collocations", textstats.collocations_sql())
+def ta_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked collocations (multiword-expression mining for tokenizer
+    vocab curation): PMI's log is monotonic, so the rank rides the exact
+    integer ratio n_ab·N_uni² / (N_bi·n_a·n_b) on the 1e-4 grid —
+    DECIMAL(38)/HUGEINT products, full hash oracle, no float channel.
+    min_count=5 kills hapax-pair noise. Two vocab-sized count tables,
+    token-key joins, TakeOrdered top-20. See textstats.collocations."""
+    return textstats.collocations(_docs(spark, sf_dir))
+
+
 @_q("ta_readability", f"""
 SELECT doc_id, {textstats.readability_q1e4_sql('text')} AS flesch_q1e4
 FROM documents
@@ -4088,6 +4099,7 @@ _QUEUED_FOR_R6 = [
     "q_try_arithmetic",
     "st_interval_join_outer_stream",
     "q_collation_group",
+    "ta_collocations",
 ]
 
 

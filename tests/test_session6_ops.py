@@ -260,3 +260,31 @@ def test_generator_funcs_matches_oracle(spark, duck):
 
 def test_try_arithmetic_matches_oracle(spark, duck):
     _diff(spark, duck, "q_try_arithmetic")
+
+
+def test_collocations_matches_oracle(spark, duck):
+    _diff(spark, duck, "ta_collocations")
+
+
+def test_collocations_pmi_model(spark):
+    """Hand-checkable PMI on a constructed corpus: 'alpha beta' always
+    co-occurs (perfect collocation) while 'alpha gamma' pairs words that
+    also appear apart — the perfect pair must out-rank it, and every
+    emitted ratio must satisfy the exact integer formula."""
+    from multiagent_document_etl_system_spark.operators import textstats
+
+    rows = [(i, "alpha beta") for i in range(5)]
+    rows += [(10 + i, "alpha gamma delta gamma alpha gamma") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.bigram: r for r in
+           textstats.collocations(df, min_count=5, top_n=50).collect()}
+    assert "alpha beta" in out
+    n_uni = 5 * 2 + 5 * 6      # 40 tokens
+    n_bi = 5 * 1 + 5 * 5       # 30 bigrams
+    r = out["alpha beta"]
+    assert (r.n_ab, r.n_a, r.n_b) == (5, 15, 5)
+    expect = (10_000 * 5 * n_uni * n_uni) // (n_bi * 15 * 5)
+    assert r.pmi_ratio_q1e4 == expect
+    if "alpha gamma" in out:
+        assert out["alpha beta"].pmi_ratio_q1e4 > \
+            out["alpha gamma"].pmi_ratio_q1e4
