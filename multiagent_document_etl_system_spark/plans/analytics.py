@@ -3069,3 +3069,41 @@ def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.collate(F.lower("k"), "UTF8_BINARY").alias("source_ci"),
                 "n_docs", "n_case_variants", "n_en")
     )
+
+
+@_q("q_url_xpath_functions", """
+SELECT doc_id,
+  source || '.example.com' AS host,
+  '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+  CAST(doc_id % 7 AS BIGINT) AS k_param,
+  lang AS xp_lang,
+  CAST(n_chars AS BIGINT) AS xp_n
+FROM documents
+""")
+def q_url_xpath_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL + XPath extraction sweep: documents are given deterministic
+    URLs and XML envelopes constructed FROM their own columns, then
+    ``parse_url`` (HOST / PATH / QUERY param) and ``xpath_string`` /
+    ``xpath_long`` must invert the construction exactly — the oracle
+    states the inverse directly, so any parser deviation (encoding,
+    query-split, text() handling) hash-fails. These are the two
+    schema-on-read extractors a crawl pipeline leans on (canonical host
+    for per-site dedup/rate stats, query-param stripping, metadata
+    pull-out of XML sidecars); both are JVM expressions — narrow map, no
+    shuffle, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), "source",
+                   F.lit(".example.com/docs/"),
+                   F.col("doc_id").cast("string"),
+                   F.lit("?k="), (F.col("doc_id") % 7).cast("string"))
+    xml = F.concat(F.lit("<d><l>"), "lang", F.lit("</l><n>"),
+                   F.col("n_chars").cast("string"), F.lit("</n></d>"))
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("k")).cast("bigint")
+        .alias("k_param"),
+        F.xpath_string(xml, F.lit("/d/l")).alias("xp_lang"),
+        F.xpath_long(xml, F.lit("/d/n")).cast("bigint").alias("xp_n"),
+    )

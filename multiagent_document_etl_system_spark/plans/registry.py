@@ -4100,6 +4100,7 @@ _QUEUED_FOR_R6 = [
     "st_interval_join_outer_stream",
     "q_collation_group",
     "ta_collocations",
+    "q_url_xpath_functions",
 ]
 
 

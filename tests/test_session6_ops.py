@@ -288,3 +288,7 @@ def test_collocations_pmi_model(spark):
     if "alpha gamma" in out:
         assert out["alpha beta"].pmi_ratio_q1e4 > \
             out["alpha gamma"].pmi_ratio_q1e4
+
+
+def test_url_xpath_matches_oracle(spark, duck):
+    _diff(spark, duck, "q_url_xpath_functions")
