@@ -1,20 +1,8 @@
-"""Pin the registry-wide plan lint green (tools/plan_lint.py): no batch
-query may introduce a cartesian product, an unsanctioned broadcast
-nested-loop join, or Python evaluation in its plan. The per-pattern
-sanction lists live in the tool and each carries its justification."""
+"""Hygiene of the plan-lint sanction lists (the lint walk itself runs in
+tests/test_plans.py::test_no_python_eval_in_any_registry_query — one walk
+for the whole suite)."""
 
 from __future__ import annotations
-
-
-def test_registry_plan_lint_clean(spark):
-    import sys
-    from pathlib import Path
-
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-    import plan_lint
-
-    offenders = plan_lint.lint(spark, "/root/testdata/sf0.001")
-    assert not offenders, offenders
 
 
 def test_lint_sanction_lists_name_real_queries(spark):

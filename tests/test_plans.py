@@ -35,31 +35,21 @@ def physical_plan(df) -> str:
 
 def test_no_python_eval_in_any_registry_query(spark):
     """Every registry query stays JVM-side: no row-at-a-time or Arrow
-    Python evaluation nodes anywhere. The single sanctioned Python path is
-    the multimodal decode (mm_decode_features) — mapInPandas by design,
-    because no Catalyst expression can decode media bytes."""
-    # Python-by-design rows-only entries: multimodal decode, L4 embedding,
-    # S1-S5 binary parse, custom stateful streaming — each is a Pandas UDF
-    # because no Catalyst expression can do the work (media decode, model
-    # inference, pdf parse, arbitrary per-key state).
-    sanctioned = {"mm_decode_features", "mm_frame_sample", "l4_embed",
-                  "l4_embed_dedup", "s1_parse_dispatch",
-                  "st_stateful_totals", "mm_resize",
-                  # BLAS matmul rerank: mapInPandas BY DESIGN — one GEMM
-                  # per Arrow batch beats per-element JVM folds ~6×
-                  "v13_topk_matmul", "v14_ann_lsh_matmul"}
-    # (ta_heavy_hitters runs its Misra-Gries candidate pass as a bounded
-    # mapInPandas action at BUILD time; the returned plan is pure JVM and
-    # is checked below like everything else.)
-    offenders = {}
-    for name, (fn, _) in QUERIES.items():
-        if name in sanctioned:
-            continue
-        p = plan_of(fn(spark, SF_DIR))
-        for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-                    "FlatMapGroupsInPandas"):
-            if bad in p:
-                offenders[name] = bad
+    Python evaluation nodes anywhere (sanctioned Python-by-design kernels
+    — media decode, model inference, binary parse, BLAS GEMM, per-key
+    state — are listed with their reasons in tools/plan_lint.PYTHON_OK).
+    Delegates to the registry-wide linter so the suite walks every plan
+    ONCE; the same walk also rejects cartesian products and unsanctioned
+    broadcast nested-loop joins. Streaming queries are excluded from the
+    walk (building one executes a real run; their returned plans are
+    memory-table scans where a Python node cannot appear anyway)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import plan_lint
+
+    offenders = plan_lint.lint(spark, SF_DIR)
     assert not offenders, offenders
 
 
