@@ -212,17 +212,36 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(agg: DataFrame, name: str, output_mode: str = "append"):
+def run_to_memory(agg: DataFrame, name: str, output_mode: str = "append",
+                  shuffle_partitions: int = 32):
     """Drive a streaming aggregation to completion over the (finite) file
     source and land results in an in-memory table — the smoke-test harness.
-    Returns the StreamingQuery (stopped)."""
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory").queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    Returns the StreamingQuery (stopped).
+
+    ``shuffle_partitions`` bounds the STATE STORE partition count for the
+    run: a stateful streaming query pins its state partitioning to
+    ``spark.sql.shuffle.partitions`` at checkpoint creation, so under a
+    default-conf session every windowed agg / stream-stream join spins up
+    200 state stores per stateful operator — two-thirds of the wall time
+    of the small replay runs was state-store bookkeeping, not data. Each
+    invocation here starts a FRESH checkpoint, so pinning the conf for
+    the duration of the run is safe; it is saved and restored around the
+    query. On a real cluster this knob is sized to executor count ×
+    cores, exactly like batch shuffle partitions."""
+    spark = agg.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(shuffle_partitions))
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory").queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old)
     return q
 
 
