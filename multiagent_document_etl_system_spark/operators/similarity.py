@@ -1222,9 +1222,13 @@ def graph_pagerank(vectors: DataFrame, dim: int, k: int = 3,
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     deg = mutual.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     # one edge relation carrying the source degree, reused every round —
-    # truncate lineage so the LSH join runs once, not `iters` times
+    # truncate lineage so the LSH join runs once, not `iters` times.
+    # repartition on src BEFORE the checkpoint: the checkpointed plan
+    # keeps its outputPartitioning, so each iteration's join(e, pr)
+    # re-shuffles only the (id, pr) rank rows and never the edge list
     e = (mutual.join(deg, "src")
          .select("src", "dst", "deg")
+         .repartition("src")
          .localCheckpoint(eager=True))
     pr = deg.select(F.col("src").alias("id"),
                     F.lit(PR_SCALE).cast("long").alias("pr"))
