@@ -292,3 +292,143 @@ def test_collocations_pmi_model(spark):
 
 def test_url_xpath_matches_oracle(spark, duck):
     _diff(spark, duck, "q_url_xpath_functions")
+
+
+def _pagerank_model(vecs, dim, k, n_planes, seed, iters=4):
+    """Pure-Python replica of graph_pagerank's full contract: LSH
+    bucketing, grid-scored top-k edges, mutual filter, then the exact
+    integer recurrence."""
+    import math
+
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+
+    def sig(v):
+        s = 0
+        for i, p in enumerate(planes):
+            if sum(x * y for x, y in zip(v, p)) >= 0:
+                s += 2 ** i
+        return s
+
+    def cos(a, b):
+        da = sum(x * x for x in a)
+        db = sum(y * y for y in b)
+        dab = sum(x * y for x, y in zip(a, b))
+        n = math.sqrt(da) * math.sqrt(db)
+        return 0.0 if n == 0 else dab / n
+
+    buckets = {}
+    for vid, v in vecs.items():
+        buckets.setdefault(sig(v), []).append(vid)
+    topk = {}
+    for bucket in buckets.values():
+        for a in bucket:
+            cands = sorted(
+                ((math.floor(cos(vecs[a], vecs[b]) * 10000.0 + 0.5), b)
+                 for b in bucket if b != a),
+                key=lambda t: (-t[0], t[1]))
+            if cands:
+                topk[a] = {b for _, b in cands[:k]}
+    mutual = {a: sorted(b for b in nbrs if a in topk.get(b, set()))
+              for a, nbrs in topk.items()}
+    mutual = {a: bs for a, bs in mutual.items() if bs}
+    deg = {a: len(bs) for a, bs in mutual.items()}
+    pr = {a: similarity.PR_SCALE for a in deg}
+    for _ in range(iters):
+        inflow = {a: 0 for a in deg}
+        for a, bs in mutual.items():
+            c = pr[a] // deg[a]
+            for b in bs:
+                inflow[b] += c
+        pr = {a: similarity.PR_BASE + (85 * s) // 100
+              for a, s in inflow.items()}
+    return {a: (deg[a], pr[a]) for a in deg}
+
+
+def test_pagerank_matches_python_model(spark):
+    import random
+
+    rng = random.Random(11)
+    dim, n = 8, 30
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.deg, r.pr_q) for r in similarity.graph_pagerank(
+        df, dim=dim, k=3, n_planes=3, seed=42).collect()}
+    want = _pagerank_model(vecs, dim=dim, k=3, n_planes=3, seed=42)
+    assert got == want
+
+
+def _ewma_model(events):
+    """Python replica of q_ewma_smooth's per-user contract."""
+    by_user = {}
+    for uid, ts, eid, v in events:
+        by_user.setdefault(uid, []).append((ts, eid, v))
+    out = {}
+    for uid, rows in by_user.items():
+        rows.sort()
+        import math
+
+        vqs = [math.floor(v * 100.0 + 0.5) for _, _, v in rows]
+        num = den = 0
+        n = len(vqs)
+        for j in range(8):
+            i = n - 1 - j
+            if i < 0:
+                break
+            w = 1 << (7 - j)
+            num += vqs[i] * w
+            den += w
+        out[uid] = (n, vqs[-1], num // den)
+    return out
+
+
+def test_ewma_matches_python_model_fuzz(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 3),              # user
+                  st.integers(0, 10_000),         # ts offset secs
+                  st.floats(0, 100)),             # value
+        min_size=1, max_size=40))
+    def run(raw):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        events = []
+        for i, (uid, off, v) in enumerate(raw):
+            v = round(v, 2)
+            events.append((uid, base + datetime.timedelta(seconds=off),
+                           i, v))
+        df = spark.createDataFrame(
+            events, "user_id long, ts timestamp, event_id long, value double")
+        fn, _ = QUERIES["q_ewma_smooth"]
+        # run the operator body directly over the constructed frame: the
+        # registry fn reads from sf_dir, so re-state its window math here
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        vq = df.select(
+            "user_id", "ts", "event_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")
+            .alias("v_q"))
+        num = F.lit(0).cast("bigint")
+        den = F.lit(0).cast("bigint")
+        for j in range(8):
+            wgt = 1 << (7 - j)
+            v = F.lag("v_q", j).over(w) if j else F.col("v_q")
+            num = num + F.coalesce(v * wgt, F.lit(0))
+            den = den + F.when(v.isNotNull(), F.lit(wgt)).otherwise(F.lit(0))
+        wd = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id"))
+        sm = (vq.withColumn("ewma", (num - num % den) / den)
+              .withColumn("rn", F.row_number().over(wd))
+              .filter(F.col("rn") == 1))
+        got = {r.user_id: (int(r.v_q), int(r.ewma))
+               for r in sm.collect()}
+        model = _ewma_model([(u, t, e, v) for u, t, e, v in events])
+        want = {u: (lv, ew) for u, (n, lv, ew) in model.items()}
+        assert got == want
+
+    run()
