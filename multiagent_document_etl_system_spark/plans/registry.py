@@ -4139,8 +4139,10 @@ NO_ORACLE_REASONS: dict[str, str] = {
                       "equivalence to l4_embed asserted in pytest",
     "s1_parse_dispatch": "parses BINARY fixture files (PDF/DOCX/BMP) — "
                          "DuckDB has no parser; round-trip pytest",
-    "mm_decode_features": "opaque media decode via mapInPandas "
-                          "(deterministic fake, no media libs); pytest",
+    "mm_decode_features": "media decode via mapInPandas — REAL stdlib "
+                          "pixel decode + luminance histogram for BMP/PNG, "
+                          "deterministic fake for formats needing absent "
+                          "media libs; pytest",
     "mm_frame_sample": "video frame explode over opaque binary; pytest",
     "mm_resize": "NumPy nearest-neighbor resize kernel (no SQL twin); "
                  "golden-pixel pytest",

@@ -41,9 +41,9 @@ FEATURE_SCHEMA = (
 
 
 def _fake_decode_features(b: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for decode → feature-extract. Real
-    deployments swap in PIL/librosa/ffmpeg here; the Spark plumbing
-    (batching, schema, error channel) is identical."""
+    """Deterministic stand-in for decode → feature-extract on formats the
+    container cannot decode (JPEG/audio/video — no PIL/librosa/ffmpeg);
+    the Spark plumbing (batching, schema, error channel) is identical."""
     if not b:
         raise ValueError("empty payload")
     # simple rolling byte statistic per bucket — stable across runs
@@ -51,6 +51,37 @@ def _fake_decode_features(b: bytes, dim: int = 8) -> list[float]:
     for i, byte in enumerate(b):
         acc[i % dim] = (acc[i % dim] * 31 + byte) % 997
     return [v / 997.0 for v in acc]
+
+
+def _decode_features(b: bytes, dim: int = 8) -> list[float]:
+    """REAL pixel features where the container can really decode: BMP and
+    PNG payloads go through the pure-stdlib decoders the OCR rung already
+    uses (sources/parsers.py) and the feature is a ``dim``-bin luminance
+    HISTOGRAM of the actual pixels (mass-normalized) — the rung ladder
+    mirrors S4: real for machine-decodable formats, deterministic fake
+    for the rest."""
+    from multiagent_document_etl_system_spark.sources.parsers import (
+        _decode_bmp_24,
+        _decode_png,
+        _PNG_SIG,
+    )
+
+    rows = None
+    if b[:2] == b"BM":
+        rows = _decode_bmp_24(b)
+    elif b[: len(_PNG_SIG)] == _PNG_SIG:
+        rows = _decode_png(b)
+    if rows is None:
+        return _fake_decode_features(b, dim)
+    hist = [0] * dim
+    n = 0
+    for row in rows:
+        for lum in row:
+            hist[min(dim - 1, lum * dim // 256)] += 1
+            n += 1
+    if n == 0:
+        raise ValueError("decoded image has no pixels")
+    return [h / n for h in hist]
 
 
 def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
@@ -65,7 +96,7 @@ def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
             feats, errs = [], []
             for b in pdf["content"]:
                 try:
-                    feats.append(_fake_decode_features(
+                    feats.append(_decode_features(
                         bytes(b) if b is not None else b"", dim))
                     errs.append(None)
                 except Exception as exc:  # noqa: BLE001 — row-level errors

@@ -514,3 +514,40 @@ def test_read_xml_corpus(spark, tmp_path):
     # schema-inference path (no schema given)
     inf = read_xml_corpus(spark, str(p), row_tag="doc")
     assert inf.count() == 3 and "text" in inf.columns
+
+
+def test_mm_decode_real_pixels_for_bmp_and_png(spark):
+    """The multimodal decode rung ladder mirrors S4: BMP/PNG payloads are
+    REALLY decoded (stdlib) and the feature is a luminance histogram of
+    actual pixels — a rendered white-background image must put most mass
+    in the top bin; non-decodable bytes fall back to the deterministic
+    fake rather than erroring."""
+    from multiagent_document_etl_system_spark.sources.multimodal import (
+        decode_features,
+    )
+    from multiagent_document_etl_system_spark.sources.parsers import (
+        render_text_bmp,
+        render_text_png,
+    )
+
+    bmp = render_text_bmp("HI")
+    png = render_text_png("HI")
+    rows = [(1, "image", bytearray(bmp), None),
+            (2, "image", bytearray(png), None),
+            (3, "image", bytearray(b"\xff\xd8 jpeg-ish junk"), None)]
+    from pyspark.sql import types as T
+    from multiagent_document_etl_system_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_features(df).collect()}
+    assert all(out[i].decode_error is None for i in (1, 2, 3))
+    # white background dominates -> top luminance bin carries most mass
+    for i in (1, 2):
+        feat = out[i].feature
+        assert abs(sum(feat) - 1.0) < 1e-6
+        assert feat[-1] == max(feat) and feat[-1] > 0.5
+    # BMP and PNG render the same glyphs -> identical histograms
+    assert [round(x, 6) for x in out[1].feature] == \
+        [round(x, 6) for x in out[2].feature]
