@@ -4142,7 +4142,7 @@ NO_ORACLE_REASONS: dict[str, str] = {
     "mm_decode_features": "media decode via mapInPandas — REAL stdlib "
                           "pixel decode + luminance histogram for BMP/PNG, "
                           "deterministic fake for formats needing absent "
-                          "media libs; pytest",
+                          "media libs; REAL WAV/PCM energy envelope; pytest",
     "mm_frame_sample": "video frame explode over opaque binary; pytest",
     "mm_resize": "NumPy nearest-neighbor resize kernel (no SQL twin); "
                  "golden-pixel pytest",

@@ -53,19 +53,74 @@ def _fake_decode_features(b: bytes, dim: int = 8) -> list[float]:
     return [v / 997.0 for v in acc]
 
 
+def _decode_wav_pcm16(b: bytes) -> list[int]:
+    """RIFF/WAVE PCM16 mono/stereo -> mono sample list (stdlib wave)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(b)) as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("unsupported WAV (need 16-bit PCM)")
+        nch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    vals = struct.unpack(f"<{len(raw) // 2}h", raw)
+    if nch == 1:
+        return list(vals)
+    return [sum(vals[i:i + nch]) // nch for i in range(0, len(vals), nch)]
+
+
+def make_demo_wav(freq_frames: list[tuple[int, int]],
+                  rate: int = 8000) -> bytes:
+    """Deterministic PCM16 WAV: concatenated (amplitude, n_frames) square
+    segments — the media fixture for the real audio rung."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        for amp, n in freq_frames:
+            frames = b"".join(
+                struct.pack("<h", amp if i % 2 == 0 else -amp)
+                for i in range(n))
+            w.writeframes(frames)
+    return buf.getvalue()
+
+
 def _decode_features(b: bytes, dim: int = 8) -> list[float]:
-    """REAL pixel features where the container can really decode: BMP and
-    PNG payloads go through the pure-stdlib decoders the OCR rung already
-    uses (sources/parsers.py) and the feature is a ``dim``-bin luminance
-    HISTOGRAM of the actual pixels (mass-normalized) — the rung ladder
-    mirrors S4: real for machine-decodable formats, deterministic fake
-    for the rest."""
+    """REAL features where the container can really decode — the rung
+    ladder mirrors S4 (real for machine-decodable formats, deterministic
+    fake for the rest):
+
+    - BMP / PNG: pure-stdlib pixel decode (the OCR rung's decoders,
+      sources/parsers.py) → ``dim``-bin luminance HISTOGRAM of the actual
+      pixels, mass-normalized.
+    - WAV (RIFF PCM16): stdlib ``wave`` decode → ``dim``-segment ENERGY
+    envelope (mean |sample| per segment, normalized to the overall mean)
+      — the silence/speech profile an audio curation gate keys on.
+    - everything else (JPEG, MP3, video containers): deterministic fake.
+    """
     from multiagent_document_etl_system_spark.sources.parsers import (
         _decode_bmp_24,
         _decode_png,
         _PNG_SIG,
     )
 
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        samples = _decode_wav_pcm16(b)
+        if not samples:
+            raise ValueError("decoded WAV has no frames")
+        seg = max(1, len(samples) // dim)
+        env = []
+        for i in range(dim):
+            chunk = samples[i * seg:(i + 1) * seg] or [0]
+            env.append(sum(abs(x) for x in chunk) / len(chunk))
+        total = sum(env) or 1.0
+        return [e / total for e in env]
     rows = None
     if b[:2] == b"BM":
         rows = _decode_bmp_24(b)

@@ -551,3 +551,26 @@ def test_mm_decode_real_pixels_for_bmp_and_png(spark):
     # BMP and PNG render the same glyphs -> identical histograms
     assert [round(x, 6) for x in out[1].feature] == \
         [round(x, 6) for x in out[2].feature]
+
+
+def test_mm_decode_real_wav_energy_envelope(spark):
+    """Audio rung: a WAV built as loud-then-silent must put its energy
+    mass in the early envelope segments — real PCM decode, not the byte
+    fake. Truncated/garbage RIFF is a per-row decode_error."""
+    from multiagent_document_etl_system_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+        make_demo_wav,
+    )
+
+    loud_then_silent = make_demo_wav([(20_000, 4000), (0, 4000)])
+    rows = [(1, "audio", bytearray(loud_then_silent), None),
+            (2, "audio", bytearray(b"RIFF....WAVEgarbage"), None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_features(df).collect()}
+    feat = out[1].feature
+    assert out[1].decode_error is None
+    assert abs(sum(feat) - 1.0) < 1e-6
+    # first half (loud) carries ~all the mass
+    assert sum(feat[:4]) > 0.99
+    assert out[2].decode_error is not None
