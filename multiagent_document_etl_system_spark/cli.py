@@ -511,6 +511,54 @@ def cmd_stats(args) -> dict:
     }
 
 
+def cmd_prepare(args) -> dict:
+    """The whole training-corpus pipeline as ONE command: curation funnel
+    (gopher gates → decontam → exact + near dedup, PII redacted) →
+    duplicated-span removal → deterministic train/val/test split →
+    sharded train export with a read-back manifest. Each stage is the
+    existing battle-tested command run over the previous stage's output
+    directory; the response carries every stage's observe metrics, so one
+    invocation answers "what did the funnel cost me and what landed on
+    disk".
+
+    Layout under <out_dir>: curated/ (parquet, partitioned by lang),
+    span_clean/, split/ (partitioned by split), shards/ (train only,
+    partitioned by shard, with _manifest). 100 TB posture: nothing here
+    adds a plan on top of the stages — it is sequencing + directory
+    plumbing; every heavy step keeps its own documented shuffle
+    structure."""
+    import argparse as _ap
+
+    base = args.output_dir.rstrip("/")
+    curated = f"{base}/curated"
+    span_clean = f"{base}/span_clean"
+    split_dir = f"{base}/split"
+    shards = f"{base}/shards"
+
+    m_curate = cmd_curate(_ap.Namespace(
+        sf_dir=args.sf_dir, output_dir=curated,
+        checkpoint_dir=getattr(args, "checkpoint_dir", None)))
+    m_span = cmd_span_dedup(_ap.Namespace(
+        docs_parquet=curated, output_dir=span_clean,
+        ngram=args.ngram, min_df=args.min_df))
+    m_split = cmd_split(_ap.Namespace(
+        docs_parquet=span_clean, output_dir=split_dir,
+        val_pct=args.val_pct, test_pct=args.test_pct, id_col="doc_id"))
+    m_shards = cmd_export_shards(_ap.Namespace(
+        docs_parquet=f"{split_dir}/split=train", output_dir=shards,
+        n_shards=args.n_shards, id_col="doc_id", text_col="text",
+        format="parquet"))
+    return {
+        "success": all(m.get("success") for m in
+                       (m_curate, m_span, m_split, m_shards)),
+        "output": base,
+        "curate": {k: v for k, v in m_curate.items() if k != "success"},
+        "span_dedup": {k: v for k, v in m_span.items() if k != "success"},
+        "split": {k: v for k, v in m_split.items() if k != "success"},
+        "shards": {k: v for k, v in m_shards.items() if k != "success"},
+    }
+
+
 def cmd_compact(args) -> dict:
     """Small-file compaction of a parquet table/partition directory —
     see io.compact_parquet (coalesce rewrite + crash-safe swap)."""
@@ -616,6 +664,16 @@ def main(argv=None) -> int:
                          "(higher recall, ~n_planes x the buckets read)")
     aq.add_argument("--output", default=None)
 
+    pr = sub.add_parser("prepare")
+    pr.add_argument("sf_dir")
+    pr.add_argument("output_dir")
+    pr.add_argument("--ngram", type=int, default=3)
+    pr.add_argument("--min-df", type=int, default=2)
+    pr.add_argument("--val-pct", type=int, default=5)
+    pr.add_argument("--test-pct", type=int, default=5)
+    pr.add_argument("--n-shards", type=int, default=8)
+    pr.add_argument("--checkpoint-dir", default=None)
+
     cp = sub.add_parser("compact")
     cp.add_argument("path")
     cp.add_argument("--target-mb", type=int, default=512)
@@ -637,6 +695,7 @@ def main(argv=None) -> int:
            "ann-query": cmd_ann_query,
            "span-dedup": cmd_span_dedup,
            "compact": cmd_compact,
+           "prepare": cmd_prepare,
            "export-shards": cmd_export_shards}[args.cmd](args)
     print(json.dumps(out))
     return 0 if out.get("success", True) else 1

@@ -339,3 +339,31 @@ def test_export_shards_orc_format(spark, tmp_path, capsys):
     assert {r.doc_id for r in data.collect()} == src_ids
     manifest = spark.read.parquet(out + "/_manifest")
     assert sum(r.n_docs for r in manifest.collect()) == len(src_ids)
+
+
+def test_prepare_end_to_end(tmp_path):
+    """The one-command training-corpus pipeline: curate -> span-dedup ->
+    split -> shard. Stage metrics must chain (each stage's input count
+    equals the previous stage's survivors) and the shard manifest must
+    account for exactly the train split."""
+    import contextlib
+    import io as _io
+    import json as _json
+
+    from multiagent_document_etl_system_spark.cli import main
+
+    out = str(tmp_path / "corpus")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["prepare", "/root/testdata/sf0.001", out,
+                   "--n-shards", "4", "--min-df", "3"])
+    assert rc == 0
+    m = _json.loads(buf.getvalue())
+    assert m["success"]
+    assert m["curate"]["n_kept"] == m["span_dedup"]["n_docs"]
+    survivors = m["span_dedup"]["n_docs"] - m["span_dedup"]["docs_emptied"]
+    assert m["split"]["n_total"] == survivors
+    assert m["split"]["n_train"] + m["split"]["n_val"] \
+        + m["split"]["n_test"] == m["split"]["n_total"]
+    assert m["shards"]["n_docs"] == m["split"]["n_train"]
+    assert m["shards"]["n_shards"] == 4
