@@ -3107,3 +3107,52 @@ def q_url_xpath_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_string(xml, F.lit("/d/l")).alias("xp_lang"),
         F.xpath_long(xml, F.lit("/d/n")).cast("bigint").alias("xp_n"),
     )
+
+
+@_q("q_skew_profile", """
+WITH sizes AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS sz FROM events GROUP BY 1
+), ranked AS (
+  SELECT sz,
+    row_number() OVER (ORDER BY sz ASC, user_id ASC) AS r,
+    count(*) OVER () AS n
+  FROM sizes
+)
+SELECT CAST(max(n) AS BIGINT) AS n_keys,
+  CAST(min(sz) AS BIGINT) AS min_sz,
+  CAST(min(CASE WHEN 2 * r >= n THEN sz END) AS BIGINT) AS p50_sz,
+  CAST(min(CASE WHEN 100 * r >= 99 * n THEN sz END) AS BIGINT) AS p99_sz,
+  CAST(max(sz) AS BIGINT) AS max_sz,
+  CAST((100 * max(sz)) // min(CASE WHEN 2 * r >= n THEN sz END)
+       AS BIGINT) AS skew_ratio_q100
+FROM ranked
+""")
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic — the measurement BEHIND the salting decision
+    (q_skew_salted_agg applies the fix; this one tells you whether you
+    need it): per-key group sizes ranked ascending, exact rank-based
+    order statistics (min / p50 / p99 / max — the smallest size whose
+    rank reaches the quantile cut, integer logic, no interpolation) and
+    the max/median ratio on the 1e-2 grid. A ratio near 100 means
+    uniform keys; orders of magnitude above means the biggest key's
+    partition runs that much longer than the typical one — salt or let
+    AQE split it. Plan: one shuffle for the per-key count, then the
+    rank window over the (#keys)-row size relation; at 100 TB the size
+    relation is keys-sized, not corpus-sized."""
+    ev = _t(spark, sf_dir, "events")
+    sizes = ev.groupBy("user_id").agg(F.count("*").alias("sz"))
+    w = Window.orderBy(F.asc("sz"), F.asc("user_id"))
+    ranked = sizes.select(
+        "sz", F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("n"))
+    p50 = F.min(F.when(2 * F.col("r") >= F.col("n"), F.col("sz")))
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_keys"),
+        F.min("sz").cast("bigint").alias("min_sz"),
+        p50.cast("bigint").alias("p50_sz"),
+        F.min(F.when(100 * F.col("r") >= 99 * F.col("n"), F.col("sz")))
+        .cast("bigint").alias("p99_sz"),
+        F.max("sz").cast("bigint").alias("max_sz"),
+        F.expr("(100 * max(sz)) div min(CASE WHEN 2 * r >= n THEN sz END)")
+        .cast("bigint").alias("skew_ratio_q100"),
+    )

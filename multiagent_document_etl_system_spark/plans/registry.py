@@ -4101,6 +4101,7 @@ _QUEUED_FOR_R6 = [
     "q_collation_group",
     "ta_collocations",
     "q_url_xpath_functions",
+    "q_skew_profile",
 ]
 
 

@@ -432,3 +432,26 @@ def test_ewma_matches_python_model_fuzz(spark):
         assert got == want
 
     run()
+
+
+def test_skew_profile_matches_oracle(spark, duck):
+    _diff(spark, duck, "q_skew_profile")
+
+
+def test_skew_profile_order_statistics_model(spark):
+    """Order statistics against a Python model on the real data: the
+    rank-based p50/p99 must equal the ceil-rank order statistic of the
+    actual group-size multiset."""
+    import math
+
+    fn, _ = QUERIES["q_skew_profile"]
+    r = fn(spark, SF_DIR).first()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sizes = sorted(c for (c,) in
+                   ev.groupBy("user_id").count().select("count").collect())
+    n = len(sizes)
+    assert r.n_keys == n
+    assert r.min_sz == sizes[0] and r.max_sz == sizes[-1]
+    assert r.p50_sz == sizes[math.ceil(n / 2) - 1]
+    assert r.p99_sz == sizes[math.ceil(99 * n / 100) - 1]
+    assert r.skew_ratio_q100 == (100 * sizes[-1]) // r.p50_sz
