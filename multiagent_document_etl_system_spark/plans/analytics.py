@@ -3156,3 +3156,57 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(100 * max(sz)) div min(CASE WHEN 2 * r >= n THEN sz END)")
         .cast("bigint").alias("skew_ratio_q100"),
     )
+
+
+def assign_row_ids(df, key_cols: list[str], n_parts: int = 32):
+    """Contiguous global row ids (0-based, dense, ordered by ``key_cols``)
+    WITHOUT a single-partition sort — the scale-safe way to number a
+    corpus. A bare ``row_number() OVER (ORDER BY key)`` moves the whole
+    dataset through ONE task; this instead:
+
+    1. ``repartitionByRange(key)`` — range-ordered partitions (sampled
+       boundaries; their exact placement does not affect the output),
+    2. per-partition rank over ``spark_partition_id()`` — local windows,
+    3. per-partition row counts → cumulative offsets (a #partitions-row
+       relation, broadcast back).
+
+    id = partition offset + local rank - 1 ≡ the global rank by key, for
+    ANY boundary placement — so the result is deterministic and carries a
+    plain ``row_number() OVER (ORDER BY key)`` oracle while the plan
+    never concentrates the data."""
+    key = [F.col(c) for c in key_cols]
+    d = (df.repartitionByRange(n_parts, *key)
+         .withColumn("_pid", F.spark_partition_id()))
+    w_local = Window.partitionBy("_pid").orderBy(*key)
+    local = d.withColumn("_lr", F.row_number().over(w_local))
+    counts = (local.groupBy("_pid").agg(F.count("*").alias("_cnt")))
+    w_cum = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)).alias("_off"))
+    return (local.join(F.broadcast(offsets), "_pid")
+            .withColumn("row_id", (F.col("_off") + F.col("_lr") - 1)
+                        .cast("bigint"))
+            .drop("_pid", "_lr", "_off"))
+
+
+@_q("q_global_row_ids", """
+SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS BIGINT)
+    AS row_id
+FROM documents
+""")
+def q_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global numbering of the corpus by content-hash order — the
+    id-assignment step of corpus preparation (shard positions, sample
+    indices) — built with :func:`assign_row_ids`: range partition +
+    local windows + broadcast offsets instead of the single-partition
+    global sort the naive formulation compiles to. The oracle IS the
+    naive formulation — outputs must match exactly while the plan
+    concentrates only a #partitions-row offset relation. The cumulative-
+    offset window runs over #partitions rows (kilobytes at any corpus
+    size)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("_h"))
+    return assign_row_ids(d, ["_h", "doc_id"]).select("doc_id", "row_id")

@@ -4102,6 +4102,7 @@ _QUEUED_FOR_R6 = [
     "ta_collocations",
     "q_url_xpath_functions",
     "q_skew_profile",
+    "q_global_row_ids",
 ]
 
 

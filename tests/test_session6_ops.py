@@ -455,3 +455,47 @@ def test_skew_profile_order_statistics_model(spark):
     assert r.p50_sz == sizes[math.ceil(n / 2) - 1]
     assert r.p99_sz == sizes[math.ceil(99 * n / 100) - 1]
     assert r.skew_ratio_q100 == (100 * sizes[-1]) // r.p50_sz
+
+
+def test_global_row_ids_matches_oracle(spark, duck):
+    _diff(spark, duck, "q_global_row_ids")
+
+
+def test_assign_row_ids_dense_and_boundary_independent(spark):
+    """ids are a dense 0..n-1 permutation equal to the global key rank,
+    for ANY partition count (boundary placement must not matter)."""
+    from multiagent_document_etl_system_spark.plans.analytics import (
+        assign_row_ids,
+    )
+
+    df = spark.range(0, 1000).withColumn(
+        "k", F.md5(F.col("id").cast("string")))
+    want = {r.id: i for i, r in enumerate(
+        sorted(df.collect(), key=lambda r: (r.k, r.id)))}
+    for n_parts in (1, 7, 64):
+        got = {r.id: r.row_id for r in
+               assign_row_ids(df, ["k", "id"], n_parts=n_parts).collect()}
+        assert got == want, n_parts
+
+
+def test_assign_row_ids_plan_has_no_single_partition_sort(spark):
+    """The point of the operator: no global Sort over a SinglePartition
+    exchange of the DATA — the only SinglePartition exchange feeds the
+    #partitions-row offset window."""
+    from multiagent_document_etl_system_spark.plans.analytics import (
+        assign_row_ids,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("_h"))
+    df = assign_row_ids(d, ["_h", "doc_id"])
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in p, p
+    # the single-partition exchange exists only on the counts side (an
+    # aggregate of _pid), never directly over the corpus scan: every
+    # SinglePartition exchange must sit above a HashAggregate
+    import re
+
+    segs = p.split("Exchange SinglePartition")
+    for seg in segs[1:]:
+        assert "HashAggregate" in seg[:600], p
