@@ -102,6 +102,16 @@ HEADLINE = [
     "q_variant_shred",
     "q_ewma_smooth",
     "v24_graph_pagerank",
+    # session-8 continuation: planning ops, sweeps, diagnostics
+    "td_epoch_plan",
+    "td_curriculum_phases",
+    "ta_collocations",
+    "q_skew_profile",
+    "q_global_row_ids",
+    "q_try_arithmetic",
+    "q_generator_funcs",
+    "q_collation_group",
+    "q_url_xpath_functions",
 ]
 
 
