@@ -1468,6 +1468,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+@_q("dedup_keep_best", f"""
+WITH clusters AS ({dedup.duplicate_clusters_sql(
+    _minhash_pairs_sql(0.3).replace("SELECT id_a, id_b, jaccard",
+                                    "SELECT id_a, id_b"))}),
+scored AS (
+  SELECT c.id, c.rep, {textstats.quality_q1e4_sql('d.text')} AS q
+  FROM clusters c JOIN documents d ON c.id = d.doc_id
+), ranked AS (
+  SELECT id, rep, q,
+    row_number() OVER (PARTITION BY rep ORDER BY q DESC, id ASC) AS rn,
+    count(*) OVER (PARTITION BY rep) AS sz
+  FROM scored
+)
+SELECT rep AS cluster_rep, CAST(sz AS BIGINT) AS cluster_size,
+  id AS keep_id, CAST(q AS BIGINT) AS keep_q1e4
+FROM ranked WHERE rn = 1
+""")
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection: exact duplicates are
+    interchangeable, but NEAR duplicates differ (one copy is truncated,
+    boilerplate-wrapped, or OCR-mangled) — keeping the lowest id throws
+    away quality for determinism. This keeps the argmax-quality member
+    of every MinHash cluster (integer quality grid, id tie-break — still
+    fully deterministic), emitting (cluster_rep, size, kept id, its
+    quality). Composition: LSH pairs → connected components → one
+    per-cluster window over the ids-only cluster relation joined to the
+    quality kernel; the extra cost over dedup_clusters is one
+    hash-partitioned window on rep. Oracle: the recursive-CTE closure
+    plus the same rank logic."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+    clusters = dedup.duplicate_clusters(pairs)
+    scored = clusters.join(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("id"),
+            textstats.quality_q1e4_expr(F.col("text")).alias("q")),
+        "id")
+    w = Window.partitionBy("rep").orderBy(F.desc("q"), F.asc("id"))
+    ranked = scored.select(
+        "id", "rep", "q",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("rep")).alias("sz"))
+    return (ranked.filter(F.col("rn") == 1)
+            .select(F.col("rep").alias("cluster_rep"),
+                    F.col("sz").cast("bigint").alias("cluster_size"),
+                    F.col("id").alias("keep_id"),
+                    F.col("q").cast("bigint").alias("keep_q1e4")))
+
+
 @_q("td_prepare_corpus_v2", f"""
 WITH clusters AS ({dedup.duplicate_clusters_sql(
     _minhash_pairs_sql(0.5).replace("SELECT id_a, id_b, jaccard",
@@ -4103,6 +4151,7 @@ _QUEUED_FOR_R6 = [
     "q_url_xpath_functions",
     "q_skew_profile",
     "q_global_row_ids",
+    "dedup_keep_best",
 ]
 
 

@@ -499,3 +499,34 @@ def test_assign_row_ids_plan_has_no_single_partition_sort(spark):
     segs = p.split("Exchange SinglePartition")
     for seg in segs[1:]:
         assert "HashAggregate" in seg[:600], p
+
+
+def test_dedup_keep_best_matches_oracle(spark, duck):
+    _diff(spark, duck, "dedup_keep_best")
+
+
+def test_dedup_keep_best_picks_quality_argmax(spark):
+    """Within each cluster the kept doc has the max quality (id
+    tie-break), and the kept set covers every cluster exactly once."""
+    from multiagent_document_etl_system_spark.operators import (
+        dedup,
+        textstats,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    clusters = dedup.duplicate_clusters(pairs)
+    q = {r.doc_id: r.q for r in docs.select(
+        "doc_id", textstats.quality_q1e4_expr(F.col("text")).alias("q")
+    ).collect()}
+    members = {}
+    for r in clusters.collect():
+        members.setdefault(r.rep, []).append(r.id)
+    fn, _ = QUERIES["dedup_keep_best"]
+    got = {r.cluster_rep: r for r in fn(spark, SF_DIR).collect()}
+    assert set(got) == set(members)
+    for rep, ids in members.items():
+        best = sorted(ids, key=lambda i: (-q[i], i))[0]
+        assert got[rep].keep_id == best
+        assert got[rep].cluster_size == len(ids)
+        assert got[rep].keep_q1e4 == q[best]
