@@ -363,6 +363,10 @@ _WORKLOAD_BOUNDED_HINTS = {
     "v20_binary_hamming_topk", "v21_recall_matrix",
     "td_decontaminate", "td_curation_funnel",
     "td_semantic_decontaminate",
+    # broadcast side = the per-range-partition OFFSET relation — a keyed
+    # aggregate bounded by n_parts (#partitions rows) by construction,
+    # which the global-agg/limit boundedness detection cannot see
+    "q_global_row_ids",
 }
 
 #: tables whose size is a constant of the schema, not the SF (io.py
