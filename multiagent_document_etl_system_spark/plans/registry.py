@@ -3569,6 +3569,54 @@ def td_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ta_ngram_novelty", f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS __toks
+  FROM documents
+), sh AS (
+  SELECT id, unnest({_SHINGLE_SQL}) AS s FROM toks
+), h AS (
+  SELECT id, {dedup.hash64_sql('s')} AS sh_h FROM sh
+), f AS (
+  SELECT id, min(id) OVER (PARTITION BY sh_h) AS first_id FROM h
+)
+SELECT id AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN first_id = id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  {idiv_round_sql("10000 * sum(CASE WHEN first_id = id THEN 1 ELSE 0 END)",
+                  "count(*)")} AS novelty_q1e4
+FROM f GROUP BY id
+""")
+def ta_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's 3-gram
+    shingles whose FIRST corpus occurrence (min doc_id) is this doc —
+    the contribution/memorization proxy behind "does adding this doc
+    teach the model anything new": near-zero novelty means every phrase
+    already exists earlier in the corpus (boilerplate, syndication,
+    re-crawls), and ordering docs by novelty is the greedy submodular
+    heuristic for coverage-maximizing subset selection. Dual of
+    ta_dup_ngram_coverage (corpus-frequency per doc) — same one-exchange
+    shape: shingles shuffle once as 8-byte hashes for a min-window, then
+    regroup per doc; integer outputs on the 1e-4 grid."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        F.col("doc_id"),
+        F.explode(dedup.shingles(F.col("text"))).alias("s"))
+    sh = sh.select("doc_id", dedup.hash64(F.col("s")).alias("sh_h"))
+    w = Window.partitionBy("sh_h")
+    f = sh.select("doc_id",
+                  F.min("doc_id").over(w).alias("first_id"))
+    novel = F.sum(F.when(F.col("first_id") == F.col("doc_id"), 1)
+                  .otherwise(0)).cast("bigint")
+    return (f.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_shingles"),
+                 novel.alias("n_novel"))
+            .select("doc_id", "n_shingles", "n_novel",
+                    idiv_round(F.col("n_novel") * F.lit(10_000),
+                               F.col("n_shingles")).alias("novelty_q1e4")))
+
+
 @_q("ta_dup_ngram_coverage", f"""
 WITH sh AS (
   SELECT doc_id, unnest({_SHINGLE_SQL}) AS s
@@ -4152,6 +4200,7 @@ _QUEUED_FOR_R6 = [
     "q_skew_profile",
     "q_global_row_ids",
     "dedup_keep_best",
+    "ta_ngram_novelty",
 ]
 
 

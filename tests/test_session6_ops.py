@@ -530,3 +530,33 @@ def test_dedup_keep_best_picks_quality_argmax(spark):
         assert got[rep].keep_id == best
         assert got[rep].cluster_size == len(ids)
         assert got[rep].keep_q1e4 == q[best]
+
+
+def test_ngram_novelty_matches_oracle(spark, duck):
+    _diff(spark, duck, "ta_ngram_novelty")
+
+
+def test_ngram_novelty_planted(spark):
+    """Planted corpus: doc 1 is all-original (novelty 10000); doc 2 is a
+    verbatim copy (novelty 0); doc 3 is half copied from doc 1."""
+    from multiagent_document_etl_system_spark.operators import dedup
+
+    d1 = "alpha beta gamma delta epsilon zeta"
+    d3 = "alpha beta gamma delta nu xi omicron pi"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d1), (3, d3)], "doc_id long, text string")
+    sh = df.select("doc_id",
+                   F.explode(dedup.shingles(F.col("text"))).alias("s"))
+    sh = sh.select("doc_id", dedup.hash64(F.col("s")).alias("sh_h"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sh_h")
+    f = sh.select("doc_id", F.min("doc_id").over(w).alias("first_id"))
+    out = {r.doc_id: r for r in (
+        f.groupBy("doc_id")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.when(F.col("first_id") == F.col("doc_id"), 1)
+                   .otherwise(0)).alias("novel"))).collect()}
+    assert out[1].novel == out[1].n          # everything first-seen here
+    assert out[2].novel == 0                 # verbatim copy
+    assert 0 < out[3].novel < out[3].n       # half borrowed
