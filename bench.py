@@ -112,6 +112,8 @@ HEADLINE = [
     "q_generator_funcs",
     "q_collation_group",
     "q_url_xpath_functions",
+    "dedup_keep_best",
+    "ta_ngram_novelty",
 ]
 
 
