@@ -559,6 +559,57 @@ def cmd_prepare(args) -> dict:
     }
 
 
+def cmd_validate(args) -> dict:
+    """Data-quality validation suite over the star schema + corpus —
+    constraint checks of the kind a warehouse runs before trusting a
+    drop: primary-key uniqueness, NOT-NULL, referential integrity
+    (anti-join orphan counts), domain rules, and derived-column
+    consistency. Each rule is one aggregate or anti-join (scale-shaped:
+    FK checks shuffle ids only; AQE broadcasts the dim side), and the
+    response carries per-rule violation counts so a failure is
+    actionable, not boolean."""
+    from multiagent_document_etl_system_spark.io import load_table
+
+    spark = get_spark("doc-etl-validate")
+    t = lambda n: load_table(spark, args.sf_dir, n)  # noqa: E731
+
+    docs, orders, cust = t("documents"), t("orders"), t("customer")
+    li, nation = t("lineitem"), t("nation")
+    checks: dict[str, int] = {}
+
+    def dup_keys(df, col):
+        return (df.groupBy(col).count().filter(F.col("count") > 1)
+                .agg(F.coalesce(F.sum("count"), F.lit(0))).first()[0])
+
+    # primary-key uniqueness
+    checks["documents.doc_id_unique"] = int(dup_keys(docs, "doc_id"))
+    checks["orders.o_orderkey_unique"] = int(dup_keys(orders, "o_orderkey"))
+    # NOT NULL
+    checks["documents.text_not_null"] = docs.filter(
+        F.col("text").isNull()).count()
+    # referential integrity: FK anti-joins (orphan rows)
+    checks["orders.custkey_fk"] = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti").count()
+    checks["lineitem.orderkey_fk"] = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti").count()
+    checks["customer.nationkey_fk"] = cust.join(
+        nation, cust.c_nationkey == nation.n_nationkey,
+        "left_anti").count()
+    # domain rules
+    checks["documents.lang_in_domain"] = docs.filter(
+        ~F.col("lang").isin("en", "de", "fr", "es", "zh")).count()
+    checks["lineitem.qty_positive"] = li.filter(
+        F.col("l_quantity") <= 0).count()
+    # derived-column consistency
+    checks["documents.n_chars_consistent"] = docs.filter(
+        F.col("n_chars") != F.coalesce(F.length("text"), F.lit(0))
+    ).count()
+    failed = {k: v for k, v in checks.items() if v}
+    return {"success": not failed, "sf_dir": args.sf_dir,
+            "n_rules": len(checks), "n_failed": len(failed),
+            "violations": checks}
+
+
 def cmd_compact(args) -> dict:
     """Small-file compaction of a parquet table/partition directory —
     see io.compact_parquet (coalesce rewrite + crash-safe swap)."""
@@ -674,6 +725,9 @@ def main(argv=None) -> int:
     pr.add_argument("--n-shards", type=int, default=8)
     pr.add_argument("--checkpoint-dir", default=None)
 
+    va = sub.add_parser("validate")
+    va.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     cp = sub.add_parser("compact")
     cp.add_argument("path")
     cp.add_argument("--target-mb", type=int, default=512)
@@ -696,6 +750,7 @@ def main(argv=None) -> int:
            "span-dedup": cmd_span_dedup,
            "compact": cmd_compact,
            "prepare": cmd_prepare,
+           "validate": cmd_validate,
            "export-shards": cmd_export_shards}[args.cmd](args)
     print(json.dumps(out))
     return 0 if out.get("success", True) else 1

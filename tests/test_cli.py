@@ -367,3 +367,45 @@ def test_prepare_end_to_end(tmp_path):
         + m["split"]["n_test"] == m["split"]["n_total"]
     assert m["shards"]["n_docs"] == m["split"]["n_train"]
     assert m["shards"]["n_shards"] == 4
+
+
+def test_validate_passes_on_clean_data_and_catches_violations(spark,
+                                                              tmp_path):
+    """The validation suite passes on the generated testdata; a corpus
+    with planted violations (duplicate key, NULL text, unknown lang,
+    inconsistent n_chars) reports each rule's violation count."""
+    import contextlib
+    import io as _io
+    import json as _json
+
+    from multiagent_document_etl_system_spark.cli import main
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["validate", "--sf-dir", "/root/testdata/sf0.001"])
+    m = _json.loads(buf.getvalue())
+    assert rc == 0 and m["success"] and m["n_failed"] == 0
+
+    # planted-violation corpus: copy the tables, corrupt documents
+    bad = tmp_path / "bad_sf"
+    bad.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet") \
+            .write.parquet(str(bad / f"{t}.parquet"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    planted = docs.union(docs.limit(1)) \
+        .union(spark.createDataFrame(
+            [(999_999, None, "xx", "srcX", 5)], docs.schema))
+    planted.write.parquet(str(bad / "documents.parquet"))
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["validate", "--sf-dir", str(bad)])
+    m = _json.loads(buf.getvalue())
+    assert rc == 1 and not m["success"]
+    v = m["violations"]
+    assert v["documents.doc_id_unique"] == 2     # both copies counted
+    assert v["documents.text_not_null"] == 1
+    assert v["documents.lang_in_domain"] == 1
+    assert v["documents.n_chars_consistent"] == 1
