@@ -560,3 +560,52 @@ def test_ngram_novelty_planted(spark):
     assert out[1].novel == out[1].n          # everything first-seen here
     assert out[2].novel == 0                 # verbatim copy
     assert 0 < out[3].novel < out[3].n       # half borrowed
+
+
+def _epoch_plan_model(tokens_by_source: dict[str, int]):
+    import math
+
+    def isqrt_exact(x: int) -> int:
+        return math.isqrt(x)
+
+    s = {k: isqrt_exact(v * 10_000) for k, v in tokens_by_source.items()}
+    t_total = sum(tokens_by_source.values())
+    s_total = sum(s.values())
+    budget = t_total // 2
+    out = {}
+    for k, tok in tokens_by_source.items():
+        alloc = (s[k] * budget) // s_total
+        epochs = min(400, (100 * alloc) // max(tok, 1))
+        out[k] = (tok, alloc, epochs, min(alloc, 4 * tok), alloc > 4 * tok)
+    return out
+
+
+def test_epoch_plan_matches_python_model_fuzz(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from multiagent_document_etl_system_spark.operators import curation
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.tuples(st.sampled_from("abcdef"),
+                              st.text("xy z", min_size=0, max_size=40)),
+                    min_size=1, max_size=30))
+    def run(rows):
+        df = spark.createDataFrame(
+            [(i, txt, "en", f"s{src}", len(txt))
+             for i, (src, txt) in enumerate(rows)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        got = {r.source: (r.n_tokens, r.alloc_tokens, r.epochs_q100,
+                          r.planned_tokens, r.data_constrained)
+               for r in curation.epoch_plan(df).collect()}
+        # token model: whitespace split of TRIMMED text, '' counts 1
+        # (size(tokens(text)) semantics — split of '' yields [''])
+        toks = {}
+        for src, txt in rows:
+            stripped = txt.strip()
+            n = 1 if stripped == "" else len(stripped.split())
+            toks[f"s{src}"] = toks.get(f"s{src}", 0) + n
+        want = _epoch_plan_model(toks)
+        assert got == want
+
+    run()
