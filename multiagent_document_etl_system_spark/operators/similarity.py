@@ -1281,8 +1281,9 @@ WITH sig AS (
                        ORDER BY score_q DESC, id_b ASC) AS rank
   FROM pairs QUALIFY rank <= {k}
 ), mutual AS (
-  SELECT e.id_a AS src, e.id_b AS dst
-  FROM edges e SEMI JOIN edges r ON e.id_a = r.id_b AND e.id_b = r.id_a
+  SELECT e.id_a AS src, e.id_b AS dst FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges r
+                WHERE e.id_a = r.id_b AND e.id_b = r.id_a)
 ), deg AS (
   SELECT src, CAST(count(*) AS BIGINT) AS deg FROM mutual GROUP BY src
 ), r0 AS (
