@@ -2316,6 +2316,25 @@ def ta_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", textstats.lang_id_expr(F.col("text")).alias("lang_pred"))
 
 
+@_q("ta_lang_confusion", f"""
+SELECT lang AS lang_true, {textstats.lang_id_sql('text')} AS lang_pred,
+  CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2
+""")
+def ta_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX: the n-gram heuristic's predictions
+    rolled up against the labeled lang column — the evaluation artifact
+    that tells you per-language where the classifier is trustworthy
+    before you gate a 100 TB corpus on it (off-diagonal mass = docs a
+    lang-keyed pipeline would route to the wrong curation thresholds).
+    One scan + one tiny (#langs² max) rollup."""
+    d = _docs(spark, sf_dir)
+    return (d.groupBy(
+        F.col("lang").alias("lang_true"),
+        textstats.lang_id_expr(F.col("text")).alias("lang_pred"))
+        .agg(F.count("*").alias("n")))
+
+
 @_q("ta_quality_score",
     f"SELECT doc_id, {textstats.quality_q1e4_sql('text')} AS quality_q1e4 "
     f"FROM documents")
@@ -4201,6 +4220,7 @@ _QUEUED_FOR_R6 = [
     "q_global_row_ids",
     "dedup_keep_best",
     "ta_ngram_novelty",
+    "ta_lang_confusion",
 ]
 
 

@@ -609,3 +609,30 @@ def test_epoch_plan_matches_python_model_fuzz(spark):
         assert got == want
 
     run()
+
+
+def test_lang_confusion_matches_oracle(spark, duck):
+    _diff(spark, duck, "ta_lang_confusion")
+
+
+def test_lang_confusion_totals_and_diagonal(spark):
+    """Row sums equal per-language doc counts; the English diagonal
+    carries the majority of English mass. The matrix itself is the
+    interesting artifact here: on the SYNTHETIC corpus the stopword
+    heuristic only reliably detects en (the non-en testdata is random
+    wordforms without each language's function words), which is exactly
+    the per-language trust report this query exists to produce — a real
+    deployment reads it before lang-gating anything."""
+    fn, _ = QUERIES["ta_lang_confusion"]
+    rows = fn(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_lang = {r.lang: r.n for r in
+                docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sums = {}
+    diag = {}
+    for r in rows:
+        sums[r.lang_true] = sums.get(r.lang_true, 0) + r.n
+        if r.lang_pred == r.lang_true:
+            diag[r.lang_true] = r.n
+    assert sums == per_lang
+    assert diag.get("en", 0) * 2 > per_lang["en"]
