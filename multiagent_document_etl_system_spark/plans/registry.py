@@ -2316,6 +2316,29 @@ def ta_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", textstats.lang_id_expr(F.col("text")).alias("lang_pred"))
 
 
+_DEDUPED_DOCS_SQL = """(
+  SELECT d.* FROM documents d
+  JOIN (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)) k
+    ON d.doc_id = k.keep_id
+) AS deduped"""
+
+
+@_q("td_mix_post_dedup", curation.temperature_mix_sql(
+    table=_DEDUPED_DOCS_SQL))
+def td_mix_post_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing computed on the DEDUPED corpus — the ordering
+    pitfall this query exists to encode: mixing weights derived before
+    dedup over-weight the sources whose volume is duplication (a source
+    that is 50% copies contributes half its apparent mass), so the mix
+    must be computed on survivors. Same exact-integer isqrt machinery as
+    td_temperature_mix, fed by the exact-dedup keep set; diffing the two
+    queries' shares quantifies how much each source's weight was
+    duplication. Plan: one md5 window for the survivor set + the
+    one-scan mix shape."""
+    survivors = dedup.exact_dedup(_docs(spark, sf_dir))
+    return curation.temperature_mix(survivors)
+
+
 @_q("ta_lang_confusion", f"""
 SELECT lang AS lang_true, {textstats.lang_id_sql('text')} AS lang_pred,
   CAST(count(*) AS BIGINT) AS n
@@ -4221,6 +4244,7 @@ _QUEUED_FOR_R6 = [
     "dedup_keep_best",
     "ta_ngram_novelty",
     "ta_lang_confusion",
+    "td_mix_post_dedup",
 ]
 
 

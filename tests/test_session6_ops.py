@@ -636,3 +636,23 @@ def test_lang_confusion_totals_and_diagonal(spark):
             diag[r.lang_true] = r.n
     assert sums == per_lang
     assert diag.get("en", 0) * 2 > per_lang["en"]
+
+
+def test_mix_post_dedup_matches_oracle(spark, duck):
+    _diff(spark, duck, "td_mix_post_dedup")
+
+
+def test_mix_post_dedup_counts_survivors_only(spark):
+    """Per-source n_docs equals the exact-dedup survivor count, never the
+    raw count, and total survivors == distinct text hashes."""
+    from multiagent_document_etl_system_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    surv = dedup.exact_dedup(docs)
+    want = {r.source: r.n for r in
+            surv.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    fn, _ = QUERIES["td_mix_post_dedup"]
+    got = {r.source: r.n_docs for r in fn(spark, SF_DIR).collect()}
+    assert got == want
+    assert sum(got.values()) == \
+        docs.select(F.md5("text")).distinct().count()
