@@ -4102,6 +4102,71 @@ def v23_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_graph_stats(_emb(spark, sf_dir), dim=64)
 
 
+@_q("v25_centroid_outliers", """
+WITH xq AS (
+  SELECT vec_id, label, i,
+    CAST(floor(embedding[i] * 1000000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, generate_series(1, 64) g(i)
+), comp AS (
+  SELECT label, i, CAST(sum(q) AS HUGEINT) AS s,
+    CAST(count(*) AS HUGEINT) AS n
+  FROM xq GROUP BY 1, 2
+), d AS (
+  SELECT x.vec_id, x.label,
+    sum((c.n * x.q - c.s) * (c.n * x.q - c.s)) AS d2n2,
+    max(c.n) AS n
+  FROM xq x JOIN comp c ON x.label = c.label AND x.i = c.i
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT label, vec_id,
+    CAST(d2n2 // (n * n * 100000000) AS BIGINT) AS d2_q1e4,
+    row_number() OVER (PARTITION BY label
+                       ORDER BY d2n2 DESC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT CAST(label AS INT) AS label, vec_id,
+  CAST(rank AS BIGINT) AS rank, d2_q1e4
+FROM ranked WHERE rank <= 5
+""")
+def v25_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding OUTLIERS: the 5 vectors farthest from their
+    own label centroid — the curation op behind prototype-based outlier
+    removal (mislabeled / off-distribution members of a semantic class).
+    The whole score is EXACT integer arithmetic: with xq = the 1e-6 grid
+    components and (s, n) the per-(label, dim) scaled sums, the squared
+    distance to the mean scales as Σ(n·xq − s)² — an integer (DECIMAL
+    38 / HUGEINT; at n = 10⁹ vectors the summand peaks ~10³⁰, well under
+    int128) — so the ranking has a single deterministic value on both
+    engines and the emitted distance rides the 1e-4 grid via one floor
+    division. Plan: component explode → (label, dim) partial-agg sums →
+    equi-join back on (label, dim) → per-vector sum → per-label top-5
+    window (WindowGroupLimit). Same explode volume class as
+    v9_label_centroids."""
+    e = _emb(spark, sf_dir)
+    xq = e.select(
+        "vec_id", "label",
+        F.posexplode(F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5))
+            .cast("bigint"))).alias("i", "q"))
+    comp = (xq.groupBy("label", "i")
+            .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+                 F.count("*").cast("decimal(38,0)").alias("n")))
+    term = (F.col("n") * F.col("q").cast("decimal(38,0)") - F.col("s"))
+    d = (xq.join(comp, ["label", "i"])
+         .select("vec_id", "label", (term * term).alias("t2"), "n")
+         .groupBy("vec_id", "label")
+         .agg(F.sum("t2").alias("d2n2"), F.max("n").alias("n")))
+    denom = F.col("n") * F.col("n") * F.lit(100_000_000).cast("decimal(38,0)")
+    w = Window.partitionBy("label").orderBy(F.desc("d2n2"), F.asc("vec_id"))
+    return (d.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select(F.col("label").cast("int").alias("label"), "vec_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    ((F.col("d2n2") - F.col("d2n2") % denom) / denom)
+                    .cast("bigint").alias("d2_q1e4")))
+
+
 @_q("v24_graph_pagerank", similarity.graph_pagerank_sql())
 def v24_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank over the mutual-kNN similarity graph — graph
@@ -4245,6 +4310,7 @@ _QUEUED_FOR_R6 = [
     "ta_ngram_novelty",
     "ta_lang_confusion",
     "td_mix_post_dedup",
+    "v25_centroid_outliers",
 ]
 
 

@@ -656,3 +656,33 @@ def test_mix_post_dedup_counts_survivors_only(spark):
     assert got == want
     assert sum(got.values()) == \
         docs.select(F.md5("text")).distinct().count()
+
+
+def test_centroid_outliers_matches_oracle(spark, duck):
+    _diff(spark, duck, "v25_centroid_outliers")
+
+
+def test_centroid_outliers_matches_numpy_model(spark):
+    """The exact integer ranking must agree with a float NumPy
+    distance-to-centroid computed on the SAME 1e-6 grid components."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label = {}
+    for r in emb:
+        q = np.floor(np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5)
+        by_label.setdefault(r.label, []).append((r.vec_id, q))
+    want = {}
+    for lab, rows in by_label.items():
+        n = len(rows)
+        s = np.sum([q for _, q in rows], axis=0)
+        scored = sorted(
+            ((int((n * q - s).astype(object) @ (n * q - s).astype(object)),
+              vid) for vid, q in rows),
+            key=lambda t: (-t[0], t[1]))
+        want[lab] = [vid for _, vid in scored[:5]]
+    fn, _ = QUERIES["v25_centroid_outliers"]
+    got = {}
+    for r in sorted(fn(spark, SF_DIR).collect(), key=lambda r: r.rank):
+        got.setdefault(r.label, []).append(r.vec_id)
+    assert got == want
