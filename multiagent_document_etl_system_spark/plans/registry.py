@@ -2270,6 +2270,47 @@ def td_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("td_pack_utilization", f"""
+WITH packed AS (
+  SELECT lang, doc_id, n_tokens,
+    CAST(floor(coalesce(sum(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+      AS BIGINT) AS shard_id
+  FROM (SELECT lang, doc_id, {textstats.token_count_sql('text')} AS n_tokens
+        FROM documents)
+), per_shard AS (
+  SELECT lang, shard_id, CAST(sum(n_tokens) AS BIGINT) AS toks
+  FROM packed GROUP BY 1, 2
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_shards,
+  CAST(sum(toks) AS BIGINT) AS n_tokens,
+  {idiv_round_sql("10000 * sum(toks)", "2000 * count(*)")}
+    AS utilization_q1e4,
+  CAST(max(toks) AS BIGINT) AS max_shard_tokens
+FROM per_shard GROUP BY lang
+""")
+def td_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over td_token_budget_pack's assignment:
+    per language, shard count, token mass, UTILIZATION (tokens per
+    2000-token budget slot, 1e-4 grid — the padding-waste number a
+    training loader cares about; prefix-sum packing overflows a shard
+    rather than splitting a doc, so utilization can exceed 10000), and
+    the largest shard. Composition: the same distributed two-phase
+    prefix-sum, then two tiny rollups (shards, then langs)."""
+    packed = td_token_budget_pack(spark, sf_dir)
+    per_shard = (packed.groupBy("lang", "shard_id")
+                 .agg(F.sum("n_tokens").alias("toks")))
+    return (per_shard.groupBy("lang")
+            .agg(F.count("*").alias("n_shards"),
+                 F.sum("toks").cast("bigint").alias("n_tokens"),
+                 idiv_round(F.lit(10_000) * F.sum("toks"),
+                            F.lit(2000) * F.count("*"))
+                 .alias("utilization_q1e4"),
+                 F.max("toks").cast("bigint").alias("max_shard_tokens")))
+
+
 @_q("ta_token_stats", f"""
 SELECT doc_id,
   {textstats.token_count_sql('text')} AS n_tokens,
@@ -4311,6 +4352,7 @@ _QUEUED_FOR_R6 = [
     "ta_lang_confusion",
     "td_mix_post_dedup",
     "v25_centroid_outliers",
+    "td_pack_utilization",
 ]
 
 

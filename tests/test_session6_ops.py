@@ -686,3 +686,24 @@ def test_centroid_outliers_matches_numpy_model(spark):
     for r in sorted(fn(spark, SF_DIR).collect(), key=lambda r: r.rank):
         got.setdefault(r.label, []).append(r.vec_id)
     assert got == want
+
+
+def test_pack_utilization_matches_oracle(spark, duck):
+    _diff(spark, duck, "td_pack_utilization")
+
+
+def test_pack_utilization_consistent_with_pack(spark):
+    """The report must re-aggregate the pack assignment exactly: shard
+    counts and token masses equal a direct rollup of
+    td_token_budget_pack's output."""
+    packed = QUERIES["td_token_budget_pack"][0](spark, SF_DIR).collect()
+    shards = {}
+    toks = {}
+    for r in packed:
+        shards.setdefault(r.lang, set()).add(r.shard_id)
+        toks[r.lang] = toks.get(r.lang, 0) + r.n_tokens
+    got = {r.lang: r for r in
+           QUERIES["td_pack_utilization"][0](spark, SF_DIR).collect()}
+    for lang in shards:
+        assert got[lang].n_shards == len(shards[lang])
+        assert got[lang].n_tokens == toks[lang]
