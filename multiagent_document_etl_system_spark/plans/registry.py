@@ -4208,6 +4208,111 @@ def v25_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("d2_q1e4")))
 
 
+@_q("v26_label_separation", """
+WITH xq AS (
+  SELECT vec_id, label, i,
+    CAST(floor(embedding[i] * 1000000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, generate_series(1, 64) g(i)
+), comp AS (
+  SELECT label, i, CAST(sum(q) AS HUGEINT) AS s,
+    CAST(count(*) AS HUGEINT) AS n,
+    CAST(floor(CAST(sum(q) AS DOUBLE) / 1000000.0 / count(*) * 10000.0
+               + 0.5) AS BIGINT) AS m_q
+  FROM xq GROUP BY 1, 2
+), intra AS (
+  SELECT x.label,
+    sum((c.n * x.q - c.s) * (c.n * x.q - c.s)) AS d2n2_sum,
+    max(c.n) AS n
+  FROM xq x JOIN comp c ON x.label = c.label AND x.i = c.i
+  GROUP BY 1
+), inter AS (
+  SELECT a.label AS label, b.label AS other,
+    CAST(sum((a.m_q - b.m_q) * (a.m_q - b.m_q)) // 10000 AS BIGINT)
+      AS inter_d2_q1e4,
+    row_number() OVER (PARTITION BY a.label
+                       ORDER BY sum((a.m_q - b.m_q) * (a.m_q - b.m_q)) ASC,
+                                b.label ASC) AS rn
+  FROM comp a JOIN comp b ON a.i = b.i AND a.label <> b.label
+  GROUP BY 1, 2
+)
+SELECT CAST(t.label AS INT) AS label,
+  CAST(t.n AS BIGINT) AS n_vectors,
+  CAST((10000 * t.d2n2_sum) // (t.n * t.n * t.n * 1000000000000)
+       AS BIGINT) AS intra_mean_d2_q1e4,
+  CAST(i.other AS INT) AS nearest_label,
+  i.inter_d2_q1e4,
+  i.inter_d2_q1e4
+    - CAST((10000 * t.d2n2_sum) // (t.n * t.n * t.n * 1000000000000)
+           AS BIGINT) AS margin_q1e4
+FROM intra t JOIN inter i ON t.label = i.label AND i.rn = 1
+""")
+def v26_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality / separability report per label: the mean squared
+    distance of members to their own centroid (intra spread) against the
+    squared distance to the NEAREST other centroid (inter margin) — the
+    silhouette-style diagnostic behind "are these semantic classes
+    usable as curation strata". Intra rides the same exact
+    Σ(n·q − s)² integer machinery as v25_centroid_outliers (one floor
+    division onto the 1e-4 grid at the end); inter distances are
+    computed between the 1e-4-grid centroid components that
+    v9_label_centroids proved single-valued cross-engine (driver-green
+    r04), so every comparison and the argmin ranking are pure integer
+    logic at ANY vector count. Plan: component explode + (label, dim)
+    sums (the v9 shape), one join-back for intra, and a centroid
+    self-join that is (#labels·dim)-sized — kilobytes regardless of
+    corpus size."""
+    e = _emb(spark, sf_dir)
+    xq = e.select(
+        "vec_id", "label",
+        F.posexplode(F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5))
+            .cast("bigint"))).alias("i", "q"))
+    comp = (xq.groupBy("label", "i")
+            .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+                 F.count("*").cast("decimal(38,0)").alias("n")))
+    comp = comp.withColumn(
+        "m_q",
+        F.floor(F.col("s").cast("double") / 1000000.0 / F.col("n")
+                * 10000.0 + F.lit(0.5)).cast("bigint"))
+    term = (F.col("n") * F.col("q").cast("decimal(38,0)") - F.col("s"))
+    intra = (xq.join(comp, ["label", "i"])
+             .select("label", (term * term).alias("t2"), "n")
+             .groupBy("label")
+             .agg(F.sum("t2").alias("d2n2_sum"), F.max("n").alias("n")))
+    a = comp.select(F.col("label").alias("la"), "i",
+                    F.col("m_q").alias("ma"))
+    b = comp.select(F.col("label").alias("lb"), "i",
+                    F.col("m_q").alias("mb"))
+    pair = (a.join(b, "i").filter(F.col("la") != F.col("lb"))
+            .groupBy("la", "lb")
+            .agg(F.sum((F.col("ma") - F.col("mb"))
+                       * (F.col("ma") - F.col("mb"))).alias("ss")))
+    w = Window.partitionBy("la").orderBy(F.asc("ss"), F.asc("lb"))
+    nearest = (pair.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select(F.col("la").alias("label"),
+                       F.col("lb").alias("nearest_label"),
+                       F.expr("ss div 10000").cast("bigint")
+                       .alias("inter_d2_q1e4")))
+    d12 = F.lit(10_000).cast("decimal(38,0)")
+    den = (F.col("n") * F.col("n") * F.col("n")
+           * F.lit(1_000_000_000_000).cast("decimal(38,0)"))
+    num = d12 * F.col("d2n2_sum")
+    intra_q = ((num - num % den) / den).cast("bigint")
+    return (intra.select(F.col("label"), F.col("n"),
+                         intra_q.alias("intra_mean_d2_q1e4"))
+            .join(nearest, "label")
+            .select(F.col("label").cast("int").alias("label"),
+                    F.col("n").cast("bigint").alias("n_vectors"),
+                    "intra_mean_d2_q1e4",
+                    F.col("nearest_label").cast("int")
+                    .alias("nearest_label"),
+                    "inter_d2_q1e4",
+                    (F.col("inter_d2_q1e4")
+                     - F.col("intra_mean_d2_q1e4")).alias("margin_q1e4")))
+
+
 @_q("v24_graph_pagerank", similarity.graph_pagerank_sql())
 def v24_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank over the mutual-kNN similarity graph — graph
@@ -4353,6 +4458,7 @@ _QUEUED_FOR_R6 = [
     "td_mix_post_dedup",
     "v25_centroid_outliers",
     "td_pack_utilization",
+    "v26_label_separation",
 ]
 
 

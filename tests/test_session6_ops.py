@@ -707,3 +707,43 @@ def test_pack_utilization_consistent_with_pack(spark):
     for lang in shards:
         assert got[lang].n_shards == len(shards[lang])
         assert got[lang].n_tokens == toks[lang]
+
+
+def test_label_separation_matches_oracle(spark, duck):
+    _diff(spark, duck, "v26_label_separation")
+
+
+def test_label_separation_planted_clusters(spark):
+    """Two tight well-separated synthetic clusters: margin must be large
+    and positive, nearest labels must point at each other, and intra
+    spread must reflect the planted jitter."""
+    import random
+
+    rng = random.Random(3)
+    dim = 64
+    rows = []
+    for vid in range(20):
+        base = [1.0] + [0.0] * (dim - 1)
+        rows.append((vid, [v + rng.uniform(-0.01, 0.01) for v in base], 0))
+    for vid in range(20, 40):
+        base = [0.0] * (dim - 1) + [1.0]
+        rows.append((vid, [v + rng.uniform(-0.01, 0.01) for v in base], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    # run the public query over a temp sf dir holding the planted table
+    import tempfile
+
+    from multiagent_document_etl_system_spark.plans import registry
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    fn, _ = registry.QUERIES["v26_label_separation"]
+    out = {r.label: r for r in fn(spark, d).collect()}
+    assert set(out) == {0, 1}
+    for lab, other in ((0, 1), (1, 0)):
+        r = out[lab]
+        assert r.nearest_label == other
+        assert r.n_vectors == 20
+        assert r.margin_q1e4 > 0
+        # planted jitter: intra spread is tiny vs the unit separation
+        assert r.inter_d2_q1e4 > 100 * max(r.intra_mean_d2_q1e4, 1)
