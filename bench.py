@@ -114,6 +114,11 @@ HEADLINE = [
     "q_url_xpath_functions",
     "dedup_keep_best",
     "ta_ngram_novelty",
+    "ta_lang_confusion",
+    "td_mix_post_dedup",
+    "td_pack_utilization",
+    "v25_centroid_outliers",
+    "v26_label_separation",
     # streaming throughput: the fn() call itself RUNS the availableNow
     # stream (memory sink), so these are in REBUILD_PER_REP — each rep
     # re-executes the full micro-batch pipeline, and the timed number is
