@@ -3210,3 +3210,59 @@ def q_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("_h"))
     return assign_row_ids(d, ["_h", "doc_id"]).select("doc_id", "row_id")
+
+
+@_q("q_cross_join_dims", """
+SELECT r.r_name, n.n_name,
+  CAST(CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS INT)
+    AS is_member
+FROM region r CROSS JOIN nation n
+""")
+def q_cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN — sanctioned ONLY between bounded dimension
+    relations (5 regions x 25 nations = 125 rows; the plan linter bans
+    cartesians over anything SF-scaling). The membership flag makes it
+    the dense grid/one-hot construction pattern (every (region, nation)
+    cell, member or not) that report matrices and feature crosses use."""
+    r = _t(spark, sf_dir, "region").select("r_name", "r_regionkey")
+    n = _t(spark, sf_dir, "nation").select("n_name", "n_regionkey")
+    return r.crossJoin(n).select(
+        "r_name", "n_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1)
+        .otherwise(0).cast("int").alias("is_member"))
+
+
+@_q("q_explode_outer", """
+WITH seqs AS (
+  SELECT event_id,
+    CASE WHEN event_id % 4 = 0 THEN []
+         ELSE [x for x in range(1, CAST(event_id % 4 AS BIGINT) + 1)]
+    END AS arr
+  FROM events
+), ex AS (
+  SELECT event_id,
+    unnest(CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END) AS v
+  FROM seqs
+)
+SELECT CAST(v AS BIGINT) AS v,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM ex GROUP BY 1
+""")
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-preserving lateral expansion (``explode_outer`` / Generate
+    outer=true): rows whose array is EMPTY survive as a NULL element
+    instead of vanishing — the semantics difference that silently drops
+    records under plain explode (a doc with no attachments disappears
+    from an attachments report). Every event_id ≡ 0 (mod 4) gets an
+    empty array and must appear in the NULL group; the oracle emulates
+    outer-unnest with a [NULL] substitution."""
+    ev = _t(spark, sf_dir, "events")
+    arr = F.when(F.col("event_id") % 4 == 0,
+                 F.array().cast("array<bigint>")) \
+        .otherwise(F.sequence(F.lit(1).cast("bigint"),
+                              (F.col("event_id") % 4).cast("bigint")))
+    g = ev.select("event_id", F.explode_outer(arr).alias("v"))
+    return (g.groupBy("v")
+            .agg(F.count("*").alias("n"),
+                 F.sum("event_id").cast("bigint").alias("sum_event_id")))

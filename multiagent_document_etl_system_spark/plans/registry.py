@@ -4459,6 +4459,8 @@ _QUEUED_FOR_R6 = [
     "v25_centroid_outliers",
     "td_pack_utilization",
     "v26_label_separation",
+    "q_cross_join_dims",
+    "q_explode_outer",
 ]
 
 

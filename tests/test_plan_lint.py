@@ -15,5 +15,6 @@ def test_lint_sanction_lists_name_real_queries(spark):
 
     from multiagent_document_etl_system_spark.plans.registry import QUERIES
 
-    stale = (plan_lint.PYTHON_OK | plan_lint.BNLJ_OK) - set(QUERIES)
+    stale = (plan_lint.PYTHON_OK | plan_lint.BNLJ_OK
+         | plan_lint.CARTESIAN_OK) - set(QUERIES)
     assert not stale, stale

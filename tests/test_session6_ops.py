@@ -747,3 +747,21 @@ def test_label_separation_planted_clusters(spark):
         assert r.margin_q1e4 > 0
         # planted jitter: intra spread is tiny vs the unit separation
         assert r.inter_d2_q1e4 > 100 * max(r.intra_mean_d2_q1e4, 1)
+
+
+def test_cross_join_dims_matches_oracle(spark, duck):
+    _diff(spark, duck, "q_cross_join_dims")
+
+
+def test_explode_outer_matches_oracle(spark, duck):
+    _diff(spark, duck, "q_explode_outer")
+
+
+def test_explode_outer_preserves_empty_array_rows(spark):
+    """The NULL group must hold exactly the event_id % 4 == 0 rows —
+    the records plain explode silently drops."""
+    fn, _ = QUERIES["q_explode_outer"]
+    rows = {r.v: r for r in fn(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_empty = ev.filter(F.col("event_id") % 4 == 0).count()
+    assert rows[None].n == n_empty

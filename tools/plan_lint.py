@@ -36,6 +36,12 @@ PYTHON_OK = {
     "st_stateful_totals", "v13_topk_matmul", "v14_ann_lsh_matmul",
 }
 
+#: A cartesian is sanctioned ONLY when BOTH sides are bounded dimension
+#: relations (constant row count at any SF) — the dense-grid pattern.
+CARTESIAN_OK = {
+    "q_cross_join_dims",  # region x nation: 5 x 25 rows by schema
+}
+
 #: Broadcast NLJ is sanctioned where the broadcast side is bounded by
 #: construction (a query matrix, a band dim, a config relation) and the
 #: join is genuinely non-equi.
@@ -75,9 +81,10 @@ def lint(spark, sf_dir: str) -> dict[str, list[str]]:
             fn(spark, sf_dir).explain("formatted")
         p = buf.getvalue()
         hits = []
-        if "CartesianProduct" in p:
+        if "CartesianProduct" in p and name not in CARTESIAN_OK:
             hits.append("CartesianProduct")
-        if "BroadcastNestedLoopJoin" in p and name not in BNLJ_OK:
+        if "BroadcastNestedLoopJoin" in p and name not in (
+                BNLJ_OK | CARTESIAN_OK):
             hits.append("BroadcastNestedLoopJoin")
         if name not in PYTHON_OK:
             for node in ("BatchEvalPython", "ArrowEvalPython",
