@@ -4461,6 +4461,7 @@ _QUEUED_FOR_R6 = [
     "v26_label_separation",
     "q_cross_join_dims",
     "q_explode_outer",
+    "td_dataset_card",
 ]
 
 
@@ -4512,3 +4513,40 @@ NO_ORACLE_REASONS: dict[str, str] = {
     "st_stateful_totals": "applyInPandasWithState custom state machine; "
                           "batch-twin equivalence pytest in test_streaming",
 }
+
+
+@_q("td_dataset_card", f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum({textstats.token_count_sql('text')}) AS BIGINT) AS n_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+  {idiv_round_sql("10000 * (count(*) - count(DISTINCT md5(text)))",
+                  "count(*)")} AS dup_rate_q1e4,
+  {stable_avg_q_sql(textstats.quality_q1e4_sql('text') + ' / 10000.0')}
+    AS avg_quality_q1e4
+FROM documents
+""")
+def td_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DATASET CARD — the datasheet header every corpus release
+    ships: document/token/char mass, language and source cardinality,
+    exact-duplicate rate (1e-4 grid), and mean quality (exact scaled-int
+    average — the td_prepare_corpus lesson: no float leaves the query).
+    One corpus scan; the distinct counts are the only shuffles and they
+    carry hashes/kilobyte keys, not text."""
+    d = _docs(spark, sf_dir)
+    q = textstats.quality_q1e4_expr(F.col("text")).cast("double") / 10000.0
+    dup = F.count("*") - F.countDistinct(F.md5("text"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(textstats.token_count(F.col("text"))).cast("bigint")
+        .alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        idiv_round(F.lit(10_000) * dup, F.count("*"))
+        .alias("dup_rate_q1e4"),
+        stable_avg_q(q).alias("avg_quality_q1e4"),
+    )

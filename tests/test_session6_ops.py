@@ -765,3 +765,21 @@ def test_explode_outer_preserves_empty_array_rows(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     n_empty = ev.filter(F.col("event_id") % 4 == 0).count()
     assert rows[None].n == n_empty
+
+
+def test_dataset_card_matches_oracle(spark, duck):
+    _diff(spark, duck, "td_dataset_card")
+
+
+def test_dataset_card_consistency(spark):
+    """Card numbers must agree with direct recomputation: dup rate from
+    n_docs/n_unique, cardinalities from distinct counts."""
+    fn, _ = QUERIES["td_dataset_card"]
+    r = fn(spark, SF_DIR).first()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    uniq = docs.select(F.md5("text")).distinct().count()
+    assert (r.n_docs, r.n_unique) == (n, uniq)
+    assert r.dup_rate_q1e4 == (10_000 * (n - uniq) + n // 2) // n
+    assert r.n_langs == docs.select("lang").distinct().count()
+    assert r.n_sources == docs.select("source").distinct().count()
