@@ -119,6 +119,9 @@ HEADLINE = [
     "td_pack_utilization",
     "v25_centroid_outliers",
     "v26_label_separation",
+    "q_cross_join_dims",
+    "q_explode_outer",
+    "td_dataset_card",
     # streaming throughput: the fn() call itself RUNS the availableNow
     # stream (memory sink), so these are in REBUILD_PER_REP — each rep
     # re-executes the full micro-batch pipeline, and the timed number is
