@@ -3266,3 +3266,74 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (g.groupBy("v")
             .agg(F.count("*").alias("n"),
                  F.sum("event_id").cast("bigint").alias("sum_event_id")))
+
+
+@_q("q_pivot_multi_agg", """
+SELECT event_type,
+  CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS even_n,
+  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+       FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS even_v_q100,
+  CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS odd_n,
+  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+       FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS odd_v_q100
+FROM events GROUP BY 1
+""")
+def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per cell: Spark emits one column
+    per (pivot value x aggregate) pair — here (even/odd user cohort) x
+    (count, exact cents sum) — the wide-report shape. A pivot compiles
+    to conditional aggregation, which is exactly how the oracle restates
+    it (FILTER clauses); one shuffle on event_type, everything partial-
+    aggregated map-side. Values ride the integer cents grid."""
+    ev = _t(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")
+    piv = (ev.select("event_type", vq.alias("vq"),
+                     F.when(F.col("user_id") % 2 == 0, "even")
+                     .otherwise("odd").alias("cohort"))
+           .groupBy("event_type")
+           .pivot("cohort", ["even", "odd"])
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("vq").alias("v_q100")))
+    return piv.select(
+        "event_type",
+        F.col("even_n").cast("bigint").alias("even_n"),
+        F.col("even_v_q100").cast("bigint").alias("even_v_q100"),
+        F.col("odd_n").cast("bigint").alias("odd_n"),
+        F.col("odd_v_q100").cast("bigint").alias("odd_v_q100"))
+
+
+@_q("q_window_distinct", """
+SELECT event_type,
+  CAST(strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d')
+       AS VARCHAR) AS day,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(sum(count(DISTINCT user_id)) OVER (
+    PARTITION BY event_type ORDER BY date_trunc('day', ts)
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS users_3d_window_sum
+FROM events GROUP BY event_type, date_trunc('day', ts)
+""")
+def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct counting UNDER a window: Spark windows reject
+    count(DISTINCT) outright, so the engine-native recipe is two levels —
+    exact per-(type, day) distincts from an ordinary aggregate, then the
+    rolling combination as a frame over the aggregate rows (here a 3-day
+    rolling SUM of daily uniques; a true rolling-union distinct would
+    carry collect_set through the frame — bounded by the key's daily
+    cardinality either way). The window runs over #days rows per type,
+    not events. Oracle states the same two levels directly."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").alias("_day"))
+             .agg(F.count("*").alias("n_events"),
+                  F.countDistinct("user_id").alias("n_users")))
+    w = (Window.partitionBy("event_type").orderBy("_day")
+         .rowsBetween(-2, 0))
+    return daily.select(
+        "event_type",
+        F.date_format("_day", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.sum("n_users").over(w).cast("bigint")
+        .alias("users_3d_window_sum"))

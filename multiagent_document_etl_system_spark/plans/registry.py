@@ -4462,6 +4462,8 @@ _QUEUED_FOR_R6 = [
     "q_cross_join_dims",
     "q_explode_outer",
     "td_dataset_card",
+    "q_pivot_multi_agg",
+    "q_window_distinct",
 ]
 
 

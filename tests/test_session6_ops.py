@@ -783,3 +783,26 @@ def test_dataset_card_consistency(spark):
     assert r.dup_rate_q1e4 == (10_000 * (n - uniq) + n // 2) // n
     assert r.n_langs == docs.select("lang").distinct().count()
     assert r.n_sources == docs.select("source").distinct().count()
+
+
+def test_pivot_multi_agg_matches_oracle(spark, duck):
+    _diff(spark, duck, "q_pivot_multi_agg")
+
+
+def test_window_distinct_matches_oracle(spark, duck):
+    _diff(spark, duck, "q_window_distinct")
+
+
+def test_window_distinct_rolling_sum_model(spark):
+    """The 3-day rolling sum must equal the sum of the current and two
+    preceding days' distinct counts per event_type."""
+    fn, _ = QUERIES["q_window_distinct"]
+    rows = sorted(fn(spark, SF_DIR).collect(),
+                  key=lambda r: (r.event_type, r.day))
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for seq in by_type.values():
+        for i, r in enumerate(seq):
+            want = sum(x.n_users for x in seq[max(0, i - 2):i + 1])
+            assert r.users_3d_window_sum == want
