@@ -122,6 +122,8 @@ HEADLINE = [
     "q_cross_join_dims",
     "q_explode_outer",
     "td_dataset_card",
+    "q_pivot_multi_agg",
+    "q_window_distinct",
     # streaming throughput: the fn() call itself RUNS the availableNow
     # stream (memory sink), so these are in REBUILD_PER_REP — each rep
     # re-executes the full micro-batch pipeline, and the timed number is
