@@ -253,6 +253,39 @@ def stable_avg_q_sql(expr: str, scale: int = 4) -> str:
             f" // (2 * {_SCALE} * {n}) AS BIGINT)")
 
 
+def int_avg_round(col: Column) -> Column:
+    """Exact ``round(avg(col))`` half-up for a NON-NEGATIVE INTEGER column,
+    as BIGINT — zero doubles anywhere in the chain (no per-row quantization
+    step at all, unlike :func:`stable_avg_q` which starts from a double).
+
+    The round-6 composite-corpus queries keep their whole survival path on
+    the 1e-4 integer quality grid, so their average is just
+    ``round(sum(q1e4)/n)`` over integers:
+
+        round(S/n) = floor((2·S + n) / (2·n))    (S, n ≥ 0)
+
+    evaluated on DECIMAL(38,0) with the exact-quotient extraction
+    ``(num - num % den) / den`` (exactly divisible ⇒ Spark decimal division
+    introduces no rounding). For ``col`` = a 1e-4-grid score (≤ 10⁴) this
+    is identical in value to ``stable_avg_q(col / 1e4)`` — proven equal in
+    tests/test_numeric.py — with one less representational hop. Overflow
+    bound: values ≤ 1e6 stay exact past 1e30 rows/group.
+    """
+    s = F.sum(_dec38(col))
+    n = _dec38(F.count(col))
+    num = _dec38(2) * s + n
+    den = _dec38(2) * n
+    return ((num - num % den) / den).cast("bigint")
+
+
+def int_avg_round_sql(expr: str) -> str:
+    """DuckDB twin of :func:`int_avg_round` — HUGEINT (int128) sum and
+    ``//`` integer division, BIGINT output. No doubles anywhere."""
+    s = f"CAST(sum({expr}) AS HUGEINT)"
+    n = f"CAST(count({expr}) AS HUGEINT)"
+    return f"CAST((2 * {s} + {n}) // (2 * {n}) AS BIGINT)"
+
+
 def stable_ratio(num: Column, den: Column, scale: int = 4,
                  factor: float = 1.0) -> Column:
     """Order-insensitive ``round(factor * sum(num)/sum(den), scale)``.

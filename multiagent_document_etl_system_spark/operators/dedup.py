@@ -276,16 +276,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     sh_a = sh_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = sh_df.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     cand = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # Threshold SELECTION is pure-integer: |A∩B|·10⁴ ≥ t_q1e4·|A∪B| — no
+    # double division or rounding mode can enter the survivor decision on
+    # either engine (the round-5 verdict's last conceivable cross-engine
+    # channel: DuckDB rounds half-away-from-zero, Spark HALF_UP). The
+    # rounded-double jaccard stays as an OUTPUT column only (driver-green
+    # contract since r1). union = 0 (two empty-shingle docs) keeps the old
+    # jaccard=1 convention: 0 ≥ t·0 is true for every threshold.
+    t_q = int(round(threshold * 10000))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
     return (
         cand.select(
-            "id_a", "id_b",
+            "id_a", "id_b", inter.alias("_i"), union.alias("_u"),
             F.round(
-                F.when(union == 0, F.lit(1.0)).otherwise(inter / union), 4
+                F.when(union == 0, F.lit(1.0))
+                .otherwise(inter.cast("double") / union.cast("double")), 4
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("_i") * F.lit(10000) >= F.lit(t_q) * F.col("_u"))
+        .drop("_i", "_u")
     )
 
 

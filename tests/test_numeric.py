@@ -131,6 +131,66 @@ def test_stable_avg_q_matches_duckdb_and_reference(spark, tmp_path):
         "(SELECT CAST(NULL AS DOUBLE) AS x)").fetchall()[0][0] is None
 
 
+def test_int_avg_round_equals_stable_avg_q_and_duckdb(spark, tmp_path):
+    """int_avg_round over a 1e-4-grid integer column must (a) equal
+    stable_avg_q over the same values divided by 1e4 (the round-6
+    composite-corpus rewrite claims value-identity with the old chain),
+    (b) bit-match the DuckDB HUGEINT `//` twin, (c) be partition-order
+    invariant, (d) share the null semantics (nulls excluded, all-null ⇒
+    NULL). Adversarial inputs: exact .5 quotients (half-up boundary)."""
+    from multiagent_document_etl_system_spark.functions.numeric import (
+        int_avg_round,
+        int_avg_round_sql,
+        stable_avg_q,
+    )
+
+    rng = random.Random(31)
+    qs = ([rng.randrange(0, 10_001) for _ in range(300)]
+          + [0, 1, 9999, 10000, 5000, 4999])
+    # force an exact .5 average: pad so sum(qs) ≡ n/2 (mod n) is hit by
+    # appending the value that lands the quotient on k + 1/2 for even n
+    if len(qs) % 2 == 1:
+        qs.append(7)
+    S, n = sum(qs), len(qs)
+    want = (2 * S + n) // (2 * n)
+
+    df = spark.createDataFrame([(i, q) for i, q in enumerate(qs)],
+                               "id long, q long")
+    pq = str(tmp_path / "iq.parquet")
+    df.write.parquet(pq)
+    outs = set()
+    for parts in (1, 7, 32):
+        row = spark.read.parquet(pq).repartition(parts).agg(
+            int_avg_round(F.col("q")).alias("a")).first()
+        outs.add(row["a"])
+    assert outs == {want}, (outs, want)
+    # value-identity with the old stable_avg_q(q/1e4) chain
+    old = df.agg(
+        stable_avg_q(F.col("q").cast("double") / 10_000.0).alias("a")
+    ).first()["a"]
+    assert old == want
+    con = duckdb.connect()
+    orow = con.sql(
+        f"SELECT {int_avg_round_sql('q')} AS a "
+        f"FROM read_parquet('{pq}/*.parquet')").fetchall()[0]
+    assert orow[0] == want
+    # exact half-up boundary: avg({1, 2}) = 1.5 -> 2
+    hdf = spark.createDataFrame([(1, 1), (2, 2)], "id long, q long")
+    assert hdf.agg(int_avg_round(F.col("q")).alias("a")).first()["a"] == 2
+    assert con.sql(
+        f"SELECT {int_avg_round_sql('q')} FROM "
+        "(SELECT unnest([1, 2]) AS q)").fetchall()[0][0] == 2
+    # null semantics
+    ndf = spark.createDataFrame(
+        [(1, 4000), (2, None), (3, 6001)], "id long, q long")
+    assert ndf.agg(int_avg_round(F.col("q")).alias("a")).first()["a"] == 5001
+    adf = spark.createDataFrame([(1, None)], "id long, q long")
+    assert adf.agg(int_avg_round(F.col("q")).alias("a")).first()["a"] is None
+    assert con.sql(
+        f"SELECT {int_avg_round_sql('q')} FROM "
+        "(SELECT CAST(NULL AS BIGINT) AS q)").fetchall()[0][0] is None
+
+
 def test_exact_sum_equals_decimal_sum_path(spark):
     """The split-radix long-path exact_sum must produce the identical
     exact integer as the 128-bit decimal sum for positive/negative/mixed

@@ -1,22 +1,28 @@
-"""Driver-window ordering invariants (round-5).
+"""Driver-window ordering invariants (round-6).
 
 The external driver checks the FIRST 50 registry entries each round; these
-tests pin that the round-5 window contains exactly what completes the
-rotation: the two 3-round-red cells (fixed via integer-only outputs), every
-oracled query with no driver row in r1-r4, and deliberate re-confirmations
-of greens whose output contract this round's integer-grid sweep changed.
-After this window runs, every oracled query has ≥1 driver row.
+tests pin that the round-6 window contains exactly what the r5 verdict
+ordered: the 6 stage-bisection diagnostics for the 4-round-red composites
+at the head, the two red cells themselves (integer-only survival path this
+round), one deliberate re-confirmation (td_curation_funnel, whose embedded
+pair SQL's threshold selection changed to the integer test), and ALL 41
+never-driver-checked oracled queries. After this window runs, zero oracled
+queries lack a driver row — and the window is FROZEN: queries added after
+the pin go to _QUEUED_FOR_R7, never into the window (the r5 process
+failure — 41 never-checked queries accumulating behind a pinned window —
+is closed by construction).
 """
 
 from __future__ import annotations
 
 from multiagent_document_etl_system_spark.plans.registry import (
-    _DRIVER_WINDOW_R5,
+    _DRIVER_WINDOW_R6,
     _QUEUED_FOR_R6,
+    _QUEUED_FOR_R7,
     QUERIES,
 )
 
-#: queries with a driver row in CORRECTNESS_r01..r04 (frozen snapshot —
+#: queries with a driver row in CORRECTNESS_r01..r05 (frozen snapshot —
 #: the historical record cannot change)
 _EVER_DRIVER_CHECKED = {
     "dedup_clusters", "dedup_containment", "dedup_edit_distance",
@@ -62,69 +68,97 @@ _EVER_DRIVER_CHECKED = {
     "st_sliding_stream", "st_session_stream", "st_interval_join_stream",
     "st_dedup_stream", "st_stateful_totals", "st_enrich_stream",
     "st_dedup_vs_corpus", "q_json_events", "q_sessionize",
+    # added by the r5 window (CORRECTNESS_r05 keys not already above)
+    "td_importance_resample", "td_quality_calibration", "ta_readability",
+    "ta_tfidf", "ta_bigram_logprob", "ta_heavy_hitters", "q_stats_moments",
+    "q_incremental_agg_merge", "q_funnel_conversion", "st_curation_stream",
+    "ta_dup_ngram_coverage", "td_token_budget_pack", "ta_inverted_index",
+    "q_asof_forward", "q_asof_nearest", "td_zorder_layout", "q_argmax_agg",
+    "q_nullsafe_join", "q_collect_agg", "q_set_ops_all", "q_limit_offset",
+    "q_array_hof", "q_histogram", "q_resample_gapfill", "q_tumbling_window",
+    "q_sliding_window", "q_date_arithmetic", "q_interval_join_binned",
+    "q_scd2_intervals", "q_retention_cohorts", "q_skew_salted_agg",
+    "q_rollup_grouping_id", "td_split", "td_shuffle_order",
+    "td_tokenize_ids", "v20_binary_hamming_topk", "q_full_outer_join",
+    "q_window_percent_rank", "td_span_dedup", "td_semantic_decontaminate",
+    "st_span_gate", "td_quality_classifier", "td_temperature_mix",
+    "v21_recall_matrix", "dedup_cross_source_matrix",
 }
 
-#: driver hash-red in r2/r3/r4, fixed this round (integer-only outputs) —
-#: must lead the window
+#: driver hash-red in r2..r5, re-shown this round with a 100%-integer
+#: survival path — must be in the window together with their diagnostics
 _MUST_RESHOW = {"td_prepare_corpus", "td_prepare_corpus_v2"}
 
-#: deliberately re-shown greens: the integer-grid sweep changed their
-#: output contract (quality/gopher columns), or the composed north-star
-#: flagship (dedup_minhash_lsh / pipeline_flagship re-shows were dropped
-#: mid-round for two new never-checked queries — their r03 greens stand
-#: on unchanged contracts)
-_RECONFIRM = {
-    "ta_quality_score", "ta_gopher_rules", "td_curation_funnel",
+#: the round-6 stage-bisection diagnostics (new oracled queries, lead the
+#: window so a red names the diverging composite stage)
+_DIAGNOSTICS = {
+    "diag_prep_gate", "diag_prep_exact", "diag_prep_pairs",
+    "diag_prep_clusters", "diag_prep_survivors", "diag_prep_tokens",
 }
+
+#: deliberately re-shown green: td_curation_funnel embeds
+#: _minhash_pairs_sql, whose threshold selection moved to the pure-integer
+#: test this round (contract-changed green ⇒ re-confirm)
+_RECONFIRM = {"td_curation_funnel"}
 
 
 def test_window_is_exactly_the_head():
-    assert list(QUERIES)[: len(_DRIVER_WINDOW_R5)] == _DRIVER_WINDOW_R5
+    assert list(QUERIES)[: len(_DRIVER_WINDOW_R6)] == _DRIVER_WINDOW_R6
 
 
 def test_window_is_50_slots():
-    assert len(_DRIVER_WINDOW_R5) == 50
-    assert len(set(_DRIVER_WINDOW_R5)) == 50
+    assert len(_DRIVER_WINDOW_R6) == 50
+    assert len(set(_DRIVER_WINDOW_R6)) == 50
+
+
+def test_diagnostics_lead_then_reds():
+    assert set(_DRIVER_WINDOW_R6[:6]) == _DIAGNOSTICS
+    assert set(_DRIVER_WINDOW_R6[6:8]) == _MUST_RESHOW
 
 
 def test_window_slots_all_produce_new_evidence():
-    """Every slot is a fixed-red re-show, a never-driver-checked query, or
-    a deliberate re-confirmation of a contract-changed green."""
-    wasted = [n for n in _DRIVER_WINDOW_R5
+    """Every slot is a fixed-red re-show, a bisection diagnostic, a
+    never-driver-checked query, or the one contract-changed
+    re-confirmation."""
+    wasted = [n for n in _DRIVER_WINDOW_R6
               if n in _EVER_DRIVER_CHECKED
               and n not in _MUST_RESHOW | _RECONFIRM]
     assert not wasted, wasted
 
 
 def test_window_covers_every_never_checked_oracled_query():
-    """The rotation's whole point: after r5, no oracled query is without a
+    """The rotation's whole point: after r6, no oracled query is without a
     driver row. rows-only queries are excluded by construction (their only
-    possible driver outcome is `no_oracle`); queries added after the
-    window filled its 50 slots queue for r6 (`_QUEUED_FOR_R6`) rather
-    than displace a contract-changed re-confirmation."""
+    possible driver outcome is `no_oracle`); queries added after the pin
+    queue for r7."""
     never = [n for n, (_, oracle) in QUERIES.items()
              if oracle and n not in _EVER_DRIVER_CHECKED]
     missing = [n for n in never
-               if n not in _DRIVER_WINDOW_R5 and n not in _QUEUED_FOR_R6]
+               if n not in _DRIVER_WINDOW_R6 and n not in _QUEUED_FOR_R7]
     assert not missing, missing
 
 
-def test_r6_queue_entries_are_oracled_and_unchecked():
-    for n in _QUEUED_FOR_R6:
+def test_window_absorbs_the_whole_r6_queue():
+    """All 41 r5-session additions got their slot — none waited two
+    rotations."""
+    missing = [n for n in _QUEUED_FOR_R6 if n not in _DRIVER_WINDOW_R6]
+    assert not missing, missing
+
+
+def test_window_is_frozen_against_new_additions():
+    """Queries added after the r6 pin must NOT displace window slots: they
+    are oracled, exist, and sit in _QUEUED_FOR_R7 outside the window."""
+    for n in _QUEUED_FOR_R7:
         assert n in QUERIES and QUERIES[n][1], n
+        assert n not in _DRIVER_WINDOW_R6, n
         assert n not in _EVER_DRIVER_CHECKED, n
-        assert n not in _DRIVER_WINDOW_R5, n
 
 
 def test_no_rows_only_query_wastes_a_slot():
-    rows_only = [n for n in _DRIVER_WINDOW_R5 if not QUERIES[n][1]]
+    rows_only = [n for n in _DRIVER_WINDOW_R6 if not QUERIES[n][1]]
     assert not rows_only, rows_only
 
 
-def test_reshow_queries_lead_the_window():
-    assert set(_DRIVER_WINDOW_R5[:2]) == _MUST_RESHOW
-
-
 def test_every_window_name_exists():
-    missing = [n for n in _DRIVER_WINDOW_R5 if n not in QUERIES]
+    missing = [n for n in _DRIVER_WINDOW_R6 if n not in QUERIES]
     assert not missing, missing
