@@ -124,6 +124,9 @@ HEADLINE = [
     "td_dataset_card",
     "q_pivot_multi_agg",
     "q_window_distinct",
+    # round-6: the full modern recipe composite (keep-best survivor
+    # selection + post-dedup temperature mix)
+    "td_prepare_corpus_v3",
     # streaming throughput: the fn() call itself RUNS the availableNow
     # stream (memory sink), so these are in REBUILD_PER_REP — each rep
     # re-executes the full micro-batch pipeline, and the timed number is
@@ -181,7 +184,8 @@ def main() -> None:
     # re-timing Catalyst analysis of the very large expression trees
     # (MinHash permutations, classifier staging) per rep would re-count
     # driver-side planning that a long-lived cluster amortizes to zero.
-    REBUILD_PER_REP = {"td_prepare_corpus_v2", "td_curation_funnel",
+    REBUILD_PER_REP = {"td_prepare_corpus_v2", "td_prepare_corpus_v3",
+                       "td_curation_funnel",
                        # eager-checkpoints its edge list at build time —
                        # rebuilding per rep keeps the LSH join in the
                        # measurement

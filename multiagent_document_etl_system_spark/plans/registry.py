@@ -1768,6 +1768,68 @@ def diag_prep_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_tokens"))
 
 
+_V3_SURVIVORS_SQL = f"""(
+WITH clusters AS ({{CLUSTERS}}),
+passed AS (
+  SELECT * FROM (
+    SELECT doc_id, source, lang, text,
+      {textstats.quality_q1e4_sql('text')} AS quality_q1e4
+    FROM documents
+  ) WHERE quality_q1e4 >= 5000
+), kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM passed
+  ) WHERE rn = 1
+), ranked AS (
+  SELECT k.*, c.rep,
+    row_number() OVER (PARTITION BY coalesce(c.rep, k.doc_id)
+                       ORDER BY k.quality_q1e4 DESC, k.doc_id ASC) AS rnn
+  FROM kept k LEFT JOIN clusters c ON k.doc_id = c.id
+)
+SELECT * FROM ranked WHERE rnn = 1
+) AS survivors"""
+
+
+@_q("td_prepare_corpus_v3", curation.temperature_mix_sql(
+    table=_V3_SURVIVORS_SQL.replace("{CLUSTERS}", dedup.duplicate_clusters_sql(
+        _minhash_pairs_sql(0.5).replace("SELECT id_a, id_b, jaccard",
+                                        "SELECT id_a, id_b")))))
+def td_prepare_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern corpus recipe in one lazy plan — v2's ladder with
+    two upgrades the standalone ops already proved (dedup_keep_best,
+    td_mix_post_dedup, both local-green since r5): (1) the near-dup
+    survivor is the ARGMAX-QUALITY member of each cluster (id tie-break),
+    not the smallest id — near-copies differ (truncation, boilerplate,
+    OCR noise), so keeping the lowest id throws quality away for
+    determinism; (2) the output is the temperature-T=2 source-mixing
+    table computed ON the survivors — weights derived before dedup
+    over-weight sources whose volume is duplication.
+
+    Stages: integer quality gate (q1e4 ≥ 5000) → exact dedup (md5 window)
+    → MinHash-LSH clusters at 0.5 → keep best-quality member per cluster
+    → temperature mix per source. Survival path is 100% integer (the
+    td_prepare_corpus r6 rule) and the mix's isqrt is exact, so every
+    output cell is a single-valued BIGINT.
+
+    Scale: the keep-best window partitions by coalesce(rep, doc_id) —
+    singleton partitions for non-duplicated docs, cluster-sized for the
+    rest — a hash-partitioned window with no giant NULL partition (the
+    pitfall of partitioning by rep directly). Cluster join left to AQE
+    (the map scales with corpus duplication); mix totals via the
+    #sources-row empty-frame window, kilobytes at any scale."""
+    docs = _docs(spark, sf_dir)
+    kept = dedup.exact_dedup(_prep_passed(spark, sf_dir))
+    clusters = dedup.duplicate_clusters(
+        dedup.minhash_lsh_pairs(docs, threshold=0.5))
+    scored = kept.join(clusters, kept.doc_id == clusters.id, "left")
+    w = Window.partitionBy(F.coalesce("rep", "doc_id")) \
+        .orderBy(F.desc("quality_q1e4"), F.asc("doc_id"))
+    survivors = (scored.withColumn("_rnn", F.row_number().over(w))
+                 .filter(F.col("_rnn") == 1))
+    return curation.temperature_mix(survivors)
+
+
 _FUNNEL_CLUSTERS_SQL = dedup.duplicate_clusters_sql(
     _minhash_pairs_sql(0.5).replace("SELECT id_a, id_b, jaccard",
                                     "SELECT id_a, id_b"))
@@ -4690,7 +4752,9 @@ _DRIVER_WINDOW_R6 = [
 #: the r7 window head. The r5 process failure (41 never-checked queries
 #: accumulated because additions kept landing after the pin) is closed by
 #: construction: additions land HERE, the pinned window never moves.
-_QUEUED_FOR_R7: list[str] = []
+_QUEUED_FOR_R7: list[str] = [
+    "td_prepare_corpus_v3",
+]
 
 
 def _driver_ordered(q: dict) -> dict:

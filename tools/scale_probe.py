@@ -36,6 +36,13 @@ DEFAULT = [
     # (corpus-wide chunk-frequency window), LSH-blocked kNN graph
     # (bucket² pair risk)
     "dedup_bloom_membership", "ta_cdc_chunks", "v23_knn_graph",
+    # r6 (VERDICT r5 #6): the five new heavy bench entries — iterative
+    # PageRank over the kNN graph (edge rebuild + 4 join/agg rounds),
+    # shingle-novelty window (corpus-shingle shuffle), the one-row corpus
+    # datasheet (multi-distinct agg), plus the r6 bisection relations
+    # (pair set / cluster map at the composites' 0.5 threshold)
+    "v24_graph_pagerank", "ta_ngram_novelty", "td_dataset_card",
+    "diag_prep_pairs", "diag_prep_clusters",
 ]
 
 #: iterative-clustering composites materialize eager per-round checkpoints
@@ -43,7 +50,8 @@ DEFAULT = [
 #: propagation rounds, so these rebuild the DataFrame inside each rep
 #: (same contract as bench.py's REBUILD_PER_REP)
 REBUILD_PER_REP = {"td_curation_funnel", "td_prepare_corpus_v2",
-                   "dedup_clusters"}
+                   "dedup_clusters", "v24_graph_pagerank",
+                   "diag_prep_clusters"}
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
        "/root/testdata/sf0.1"]
