@@ -4793,9 +4793,11 @@ NO_ORACLE_REASONS: dict[str, str] = {
     "s1_parse_dispatch": "parses BINARY fixture files (PDF/DOCX/BMP) — "
                          "DuckDB has no parser; round-trip pytest",
     "mm_decode_features": "media decode via mapInPandas — REAL stdlib "
-                          "pixel decode + luminance histogram for BMP/PNG, "
-                          "deterministic fake for formats needing absent "
-                          "media libs; REAL WAV/PCM energy envelope; pytest",
+                          "pixel decode + luminance histogram for "
+                          "BMP/PNG/baseline-JPEG, deterministic fake for "
+                          "formats needing absent media libs (progressive "
+                          "JPEG, MP3, video); REAL WAV/PCM energy "
+                          "envelope; pytest",
     "mm_frame_sample": "video frame explode over opaque binary; pytest",
     "mm_resize": "NumPy nearest-neighbor resize kernel (no SQL twin); "
                  "golden-pixel pytest",

@@ -315,14 +315,17 @@ def _image_parse(lib, b: bytes) -> str:
 # (/root/reference/src/parsers.py:90-105). Tesseract is not in this
 # container, so until r4 image rows degraded to a per-row error. The stdlib
 # rung below is REAL (small) OCR for the machine-rendered case: decode an
-# uncompressed 24-bit BMP with struct, binarize, segment lines/characters by
-# blank rows/columns, and nearest-template-match each cell against a 5x7
-# glyph font (Hamming distance with tolerance, '?' when nothing is close).
-# That covers screenshots/renders of text in a known font — the same
-# "constrained but genuine subset" contract as the pure-stdlib PDF and DOCX
-# rungs; photographs and arbitrary fonts still require the real engine.
-# ``render_text_bmp`` is the matching renderer (used by tests, which also
-# add noise pixels to prove the tolerance is doing work).
+# uncompressed 24-bit BMP with struct (r4), an 8-bit PNG via zlib inflate +
+# full filter reconstruction (r5), or a baseline sequential JPEG via
+# Huffman decode + numpy IDCT, luma only (r6) — then binarize, segment
+# lines/characters by blank rows/columns, and nearest-template-match each
+# cell against a 5x7 glyph font (Hamming distance with tolerance, '?' when
+# nothing is close). That covers screenshots/renders of text in a known
+# font — the same "constrained but genuine subset" contract as the
+# pure-stdlib PDF and DOCX rungs; photographs and arbitrary fonts still
+# require the real engine. ``render_text_bmp`` / ``render_text_png`` /
+# ``render_text_jpeg`` are the matching renderers (used by tests, which
+# also add noise pixels to prove the tolerance is doing work).
 
 _FONT_5X7: dict[str, tuple[int, ...]] = {
     "A": (0b01110, 0b10001, 0b10001, 0b11111, 0b10001, 0b10001, 0b10001),
@@ -575,11 +578,544 @@ def _decode_png(b: bytes) -> list[list[int]]:
     return rows
 
 
+# ------------------------------- JPEG (baseline sequential, luma decode)
+#
+# Round-6 rung: pure stdlib + numpy baseline JPEG (ITU T.81 Annex F
+# sequential DCT, the only JPEG flavor screenshot/render tools emit).
+# OCR needs LUMINANCE only, so the decoder entropy-decodes every
+# component (the bitstream is interleaved — chroma must be walked to
+# stay in sync) but runs the IDCT only for the first (Y) component:
+# no chroma upsampling or color conversion ever happens. Covers 1- and
+# 3-component scans, arbitrary 1/2 sampling factors, and restart
+# markers; progressive (SOF2) and arithmetic coding raise and degrade
+# per-row honestly. ``render_text_jpeg`` is the encoder twin (grayscale
+# or YCbCr 4:2:0, optional DRI) used by the property tests — both sides
+# are built from the public Annex K tables.
+
+#: Annex K.1 luminance quantization table, natural (raster) order
+_JPEG_QLUM = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+#: Annex K.3 typical Huffman tables: luminance DC and AC (BITS, HUFFVAL)
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Zigzag scan order as natural-order indices (generated, not typed —
+    a transcription typo here would silently corrupt every block)."""
+    order, r, c = [], 0, 0
+    for _ in range(64):
+        order.append(r * 8 + c)
+        if (r + c) % 2 == 0:
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+    return order
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix T: coef = T @ block @ T.T."""
+    import math
+
+    import numpy as np
+
+    t = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            t[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return t
+
+
+def _jpeg_scaled_qtable(quality: int) -> list[int]:
+    q = max(1, min(100, quality))
+    s = 5000 // q if q < 50 else 200 - 2 * q
+    return [max(1, min(255, (k * s + 50) // 100)) for k in _JPEG_QLUM]
+
+
+def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, nbits)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (code & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def align(self) -> None:
+        if self._n:
+            self.put(0x7F, 8 - self._n)  # pad with 1-bits per spec
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, additional bits) for a DC diff / AC coefficient."""
+    s, a = 0, abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _jpeg_encode_block(zz: list[int], pred: int, wr: _JpegBitWriter,
+                       dc_tab, ac_tab) -> int:
+    """Encode one zigzag-scanned quantized block; returns its DC value."""
+    dc = zz[0]
+    s, extra = _jpeg_magnitude(dc - pred)
+    code, n = dc_tab[s]
+    wr.put(code, n)
+    if s:
+        wr.put(extra, s)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, n = ac_tab[0xF0]  # ZRL
+            wr.put(code, n)
+            run -= 16
+        s, extra = _jpeg_magnitude(zz[i])
+        code, n = ac_tab[(run << 4) | s]
+        wr.put(code, n)
+        wr.put(extra, s)
+        run = 0
+    if last_nz != 63:
+        code, n = ac_tab[0x00]  # EOB
+        wr.put(code, n)
+    return dc
+
+
+def render_text_jpeg(text: str, margin: int = 2, quality: int = 90,
+                     subsampling: str = "gray",
+                     restart_interval: int = 0) -> bytes:
+    """Render A-Z/0-9/space text as a baseline sequential JPEG — the
+    deterministic twin of the JPEG OCR rung. ``subsampling``: 'gray'
+    (one component) or '420' (YCbCr 4:2:0 interleaved MCUs with neutral
+    chroma — exercises the multi-component + subsampled decode path a
+    real screenshot-as-JPEG takes). ``restart_interval`` > 0 emits DRI
+    + RSTn markers every N MCUs."""
+    import struct
+
+    import numpy as np
+
+    px = _render_text_pixels(text, margin)
+    h, w = len(px), len(px[0])
+    plane = np.asarray(px, dtype=np.float64)
+    qtab = _jpeg_scaled_qtable(quality)
+    qmat = np.asarray(qtab, dtype=np.float64).reshape(8, 8)
+    t = _jpeg_dct_matrix()
+    dc_tab = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def block_zz(y0: int, x0: int) -> list[int]:
+        blk = np.full((8, 8), 255.0)
+        ys, xs = min(8, h - y0), min(8, w - x0)
+        if ys > 0 and xs > 0:
+            blk[:ys, :xs] = plane[y0:y0 + ys, x0:x0 + xs]
+        # replicate edge pixels into the pad (keeps AC energy low)
+        if ys > 0:
+            blk[ys:, :] = blk[ys - 1, :]
+        if xs > 0:
+            blk[:, xs:] = blk[:, xs - 1:xs]
+        coef = t @ (blk - 128.0) @ t.T
+        q = np.floor(coef / qmat + 0.5).astype(int)
+        flat = q.reshape(64)
+        return [int(flat[i]) for i in _JPEG_ZZ]
+
+    gray = subsampling == "gray"
+    wr = _JpegBitWriter()
+    zero_zz = [0] * 64
+    if gray:
+        mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    else:
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    preds = [0, 0, 0]
+    mcu_done = 0
+    rst = 0
+    body_parts: list[bytes] = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if gray:
+                preds[0] = _jpeg_encode_block(
+                    block_zz(my * 8, mx * 8), preds[0], wr, dc_tab, ac_tab)
+            else:
+                for bv in range(2):
+                    for bh in range(2):
+                        preds[0] = _jpeg_encode_block(
+                            block_zz((my * 2 + bv) * 8, (mx * 2 + bh) * 8),
+                            preds[0], wr, dc_tab, ac_tab)
+                for ci in (1, 2):  # neutral chroma: all-zero blocks
+                    preds[ci] = _jpeg_encode_block(
+                        zero_zz, preds[ci], wr, dc_tab, ac_tab)
+            mcu_done += 1
+            last = my == mcuy - 1 and mx == mcux - 1
+            if (restart_interval and not last
+                    and mcu_done % restart_interval == 0):
+                wr.align()
+                body_parts.append(bytes(wr.buf))
+                body_parts.append(bytes((0xFF, 0xD0 + rst)))
+                rst = (rst + 1) % 8
+                wr = _JpegBitWriter()
+                preds = [0, 0, 0]
+    wr.align()
+    body_parts.append(bytes(wr.buf))
+    body = b"".join(body_parts)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qtab[i] for i in _JPEG_ZZ))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    if gray:
+        sof += bytes((1, 0x11, 0))
+    else:
+        sof += bytes((1, 0x22, 0)) + bytes((2, 0x11, 0)) + bytes((3, 0x11, 0))
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+               + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes((cid, 0x00))
+    sos += bytes((0, 63, 0))
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG bitstream exhausted")
+            self._acc = self.data[self.pos]
+            self.pos += 1
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    """(nbits, code) -> symbol."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _huff_read(rd: _JpegBitReader, table) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | rd.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg_luma(b: bytes) -> list[list[int]]:
+    """Baseline sequential JPEG → top-down LUMINANCE rows (0-255).
+
+    Entropy-decodes every component (interleaved MCUs must be walked in
+    full) but IDCTs only the first (Y) component; chroma coefficients
+    are discarded — no upsampling/color conversion. Progressive (SOF2),
+    arithmetic (SOF9+), 12-bit and hierarchical files raise."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    w = h = 0
+    ri = 0
+    pos = 2
+    scan: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
+    data_start = -1
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = b[pos + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        payload = b[pos + 4:pos + 2 + ln]
+        if m == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                p += 1
+                n = 64 * (2 if pq else 1)
+                raw = payload[p:p + n]
+                p += n
+                vals = (list(struct.unpack(f">{64}H", raw)) if pq
+                        else list(raw))
+                nat = [0] * 64
+                for i, zz in enumerate(_JPEG_ZZ):
+                    nat[zz] = vals[i]
+                qtabs[tq] = nat
+        elif m == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17:p + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif m in (0xC0, 0xC1):
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            for ci in range(nc):
+                cid, hv, tq = payload[6 + ci * 3:9 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG (progressive/arithmetic)")
+        elif m == 0xDD:
+            (ri,) = struct.unpack_from(">H", payload, 0)
+        elif m == 0xDA:
+            ns = payload[0]
+            for ci in range(ns):
+                cs, tabs = payload[1 + ci * 2], payload[2 + ci * 2]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cs)
+                scan.append((idx, tabs >> 4, tabs & 0xF))
+            data_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if data_start < 0 or not comps:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # split entropy data into restart intervals, unstuffing 0xFF00
+    intervals: list[bytes] = []
+    cur = bytearray()
+    p = data_start
+    while p < len(b):
+        byte = b[p]
+        if byte != 0xFF:
+            cur.append(byte)
+            p += 1
+            continue
+        nxt = b[p + 1] if p + 1 < len(b) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            intervals.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:  # EOI or next segment
+            break
+    intervals.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    y_id, y_h, y_v, y_tq = comps[scan[0][0]] if scan else comps[0]
+    t = _jpeg_dct_matrix()
+    if y_tq not in qtabs:
+        raise ValueError("JPEG luma quant table missing")
+    yq = np.asarray(qtabs[y_tq], dtype=np.float64).reshape(8, 8)
+
+    single = len(scan) == 1
+    if single:
+        ci, _, _ = scan[0]
+        cw = -(-w * comps[ci][1] // hmax)
+        ch = -(-h * comps[ci][2] // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        n_mcus, units = bw * bh, [(ci, 1, 1)]
+        plane_w, plane_h = bw * 8, bh * 8
+    else:
+        mw, mh = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        n_mcus = mw * mh
+        units = [(ci, comps[ci][1], comps[ci][2]) for ci, _, _ in scan]
+        plane_w, plane_h = mw * 8 * y_h, mh * 8 * y_v
+    plane = np.zeros((plane_h, plane_w), dtype=np.uint8)
+
+    dc_tabs = {ci: huff.get((0, d)) for ci, d, _ in scan}
+    ac_tabs = {ci: huff.get((1, a)) for ci, _, a in scan}
+    if any(v is None for v in dc_tabs.values()) \
+            or any(v is None for v in ac_tabs.values()):
+        raise ValueError("JPEG Huffman table missing")
+
+    mcu = 0
+    for seg_i, seg_data in enumerate(intervals):
+        rd = _JpegBitReader(seg_data)
+        preds = {ci: 0 for ci, _, _ in scan}
+        seg_mcus = ri if (ri and seg_i < len(intervals) - 1) \
+            else n_mcus - mcu
+        for _ in range(seg_mcus):
+            if mcu >= n_mcus:
+                break
+            if single:
+                bx, by = mcu % bw, mcu // bw
+            else:
+                bx, by = mcu % mw, mcu // mw
+            for ci, ch_, cv_ in units:
+                for bv in range(cv_):
+                    for bh_ in range(ch_):
+                        s = _huff_read(rd, dc_tabs[ci])
+                        diff = _jpeg_extend(rd.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        zz = [0] * 64
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(rd, ac_tabs[ci])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _jpeg_extend(rd.bits(s), s)
+                            k += 1
+                        is_y = ci == scan[0][0]
+                        if not is_y:
+                            continue
+                        coef = np.zeros(64)
+                        for i, nat in enumerate(_JPEG_ZZ):
+                            coef[nat] = zz[i]
+                        blk = t.T @ (coef.reshape(8, 8) * yq) @ t + 128.0
+                        blk = np.clip(np.rint(blk), 0, 255).astype(np.uint8)
+                        if single:
+                            py, px0 = by * 8, bx * 8
+                        else:
+                            py = (by * y_v + bv) * 8
+                            px0 = (bx * y_h + bh_) * 8
+                        plane[py:py + 8, px0:px0 + 8] = blk
+            mcu += 1
+    # map the Y plane to full image resolution (nearest neighbor when the
+    # luma itself is subsampled — legal but never seen in practice)
+    rows: list[list[int]] = []
+    for r in range(h):
+        pr = plane[min(plane_h - 1, r * y_v // vmax)]
+        if y_h == hmax:
+            rows.append([int(v) for v in pr[:w]])
+        else:
+            rows.append([int(pr[min(plane_w - 1, c * y_h // hmax)])
+                         for c in range(w)])
+    return rows
+
+
 def _ocr_parse_stdlib(b: bytes) -> str:
     """Template-matching OCR over a decoded bitmap (see module comment).
-    Accepts uncompressed 24-bit BMP and 8-bit PNG (the two formats
-    machine renders/screenshots actually produce without media libs)."""
-    px = _decode_png(b) if b.startswith(_PNG_SIG) else _decode_bmp_24(b)
+    Accepts uncompressed 24-bit BMP, 8-bit PNG, and baseline sequential
+    JPEG (the formats machine renders/screenshots actually produce
+    without media libs)."""
+    if b.startswith(_PNG_SIG):
+        px = _decode_png(b)
+    elif b[:2] == b"\xff\xd8":
+        px = _decode_jpeg_luma(b)
+    else:
+        px = _decode_bmp_24(b)
     ink = [[v < 128 for v in row] for row in px]
     h, w = len(ink), len(ink[0]) if ink else 0
     # segment lines on blank pixel-rows
@@ -652,8 +1188,8 @@ def _mk_fallback_parser(lib_name: str, lib_fn, stdlib_fn, label: str):
 _PARSERS = {
     # pdf, docx, AND image parse end-to-end in ANY environment: reference
     # library when importable, pure-stdlib extractor otherwise (the OCR
-    # stdlib rung handles machine-rendered BMP text; photographs still
-    # need pytesseract and error per-row honestly).
+    # stdlib rung handles machine-rendered BMP/PNG/baseline-JPEG text;
+    # photographs still need pytesseract and error per-row honestly).
     "pdf": _mk_fallback_parser("pdfplumber", _pdf_parse,
                                _pdf_parse_stdlib, "pdf"),
     "docx": _mk_fallback_parser("docx", _docx_parse,

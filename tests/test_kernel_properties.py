@@ -378,6 +378,90 @@ def test_png_decoder_reconstructs_every_filter_type():
         assert _decode_png(encode_gray(px, filters)) == px, filters
 
 
+@given(st.lists(
+    st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ",
+            min_size=1, max_size=24).map(lambda s: s.strip()),
+    min_size=1, max_size=3),
+    st.sampled_from([("gray", 0), ("420", 0), ("gray", 3), ("420", 2)]))
+@settings(max_examples=20, deadline=None)
+def test_ocr_round_trips_any_rendered_jpeg(lines, mode):
+    """The round-6 JPEG rung: render → baseline sequential JPEG (DCT +
+    quantization + Annex K Huffman, grayscale or interleaved YCbCr 4:2:0,
+    with and without restart markers) → luma-only stdlib decode → OCR
+    reads back the text. JPEG is LOSSY, so the contract is the OCR
+    reading (binarized template match), not a byte round-trip — the
+    quantization noise at q=90 must stay inside the Hamming budget."""
+    import re
+
+    from multiagent_document_etl_system_spark.sources import parsers
+
+    subsampling, dri = mode
+    lines = [re.sub(r" +", " ", ln).strip() for ln in lines]
+    expected = [ln for ln in lines if ln]
+    text = "\n".join(lines)
+    jb = parsers.render_text_jpeg(text, subsampling=subsampling,
+                                  restart_interval=dri)
+    got = parsers._ocr_parse_stdlib(jb)
+    assert [ln for ln in got.split("\n") if ln] == expected
+
+
+def test_jpeg_decode_fidelity_and_unsupported_tiers():
+    """(a) Decoded luminance stays close to the source raster (mean |err|
+    ≤ 3, binarized agreement 100% on rendered text — the bound the OCR
+    budget relies on); (b) the 4:2:0 interleaved path yields the same
+    reading as grayscale; (c) progressive files raise (the documented
+    environment-gated tier) and truncated bitstreams raise rather than
+    returning fabricated pixels."""
+    import struct
+
+    import pytest
+
+    from multiagent_document_etl_system_spark.sources import parsers
+
+    text = "ABCDEF 012345\nGHIJK 6789"
+    px = parsers._render_text_pixels(text, 3)
+    jb = parsers.render_text_jpeg(text, 3, quality=90)
+    rows = parsers._decode_jpeg_luma(jb)
+    assert len(rows) == len(px) and len(rows[0]) == len(px[0])
+    n = err = 0
+    agree = True
+    for a_row, b_row in zip(px, rows):
+        for a, b in zip(a_row, b_row):
+            err += abs(a - b)
+            n += 1
+            agree &= (a < 128) == (b < 128)
+    assert err / n <= 3.0, err / n
+    assert agree
+    assert parsers._ocr_parse_stdlib(
+        parsers.render_text_jpeg(text, subsampling="420")) == \
+        parsers._ocr_parse_stdlib(jb)
+    # progressive SOF2 → ValueError naming the unsupported tier
+    prog = bytearray(parsers.render_text_jpeg("A"))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        parsers._decode_jpeg_luma(bytes(prog))
+    # truncated entropy data → error, not silence
+    with pytest.raises(ValueError):
+        parsers._decode_jpeg_luma(bytes(parsers.render_text_jpeg("AB")[:-40]))
+    # 12-bit precision → error
+    tw = bytearray(parsers.render_text_jpeg("A"))
+    sof = tw.find(b"\xff\xc0")
+    tw[sof + 4] = 12
+    with pytest.raises(ValueError, match="precision"):
+        parsers._decode_jpeg_luma(bytes(tw))
+    # a DQT delivered as 16-bit values must decode identically (real
+    # encoders emit Pq=1 for quality>some threshold): rebuild the segment
+    jb2 = bytearray(jb)
+    dqt = jb2.find(b"\xff\xdb")
+    (ln,) = struct.unpack_from(">H", jb2, dqt + 2)
+    tbl = jb2[dqt + 5:dqt + 2 + ln]
+    wide = struct.pack(">BBHB", 0xFF, 0xDB, 2 + 1 + 128, 0x10) \
+        + b"".join(struct.pack(">H", v) for v in tbl)
+    jb16 = bytes(jb2[:dqt]) + wide + bytes(jb2[dqt + 2 + ln:])
+    assert parsers._decode_jpeg_luma(jb16) == rows
+
+
 # ------------------------------------------- integer quality kernel
 
 ASCII_TEXTS = st.lists(

@@ -420,6 +420,20 @@ def test_ocr_parses_rendered_bmp_end_to_end(spark, tmp_path):
     assert r["raw_text"] == "INVOICE 42 TOTAL 1337\nPAID IN FULL"
 
 
+def test_ocr_parses_rendered_jpeg_end_to_end(spark, tmp_path):
+    """S4 round-6: a machine-rendered baseline JPEG (YCbCr 4:2:0 with
+    restart markers — the shape a real screenshot-as-JPEG encoder emits)
+    flows through parse_documents and yields the text back via the
+    pure-stdlib JPEG decode + template OCR rung."""
+    jpg = parsers.render_text_jpeg("RECEIPT 77 TOTAL 450",
+                                   subsampling="420", restart_interval=2)
+    (tmp_path / "scan.jpg").write_bytes(jpg)
+    out = parsers.parse_documents(read_landing_dir(spark, str(tmp_path)))
+    r = out.select("raw_text", "parse_error").collect()[0]
+    assert r["parse_error"] is None
+    assert r["raw_text"] == "RECEIPT 77 TOTAL 450"
+
+
 def test_ocr_tolerates_noise_and_flags_unreadable_glyphs():
     """Template matching is tolerant (Hamming budget), not a byte
     round-trip: salt-noise pixels do not change the reading, and a glyph
@@ -516,41 +530,52 @@ def test_read_xml_corpus(spark, tmp_path):
     assert inf.count() == 3 and "text" in inf.columns
 
 
-def test_mm_decode_real_pixels_for_bmp_and_png(spark):
-    """The multimodal decode rung ladder mirrors S4: BMP/PNG payloads are
-    REALLY decoded (stdlib) and the feature is a luminance histogram of
-    actual pixels — a rendered white-background image must put most mass
-    in the top bin; non-decodable bytes fall back to the deterministic
-    fake rather than erroring."""
+def test_mm_decode_real_pixels_for_bmp_png_jpeg(spark):
+    """The multimodal decode rung ladder mirrors S4: BMP/PNG/baseline-JPEG
+    payloads are REALLY decoded (stdlib + numpy IDCT for JPEG) and the
+    feature is a luminance histogram of actual pixels — a rendered
+    white-background image must put most mass in the top bin. A file that
+    CLAIMS baseline JPEG but is corrupt is a per-row decode_error (same
+    contract as corrupt BMP/PNG); only the genuinely unsupported
+    progressive tier falls back to the deterministic fake."""
     from multiagent_document_etl_system_spark.sources.multimodal import (
         decode_features,
     )
     from multiagent_document_etl_system_spark.sources.parsers import (
         render_text_bmp,
+        render_text_jpeg,
         render_text_png,
     )
 
     bmp = render_text_bmp("HI")
     png = render_text_png("HI")
+    jpg = render_text_jpeg("HI")
+    prog = bytearray(render_text_jpeg("HI"))
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # progressive SOF marker
     rows = [(1, "image", bytearray(bmp), None),
             (2, "image", bytearray(png), None),
-            (3, "image", bytearray(b"\xff\xd8 jpeg-ish junk"), None)]
-    from pyspark.sql import types as T
+            (3, "image", bytearray(b"\xff\xd8 jpeg-ish junk"), None),
+            (4, "image", bytearray(jpg), None),
+            (5, "image", bytearray(bytes(prog)), None)]
     from multiagent_document_etl_system_spark.sources.multimodal import (
         MEDIA_SCHEMA,
     )
 
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r.media_id: r for r in decode_features(df).collect()}
-    assert all(out[i].decode_error is None for i in (1, 2, 3))
+    assert all(out[i].decode_error is None for i in (1, 2, 4, 5))
+    assert out[3].decode_error is not None  # corrupt baseline -> error
     # white background dominates -> top luminance bin carries most mass
-    for i in (1, 2):
+    for i in (1, 2, 4):
         feat = out[i].feature
         assert abs(sum(feat) - 1.0) < 1e-6
         assert feat[-1] == max(feat) and feat[-1] > 0.5
     # BMP and PNG render the same glyphs -> identical histograms
     assert [round(x, 6) for x in out[1].feature] == \
         [round(x, 6) for x in out[2].feature]
+    # JPEG is lossy: histogram close to the BMP one, not byte-equal
+    l1 = sum(abs(a - b) for a, b in zip(out[1].feature, out[4].feature))
+    assert l1 < 0.1, l1
 
 
 def test_mm_decode_real_wav_energy_envelope(spark):
