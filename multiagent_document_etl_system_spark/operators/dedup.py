@@ -224,6 +224,63 @@ def band_signatures(sh_df: DataFrame, n_hashes: int = 16, bands: int = 4,
     ).select("_id", "bk.band", "bk.bh")
 
 
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 16,
+                       shingle_n: int = 3,
+                       family: str = "md5") -> DataFrame:
+    """(_id, _sig): per-doc MinHash signature — the reusable first stage
+    of the LSH chain, exposed for estimator-calibration queries
+    (ta_minhash_est_vs_exact) and index builds."""
+    sh_df = shingle_sets(df, text_col=text_col, id_col=id_col,
+                         shingle_n=shingle_n)
+    return (
+        sh_df
+        .withColumn("_base", shingle_base_hashes(F.col("_sh"), family))
+        .withColumn("_sig", minhash_signature(F.col("_base"), n_hashes))
+        .select("_id", "_sig")
+    )
+
+
+def lsh_bucket_report(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3,
+                      max_bucket: int = 1000,
+                      family: str = "md5") -> DataFrame:
+    """Per-band LSH bucket audit: the `max_bucket` cap in
+    :func:`minhash_lsh_pairs` drops degenerate buckets (boilerplate
+    clusters) SILENTLY from the pair stream — this report makes the drop
+    explicit, per the no-silent-caps rule. One row per band:
+    (band, n_buckets ≥2-member, n_singletons, max_bucket_size,
+    n_capped buckets over the cap, pairs_kept, pairs_dropped) with
+    C(n,2) pair mass counted by multiplication (a 10⁶-member bucket
+    moves one aggregate row, not 10¹² join rows). Two shuffles: the
+    banded (band, bh) groupBy the pair generator already pays, then a
+    #bands-row rollup."""
+    sh_df = shingle_sets(df, text_col=text_col, id_col=id_col,
+                         shingle_n=shingle_n)
+    banded = band_signatures(sh_df, n_hashes=n_hashes, bands=bands,
+                             family=family)
+    sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    c2 = F.shiftright(F.col("n") * (F.col("n") - 1), 1)
+    in_cap = (F.col("n") >= 2) & (F.col("n") <= max_bucket)
+    return (
+        sizes.groupBy("band").agg(
+            F.count(F.when(F.col("n") >= 2, 1)).cast("bigint")
+            .alias("n_buckets"),
+            F.count(F.when(F.col("n") == 1, 1)).cast("bigint")
+            .alias("n_singletons"),
+            F.max("n").cast("bigint").alias("max_bucket_size"),
+            F.count(F.when(F.col("n") > max_bucket, 1)).cast("bigint")
+            .alias("n_capped"),
+            F.coalesce(F.sum(F.when(in_cap, c2)), F.lit(0)).cast("bigint")
+            .alias("pairs_kept"),
+            F.coalesce(F.sum(F.when(F.col("n") > max_bucket, c2)),
+                       F.lit(0)).cast("bigint").alias("pairs_dropped"),
+        )
+        .orderBy("band")
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,

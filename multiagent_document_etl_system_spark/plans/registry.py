@@ -4846,6 +4846,217 @@ def td_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------- round-6 corpus-ops additions
+
+#: the shared DuckDB signature chain (toks → shingles → base hashes →
+#: 16-slot MinHash signature), used by the bucket audit and the
+#: estimator-calibration report below
+_SIG_CHAIN_SQL = f"""toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS __toks
+  FROM documents
+), sh AS (
+  SELECT id, {_SHINGLE_SQL} AS sh FROM toks
+), based AS (
+  SELECT id, sh, list_transform(sh, s -> {_H64_MOD}) AS base FROM sh
+), sig AS (
+  SELECT id, sh, {dedup.minhash_signature_sql('base', 16)} AS sig
+  FROM based
+)"""
+
+
+@_q("dedup_lsh_bucket_report", f"""
+WITH {_SIG_CHAIN_SQL}, banded AS (
+  SELECT id, b AS band, array_to_string(sig[b*4+1 : b*4+4], ',') AS bh
+  FROM sig, generate_series(0, 3) g(b)
+), sizes AS (
+  SELECT band, bh, count(*) AS n FROM banded GROUP BY band, bh
+)
+SELECT CAST(band AS BIGINT) AS band,
+  CAST(count(*) FILTER (WHERE n >= 2) AS BIGINT) AS n_buckets,
+  CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_singletons,
+  CAST(max(n) AS BIGINT) AS max_bucket_size,
+  CAST(count(*) FILTER (WHERE n > 1000) AS BIGINT) AS n_capped,
+  CAST(coalesce(sum(CASE WHEN n BETWEEN 2 AND 1000
+                         THEN n * (n - 1) // 2 END), 0) AS BIGINT)
+    AS pairs_kept,
+  CAST(coalesce(sum(CASE WHEN n > 1000 THEN n * (n - 1) // 2 END), 0)
+    AS BIGINT) AS pairs_dropped
+FROM sizes GROUP BY band ORDER BY band
+""")
+def dedup_lsh_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-cap AUDIT: minhash_lsh_pairs drops buckets larger than
+    max_bucket from the pair stream (the production guard against
+    boilerplate mega-clusters) — silently, from the pair consumer's view.
+    This report makes the cap explicit per band: bucket counts,
+    singleton mass, the largest bucket, how many buckets the cap
+    dropped, and the C(n,2) pair mass kept vs forgone (counted by
+    multiplication — a 10⁶-member bucket moves one aggregate row). The
+    dedup analog of v21_recall_matrix: the knob-audit you read before
+    trusting a dedup pass's coverage."""
+    return dedup.lsh_bucket_report(_docs(spark, sf_dir))
+
+
+@_q("ta_minhash_est_vs_exact", f"""
+WITH {_SIG_CHAIN_SQL}, pairs AS ({_minhash_pairs_sql(0.3)})
+SELECT p.id_a, p.id_b,
+  CAST(floor(p.jaccard * 10000 + 0.5) AS BIGINT) AS exact_q1e4,
+  CAST(len(list_filter([{', '.join(str(i) for i in range(1, 17))}],
+                       i -> a.sig[i] = b.sig[i])) * 625 AS BIGINT)
+    AS est_q1e4,
+  CAST(abs(len(list_filter([{', '.join(str(i) for i in range(1, 17))}],
+                           i -> a.sig[i] = b.sig[i])) * 625
+           - CAST(floor(p.jaccard * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+    AS abs_err_q1e4
+FROM pairs p
+JOIN sig a ON p.id_a = a.id
+JOIN sig b ON p.id_b = b.id
+""")
+def ta_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR CALIBRATION: per verified near-dup pair, the
+    Jaccard the 16-slot signature estimates (matching-slot fraction,
+    exactly matches·625 on the 1e-4 grid) against the exact shingle
+    Jaccard — the measurement that tells you whether 16 permutations are
+    enough before you trust LSH banding at corpus scale (E[est] = J,
+    σ = √(J(1−J)/16) ≈ 0.12 at J = 0.5; systematic |err| beyond that
+    band means the hash family, not the variance, is the problem).
+    Plan: the pair stream (bounded by banding) joined twice against the
+    signature relation — signatures are 16 longs, kilobyte-class rows;
+    everything integer."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    sigs = dedup.minhash_signatures(docs)
+    a = sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sg_a"))
+    b = sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sg_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    matches = F.size(F.filter(
+        F.zip_with("sg_a", "sg_b", lambda x, y: x == y), lambda v: v))
+    est = (matches.cast("bigint") * F.lit(625)).cast("bigint")
+    exact = F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("bigint")
+    return j.select(
+        "id_a", "id_b",
+        exact.alias("exact_q1e4"),
+        est.alias("est_q1e4"),
+        F.abs(est - exact).cast("bigint").alias("abs_err_q1e4"),
+    )
+
+
+@_q("td_length_mix_report", f"""
+WITH t AS (
+  SELECT source, {textstats.token_count_sql('text')} AS n_tok FROM documents
+), b AS (
+  SELECT source,
+    CASE WHEN n_tok <= 64 THEN 'a_0_64'
+         WHEN n_tok <= 256 THEN 'b_65_256'
+         WHEN n_tok <= 1024 THEN 'c_257_1024'
+         WHEN n_tok <= 4096 THEN 'd_1025_4096'
+         ELSE 'e_4097_plus' END AS len_bucket,
+    n_tok FROM t
+), agg AS (
+  SELECT source, len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM b GROUP BY source, len_bucket
+), tot AS (
+  SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs
+  FROM agg GROUP BY source
+)
+SELECT a.source, a.len_bucket, a.n_docs, a.n_tokens,
+  {idiv_round_sql('a.n_docs * 10000', 't.src_docs')} AS docs_share_q1e4
+FROM agg a JOIN tot t ON a.source = t.source
+""")
+def td_length_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source SEQUENCE-LENGTH mix: doc and token mass in fixed
+    token-length buckets (≤64 / ≤256 / ≤1024 / ≤4096 / longer) plus each
+    bucket's within-source share on the 1e-4 grid — the report packing
+    (td_token_budget_pack) and curriculum (td_curriculum_phases) planning
+    read first: a source that is 80% sub-64-token fragments packs badly
+    and up-weights noise. One scan → per-(source, bucket) agg → share via
+    a join against the #sources-row totals (kilobytes; AQE broadcasts
+    it)."""
+    d = _docs(spark, sf_dir)
+    n_tok = textstats.token_count(F.col("text"))
+    bucket = (F.when(n_tok <= 64, "a_0_64")
+              .when(n_tok <= 256, "b_65_256")
+              .when(n_tok <= 1024, "c_257_1024")
+              .when(n_tok <= 4096, "d_1025_4096")
+              .otherwise("e_4097_plus"))
+    agg = (d.select("source", bucket.alias("len_bucket"),
+                    n_tok.alias("n_tok"))
+           .groupBy("source", "len_bucket")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("n_tokens")))
+    w = Window.partitionBy("source")
+    return agg.select(
+        "source", "len_bucket", "n_docs", "n_tokens",
+        idiv_round(F.col("n_docs") * F.lit(10_000),
+                   F.sum("n_docs").over(w)).alias("docs_share_q1e4"),
+    )
+
+
+@_q("td_dedup_provenance", f"""
+WITH clusters AS ({_PREP_CLUSTERS_SQL}),
+scored AS (
+  SELECT doc_id, {textstats.quality_q1e4_sql('text')} AS q, text
+  FROM documents
+), gate_fail AS (
+  SELECT doc_id, 'quality_fail' AS reason, CAST(NULL AS BIGINT) AS ref_id
+  FROM scored WHERE q < 5000
+), exact_ AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+  FROM scored WHERE q >= 5000
+), exact_dup AS (
+  SELECT doc_id, 'exact_dup' AS reason, keep_id AS ref_id
+  FROM exact_ WHERE doc_id <> keep_id
+), near_dup AS (
+  SELECT k.doc_id, 'near_dup' AS reason, c.rep AS ref_id
+  FROM (SELECT doc_id FROM exact_ WHERE doc_id = keep_id) k
+  JOIN clusters c ON k.doc_id = c.id
+  WHERE c.rep <> k.doc_id
+)
+SELECT * FROM gate_fail
+UNION ALL SELECT * FROM exact_dup
+UNION ALL SELECT * FROM near_dup
+""")
+def td_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation PROVENANCE: one row per REMOVED document naming the stage
+    that removed it and the document it lost to — (doc_id, reason ∈
+    quality_fail | exact_dup | near_dup, ref_id = the kept twin/rep,
+    NULL for the gate). The audit trail a production corpus build writes
+    next to the survivor set, and the explainability artifact behind
+    "why is my page not in the training set" — td_prepare_corpus_v2's
+    removal semantics restated per-document. Same plan pieces as the
+    composite (gate filter, md5 keep-lowest window, cluster left join);
+    no new shuffle shapes."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", "text",
+        textstats.quality_q1e4_expr(F.col("text")).alias("q"))
+    gate_fail = (scored.filter(F.col("q") < 5000)
+                 .select("doc_id", F.lit("quality_fail").alias("reason"),
+                         F.lit(None).cast("bigint").alias("ref_id")))
+    w = Window.partitionBy(F.md5("text"))
+    exact = (scored.filter(F.col("q") >= 5000)
+             .select("doc_id", F.min("doc_id").over(w).alias("keep_id")))
+    exact_dup = (exact.filter(F.col("doc_id") != F.col("keep_id"))
+                 .select("doc_id", F.lit("exact_dup").alias("reason"),
+                         F.col("keep_id").alias("ref_id")))
+    clusters = dedup.duplicate_clusters(
+        dedup.minhash_lsh_pairs(d, threshold=0.5))
+    near_dup = (exact.filter(F.col("doc_id") == F.col("keep_id"))
+                .join(clusters, F.col("doc_id") == clusters.id)
+                .filter(F.col("rep") != F.col("doc_id"))
+                .select("doc_id", F.lit("near_dup").alias("reason"),
+                        F.col("rep").alias("ref_id")))
+    return gate_fail.unionByName(exact_dup).unionByName(near_dup)
+
+
+_QUEUED_FOR_R7 += [
+    "dedup_lsh_bucket_report",
+    "ta_minhash_est_vs_exact",
+    "td_length_mix_report",
+    "td_dedup_provenance",
+]
+
+
 # Re-apply the driver-window ordering AFTER the last registration: queries
 # defined below the first _driver_ordered call (td_dataset_card landed
 # there in r5) would otherwise append at the dict tail even when the pinned

@@ -209,3 +209,50 @@ def test_cross_source_matrix_counts(spark):
            .collect()}
     assert out == {("a", "a"): (1, 1), ("a", "b"): (1, 2),
                    ("b", "b"): (1, 1)}
+
+
+def test_lsh_bucket_report_accounts_for_capped_pairs(spark):
+    """The no-silent-caps audit: a corpus where one text repeats beyond a
+    tiny max_bucket must show that bucket as capped, with its FULL C(n,2)
+    pair mass in pairs_dropped — and the capped mass must be invisible to
+    the pair stream (minhash_lsh_pairs with the same cap yields none of
+    those pairs). Distinct texts land in small buckets -> pairs_kept."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)]
+    rows += [(10, "one two three four five six"),
+             (11, "one two three four five six")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {r.band: r for r in dedup.lsh_bucket_report(
+        docs, max_bucket=4).collect()}
+    assert set(rep) == {0, 1, 2, 3}
+    for band in rep.values():
+        # identical texts share every band key: the 6-copy bucket is over
+        # the cap of 4 (15 pairs dropped), the 2-copy bucket is kept
+        assert band.n_capped == 1
+        assert band.pairs_dropped == 15
+        assert band.pairs_kept == 1
+        assert band.max_bucket_size == 6
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.1, max_bucket=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(10, 11)}  # the capped cluster's 15 pairs are absent
+
+
+def test_dedup_provenance_reasons(spark):
+    """td_dedup_provenance partitions the removed set: reasons are
+    exactly the three stages, refs point at the keeper (exact) / the
+    cluster rep (near), the gate rows carry NULL, and no doc appears
+    twice (a doc removed at the gate never reaches dedup)."""
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    fn, _ = QUERIES["td_dedup_provenance"]
+    rows = fn(spark, SF_DIR).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    by_reason = {}
+    for r in rows:
+        by_reason.setdefault(r.reason, []).append(r)
+    assert set(by_reason) <= {"quality_fail", "exact_dup", "near_dup"}
+    assert all(r.ref_id is None for r in by_reason.get("quality_fail", []))
+    for r in by_reason.get("exact_dup", []):
+        assert r.ref_id is not None and r.ref_id < r.doc_id
+    for r in by_reason.get("near_dup", []):
+        assert r.ref_id is not None and r.ref_id != r.doc_id
