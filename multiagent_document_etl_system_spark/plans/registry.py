@@ -5065,11 +5065,52 @@ def td_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gate_fail.unionByName(exact_dup).unionByName(near_dup)
 
 
+@_q("td_bpe_first_merges", """
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), pairs AS (
+  SELECT unnest([substr(w, i, 2)
+                 for i in generate_series(1, length(w) - 1)]) AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT 50
+""")
+def td_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIRST ITERATION of BPE vocabulary training, exactly: count
+    every adjacent character pair within every (lowercased) word across
+    the corpus and rank the top-50 merge candidates — the highest-count
+    pair is the first merge rule a BPE trainer (Sennrich et al. 2016)
+    would emit. Full BPE is inherently sequential (each merge changes
+    the next count table), but the per-iteration count is THE
+    corpus-scale step, and this query is its plan: explode to
+    (word→pairs) with a transform over substring windows (no UDF), one
+    hash-partitioned count shuffle of O(corpus chars) 2-char keys, then
+    TakeOrderedAndProject for the top-50 (never a global sort).
+    Deterministic at the cut: (count DESC, pair ASC) is a total order.
+    An iterative driver would loop this plan with the merge applied via
+    regexp_replace — each round the same shape."""
+    d = _docs(spark, sf_dir)
+    words = (d.select(F.explode(textfns.tokens(F.lower(F.col("text"))))
+                      .alias("w"))
+             .filter(F.length("w") >= 2))
+    pairs = words.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.substring("w", i, 2))).alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.count("*").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(50))
+
+
 _QUEUED_FOR_R7 += [
     "dedup_lsh_bucket_report",
     "ta_minhash_est_vs_exact",
     "td_length_mix_report",
     "td_dedup_provenance",
+    "td_bpe_first_merges",
 ]
 
 
