@@ -559,6 +559,26 @@ def cmd_prepare(args) -> dict:
     }
 
 
+def cmd_provenance(args) -> dict:
+    """Write the per-document removal audit (td_dedup_provenance:
+    doc_id, reason ∈ quality_fail|exact_dup|near_dup, ref_id) next to a
+    corpus build — partitioned by reason so "show me every near-dup
+    casualty" is a partition-pruned read. Returns per-reason counts from
+    a read-back of what actually landed on disk."""
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    spark = get_spark(app_name="cli-provenance")
+    fn, _ = QUERIES["td_dedup_provenance"]
+    out = args.output_dir.rstrip("/")
+    fn(spark, args.sf_dir).write.mode("overwrite") \
+        .partitionBy("reason").parquet(out)
+    back = spark.read.parquet(out)
+    counts = {r["reason"]: r["n"] for r in
+              back.groupBy("reason").agg(F.count("*").alias("n")).collect()}
+    return {"success": True, "output": out,
+            "n_removed": sum(counts.values()), "by_reason": counts}
+
+
 def cmd_validate(args) -> dict:
     """Data-quality validation suite over the star schema + corpus —
     constraint checks of the kind a warehouse runs before trusting a
@@ -728,6 +748,10 @@ def main(argv=None) -> int:
     va = sub.add_parser("validate")
     va.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    pv = sub.add_parser("provenance")
+    pv.add_argument("sf_dir")
+    pv.add_argument("output_dir")
+
     cp = sub.add_parser("compact")
     cp.add_argument("path")
     cp.add_argument("--target-mb", type=int, default=512)
@@ -749,6 +773,7 @@ def main(argv=None) -> int:
            "ann-query": cmd_ann_query,
            "span-dedup": cmd_span_dedup,
            "compact": cmd_compact,
+           "provenance": cmd_provenance,
            "prepare": cmd_prepare,
            "validate": cmd_validate,
            "export-shards": cmd_export_shards}[args.cmd](args)

@@ -409,3 +409,29 @@ def test_validate_passes_on_clean_data_and_catches_violations(spark,
     assert v["documents.text_not_null"] == 1
     assert v["documents.lang_in_domain"] == 1
     assert v["documents.n_chars_consistent"] == 1
+
+
+def test_provenance_writes_partitioned_audit(spark, tmp_path, capsys):
+    """cli provenance writes the per-document removal audit partitioned
+    by reason; the response counts come from a read-back, and every
+    removed doc carries the contract columns (near/exact rows have a
+    ref, gate rows don't)."""
+    import json as _json
+
+    from multiagent_document_etl_system_spark.cli import main
+
+    out = str(tmp_path / "prov")
+    rc = main(["provenance", "/root/testdata/sf0.001", out])
+    m = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and m["success"]
+    assert m["n_removed"] == sum(m["by_reason"].values()) > 0
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"doc_id", "ref_id", "reason"}
+    # partition pruning works: reading one reason dir yields only it
+    import os
+    reasons = [d.split("=", 1)[1] for d in os.listdir(out)
+               if d.startswith("reason=")]
+    assert set(reasons) == set(m["by_reason"])
+    for r in reasons:
+        cnt = spark.read.parquet(f"{out}/reason={r}").count()
+        assert cnt == m["by_reason"][r]
