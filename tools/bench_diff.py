@@ -1,0 +1,63 @@
+"""Cross-round bench comparison: diff two per-query timing maps and flag
+real movements, with the co-tenancy caveat built in (a >1.5x swing under
+different load_factors is noise until re-measured idle — NOTES r5's
+hard-won rule).
+
+    python tools/bench_diff.py OLD.json NEW.json [--threshold 1.5]
+
+Accepts either a BENCH_DETAIL.json-style file ({"queries": {...},
+"load_factor": ...}) or a driver BENCH_r{N}.json whose "parsed" field
+carries the same map.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    d = json.loads(open(path).read())
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    if "queries" not in d:
+        raise SystemExit(f"{path}: no per-query map found")
+    return d
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+    old, new = load(args[0]), load(args[1])
+    oq, nq = old["queries"], new["queries"]
+    print(f"old: {len(oq)} queries, total {old.get('value')}s, "
+          f"load {old.get('load_factor')}")
+    print(f"new: {len(nq)} queries, total {new.get('value')}s, "
+          f"load {new.get('load_factor')}")
+    print(f"{'query':32s} {'old':>7s} {'new':>7s} {'ratio':>6s}")
+    moved = []
+    for name in sorted(set(oq) & set(nq)):
+        a, b = oq[name], nq[name]
+        if a <= 0:
+            continue
+        r = b / a
+        if r >= thr or r <= 1 / thr:
+            moved.append((r, name, a, b))
+    for r, name, a, b in sorted(moved, reverse=True):
+        print(f"{name:32s} {a:7.2f} {b:7.2f} {r:6.2f}")
+    if not moved:
+        print(f"(no per-query movement beyond {thr}x)")
+    added = sorted(set(nq) - set(oq))
+    gone = sorted(set(oq) - set(nq))
+    if added:
+        print("added:", ", ".join(added))
+    if gone:
+        print("removed:", ", ".join(gone))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
