@@ -1,0 +1,121 @@
+"""HTTP facade (server.py): the reference's four endpoints driven over a
+REAL socket — multipart and JSON-b64 uploads through the full parse +
+pipeline, schema registration with the J5 gate, health/stats."""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    from multiagent_document_etl_system_spark import server as srv
+
+    # share the test session instead of booting a second JVM
+    srv._SPARK = spark
+    registry = str(tmp_path_factory.mktemp("registry") / "schemas")
+    s = srv.make_server(0, registry=registry)
+    t = threading.Thread(target=s.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{s.server_address[1]}"
+    s.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url: str, data: bytes, ctype: str):
+    req = urllib.request.Request(url, data=data,
+                                 headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_stats(server):
+    code, h = _get(f"{server}/health")
+    assert code == 200 and h["status"] == "healthy"
+    code, st = _get(f"{server}/stats")
+    assert code == 200 and st["embedding_dimension"] == 384
+
+
+def test_process_json_b64_text_document(server):
+    # classifier keywords are corpus-vocabulary config: "value"/"order"
+    # score the invoice label (operators/classify.LABEL_KEYWORDS)
+    text = ("Purchase order of total value due.\n"
+            "Billed to client@example.com on 2024-03-15 "
+            "for the amount of $1,250.00. " * 3)
+    code, out = _post(
+        f"{server}/process",
+        json.dumps({"filename": "../../etc/invoice one.txt",
+                    "content_b64":
+                        base64.b64encode(text.encode()).decode()}).encode(),
+        "application/json")
+    assert code == 200, out
+    assert out["success"] is True
+    # P4 path-traversal guard: directory components stripped
+    assert out["filename"] == "invoice one.txt"
+    assert out["doc_type"] == "invoice"
+    assert out["email"] == "client@example.com"
+    assert out["date_str"] == "2024-03-15"
+    assert out["is_valid"] is True
+
+
+def test_process_multipart_jpeg_through_ocr(server):
+    from multiagent_document_etl_system_spark.sources.parsers import (
+        render_text_jpeg,
+    )
+
+    jpg = render_text_jpeg("RECEIPT 9 TOTAL 45", subsampling="420")
+    boundary = "testboundary42"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="file"; '
+        f'filename="scan.jpg"\r\n'
+        f"Content-Type: application/octet-stream\r\n\r\n"
+    ).encode() + jpg + f"\r\n--{boundary}--\r\n".encode()
+    code, out = _post(f"{server}/process", body,
+                      f"multipart/form-data; boundary={boundary}")
+    assert code == 200, out
+    assert out["filename"] == "scan.jpg"
+    # the stdlib JPEG OCR rung parsed the upload; the text is short, so
+    # the pipeline's too-short gate reports honestly (reference behavior
+    # for tiny docs) — parse itself must NOT be the failure
+    assert out["error"] is None or "parse failed" not in out["error"]
+
+
+def test_upload_schema_gate_and_upsert(server):
+    good = json.dumps({"doc_type": "invoice",
+                       "schema": {"fields": {"email": "string"}}}).encode()
+    code, out = _post(f"{server}/upload-schema", good, "application/json")
+    assert code == 200 and out["success"] and out["schema_id"]
+    # J5 gate: malformed schema_json -> 400, success false
+    bad = json.dumps({"doc_type": "invoice",
+                      "schema_json": "{not json"}).encode()
+    code, out = _post(f"{server}/upload-schema", bad, "application/json")
+    assert code == 400 and not out["success"]
+    # missing fields -> 400
+    code, out = _post(f"{server}/upload-schema",
+                      json.dumps({"doc_type": "x"}).encode(),
+                      "application/json")
+    assert code == 400
+
+
+def test_unknown_path_404(server):
+    import urllib.error
+
+    try:
+        urllib.request.urlopen(f"{server}/nope", timeout=30)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 404
+    assert raised
