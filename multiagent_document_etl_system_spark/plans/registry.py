@@ -5105,12 +5105,48 @@ def td_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(50))
 
 
+@_q("dedup_cluster_size_histogram", f"""
+WITH clusters AS ({dedup.duplicate_clusters_sql(
+    _minhash_pairs_sql(0.3).replace("SELECT id_a, id_b, jaccard",
+                                    "SELECT id_a, id_b"))}),
+sizes AS (
+  SELECT rep, CAST(count(*) AS BIGINT) AS sz FROM clusters GROUP BY rep
+)
+SELECT sz AS cluster_size,
+  CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(sum(sz) AS BIGINT) AS n_docs,
+  CAST(sum(sz - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY sz ORDER BY sz
+""")
+def dedup_cluster_size_histogram(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE distribution: how duplication mass is shaped
+    — many small pairs (benign mirroring) vs a few mega-clusters
+    (boilerplate explosion, the case that demands source-level fixes
+    before dedup). Per cluster size: cluster count, doc mass, and docs a
+    keep-one policy removes (size−1 each) — the report that predicts a
+    dedup pass's yield BEFORE running it, and the companion to
+    dedup_lsh_bucket_report's cap audit (a capped bucket hides exactly
+    the mega-cluster tail this histogram would otherwise show). Plan:
+    the cluster map rolled up twice (rep → size → histogram); both
+    aggregates move id-sized rows only."""
+    clusters = dedup.duplicate_clusters(
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3))
+    sizes = clusters.groupBy("rep").agg(F.count("*").alias("sz"))
+    return (sizes.groupBy(F.col("sz").alias("cluster_size"))
+            .agg(F.count("*").alias("n_clusters"),
+                 F.sum("sz").cast("bigint").alias("n_docs"),
+                 F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"))
+            .orderBy("cluster_size"))
+
+
 _QUEUED_FOR_R7 += [
     "dedup_lsh_bucket_report",
     "ta_minhash_est_vs_exact",
     "td_length_mix_report",
     "td_dedup_provenance",
     "td_bpe_first_merges",
+    "dedup_cluster_size_histogram",
 ]
 
 

@@ -5,7 +5,9 @@ on the same sf dir; compare row count, column names, and an order-insensitive
 value hash (rows sorted, columns sorted by name, values stringified with
 float rounding). Run:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+    python tools/check_oracle.py --window    # the driver's pinned 50 head
+    python tools/check_oracle.py --queued    # next round's queued adds
 """
 
 from __future__ import annotations
@@ -57,10 +59,26 @@ def main() -> int:
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    window = "--window" in args
+    if window:
+        args.remove("--window")
+    queued = "--queued" in args
+    if queued:
+        args.remove("--queued")
     sf_dir = "/root/testdata/sf0.01"
     if args and "/" in args[0]:
         sf_dir, args = args[0], args[1:]
-    names = args or list(QUERIES)
+    names = list(args)
+    if window:
+        # exactly what the external driver checks: the pinned head
+        names += list(QUERIES)[:50]
+    if queued:
+        # queries added after the window pin (next round's rotation)
+        from multiagent_document_etl_system_spark.plans.registry import (
+            _QUEUED_FOR_R7,
+        )
+        names += list(_QUEUED_FOR_R7)
+    names = names or list(QUERIES)
 
     if vanilla:
         # simulate an EXTERNAL driver's session: none of the engine's
