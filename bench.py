@@ -125,8 +125,14 @@ HEADLINE = [
     "q_pivot_multi_agg",
     "q_window_distinct",
     # round-6: the full modern recipe composite (keep-best survivor
-    # selection + post-dedup temperature mix)
+    # selection + post-dedup temperature mix) + the corpus-ops audits
     "td_prepare_corpus_v3",
+    "dedup_lsh_bucket_report",
+    "ta_minhash_est_vs_exact",
+    "td_length_mix_report",
+    "td_dedup_provenance",
+    "td_bpe_first_merges",
+    "dedup_cluster_size_histogram",
     # streaming throughput: the fn() call itself RUNS the availableNow
     # stream (memory sink), so these are in REBUILD_PER_REP — each rep
     # re-executes the full micro-batch pipeline, and the timed number is
