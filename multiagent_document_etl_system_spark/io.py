@@ -170,6 +170,41 @@ def read_csv_corpus(spark: SparkSession, path: str, schema: str,
     return lines.select(parsed.alias("_r")).select("_r.*")
 
 
+def read_fixed_width_corpus(spark: SparkSession, path: str,
+                            colspecs: list[tuple[str, int, int, str]],
+                            ) -> DataFrame:
+    """S6 variant — FIXED-WIDTH text ingest (the mainframe/ERP export
+    format: every field a byte range of the line), same per-row fault
+    contract as the other corpus readers: a line shorter than a field's
+    extent yields NULL for that field and parks the raw line in
+    ``_corrupt_record``; a parseable-but-mistyped field NULLs that field
+    only.
+
+    ``colspecs``: (name, start_1_based, length, ddl_type) per field —
+    e.g. ``[("doc_id", 1, 8, "bigint"), ("lang", 9, 2, "string")]``.
+
+    Plan: a splittable ``text`` scan + per-field ``substring`` +
+    ``try_cast`` projections — whole-stage codegen end-to-end, no UDF,
+    no format library; at 100 TB this parallelizes per line like CSV
+    (fixed-width is newline-delimited, hence splittable)."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    min_len = max(start + ln - 1 for _, start, ln, _ in colspecs)
+    cols = []
+    for name, start, ln, typ in colspecs:
+        raw = F.trim(F.substring(F.col("value"), start, ln))
+        val = F.when(F.length("value") >= start + ln - 1,
+                     raw.try_cast(typ))
+        cols.append(val.alias(name))
+    bad = F.length("value") < min_len
+    for name, start, ln, typ in colspecs:
+        raw = F.trim(F.substring(F.col("value"), start, ln))
+        bad = bad | (raw.try_cast(typ).isNull() & (raw != ""))
+    cols.append(F.when(bad, F.col("value")).alias("_corrupt_record"))
+    return lines.select(*cols)
+
+
 def read_xml_corpus(spark: SparkSession, path: str, row_tag: str = "doc",
                     schema: str | None = None) -> DataFrame:
     """S6 variant — XML corpus ingest (Spark 4's built-in ``xml`` source;

@@ -119,3 +119,34 @@ def test_unknown_path_404(server):
     except urllib.error.HTTPError as e:
         raised = e.code == 404
     assert raised
+
+
+def test_concurrent_process_requests(server):
+    """ThreadingHTTPServer + one shared SparkSession: four simultaneous
+    /process uploads must all complete correctly (Spark schedules
+    concurrent jobs from multiple threads; the session is thread-safe).
+    Each document carries a distinct email so responses can't be
+    cross-wired between requests."""
+    import concurrent.futures
+
+    def one(i: int):
+        text = (f"Purchase order of total value due.\n"
+                f"Billed to user{i}@example.com on 2024-03-1{i} "
+                f"for the amount of $1,000.0{i}. " * 3)
+        code, out = _post(
+            f"{server}/process",
+            json.dumps({"filename": f"doc{i}.txt",
+                        "content_b64":
+                            base64.b64encode(text.encode()).decode()}
+                       ).encode(),
+            "application/json")
+        return i, code, out
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(one, range(4)))
+    for i, code, out in results:
+        assert code == 200, out
+        assert out["success"] is True
+        assert out["filename"] == f"doc{i}.txt"
+        assert out["email"] == f"user{i}@example.com"
+        assert out["date_str"] == f"2024-03-1{i}"

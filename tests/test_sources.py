@@ -599,3 +599,41 @@ def test_mm_decode_real_wav_energy_envelope(spark):
     # first half (loud) carries ~all the mass
     assert sum(feat[:4]) > 0.99
     assert out[2].decode_error is not None
+
+
+def test_read_fixed_width_corpus_fault_contract(spark, tmp_path):
+    """Fixed-width ingest (S6 variant): byte-range fields slice cleanly,
+    a short line NULLs the missing field and lands in _corrupt_record,
+    a mistyped field NULLs that field only — same per-row audit contract
+    as the JSONL/CSV/XML readers, and the whole parse is substring +
+    try_cast codegen (no UDF, no format library)."""
+    from multiagent_document_etl_system_spark.io import (
+        read_fixed_width_corpus,
+    )
+
+    # layout: id[1..8] lang[9..10] amount[11..18]
+    lines = [
+        "00000001en  123.50",  # clean
+        "00000002de   77.25",  # clean
+        "00000003fr",          # short: amount missing
+        "eightchr!!  999.99",  # id not numeric
+    ]
+    p = tmp_path / "fw.txt"
+    p.write_text("\n".join(lines) + "\n")
+    out = read_fixed_width_corpus(
+        spark, str(p),
+        [("doc_id", 1, 8, "bigint"), ("lang", 9, 2, "string"),
+         ("amount", 11, 8, "double")])
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["lang"] == "en" and rows[1]["amount"] == 123.50
+    assert rows[1]["_corrupt_record"] is None
+    assert rows[2]["amount"] == 77.25
+    # short line: amount NULL, line audited
+    assert rows[3]["amount"] is None
+    assert rows[3]["_corrupt_record"] == "00000003fr"
+    # mistyped id: field NULL, line audited, other fields survive
+    bad = rows[None]
+    assert bad["amount"] == 999.99
+    assert bad["_corrupt_record"].startswith("eightchr")
+    # audit-only query works (the thing the raw CSV source refuses)
+    assert out.filter(out["_corrupt_record"].isNotNull()).count() == 2
