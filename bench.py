@@ -133,6 +133,8 @@ HEADLINE = [
     "td_dedup_provenance",
     "td_bpe_first_merges",
     "dedup_cluster_size_histogram",
+    "td_dedup_policy_ablation",
+    "ta_bigram_diversity",
     # streaming throughput: the fn() call itself RUNS the availableNow
     # stream (memory sink), so these are in REBUILD_PER_REP — each rep
     # re-executes the full micro-batch pipeline, and the timed number is
