@@ -141,6 +141,7 @@ HEADLINE = [
     # real streaming wall time, not a memory-table scan
     "st_tumbling_stream",
     "st_variant_stream",
+    "st_diversity_gate",
 ]
 
 
@@ -199,7 +200,8 @@ def main() -> None:
                        # measurement
                        "v24_graph_pagerank",
                        # streaming runs execute at build time
-                       "st_tumbling_stream", "st_variant_stream"}
+                       "st_tumbling_stream", "st_variant_stream",
+                       "st_diversity_gate"}
 
     for name in HEADLINE:
         fn, _ = QUERIES[name]

@@ -5259,6 +5259,66 @@ def ta_bigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("st_diversity_gate", f"""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_in,
+  CAST(sum(CASE WHEN dq >= 3000 THEN 1 ELSE 0 END) AS BIGINT) AS n_diverse,
+  CAST(min(dq) AS BIGINT) AS min_div_q1e4,
+  CAST(max(dq) AS BIGINT) AS max_div_q1e4
+FROM (
+  SELECT lang, {idiv_round_sql('nd * 10000', 'greatest(nb, 1)')} AS dq
+  FROM (
+    SELECT lang, greatest(length(h) - 1, 0) AS nb,
+      CASE WHEN length(h) < 2 THEN 0
+        ELSE len(list_distinct([substr(h, i, 2)
+                 for i in generate_series(1, length(h) - 1)])) END AS nd
+    FROM (SELECT lang, substr(text, 1, {_DIVERSITY_HEAD}) AS h
+          FROM documents WHERE doc_id % 10 = 7)
+  )
+) GROUP BY lang
+""")
+def st_diversity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run, oracle-checked: the ENTROPY-PROXY gate on
+    continuous ingest — each arriving document's prefix-bounded bigram
+    diversity is computed per micro-batch and the per-language funnel
+    (inputs, gate survivors at 3000, min/max diversity) runs in complete
+    mode. Same Catalyst kernel as the batch ta_bigram_diversity (zero
+    streaming-only code paths); the only streaming state is the per-lang
+    aggregate row. Pure-integer outputs ⇒ fully hash-checked against the
+    batch restatement — the gibberish/spam front-door gate of a
+    continuous training-data pipeline."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_incoming_docs_dir(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint").parquet(stage)
+    staged = stream.withColumn(
+        "_h", F.substring("text", 1, _DIVERSITY_HEAD))
+    h = F.col("_h")
+    nb = F.greatest(F.length(h) - 1, F.lit(0)).cast("bigint")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(h) - 1, F.lit(1))),
+        lambda i: F.substring(h, i, 2))
+    nd = F.when(F.length(h) < 2, F.lit(0).cast("bigint")) \
+        .otherwise(F.size(F.array_distinct(grams)).cast("bigint"))
+    dq = idiv_round(nd * F.lit(10_000),
+                    F.greatest(nb, F.lit(1).cast("bigint")))
+    flagged = staged.select("lang", dq.alias("dq"))
+    agg = flagged.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_in"),
+        F.sum(F.when(F.col("dq") >= 3000, 1).otherwise(0)).cast("bigint")
+        .alias("n_diverse"),
+        F.min("dq").cast("bigint").alias("min_div_q1e4"),
+        F.max("dq").cast("bigint").alias("max_div_q1e4"),
+    )
+    name = f"st_diversity_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 _QUEUED_FOR_R7 += [
     "dedup_lsh_bucket_report",
     "ta_minhash_est_vs_exact",
@@ -5268,6 +5328,7 @@ _QUEUED_FOR_R7 += [
     "dedup_cluster_size_histogram",
     "td_dedup_policy_ablation",
     "ta_bigram_diversity",
+    "st_diversity_gate",
 ]
 
 
