@@ -48,12 +48,21 @@ def _ts_scalar(col: Column, dtype: T.DataType) -> Column:
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str = "ts", right_ts: str = "ts",
               payload: list[str] | None = None,
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance: int | float | None = None) -> DataFrame:
     """As-of join: every left row + the matched right ``payload`` columns
     per ``direction`` (null when no matching right row exists).
 
     ``payload`` defaults to every right column except the key and ts.
     Output columns: all left columns + ``asof_<payload>`` columns.
+
+    ``tolerance``: maximum |left.ts − matched.ts| for the match to count
+    (pandas ``merge_asof(tolerance=...)`` semantics — attribution windows,
+    staleness bounds on market data); a match farther away NULLs the
+    payload exactly like no-match. Units = the distance axis: MICROSECONDS
+    for timestamp columns (``_ts_scalar``), the column's own units for
+    numerics. Applied as a per-row predicate AFTER the window scan, so
+    the plan cost is identical to the unbounded join.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction: {direction!r}")
@@ -110,6 +119,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
             .when(f_delta < b_delta, fwd)
             .otherwise(bwd)  # ties → backward
         )
+
+    if tolerance is not None:
+        here = _ts_scalar(F.col("_t"), rts_type)
+        dist = F.abs(here - _ts_scalar(picked["_mt"], rts_type))
+        picked = F.when(dist <= F.lit(tolerance), picked)
 
     filled = unioned.select(
         "_side",

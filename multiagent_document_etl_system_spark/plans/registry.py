@@ -2884,6 +2884,46 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_asof_tolerance", """
+WITH v AS (SELECT user_id, ts, max(value) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+  round(p.value, 2) AS purchase_value,
+  round(CASE WHEN v.ts IS NOT NULL
+              AND (p.ts - v.ts) <= INTERVAL 600 SECOND
+             THEN v.view_value END, 2) AS recent_view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""")
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOLERANCE-bounded as-of join (pandas merge_asof(tolerance=...)
+    semantics): each purchase attributed to the latest prior view per
+    user ONLY if it happened within the last 10 minutes — the attribution
+    window / staleness bound every market-data and ads pipeline puts on
+    raw as-of matches (an hour-old price is not "the" price). The bound
+    is a per-row predicate applied AFTER the window scan
+    (operators/asof.py), so the plan — one keyed exchange + linear
+    in-partition scan — costs exactly the unbounded join; the oracle is
+    DuckDB's native ASOF with the interval test restated on its match."""
+    from multiagent_document_etl_system_spark.operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    out = asof_join(purchases, views, key="user_id",
+                    tolerance=600 * 1_000_000)  # µs axis: 10 minutes
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("asof_view_value", 2).alias("recent_view_value"),
+    )
+
+
 @_q("q_approx_distinct", None)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — approximate by construction, engine
@@ -5329,6 +5369,7 @@ _QUEUED_FOR_R7 += [
     "td_dedup_policy_ablation",
     "ta_bigram_diversity",
     "st_diversity_gate",
+    "q_asof_tolerance",
 ]
 
 

@@ -86,3 +86,32 @@ def test_asof_forward_and_nearest(spark):
         "nearer-fwd": 200.0,    # 15min fwd vs 105min back
         "after-all": 200.0,     # only backward exists
     }
+
+
+def test_asof_tolerance_bounds_the_match(spark):
+    """merge_asof(tolerance=...) semantics: a backward match farther than
+    the bound NULLs the payload exactly like no-match; matches at and
+    inside the bound survive; the nearest direction applies the bound on
+    |delta| symmetrically."""
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100.0)],
+        "k long, ts timestamp, price double")
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:05:00"), "inside"),
+         (1, _ts("2024-01-01T10:10:00"), "at-bound"),
+         (1, _ts("2024-01-01T10:30:00"), "stale"),
+         (1, _ts("2024-01-01T09:30:00"), "no-match")],
+        "k long, ts timestamp, tag string")
+    tol = 10 * 60 * 1_000_000  # 10 min on the microsecond axis
+    got = {r["tag"]: r["asof_price"]
+           for r in asof_join(left, right, key="k",
+                              tolerance=tol).collect()}
+    assert got == {"inside": 100.0, "at-bound": 100.0,
+                   "stale": None, "no-match": None}
+    near = {r["tag"]: r["asof_price"]
+            for r in asof_join(left, right, key="k", direction="nearest",
+                               tolerance=tol).collect()}
+    # nearest finds the 30-min-early right for "no-match"... but it is
+    # outside the bound in THAT direction too
+    assert near == {"inside": 100.0, "at-bound": 100.0,
+                    "stale": None, "no-match": None}
