@@ -2890,10 +2890,11 @@ WITH v AS (SELECT user_id, ts, max(value) AS view_value
 p AS (SELECT event_id, user_id, ts, value FROM events
       WHERE event_type = 'purchase')
 SELECT p.event_id, p.user_id,
-  round(p.value, 2) AS purchase_value,
-  round(CASE WHEN v.ts IS NOT NULL
+  CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS purchase_cents,
+  CAST(floor(CASE WHEN v.ts IS NOT NULL
               AND (p.ts - v.ts) <= INTERVAL 600 SECOND
-             THEN v.view_value END, 2) AS recent_view_value
+             THEN v.view_value END * 100 + 0.5) AS BIGINT)
+    AS recent_view_cents
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """)
 def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2917,10 +2918,14 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "value")
     out = asof_join(purchases, views, key="user_id",
                     tolerance=600 * 1_000_000)  # µs axis: 10 minutes
+    # exact cents BIGINT (the float-output pin's rule for new queries):
+    # floor(x*100 + 0.5) is the same deterministic per-row op on both
+    # engines' identical input doubles
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return out.select(
         "event_id", "user_id",
-        F.round("value", 2).alias("purchase_value"),
-        F.round("asof_view_value", 2).alias("recent_view_value"),
+        cents("value").alias("purchase_cents"),
+        cents("asof_view_value").alias("recent_view_cents"),
     )
 
 
