@@ -708,3 +708,73 @@ def test_temperature_mix_matches_python_reference(spark, counts):
     for s, (n, nat, temp, _) in got.items():
         if n < mean_n:
             assert temp >= nat - 1  # √ smoothing never down-weights small
+
+
+def test_jpeg_decoder_handles_noise_and_zrl_paths():
+    """Pure-noise blocks maximize non-zero AC coefficients and
+    high-magnitude categories, and checkerboard-with-long-flat-runs
+    exercises ZRL (16-zero runs) — paths a text render never hits hard.
+    The test builds the file from the module's own encoder primitives
+    (same tables/bit writer the product encoder uses) so only the
+    DECODER is under test; fidelity bound: mean |err| ≤ 6 at q=95 even
+    on noise (quantization at q=95 is near-lossless for 8x8 energy)."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from multiagent_document_etl_system_spark.sources import parsers as P
+
+    rng = random.Random(77)
+    h, w = 24, 40
+    cases = {
+        "noise": [[rng.randrange(256) for _ in range(w)] for _ in range(h)],
+        # mostly-flat rows with a single hot pixel per block row → long
+        # zero runs between isolated AC spikes (the ZRL regime)
+        "sparse": [[255 if (r % 8 == 3 and c % 16 == 5) else 128
+                    for c in range(w)] for r in range(h)],
+    }
+    qtab = P._jpeg_scaled_qtable(95)
+    qmat = np.asarray(qtab, float).reshape(8, 8)
+    t = P._jpeg_dct_matrix()
+    dc_tab = P._huff_encode_table(P._JPEG_DC_BITS, P._JPEG_DC_VALS)
+    ac_tab = P._huff_encode_table(P._JPEG_AC_BITS, P._JPEG_AC_VALS)
+
+    def encode_gray(px):
+        plane = np.asarray(px, float)
+        hh, ww = plane.shape
+        wr = P._JpegBitWriter()
+        pred = 0
+        for by in range((hh + 7) // 8):
+            for bx in range((ww + 7) // 8):
+                blk = np.full((8, 8), 128.0)
+                ys, xs = min(8, hh - by * 8), min(8, ww - bx * 8)
+                blk[:ys, :xs] = plane[by * 8:by * 8 + ys,
+                                      bx * 8:bx * 8 + xs]
+                q = np.floor((t @ (blk - 128.0) @ t.T) / qmat + 0.5)
+                zz = [int(q.reshape(64)[i]) for i in P._JPEG_ZZ]
+                pred = P._jpeg_encode_block(zz, pred, wr, dc_tab, ac_tab)
+        wr.align()
+
+        def seg(marker, payload):
+            return struct.pack(">BBH", 0xFF, marker,
+                               len(payload) + 2) + payload
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0]) + bytes(qtab[i] for i in P._JPEG_ZZ))
+        out += seg(0xC0, struct.pack(">BHHB", 8, hh, ww, 1)
+                   + bytes((1, 0x11, 0)))
+        out += seg(0xC4, bytes([0x00]) + bytes(P._JPEG_DC_BITS)
+                   + bytes(P._JPEG_DC_VALS))
+        out += seg(0xC4, bytes([0x10]) + bytes(P._JPEG_AC_BITS)
+                   + bytes(P._JPEG_AC_VALS))
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        out += bytes(wr.buf) + b"\xff\xd9"
+        return bytes(out)
+
+    for name, px in cases.items():
+        rows = P._decode_jpeg_luma(encode_gray(px))
+        assert len(rows) == h and len(rows[0]) == w, name
+        err = sum(abs(a - b) for ra, rb in zip(px, rows)
+                  for a, b in zip(ra, rb)) / (h * w)
+        assert err <= 6.0, (name, err)
