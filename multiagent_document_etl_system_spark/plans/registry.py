@@ -4805,8 +4805,65 @@ _QUEUED_FOR_R7: list[str] = [
 ]
 
 
+# Round-7 window (the driver checks the FIRST 50 registry entries), pinned
+# FIRST THING this round per NOTES.md's recipe: (1) the 11 oracled queries
+# that queued behind the frozen r6 window — every one already
+# standard+vanilla green locally, but local green is soft evidence; they
+# head the window so every oracled query finally has a driver row.
+# (2) The six diag_prep_* stage diagnostics are RETIRED from the head:
+# they did their job (all green r6, the composites they bisect flipped
+# green). (3) The asof family re-confirms because operators/asof.py's
+# tolerance axis handling changes this round (ADVICE r6 item 2).
+# (4) Remaining slots = highest-value re-confirms: the contract-coupled
+# composite set and one representative of each heavy plan family
+# (dedup ladder, corpus prep, ANN/graph, text analysis, streaming).
+# FROZEN AT PIN TIME — any query added this round goes to _QUEUED_FOR_R8,
+# never into this list (tests/test_registry_order.py enforces it).
+_DRIVER_WINDOW_R7 = [
+    # --- 11 queued-for-R7 (never driver-checked) ---
+    "td_prepare_corpus_v3",
+    "dedup_lsh_bucket_report",
+    "ta_minhash_est_vs_exact",
+    "td_length_mix_report",
+    "td_dedup_provenance",
+    "td_bpe_first_merges",
+    "dedup_cluster_size_histogram",
+    "td_dedup_policy_ablation",
+    "ta_bigram_diversity",
+    "st_diversity_gate",
+    "q_asof_tolerance",
+    # --- contract-coupled re-confirms (r7 code touches these paths) ---
+    "q_asof_join", "q_asof_forward", "q_asof_nearest",
+    "td_shard_manifest",  # re-derived by the r7 incremental-ingest recipe
+    # --- composite set (highest-value re-confirms) ---
+    "td_prepare_corpus", "td_prepare_corpus_v2", "td_curation_funnel",
+    "pipeline_flagship",
+    # --- dedup ladder ---
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
+    "dedup_threshold_sweep", "dedup_cross_source_matrix",
+    "dedup_bloom_membership", "dedup_exact_stats", "td_span_dedup",
+    # --- corpus prep ---
+    "td_split_leakage", "td_dataset_card", "td_mix_post_dedup",
+    "td_temperature_mix", "td_tokenize_ids", "td_decontaminate",
+    "td_semantic_decontaminate", "td_domain_mix", "td_epoch_plan",
+    "td_curriculum_phases", "td_pack_utilization", "td_quality_classifier",
+    # --- ANN / graph ---
+    "v22_ann_index_topk", "v23_knn_graph", "v24_graph_pagerank",
+    "v21_recall_matrix", "v2_cosine_topk",
+    # --- text analysis ---
+    "ta_dup_ngram_coverage", "ta_ngram_novelty", "ta_vocab_stats",
+    "ta_source_divergence",
+    # --- streaming ---
+    "st_ann_stream", "st_bloom_gate",
+]
+
+#: oracled queries added AFTER the r7 window was pinned — they queue for
+#: the r8 window head (frozen-window discipline, third rotation).
+_QUEUED_FOR_R8: list[str] = []
+
+
 def _driver_ordered(q: dict) -> dict:
-    head = [n for n in _DRIVER_WINDOW_R6 if n in q]
+    head = [n for n in _DRIVER_WINDOW_R7 if n in q]
     return {n: q[n] for n in head + [n for n in q if n not in set(head)]}
 
 

@@ -1,24 +1,24 @@
-"""Driver-window ordering invariants (round-6).
+"""Driver-window ordering invariants (round-7).
 
 The external driver checks the FIRST 50 registry entries each round; these
-tests pin that the round-6 window contains exactly what the r5 verdict
-ordered: the 6 stage-bisection diagnostics for the 4-round-red composites
-at the head, the two red cells themselves (integer-only survival path this
-round), one deliberate re-confirmation (td_curation_funnel, whose embedded
-pair SQL's threshold selection changed to the integer test), and ALL 41
-never-driver-checked oracled queries. After this window runs, zero oracled
-queries lack a driver row — and the window is FROZEN: queries added after
-the pin go to _QUEUED_FOR_R7, never into the window (the r5 process
-failure — 41 never-checked queries accumulating behind a pinned window —
-is closed by construction).
+tests pin that the round-7 window contains exactly what the r6 verdict and
+NOTES.md ordered: the 11 oracled queries that queued behind the frozen r6
+window at the head (their first driver rows), the asof-family re-confirms
+(operators/asof.py's tolerance axis handling changes this round), the
+contract-coupled composite set, and highest-value re-confirms for each
+heavy plan family. The six diag_prep_* diagnostics are retired from the
+head (all green r6; the composites they bisect flipped green). The window
+is FROZEN: queries added after the pin go to _QUEUED_FOR_R8, never into
+the window.
 """
 
 from __future__ import annotations
 
 from multiagent_document_etl_system_spark.plans.registry import (
     _DRIVER_WINDOW_R6,
-    _QUEUED_FOR_R6,
+    _DRIVER_WINDOW_R7,
     _QUEUED_FOR_R7,
+    _QUEUED_FOR_R8,
     QUERIES,
 )
 
@@ -84,81 +84,87 @@ _EVER_DRIVER_CHECKED = {
     "st_span_gate", "td_quality_classifier", "td_temperature_mix",
     "v21_recall_matrix", "dedup_cross_source_matrix",
 }
+# added by the r6 window (CORRECTNESS_r06 = exactly _DRIVER_WINDOW_R6,
+# 50/50 green — verified against the committed JSON before this pin)
+_EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R6)
 
-#: driver hash-red in r2..r5, re-shown this round with a 100%-integer
-#: survival path — must be in the window together with their diagnostics
-_MUST_RESHOW = {"td_prepare_corpus", "td_prepare_corpus_v2"}
+#: the 11 queries that queued behind the frozen r6 window — never driver
+#: checked; they MUST head the r7 window (NOTES.md recipe step 2)
+_QUEUED_11 = [
+    "td_prepare_corpus_v3", "dedup_lsh_bucket_report",
+    "ta_minhash_est_vs_exact", "td_length_mix_report", "td_dedup_provenance",
+    "td_bpe_first_merges", "dedup_cluster_size_histogram",
+    "td_dedup_policy_ablation", "ta_bigram_diversity", "st_diversity_gate",
+    "q_asof_tolerance",
+]
 
-#: the round-6 stage-bisection diagnostics (new oracled queries, lead the
-#: window so a red names the diverging composite stage)
-_DIAGNOSTICS = {
-    "diag_prep_gate", "diag_prep_exact", "diag_prep_pairs",
-    "diag_prep_clusters", "diag_prep_survivors", "diag_prep_tokens",
-}
-
-#: deliberately re-shown green: td_curation_funnel embeds
-#: _minhash_pairs_sql, whose threshold selection moved to the pure-integer
-#: test this round (contract-changed green ⇒ re-confirm)
-_RECONFIRM = {"td_curation_funnel"}
+#: deliberate re-confirms: asof family (operators/asof.py tolerance-axis
+#: contract work this round), td_shard_manifest (re-derived by the r7
+#: incremental-ingest recipe), plus the composite set and one
+#: representative per heavy plan family — every one previously green.
+_RECONFIRM_R7 = set(_DRIVER_WINDOW_R7) - set(_QUEUED_11)
 
 
 def test_window_is_exactly_the_head():
-    assert list(QUERIES)[: len(_DRIVER_WINDOW_R6)] == _DRIVER_WINDOW_R6
+    assert list(QUERIES)[: len(_DRIVER_WINDOW_R7)] == _DRIVER_WINDOW_R7
 
 
 def test_window_is_50_slots():
-    assert len(_DRIVER_WINDOW_R6) == 50
-    assert len(set(_DRIVER_WINDOW_R6)) == 50
+    assert len(_DRIVER_WINDOW_R7) == 50
+    assert len(set(_DRIVER_WINDOW_R7)) == 50
 
 
-def test_diagnostics_lead_then_reds():
-    assert set(_DRIVER_WINDOW_R6[:6]) == _DIAGNOSTICS
-    assert set(_DRIVER_WINDOW_R6[6:8]) == _MUST_RESHOW
+def test_queued_11_lead_the_window():
+    assert _DRIVER_WINDOW_R7[:11] == _QUEUED_11
+    assert set(_QUEUED_11) == set(_QUEUED_FOR_R7)
 
 
-def test_window_slots_all_produce_new_evidence():
-    """Every slot is a fixed-red re-show, a bisection diagnostic, a
-    never-driver-checked query, or the one contract-changed
-    re-confirmation."""
-    wasted = [n for n in _DRIVER_WINDOW_R6
-              if n in _EVER_DRIVER_CHECKED
-              and n not in _MUST_RESHOW | _RECONFIRM]
-    assert not wasted, wasted
+def test_diagnostics_retired():
+    """The six diag_prep_* stage diagnostics did their job in r6 (all
+    green; the composites flipped green) — NOTES.md retires them from the
+    head. They remain registered + oracled for ad-hoc bisection."""
+    for n in ("diag_prep_gate", "diag_prep_exact", "diag_prep_pairs",
+              "diag_prep_clusters", "diag_prep_survivors",
+              "diag_prep_tokens"):
+        assert n not in _DRIVER_WINDOW_R7, n
+        assert n in QUERIES and QUERIES[n][1], n
+
+
+def test_window_slots_all_produce_evidence():
+    """Every slot is either a never-driver-checked queued query or a
+    deliberate (previously green) re-confirm — no accidental slots."""
+    for n in _DRIVER_WINDOW_R7:
+        if n in _QUEUED_11:
+            assert n not in _EVER_DRIVER_CHECKED, n
+        else:
+            assert n in _EVER_DRIVER_CHECKED, n
+            assert n in _RECONFIRM_R7, n
 
 
 def test_window_covers_every_never_checked_oracled_query():
-    """The rotation's whole point: after r6, no oracled query is without a
-    driver row. rows-only queries are excluded by construction (their only
-    possible driver outcome is `no_oracle`); queries added after the pin
-    queue for r7."""
+    """After r7's window runs, zero oracled queries lack a driver row —
+    except those added after the pin, which queue for r8."""
     never = [n for n, (_, oracle) in QUERIES.items()
              if oracle and n not in _EVER_DRIVER_CHECKED]
     missing = [n for n in never
-               if n not in _DRIVER_WINDOW_R6 and n not in _QUEUED_FOR_R7]
-    assert not missing, missing
-
-
-def test_window_absorbs_the_whole_r6_queue():
-    """All 41 r5-session additions got their slot — none waited two
-    rotations."""
-    missing = [n for n in _QUEUED_FOR_R6 if n not in _DRIVER_WINDOW_R6]
+               if n not in _DRIVER_WINDOW_R7 and n not in _QUEUED_FOR_R8]
     assert not missing, missing
 
 
 def test_window_is_frozen_against_new_additions():
-    """Queries added after the r6 pin must NOT displace window slots: they
-    are oracled, exist, and sit in _QUEUED_FOR_R7 outside the window."""
-    for n in _QUEUED_FOR_R7:
+    """Queries added after the r7 pin must NOT displace window slots: they
+    are oracled, exist, and sit in _QUEUED_FOR_R8 outside the window."""
+    for n in _QUEUED_FOR_R8:
         assert n in QUERIES and QUERIES[n][1], n
-        assert n not in _DRIVER_WINDOW_R6, n
+        assert n not in _DRIVER_WINDOW_R7, n
         assert n not in _EVER_DRIVER_CHECKED, n
 
 
 def test_no_rows_only_query_wastes_a_slot():
-    rows_only = [n for n in _DRIVER_WINDOW_R6 if not QUERIES[n][1]]
+    rows_only = [n for n in _DRIVER_WINDOW_R7 if not QUERIES[n][1]]
     assert not rows_only, rows_only
 
 
 def test_every_window_name_exists():
-    missing = [n for n in _DRIVER_WINDOW_R6 if n not in QUERIES]
+    missing = [n for n in _DRIVER_WINDOW_R7 if n not in QUERIES]
     assert not missing, missing
