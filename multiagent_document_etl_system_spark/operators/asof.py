@@ -39,9 +39,17 @@ from pyspark.sql import types as T
 
 
 def _ts_scalar(col: Column, dtype: T.DataType) -> Column:
-    """Timestamp distance axis as a number (µs for timestamps)."""
+    """Timestamp distance axis as a number: µs for timestamps, BIGINT for
+    integral columns (an int64 tick axis compared through double would
+    lose exactness above 2^53 — ADVICE r6), the column's own exact type
+    for decimals, double only for genuinely fractional axes."""
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return F.unix_micros(col)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType)):
+        return col.cast("bigint")
+    if isinstance(dtype, T.DecimalType):
+        return col
     return col.cast("double")
 
 
@@ -66,6 +74,16 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction: {direction!r}")
+    lts_type = left.schema[left_ts].dataType
+    rts_type = right.schema[right_ts].dataType
+    if lts_type != rts_type:
+        # the distance axis is derived from ONE dtype and applied to both
+        # sides' ts values (nearest tie-break + tolerance) — mismatched
+        # dtypes would compute distance on the wrong axis (ADVICE r6)
+        raise TypeError(
+            f"asof_join ts dtypes must match: left {left_ts}: "
+            f"{lts_type.simpleString()} vs right {right_ts}: "
+            f"{rts_type.simpleString()}")
     if payload is None:
         payload = [c for c in right.columns if c not in (key, right_ts)]
 
@@ -76,7 +94,6 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     p_struct = F.struct(*[F.col(c) for c in payload],
                         F.col(right_ts).alias("_mt"))
     p_type = right.select(p_struct.alias("_p")).schema["_p"].dataType
-    rts_type = right.schema[right_ts].dataType
 
     r = right.select(
         F.col(key).alias("_k"),

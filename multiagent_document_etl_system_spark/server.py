@@ -9,13 +9,23 @@ their existing client here unchanged.
   The upload is sanitized (P4 path-traversal guard), written to a fresh
   per-request temp landing dir, parsed (S1–S5 dispatch incl. the stdlib
   PDF/DOCX/BMP/PNG/JPEG rungs), run through the ONE-plan pipeline
-  (plans/pipeline.run_pipeline), and the document's response row is
-  returned as JSON; the temp dir is deleted in ``finally`` exactly like
-  the reference's temp_uploads cleanup.
-- ``POST /upload-schema``: JSON ``{"doc_type", "schema_json", "description"?}``
-  — J5-gated (400 on invalid JSON), V7 content-hash id, MERGE-emulating
-  upsert into the parquet registry (same path as ``cli upload-schema``).
+  (plans/pipeline.run_pipeline), and the response uses the reference's
+  wrapper shape — ``{"success", "error", "data": {"record_id",
+  "doc_type", "extracted", "file_url"}, "logs", "filename"}``
+  (/root/reference/src/agents.py:303-320, src/app.py:81-96); the temp
+  dir is deleted in ``finally`` exactly like the reference's
+  temp_uploads cleanup. Malformed JSON/base64 is a 400, not a 500.
+- ``POST /upload-schema``: ``doc_type`` + ``schema_json`` as
+  application/x-www-form-urlencoded or multipart form fields (the
+  reference declares them as FastAPI ``Form(...)`` — src/app.py:119-122
+  — so its existing clients post forms), with JSON bodies also accepted.
+  J5-gated (400 on invalid schema JSON), V7 content-hash id,
+  MERGE-emulating upsert into the parquet registry (same path as
+  ``cli upload-schema``).
 - ``GET /health`` / ``GET /stats``: liveness + static configuration.
+
+Request bodies are capped (``max_body``, default 64 MiB — documents are
+single uploads); oversize requests get 413 without buffering the body.
 
 Scale posture: this facade is the INTERACTIVE path (one document per
 request, exactly the reference's shape); bulk work belongs to
@@ -57,23 +67,57 @@ def _safe_filename(name: str) -> str:
     return re.sub(r"[^\w\s\-.]", "", base) or "upload.bin"
 
 
-def _parse_multipart(content_type: str, body: bytes):
-    """(filename, payload) from a multipart/form-data body — stdlib email
-    parser; returns the first file-bearing part."""
+def _multipart_parts(content_type: str, body: bytes):
+    """The parts of a multipart/form-data body — stdlib email parser."""
     msg = BytesParser(policy=_EMAIL_POLICY).parsebytes(
         f"Content-Type: {content_type}\r\n\r\n".encode() + body)
     if not msg.is_multipart():
         raise ValueError("not multipart/form-data")
-    for part in msg.iter_parts():
+    return list(msg.iter_parts())
+
+
+def _parse_multipart(content_type: str, body: bytes):
+    """(filename, payload) from a multipart/form-data body — returns the
+    first file-bearing part."""
+    for part in _multipart_parts(content_type, body):
         fname = part.get_filename()
         if fname:
             return fname, part.get_payload(decode=True)
     raise ValueError("multipart body has no file part")
 
 
+def _form_fields(content_type: str, body: bytes) -> dict:
+    """The reference declares /upload-schema's doc_type/schema_json as
+    FastAPI ``Form(...)`` fields (src/app.py:119-122), i.e. its clients
+    post application/x-www-form-urlencoded or multipart bodies. Accept
+    both, plus JSON for convenience. Raises ValueError on bodies that
+    parse as none of the three."""
+    import urllib.parse
+
+    if content_type.startswith("multipart/form-data"):
+        fields = {}
+        for part in _multipart_parts(content_type, body):
+            name = part.get_param("name", header="content-disposition")
+            if name:
+                payload = part.get_payload(decode=True)
+                fields[name] = payload.decode("utf-8", "replace")
+        return fields
+    if content_type.startswith("application/x-www-form-urlencoded"):
+        qs = urllib.parse.parse_qs(body.decode("utf-8", "replace"),
+                                   keep_blank_values=True)
+        return {k: v[0] for k, v in qs.items()}
+    req = json.loads(body)
+    if not isinstance(req, dict):
+        raise ValueError("JSON body must be an object")
+    return req
+
+
 def process_document_bytes(filename: str, payload: bytes) -> dict:
-    """One document through the whole engine pipeline; the JSON response
-    row (K4 projection) for it."""
+    """One document through the whole engine pipeline, wrapped in the
+    reference's response shape (src/agents.py:303-320 response_agent +
+    src/app.py:81-96 logs/filename attachment): ``{"success", "error",
+    "data": {"record_id", "doc_type", "extracted", "file_url", ...},
+    "logs", "filename"}`` — ``data`` is None on failure."""
     from pyspark.sql import functions as F
 
     from multiagent_document_etl_system_spark.io import read_landing_dir
@@ -87,6 +131,7 @@ def process_document_bytes(filename: str, payload: bytes) -> dict:
     spark = _spark()
     tmp = tempfile.mkdtemp(prefix="doc_etl_upload_")
     fname = _safe_filename(filename)
+    logs = [f"Received file: {fname}", "Starting ETL pipeline..."]
     try:
         with open(f"{tmp}/{fname}", "wb") as fh:
             fh.write(payload)
@@ -102,11 +147,35 @@ def process_document_bytes(filename: str, payload: bytes) -> dict:
         )
         row = run_pipeline(spark, docs).first()
         if row is None:
-            return {"success": False, "filename": fname,
-                    "error": "no document parsed from upload"}
-        out = row.asDict(recursive=True)
-        out["filename"] = fname
-        return out
+            logs.append("Error: no document parsed from upload")
+            return {"success": False,
+                    "error": "no document parsed from upload",
+                    "data": None, "logs": logs, "filename": fname}
+        r = row.asDict(recursive=True)
+        if r["success"]:
+            resp = {
+                "success": True,
+                "error": None,
+                "data": {
+                    "record_id": r["record_id"],
+                    "doc_type": r["doc_type"],
+                    "extracted": {"email": r["email"],
+                                  "date_str": r["date_str"],
+                                  "amount": r["amount"]},
+                    "file_url": r["file_url"],
+                    # engine extras beyond the reference's four data keys
+                    "is_valid": r["is_valid"],
+                    "feedback": r["feedback"],
+                    "retry_count": r["retry_count"],
+                },
+            }
+            logs.append("Document processed successfully")
+        else:
+            resp = {"success": False, "error": r["error"], "data": None}
+            logs.append(f"Error: {r['error']}")
+        resp["logs"] = logs
+        resp["filename"] = fname
+        return resp
     finally:
         shutil.rmtree(tmp, ignore_errors=True)  # src/app.py:109-116 twin
 
@@ -133,6 +202,9 @@ def stats() -> dict:
 
 class _Handler(BaseHTTPRequestHandler):
     registry = "spark-warehouse/schemas"
+    #: request-body cap — single-document uploads; oversize → 413 before
+    #: any buffering
+    max_body = 64 * 1024 * 1024
 
     def _send(self, code: int, obj: dict) -> None:
         data = json.dumps(obj).encode()
@@ -157,18 +229,45 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):  # noqa: N802
         try:
             length = int(self.headers.get("Content-Length", "0"))
+            if length > self.max_body:
+                self._send(413, {"success": False,
+                                 "error": f"request body exceeds "
+                                          f"{self.max_body} bytes"})
+                # drain in bounded chunks (never buffered whole) so the
+                # client reliably sees the 413 instead of a reset
+                remaining = length
+                while remaining > 0:
+                    chunk = self.rfile.read(min(65536, remaining))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+                return
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "")
             if self.path == "/process":
-                if ctype.startswith("multipart/form-data"):
-                    fname, payload = _parse_multipart(ctype, body)
-                else:
-                    req = json.loads(body)
-                    fname = req["filename"]
-                    payload = base64.b64decode(req["content_b64"])
+                # malformed envelopes (bad JSON / bad base64 / missing
+                # keys) are client errors — 400, never 500
+                try:
+                    if ctype.startswith("multipart/form-data"):
+                        fname, payload = _parse_multipart(ctype, body)
+                    else:
+                        req = json.loads(body)
+                        fname = req["filename"]
+                        payload = base64.b64decode(req["content_b64"],
+                                                   validate=True)
+                except (ValueError, KeyError, TypeError) as exc:
+                    self._send(400, {"success": False,
+                                     "error": f"bad request: {exc}",
+                                     "data": None, "logs": []})
+                    return
                 self._send(200, process_document_bytes(fname, payload))
             elif self.path == "/upload-schema":
-                req = json.loads(body)
+                try:
+                    req = _form_fields(ctype, body)
+                except (ValueError, TypeError) as exc:
+                    self._send(400, {"success": False,
+                                     "error": f"bad request: {exc}"})
+                    return
                 doc_type = req.get("doc_type")
                 if "schema_json" in req:
                     schema_json = req["schema_json"]
@@ -184,6 +283,10 @@ class _Handler(BaseHTTPRequestHandler):
                 out = upload_schema(doc_type, schema_json,
                                     req.get("description"),
                                     registry=self.registry)
+                if out.get("success"):
+                    out.setdefault(
+                        "message",
+                        f"Schema for '{doc_type}' uploaded successfully")
                 # J5 gate: invalid schema JSON is a client error
                 self._send(200 if out.get("success") else 400, out)
             else:
@@ -193,11 +296,14 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(port: int = 0,
-                registry: str = "spark-warehouse/schemas"
-                ) -> ThreadingHTTPServer:
+                registry: str = "spark-warehouse/schemas",
+                max_body: int | None = None) -> ThreadingHTTPServer:
     """A ready-to-serve ThreadingHTTPServer (port 0 = ephemeral, for
     tests); callers own serve_forever()/shutdown()."""
-    handler = type("Handler", (_Handler,), {"registry": registry})
+    attrs: dict = {"registry": registry}
+    if max_body is not None:
+        attrs["max_body"] = max_body
+    handler = type("Handler", (_Handler,), attrs)
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
 
 

@@ -938,6 +938,11 @@ def _decode_jpeg_luma(b: bytes) -> list[list[int]]:
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them or the fill byte reads as the marker
+        # code and the next bytes as a bogus segment length (ADVICE r6)
+        while pos + 2 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         m = b[pos + 1]
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             pos += 2

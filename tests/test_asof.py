@@ -115,3 +115,41 @@ def test_asof_tolerance_bounds_the_match(spark):
     # outside the bound in THAT direction too
     assert near == {"inside": 100.0, "at-bound": 100.0,
                     "stale": None, "no-match": None}
+
+
+def test_asof_mismatched_ts_dtypes_rejected(spark):
+    """The distance axis is derived from one dtype and applied to both
+    sides — mismatched ts dtypes must fail loudly at entry (ADVICE r6),
+    not compute distance on the wrong axis."""
+    import pytest
+
+    right = spark.createDataFrame([(1, 10, 100.0)],
+                                  "k long, ts int, price double")
+    left = spark.createDataFrame([(1, _ts("2024-01-01T10:00:00"))],
+                                 "k long, ts timestamp")
+    with pytest.raises(TypeError, match="ts dtypes must match"):
+        asof_join(left, right, key="k")
+
+
+def test_asof_int64_tick_axis_is_exact_above_2_53(spark):
+    """int64 tick axes ride the BIGINT distance path: 2^53 + 1 vs 2^53
+    differ by exactly 1 tick — indistinguishable through a double cast
+    (both round to 2^53), exact through bigint (ADVICE r6)."""
+    base = 1 << 53
+    right = spark.createDataFrame(
+        [(1, base, 100.0), (1, base + 2, 200.0)],
+        "k long, ts long, price double")
+    left = spark.createDataFrame(
+        [(1, base + 1, "one-tick"), (1, base + 4, "two-ticks")],
+        "k long, ts long, tag string")
+    # tolerance of 1 tick: "one-tick" (delta 1) matches the base row;
+    # "two-ticks" sits 2 ticks past the nearer right row -> NULL. Through
+    # a double axis every delta here would collapse to 0 or 2.
+    got = {r["tag"]: r["asof_price"]
+           for r in asof_join(left, right, key="k",
+                              tolerance=1).collect()}
+    assert got == {"one-tick": 100.0, "two-ticks": None}
+    near = {r["tag"]: r["asof_price"]
+            for r in asof_join(left, right, key="k", direction="nearest",
+                               tolerance=1).collect()}
+    assert near == {"one-tick": 100.0, "two-ticks": None}

@@ -778,3 +778,27 @@ def test_jpeg_decoder_handles_noise_and_zrl_paths():
         err = sum(abs(a - b) for ra, rb in zip(px, rows)
                   for a, b in zip(ra, rb)) / (h * w)
         assert err <= 6.0, (name, err)
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes — encoders that pad must still decode (ADVICE r6). Insert fill
+    bytes ahead of every header segment and decode identically."""
+    from multiagent_document_etl_system_spark.sources import parsers
+
+    text = "FILL 99"
+    jb = parsers.render_text_jpeg(text, 3)
+    base = parsers._decode_jpeg_luma(jb)
+    padded = bytearray()
+    i = 0
+    sos_seen = False
+    while i < len(jb):
+        if (not sos_seen and jb[i] == 0xFF and i + 1 < len(jb)
+                and jb[i + 1] not in (0x00, 0xD8)):
+            padded += b"\xff\xff\xff"  # three fill bytes before the marker
+            sos_seen = jb[i + 1] == 0xDA
+        padded.append(jb[i])
+        i += 1
+    assert parsers._decode_jpeg_luma(bytes(padded)) == base
+    assert parsers._ocr_parse_stdlib(bytes(padded)) == \
+        parsers._ocr_parse_stdlib(jb)

@@ -19,7 +19,7 @@ def server(spark, tmp_path_factory):
     # share the test session instead of booting a second JVM
     srv._SPARK = spark
     registry = str(tmp_path_factory.mktemp("registry") / "schemas")
-    s = srv.make_server(0, registry=registry)
+    s = srv.make_server(0, registry=registry, max_body=256 * 1024)
     t = threading.Thread(target=s.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{s.server_address[1]}"
@@ -61,13 +61,19 @@ def test_process_json_b64_text_document(server):
                         base64.b64encode(text.encode()).decode()}).encode(),
         "application/json")
     assert code == 200, out
+    # reference response wrapper (src/agents.py:303-320 + src/app.py:81-96):
+    # success/error/data{record_id,doc_type,extracted,file_url}/logs/filename
     assert out["success"] is True
+    assert out["error"] is None
     # P4 path-traversal guard: directory components stripped
     assert out["filename"] == "invoice one.txt"
-    assert out["doc_type"] == "invoice"
-    assert out["email"] == "client@example.com"
-    assert out["date_str"] == "2024-03-15"
-    assert out["is_valid"] is True
+    data = out["data"]
+    assert data["doc_type"] == "invoice"
+    assert data["extracted"]["email"] == "client@example.com"
+    assert data["extracted"]["date_str"] == "2024-03-15"
+    assert data["is_valid"] is True
+    assert data["record_id"] and data["file_url"].startswith("s3://")
+    assert any("processed successfully" in line for line in out["logs"])
 
 
 def test_process_multipart_jpeg_through_ocr(server):
@@ -148,5 +154,65 @@ def test_concurrent_process_requests(server):
         assert code == 200, out
         assert out["success"] is True
         assert out["filename"] == f"doc{i}.txt"
-        assert out["email"] == f"user{i}@example.com"
-        assert out["date_str"] == f"2024-03-1{i}"
+        assert out["data"]["extracted"]["email"] == f"user{i}@example.com"
+        assert out["data"]["extracted"]["date_str"] == f"2024-03-1{i}"
+
+
+def test_upload_schema_form_encoded(server):
+    """The reference declares doc_type/schema_json as FastAPI Form(...)
+    fields — its existing clients post urlencoded or multipart forms, and
+    both must register the schema (ADVICE r6, medium)."""
+    import urllib.parse
+
+    form = urllib.parse.urlencode({
+        "doc_type": "receipt",
+        "schema_json": json.dumps({"fields": {"total": "double"}}),
+    }).encode()
+    code, out = _post(f"{server}/upload-schema", form,
+                      "application/x-www-form-urlencoded")
+    assert code == 200 and out["success"] and out["schema_id"], out
+    assert "uploaded successfully" in out["message"]
+
+    boundary = "formboundary7"
+    body = b"".join(
+        (f"--{boundary}\r\n"
+         f'Content-Disposition: form-data; name="{k}"\r\n\r\n'
+         f"{v}\r\n").encode()
+        for k, v in [("doc_type", "contract"),
+                     ("schema_json", json.dumps({"fields": {}}))]
+    ) + f"--{boundary}--\r\n".encode()
+    code, out = _post(f"{server}/upload-schema", body,
+                      f"multipart/form-data; boundary={boundary}")
+    assert code == 200 and out["success"], out
+    assert out["doc_type"] == "contract"
+
+    # the J5 gate holds on the form path too
+    bad = urllib.parse.urlencode({"doc_type": "x",
+                                  "schema_json": "{nope"}).encode()
+    code, out = _post(f"{server}/upload-schema", bad,
+                      "application/x-www-form-urlencoded")
+    assert code == 400 and not out["success"]
+
+
+def test_process_bad_envelope_is_400_not_500(server):
+    # malformed JSON body
+    code, out = _post(f"{server}/process", b"{not json",
+                      "application/json")
+    assert code == 400 and not out["success"]
+    # bad base64 payload
+    code, out = _post(f"{server}/process",
+                      json.dumps({"filename": "a.txt",
+                                  "content_b64": "!!!notb64"}).encode(),
+                      "application/json")
+    assert code == 400 and not out["success"]
+    # missing keys
+    code, out = _post(f"{server}/process",
+                      json.dumps({"filename": "a.txt"}).encode(),
+                      "application/json")
+    assert code == 400 and not out["success"]
+
+
+def test_oversize_body_is_413(server):
+    big = b"x" * (300 * 1024)  # server fixture caps max_body at 256 KiB
+    code, out = _post(f"{server}/process", big, "application/json")
+    assert code == 413 and not out["success"]

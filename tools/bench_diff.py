@@ -12,8 +12,8 @@ carries the same map.
 
 from __future__ import annotations
 
+import argparse
 import json
-import sys
 
 
 def load(path: str) -> dict:
@@ -26,12 +26,15 @@ def load(path: str) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.5
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else thr
-    old, new = load(args[0]), load(args[1])
+    p = argparse.ArgumentParser(
+        description="diff two per-query bench timing maps")
+    p.add_argument("old_json")
+    p.add_argument("new_json")
+    p.add_argument("--threshold", type=float, default=1.5,
+                   help="flag ratios beyond this factor (default 1.5)")
+    ns = p.parse_args()
+    thr = ns.threshold
+    old, new = load(ns.old_json), load(ns.new_json)
     oq, nq = old["queries"], new["queries"]
     print(f"old: {len(oq)} queries, total {old.get('value')}s, "
           f"load {old.get('load_factor')}")
