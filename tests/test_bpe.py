@@ -1,0 +1,110 @@
+"""BPE trainer (operators/bpe.py): the greedy merge fold is
+value-identical across Spark, DuckDB, and a pure-Python model; the
+trainer's merge table matches the unrolled DuckDB oracle end-to-end and
+reproduces a planted corpus's known merges."""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from multiagent_document_etl_system_spark.operators import bpe
+
+
+def _py_merge(sym: str, a: str, b: str) -> str:
+    """Pure-Python greedy left-to-right merge — the spec."""
+    out: list[str] = []
+    toks = sym.split(" ")
+    i = 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return " ".join(out)
+
+
+SYMS = st.lists(st.sampled_from(["l", "ll", "a", "ab", "b", "x"]),
+                min_size=1, max_size=12)
+PAIR = st.tuples(st.sampled_from(["l", "ll", "a", "ab", "b"]),
+                 st.sampled_from(["l", "a", "b", "ab"]))
+
+
+@given(SYMS, PAIR)
+@settings(max_examples=200, deadline=None)
+def test_fold_matches_python_model_duckdb(syms, pair):
+    import duckdb
+
+    a, b = pair
+    sym = " ".join(syms)
+    expected = _py_merge(sym, a, b)
+    got = duckdb.connect().execute(
+        "SELECT " + bpe.merge_apply_sql(f"'{sym}'", f"'{a}'", f"'{b}'")
+    ).fetchone()[0]
+    assert got == expected, (sym, a, b)
+
+
+def test_fold_matches_python_model_spark(spark):
+    """Spark's aggregate fold on a batch of adversarial cases (runs +
+    overlaps + merged-symbol collisions), vs the Python spec."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("l l l", "l", "l"),            # odd run → ll l, never l ll
+        ("l l l l", "l", "l"),          # even run → ll ll
+        ("a b a b a b", "a", "b"),      # alternating, all merge
+        ("x a b x", "a", "b"),          # interior pair
+        ("ab b a b", "ab", "b"),        # merged symbol as left side
+        ("a ab ab", "a", "ab"),         # merged symbol as right side
+        ("x", "a", "b"),                # single symbol, no-op
+        ("a b", "a", "b"),              # whole word merges
+        ("b a", "a", "b"),              # wrong order, no-op
+        ("ll l ll", "ll", "l"),         # multi-char symbols
+    ]
+    df = spark.createDataFrame(cases, "sym string, a string, b string")
+    got = df.select(
+        bpe.merge_apply(F.col("sym"), F.col("a"), F.col("b"))
+        .alias("m")).collect()
+    for (sym, a, b), row in zip(cases, got):
+        assert row["m"] == _py_merge(sym, a, b), (sym, a, b)
+
+
+def test_trainer_recovers_planted_merges(spark):
+    """A corpus of known words must yield the hand-derivable merge
+    sequence. 'aaab' ×9 + 'ab' ×3: round 1 counts (a,a)=18 > (a,b)=12 →
+    merge aa (greedy: 'a a a b' → 'aa a b'); round 2 counts (a,b)=12 >
+    (aa,a)=9 → merge ab ('aa a b' → 'aa ab', 'a b' → 'ab'); round 3
+    leaves only (aa,ab)=9 → merge aaab; round 4 has no pairs left and
+    the trainer stops early."""
+    docs = spark.createDataFrame(
+        [(1, "aaab " * 9 + "ab ab ab")], "doc_id long, text string")
+    got = bpe.bpe_train(docs, n_merges=4)
+    assert got == [
+        (1, "a a", "aa", 18),
+        (2, "a b", "ab", 12),
+        (3, "aa ab", "aaab", 9),
+    ]
+
+
+def test_trainer_matches_unrolled_oracle(spark, duck):
+    """End-to-end at sf0.001: 6 rounds of the Spark trainer == the
+    unrolled DuckDB CTE chain, row for row."""
+    from multiagent_document_etl_system_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = bpe.bpe_train(docs, n_merges=6)
+    want = duck.execute(bpe.bpe_train_sql(6)).fetchall()
+    assert [tuple(r) for r in want] == got
+
+
+def test_trainer_stops_when_no_pairs_remain(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd")], "doc_id long, text string")
+    got = bpe.bpe_train(docs, n_merges=10)
+    # merges exhaust after every word is a single symbol
+    assert [m[1] for m in got] == ["a b", "c d"]
