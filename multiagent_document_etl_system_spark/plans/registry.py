@@ -5462,8 +5462,222 @@ def td_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step bigint, pair string, merged string, n_occurrences bigint")
 
 
+_INGEST_FLAGS_SQL = f"""cmd5 AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7
+), cband AS (
+  SELECT DISTINCT band, bh FROM ({_band_rows_sql('doc_id % 10 <> 7')})
+), iband AS (
+  {_band_rows_sql('doc_id % 10 = 7')}
+), bm AS (
+  SELECT i.id AS doc_id, count(*) AS n
+  FROM iband i JOIN cband USING (band, bh) GROUP BY 1
+), flags AS (
+  SELECT d.doc_id, (c.h IS NOT NULL) AS exact_dup,
+    coalesce(bm.n, 0) > 0 AS near_dup
+  FROM (SELECT doc_id, md5(text) AS h0 FROM documents WHERE doc_id % 10 = 7) d
+  LEFT JOIN cmd5 c ON d.h0 = c.h
+  LEFT JOIN bm USING (doc_id)
+)"""
+
+_SURVIVING = "status IN ('before', 'appended')"
+
+#: working dir of the most recent st_incremental_ingest run (corpus/,
+#: _index_md5/, _index_band/) — lets tests verify the persisted index
+#: really grew to match a rebuild over the updated corpus
+_LAST_INGEST_WORKDIR: str | None = None
+
+
+@_q("td_incremental_ingest", f"""
+WITH {_INGEST_FLAGS_SQL}, rows_ AS (
+  SELECT doc_id, text, n_chars,
+    CASE WHEN doc_id % 10 <> 7 THEN 'before'
+         WHEN f.exact_dup THEN 'dropped_exact'
+         WHEN f.near_dup THEN 'dropped_near'
+         ELSE 'appended' END AS status
+  FROM documents LEFT JOIN flags f USING (doc_id)
+)
+SELECT {dedup.hash64_sql('CAST(doc_id AS VARCHAR)', seed=97)} % 8 AS shard,
+  CAST(sum(CASE WHEN status = 'before' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_before,
+  CAST(sum(CASE WHEN status <> 'before' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_incoming,
+  CAST(sum(CASE WHEN status = 'dropped_exact' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped_exact,
+  CAST(sum(CASE WHEN status = 'dropped_near' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped_near,
+  CAST(sum(CASE WHEN status = 'appended' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_appended,
+  CAST(sum(CASE WHEN {_SURVIVING} THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+  CAST(sum(CASE WHEN {_SURVIVING}
+           THEN len({textfns.tokens_sql('text')}) ELSE 0 END) AS BIGINT)
+    AS n_tokens_after,
+  CAST(sum(CASE WHEN {_SURVIVING} THEN n_chars ELSE 0 END) AS BIGINT)
+    AS n_chars_after,
+  bit_xor(CASE WHEN {_SURVIVING}
+          THEN {dedup.hash64_sql('text', seed=11)} END) AS content_xor64_after
+FROM rows_ GROUP BY 1 ORDER BY shard
+""")
+def td_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CORPUS MAINTENANCE, end-to-end (VERDICT r6 #3): the
+    daily-ingest recipe a 100 TB corpus actually runs, as ONE oracled
+    composite. A new shard arrives (the staged doc_id%10==7 split — the
+    same incoming set the streaming gates use), is deduplicated against
+    the PERSISTED corpus index (exact via the md5 set, near via
+    banded-MinHash membership — dedup.build_dedup_index /
+    dedup_against_index, the st_dedup_vs_corpus machinery), survivors are
+    appended, and the output is the manifest DIFF per shard: docs
+    before/incoming/dropped(exact|near)/appended/after, surviving token
+    and char mass, and td_shard_manifest's order-insensitive bit_xor
+    content checksum over the UPDATED corpus. Within-shard self-dedup is
+    deliberately out of scope here (covered by dedup_exact_keep et al.;
+    the next index refresh catches intra-shard pairs) — the contract is
+    membership-vs-index, identical in both engines.
+
+    Scale: the index frames are bytes-tiny next to the corpus (distinct
+    md5s + 4 band keys/doc); incoming text shuffles only its md5 and band
+    rows; the final rollup is one 8-row shard aggregation with full
+    map-side combine. No all-pairs work anywhere."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 10 != 7)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    md5_idx, band_idx = dedup.build_dedup_index(corpus)
+    flags = dedup.dedup_against_index(incoming, md5_idx, band_idx)
+    inc = incoming.join(flags, "doc_id", "left").withColumn(
+        "status",
+        F.when(F.col("exact_dup"), F.lit("dropped_exact"))
+        .when(F.col("n_band_matches") > 0, F.lit("dropped_near"))
+        .otherwise(F.lit("appended")))
+    rows = (corpus.withColumn("status", F.lit("before"))
+            .select("doc_id", "text", "n_chars", "status")
+            .unionByName(inc.select("doc_id", "text", "n_chars", "status")))
+    surv = F.col("status").isin("before", "appended")
+    narrow = rows.select(
+        (dedup.hash64(F.col("doc_id").cast("string"), seed=97) % 8)
+        .alias("shard"),
+        "status", "n_chars",
+        F.size(textfns.tokens(F.col("text"))).alias("_nt"),
+        F.when(surv, dedup.hash64(F.col("text"), seed=11)).alias("_ch"),
+    )
+    return (narrow.groupBy("shard").agg(
+        F.sum(F.when(F.col("status") == "before", 1).otherwise(0))
+        .cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("status") != "before", 1).otherwise(0))
+        .cast("bigint").alias("n_incoming"),
+        F.sum(F.when(F.col("status") == "dropped_exact", 1).otherwise(0))
+        .cast("bigint").alias("n_dropped_exact"),
+        F.sum(F.when(F.col("status") == "dropped_near", 1).otherwise(0))
+        .cast("bigint").alias("n_dropped_near"),
+        F.sum(F.when(F.col("status") == "appended", 1).otherwise(0))
+        .cast("bigint").alias("n_appended"),
+        F.sum(F.when(surv, 1).otherwise(0)).cast("bigint").alias("n_after"),
+        F.sum(F.when(surv, F.col("_nt")).otherwise(0)).cast("bigint")
+        .alias("n_tokens_after"),
+        F.sum(F.when(surv, F.col("n_chars")).otherwise(0)).cast("bigint")
+        .alias("n_chars_after"),
+        F.expr("bit_xor(_ch)").alias("content_xor64_after"),
+    ).orderBy("shard"))
+
+
+@_q("st_incremental_ingest", f"""
+WITH {_INGEST_FLAGS_SQL}, surv AS (
+  SELECT doc_id FROM flags WHERE NOT exact_dup AND NOT near_dup
+), updated AS (
+  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 10 <> 7
+  UNION ALL
+  SELECT d.doc_id, d.text, d.n_chars FROM documents d JOIN surv USING (doc_id)
+)
+SELECT {dedup.hash64_sql('CAST(doc_id AS VARCHAR)', seed=97)} % 8 AS shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len({textfns.tokens_sql('text')})) AS BIGINT) AS n_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  bit_xor({dedup.hash64_sql('text', seed=11)}) AS content_xor64
+FROM updated GROUP BY 1 ORDER BY shard
+""")
+def st_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the incremental-ingest recipe, hash-oracled:
+    the staged incoming shard replays as a MULTI-FILE file stream
+    (maxFilesPerTrigger=1 → one foreachBatch append per file); each
+    micro-batch dedups against the PERSISTED corpus index (stream-static
+    joins only), appends its survivors to the working corpus parquet AND
+    appends their md5/band rows to the persisted index files
+    (io.upsert-style growth — the index stays current without a rebuild);
+    the returned frame is td_shard_manifest re-derived over the UPDATED
+    corpus directory. Deterministic at the cut regardless of micro-batch
+    boundaries: membership flags are batch-independent (the index is
+    static for the day's run; intra-shard pairs wait for the next
+    refresh, exactly like the batch twin) and the manifest's bit_xor
+    checksum is order-insensitive — so the ORACLE can restate the whole
+    streaming run as batch SQL."""
+    import tempfile
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    key = (spark.sparkContext.applicationId, sf_dir, "multi")
+    stage = _INCOMING_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="st_docs_in_multi_")
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 7) \
+            .repartition(3).write.mode("overwrite").parquet(stage)
+        _INCOMING_STAGE_CACHE[key] = stage
+
+    corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 != 7) \
+        .select("doc_id", "text", "n_chars")
+    md5_idx, band_idx = dedup.build_dedup_index(corpus)
+
+    work = tempfile.mkdtemp(prefix="incr_corpus_")
+    global _LAST_INGEST_WORKDIR  # test hook: index-update verification
+    _LAST_INGEST_WORKDIR = work
+    idx_md5_dir = f"{work}/_index_md5"
+    idx_band_dir = f"{work}/_index_band"
+    corpus_dir = f"{work}/corpus"
+    corpus.write.parquet(corpus_dir)
+    md5_idx.write.parquet(idx_md5_dir)
+    band_idx.write.parquet(idx_band_dir)
+
+    stream = (spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+        .option("maxFilesPerTrigger", 1).parquet(stage))
+
+    def ingest_batch(batch_df, _epoch):
+        flags = dedup.dedup_against_index(batch_df, md5_idx, band_idx)
+        surv = (batch_df.join(flags, "doc_id")
+                .filter(~F.col("exact_dup") & (F.col("n_band_matches") == 0))
+                .select("doc_id", "text", "n_chars"))
+        surv = surv.localCheckpoint()  # one pass; three append targets
+        surv.write.mode("append").parquet(corpus_dir)
+        surv.select(F.md5("text").alias("h")) \
+            .write.mode("append").parquet(idx_md5_dir)
+        (dedup.band_signatures(
+            surv.select(F.col("doc_id").alias("_id"),
+                        dedup.shingles(F.col("text"), 3).alias("_sh")))
+         .select("band", "bh").distinct()
+         .write.mode("append").parquet(idx_band_dir))
+
+    q = streamx.write_foreach_batch(
+        stream, f"{work}/_chk_{uuid.uuid4().hex[:8]}", ingest_batch)
+    q.awaitTermination()
+
+    updated = spark.read.parquet(corpus_dir)
+    return (updated.select(
+        (dedup.hash64(F.col("doc_id").cast("string"), seed=97) % 8)
+        .alias("shard"),
+        "n_chars",
+        F.size(textfns.tokens(F.col("text"))).alias("_nt"),
+        dedup.hash64(F.col("text"), seed=11).alias("_ch"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("_nt").cast("bigint").alias("n_tokens"),
+             F.sum("n_chars").cast("bigint").alias("n_chars"),
+             F.expr("bit_xor(_ch)").alias("content_xor64"))
+        .orderBy("shard"))
+
+
 _QUEUED_FOR_R8 += [
     "td_bpe_train",
+    "td_incremental_ingest",
+    "st_incremental_ingest",
 ]
 
 
