@@ -135,6 +135,12 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "td_dedup_policy_ablation",
     "ta_bigram_diversity",
+    # round-7: tolerance asof (new band-predicate window shape), the
+    # iterative BPE trainer (10 argmax+merge rounds over the type table),
+    # and the incremental-ingest composite (dedup-vs-index + manifest diff)
+    "q_asof_tolerance",
+    "td_bpe_train",
+    "td_incremental_ingest",
     # streaming throughput: the fn() call itself RUNS the availableNow
     # stream (memory sink), so these are in REBUILD_PER_REP — each rep
     # re-executes the full micro-batch pipeline, and the timed number is
@@ -142,6 +148,8 @@ HEADLINE = [
     "st_tumbling_stream",
     "st_variant_stream",
     "st_diversity_gate",
+    # foreachBatch append pipeline: real parquet writes per micro-batch
+    "st_incremental_ingest",
 ]
 
 
@@ -199,9 +207,12 @@ def main() -> None:
                        # rebuilding per rep keeps the LSH join in the
                        # measurement
                        "v24_graph_pagerank",
+                       # the 10 train rounds (argmax collects + per-round
+                       # localCheckpoints) run at build time
+                       "td_bpe_train",
                        # streaming runs execute at build time
                        "st_tumbling_stream", "st_variant_stream",
-                       "st_diversity_gate"}
+                       "st_diversity_gate", "st_incremental_ingest"}
 
     for name in HEADLINE:
         fn, _ = QUERIES[name]

@@ -43,6 +43,13 @@ DEFAULT = [
     # (pair set / cluster map at the composites' 0.5 threshold)
     "v24_graph_pagerank", "ta_ngram_novelty", "td_dataset_card",
     "diag_prep_pairs", "diag_prep_clusters",
+    # r7 (VERDICT r6 #5): the r6-tail audits with no probe rows yet, plus
+    # the round's new heavy ops — the iterative BPE trainer (type-table
+    # rounds) and the dedup-vs-index incremental-ingest composite
+    "td_bpe_first_merges", "ta_bigram_diversity",
+    "dedup_cluster_size_histogram", "td_dedup_policy_ablation",
+    "td_dedup_provenance", "dedup_lsh_bucket_report",
+    "td_bpe_train", "td_incremental_ingest", "q_asof_tolerance",
 ]
 
 #: iterative-clustering composites materialize eager per-round checkpoints
@@ -51,7 +58,13 @@ DEFAULT = [
 #: (same contract as bench.py's REBUILD_PER_REP)
 REBUILD_PER_REP = {"td_curation_funnel", "td_prepare_corpus_v2",
                    "dedup_clusters", "v24_graph_pagerank",
-                   "diag_prep_clusters"}
+                   "diag_prep_clusters",
+                   # 10 train rounds run at build time (argmax collects)
+                   "td_bpe_train",
+                   # the provenance/ablation/histogram audits embed
+                   # duplicate_clusters' eager checkpoints too
+                   "td_dedup_provenance", "td_dedup_policy_ablation",
+                   "dedup_cluster_size_histogram"}
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
        "/root/testdata/sf0.1"]
