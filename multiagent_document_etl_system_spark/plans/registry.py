@@ -3310,13 +3310,24 @@ def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@_q("st_stateful_totals", None)
+@_q("st_stateful_totals", """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(floor(coalesce(value, 0) * 1e6 + 0.5) AS BIGINT))
+       AS BIGINT) AS total_q1e6
+FROM events GROUP BY user_id
+""")
 def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL custom-stateful streaming run: per-user lifetime totals via
-    ``applyInPandasWithState`` (streaming/streamx.py:running_user_totals) —
-    the escape hatch for state the built-in windowed aggs can't express.
-    Python-side state update by design ⇒ rows-only check; multi-batch
-    state accumulation is asserted in tests/test_streaming.py."""
+    """REAL custom-stateful streaming run, hash-oracled (r6 stretch #8
+    closed): per-user lifetime totals via ``applyInPandasWithState``
+    (streaming/streamx.py:running_user_totals) — the escape hatch for
+    state the built-in windowed aggs can't express. Formerly rows-only;
+    now deterministic at the cut by construction: the state total rides
+    the scaled-integer grid (floor(value·1e6 + 0.5) summed as int64 —
+    order-insensitive, so micro-batch partitioning cannot move it), and
+    the final state per user is selected by max_by over the strictly
+    increasing n_events (the update-mode memory sink appends one row per
+    state emission; the last one IS the lifetime total). The oracle
+    restates the whole run as the batch aggregate."""
     import uuid
 
     from multiagent_document_etl_system_spark.streaming import streamx
@@ -3327,7 +3338,9 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = streamx.running_user_totals(stream)
     name = f"st_state_{uuid.uuid4().hex[:8]}"
     streamx.run_to_memory(totals, name, output_mode="update")
-    return spark.table(name).select("user_id", "n_events", "total_value")
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.expr("max_by(total_q1e6, n_events)").alias("total_q1e6")))
 
 
 @_q("mm_decode_features", None)
@@ -4907,11 +4920,15 @@ NO_ORACLE_REASONS: dict[str, str] = {
     "mm_frame_sample": "video frame explode over opaque binary; pytest",
     "mm_resize": "NumPy nearest-neighbor resize kernel (no SQL twin); "
                  "golden-pixel pytest",
-    "st_dedup_stream": "dropDuplicatesWithinWatermark state semantics "
-                       "(watermark-dependent, not a batch-SQL twin); "
-                       "batch-equivalence pytest in test_streaming",
-    "st_stateful_totals": "applyInPandasWithState custom state machine; "
-                          "batch-twin equivalence pytest in test_streaming",
+    "st_dedup_stream": "dropDuplicatesWithinWatermark is inherently "
+                       "micro-batch-jitter-dependent: which PHYSICAL row "
+                       "survives a key collision is arrival order, and a "
+                       "late row is dropped ENTIRELY iff its key's first "
+                       "arrival landed a full watermark ahead — both "
+                       "functions of batch boundaries, so no batch SQL "
+                       "can restate the run (the deterministic twin is "
+                       "q_event_dedup); batch-equivalence pytest in "
+                       "test_streaming",
 }
 
 
@@ -5678,6 +5695,11 @@ _QUEUED_FOR_R8 += [
     "td_bpe_train",
     "td_incremental_ingest",
     "st_incremental_ingest",
+    # contract change, not a new query: flipped from rows-only to fully
+    # hash-oracled this round (integer state + max_by final-row cut) —
+    # its prior driver rows were `no_oracle`, so the hash oracle has
+    # never seen a driver run
+    "st_stateful_totals",
 ]
 
 

@@ -183,24 +183,32 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     This is the escape hatch for stateful semantics the built-in windowed
     aggregations cannot express (here: unbounded cumulative state emitted
     per batch; real uses: CUSUM/anomaly scores, per-key model state).
-    State = (n_events, total_value) per user — a few bytes per key, so the
+    State = (n_events, total_q1e6) per user — a few bytes per key, so the
     state store scales with distinct users, not event volume. Arrow-batched:
     each micro-batch's rows for a user arrive as pandas frames.
+
+    The total rides the repo's scaled-integer grid (floor(x·1e6 + 0.5)
+    per event, summed as int64) instead of a float accumulator: integer
+    addition is order-insensitive, so the FINAL state per user is
+    identical under any micro-batch partitioning or arrival order — which
+    is what lets st_stateful_totals carry a full DuckDB hash oracle
+    (r6 verdict stretch #8) instead of the old rows-only check.
     """
+    import numpy as np  # noqa: PLC0415 — executor-side import
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
-    out_schema = "user_id long, n_events long, total_value double"
-    state_schema = "n long, total double"
+    out_schema = "user_id long, n_events long, total_q1e6 long"
+    state_schema = "n long, total long"
 
     def update(key, pdfs, state):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
+            v = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+            total += int(np.floor(v * 1e6 + 0.5).astype("int64").sum())
         state.update((n, total))
         yield pd.DataFrame({
-            "user_id": [key[0]], "n_events": [n],
-            "total_value": [round(total, 2)],
+            "user_id": [key[0]], "n_events": [n], "total_q1e6": [total],
         })
 
     return (

@@ -124,18 +124,21 @@ def test_stateful_running_totals(spark, events_dir):
                   output_mode="update")
 
     batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    # the state total rides the scaled-integer grid — exact and
+    # order-insensitive, so the comparison is equality, not approx
     expected = {
-        r["user_id"]: (r["n"], round(r["total"], 2))
+        r["user_id"]: (r["n"], r["total"])
         for r in batch.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.coalesce("value", F.lit(0.0))).alias("total")).collect()
+            F.sum(F.floor(F.coalesce("value", F.lit(0.0)) * 1e6 + 0.5)
+                  .cast("long")).alias("total")).collect()
     }
     # memory sink in update mode appends every state emission; the row with
     # the max n_events per user is the final state
     got = {
-        r["user_id"]: (r["n_events"], r["total_value"])
+        r["user_id"]: (r["n_events"], r["total_q1e6"])
         for r in spark.sql("""
-            SELECT user_id, n_events, total_value FROM (
+            SELECT user_id, n_events, total_q1e6 FROM (
               SELECT *, row_number() OVER (
                 PARTITION BY user_id ORDER BY n_events DESC) AS rn
               FROM user_totals) WHERE rn = 1""").collect()
