@@ -96,14 +96,14 @@ def _decode_features(b: bytes, dim: int = 8) -> list[float]:
     ladder mirrors S4 (real for machine-decodable formats, deterministic
     fake for the rest):
 
-    - BMP / PNG / baseline JPEG: pure-stdlib(+numpy IDCT) pixel decode
-      (the OCR rung's decoders, sources/parsers.py; JPEG luma-only) →
-      ``dim``-bin luminance HISTOGRAM of the actual pixels,
-      mass-normalized.
+    - BMP / PNG / baseline JPEG / progressive JPEG (r7): pure-stdlib
+      (+numpy IDCT) pixel decode (the OCR rung's decoders,
+      sources/parsers.py; JPEG luma-only) → ``dim``-bin luminance
+      HISTOGRAM of the actual pixels, mass-normalized.
     - WAV (RIFF PCM16): stdlib ``wave`` decode → ``dim``-segment ENERGY
     envelope (mean |sample| per segment, normalized to the overall mean)
       — the silence/speech profile an audio curation gate keys on.
-    - everything else (progressive JPEG, MP3, video containers):
+    - everything else (arithmetic-coded JPEG, MP3, video containers):
       deterministic fake.
     """
     from multiagent_document_etl_system_spark.sources.parsers import (
@@ -131,11 +131,11 @@ def _decode_features(b: bytes, dim: int = 8) -> list[float]:
         rows = _decode_png(b)
     elif b[:2] == b"\xff\xd8":
         try:
-            rows = _decode_jpeg_luma(b)
+            rows = _decode_jpeg_luma(b)  # baseline OR progressive (r7)
         except ValueError as exc:
-            if "progressive" not in str(exc):
-                raise  # corrupt baseline file → per-row error, not a fake
-            rows = None  # progressive/arithmetic tier → deterministic fake
+            if "arithmetic" not in str(exc):
+                raise  # corrupt file → per-row error, not a fake
+            rows = None  # arithmetic/hierarchical tier → deterministic fake
     if rows is None:
         return _fake_decode_features(b, dim)
     hist = [0] * dim

@@ -316,8 +316,9 @@ def _image_parse(lib, b: bytes) -> str:
 # container, so until r4 image rows degraded to a per-row error. The stdlib
 # rung below is REAL (small) OCR for the machine-rendered case: decode an
 # uncompressed 24-bit BMP with struct (r4), an 8-bit PNG via zlib inflate +
-# full filter reconstruction (r5), or a baseline sequential JPEG via
-# Huffman decode + numpy IDCT, luma only (r6) — then binarize, segment
+# full filter reconstruction (r5), or a JPEG — baseline sequential (r6)
+# AND progressive DCT (r7) — via Huffman decode + numpy IDCT, luma only
+# — then binarize, segment
 # lines/characters by blank rows/columns, and nearest-template-match each
 # cell against a 5x7 glyph font (Hamming distance with tolerance, '?' when
 # nothing is close). That covers screenshots/renders of text in a known
@@ -578,19 +579,25 @@ def _decode_png(b: bytes) -> list[list[int]]:
     return rows
 
 
-# ------------------------------- JPEG (baseline sequential, luma decode)
+# ----------------------- JPEG (baseline + progressive, luma decode)
 #
 # Round-6 rung: pure stdlib + numpy baseline JPEG (ITU T.81 Annex F
-# sequential DCT, the only JPEG flavor screenshot/render tools emit).
+# sequential DCT, the JPEG flavor screenshot/render tools emit).
 # OCR needs LUMINANCE only, so the decoder entropy-decodes every
 # component (the bitstream is interleaved — chroma must be walked to
 # stay in sync) but runs the IDCT only for the first (Y) component:
 # no chroma upsampling or color conversion ever happens. Covers 1- and
 # 3-component scans, arbitrary 1/2 sampling factors, and restart
-# markers; progressive (SOF2) and arithmetic coding raise and degrade
-# per-row honestly. ``render_text_jpeg`` is the encoder twin (grayscale
-# or YCbCr 4:2:0, optional DRI) used by the property tests — both sides
-# are built from the public Annex K tables.
+# markers. Round-7 adds PROGRESSIVE DCT (Annex G, Huffman): full
+# successive-approximation scan algebra — DC first/refine, spectral-
+# selection AC first with EOB-run coding, AC refinement correction bits
+# (``_decode_jpeg_progressive``), with ``render_text_jpeg_progressive``
+# as its encoder twin; quantization matches the baseline twin exactly,
+# so the property tests pin BYTE-IDENTICAL luma between the two decodes.
+# Arithmetic coding (SOF9+) and hierarchical files raise and degrade
+# per-row honestly. Both sides are built from the public Annex K tables
+# (plus a flat 8-bit custom AC table for progressive EOBn symbols the
+# baseline table lacks).
 
 #: Annex K.1 luminance quantization table, natural (raster) order
 _JPEG_QLUM = (
@@ -863,6 +870,306 @@ def render_text_jpeg(text: str, margin: int = 2, quality: int = 90,
     return bytes(out)
 
 
+#: Huffman table for the progressive encoder's AC scans: the baseline
+#: Annex K.3 table lacks the EOBn symbols (r<<4, r>0) progressive EOB-run
+#: coding emits, so progressive scans carry their own table — every
+#: symbol the emitters can produce (EOB0..EOB14, ZRL, (run,size) for
+#: size 1..10) as a flat canonical code: 176 symbols, all 8 bits long
+#: (Kraft-valid: 176 ≤ 256, and the all-ones max-length code stays
+#: unused as B.2.4.2 requires).
+_JPEG_PROG_AC_VALS = tuple(sorted(
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(run << 4) | s for run in range(16) for s in range(1, 11)]))
+_JPEG_PROG_AC_BITS = tuple(176 if ln == 8 else 0 for ln in range(1, 17))
+
+
+class _ProgressiveScanWriter:
+    """Entropy writer for one progressive scan: bit writer + EOB-run /
+    buffered-correction-bit state + restart-marker segmentation. The
+    encoder-side mirror of Annex G.1.2.2/G.1.2.3 (same contract as
+    libjpeg's emit_eobrun/emit_buffered_bits)."""
+
+    def __init__(self, ac_tab=None) -> None:
+        self.wr = _JpegBitWriter()
+        self.ac_tab = ac_tab
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits riding the EOB
+        self.parts: list[bytes] = []
+        self._rst = 0
+
+    def sym(self, symbol: int, tab) -> None:
+        code, n = tab[symbol]
+        self.wr.put(code, n)
+
+    def flush_eob(self) -> None:
+        if self.eobrun == 0 and not self.pending:
+            return
+        r = self.eobrun.bit_length() - 1
+        self.sym(r << 4, self.ac_tab)
+        if r:
+            self.wr.put(self.eobrun - (1 << r), r)
+        for bit in self.pending:
+            self.wr.put(bit, 1)
+        self.eobrun = 0
+        self.pending = []
+
+    def restart(self) -> None:
+        self.flush_eob()
+        self.wr.align()
+        self.parts.append(bytes(self.wr.buf))
+        self.parts.append(bytes((0xFF, 0xD0 + self._rst)))
+        self._rst = (self._rst + 1) % 8
+        self.wr = _JpegBitWriter()
+
+    def finish(self) -> bytes:
+        self.flush_eob()
+        self.wr.align()
+        self.parts.append(bytes(self.wr.buf))
+        return b"".join(self.parts)
+
+
+def _emit_ac_first_block(sw: _ProgressiveScanWriter, zz: list[int],
+                         ss: int, se: int, al: int) -> None:
+    """One block of an AC first scan (G.1.2.2): point-transformed values
+    sign·(|c|>>Al), EOB deferred into the scan-wide EOB run."""
+    t = [(abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
+         for k in range(ss, se + 1)]
+    last_nz = -1
+    for i, v in enumerate(t):
+        if v:
+            last_nz = i
+    if last_nz < 0:
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eob()
+        return
+    sw.flush_eob()
+    run = 0
+    for i in range(last_nz + 1):
+        v = t[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            sw.sym(0xF0, sw.ac_tab)  # ZRL
+            run -= 16
+        s, extra = _jpeg_magnitude(v)
+        sw.sym((run << 4) | s, sw.ac_tab)
+        sw.wr.put(extra, s)
+        run = 0
+    if last_nz < se - ss:
+        sw.eobrun += 1  # trailing zeros → deferred EOB
+
+
+def _emit_ac_refine_block(sw: _ProgressiveScanWriter, zz: list[int],
+                          ss: int, se: int, al: int) -> None:
+    """One block of an AC refinement scan (G.1.2.3, Ah = Al+1): newly
+    significant coefficients as (run,1)+sign, history-nonzero coefficients
+    as positionally-interleaved correction bits, tails folded into the
+    EOB run with their correction bits buffered — a faithful mirror of
+    the decoder's advance loop, so bit order matches exactly."""
+    absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+    eobpos = -1
+    for i, v in enumerate(absv):
+        if v == 1:  # |c|>>Al == 1 ∧ |c|>>Ah == 0 ⇔ newly significant
+            eobpos = i
+    if eobpos < 0:
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eob()
+        sw.eobrun += 1
+        sw.pending += [v & 1 for v in absv if v > 1]
+        return
+    sw.flush_eob()
+    i = 0
+    while True:
+        j = -1
+        for x in range(i, eobpos + 1):
+            if absv[x] == 1:
+                j = x
+                break
+        if j < 0:
+            break
+        r = sum(1 for x in range(i, j) if absv[x] == 0)
+        while r > 15:
+            # ZRL consumes exactly 16 zero-history positions; correction
+            # bits of history coefs inside that window follow the symbol
+            sw.sym(0xF0, sw.ac_tab)
+            cnt = 0
+            bits: list[int] = []
+            while cnt < 16:
+                if absv[i] == 0:
+                    cnt += 1
+                elif absv[i] > 1:
+                    bits.append(absv[i] & 1)
+                i += 1
+            for bit in bits:
+                sw.wr.put(bit, 1)
+            r -= 16
+        bits = []
+        while i < j:
+            if absv[i] > 1:
+                bits.append(absv[i] & 1)
+            i += 1
+        sw.sym((r << 4) | 1, sw.ac_tab)
+        sw.wr.put(1 if zz[ss + j] >= 0 else 0, 1)
+        for bit in bits:
+            sw.wr.put(bit, 1)
+        i = j + 1
+    tail = [absv[x] & 1 for x in range(i, len(absv)) if absv[x] > 1]
+    if i <= se - ss or tail:
+        sw.eobrun += 1
+        sw.pending += tail
+
+
+def render_text_jpeg_progressive(text: str, margin: int = 2,
+                                 quality: int = 90,
+                                 subsampling: str = "gray",
+                                 restart_interval: int = 0) -> bytes:
+    """Render text as a PROGRESSIVE JPEG (SOF2) — the encoder twin of
+    ``_decode_jpeg_progressive``, exercising every scan species the
+    decoder implements: interleaved DC first + DC refinement, spectral-
+    selection AC first scans with EOB-run coding across blocks, and AC
+    refinement with correction bits (Ah=Al+1 successive approximation).
+    ``subsampling='420'`` adds the 3-component interleaved-DC path and
+    all-zero chroma AC scans (pure EOB runs — the r>0 EOBn exercise);
+    ``restart_interval`` > 0 segments every scan with RSTn markers.
+    Quantization is identical to ``render_text_jpeg``, so the decoded
+    luma is BIT-IDENTICAL to decoding the baseline twin of the same
+    text — the round-trip tests pin that equality."""
+    import struct
+
+    import numpy as np
+
+    px = _render_text_pixels(text, margin)
+    h, w = len(px), len(px[0])
+    plane = np.asarray(px, dtype=np.float64)
+    qtab = _jpeg_scaled_qtable(quality)
+    qmat = np.asarray(qtab, dtype=np.float64).reshape(8, 8)
+    t = _jpeg_dct_matrix()
+    dc_tab = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_encode_table(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def block_zz(y0: int, x0: int) -> list[int]:
+        blk = np.full((8, 8), 255.0)
+        ys, xs = min(8, h - y0), min(8, w - x0)
+        if ys > 0 and xs > 0:
+            blk[:ys, :xs] = plane[y0:y0 + ys, x0:x0 + xs]
+        if ys > 0:
+            blk[ys:, :] = blk[ys - 1, :]
+        if xs > 0:
+            blk[:, xs:] = blk[:, xs - 1:xs]
+        coef = t @ (blk - 128.0) @ t.T
+        q = np.floor(coef / qmat + 0.5).astype(int)
+        flat = q.reshape(64)
+        return [int(flat[i]) for i in _JPEG_ZZ]
+
+    gray = subsampling == "gray"
+    zero_zz = [0] * 64
+    if gray:
+        ybw, ybh = (w + 7) // 8, (h + 7) // 8
+        mcux, mcuy = ybw, ybh
+    else:
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+        ybw, ybh = mcux * 2, mcuy * 2
+    yblocks = [[block_zz(by * 8, bx * 8) for bx in range(ybw)]
+               for by in range(ybh)]
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        sw = _ProgressiveScanWriter()
+        preds = [0, 0, 0]
+        done = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = ([(0, yblocks[my][mx])] if gray else
+                          [(0, yblocks[my * 2 + bv][mx * 2 + bh_])
+                           for bv in range(2) for bh_ in range(2)]
+                          + [(1, zero_zz), (2, zero_zz)])
+                for ci, zz in blocks:
+                    if ah == 0:
+                        v = zz[0] >> al
+                        s, extra = _jpeg_magnitude(v - preds[ci])
+                        code, n = dc_tab[s]
+                        sw.wr.put(code, n)
+                        if s:
+                            sw.wr.put(extra, s)
+                        preds[ci] = v
+                    else:
+                        sw.wr.put((zz[0] >> al) & 1, 1)
+                done += 1
+                last = my == mcuy - 1 and mx == mcux - 1
+                if restart_interval and not last \
+                        and done % restart_interval == 0:
+                    sw.restart()
+                    preds = [0, 0, 0]
+        return sw.finish()
+
+    def ac_scan(comp: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        sw = _ProgressiveScanWriter(ac_tab)
+        # non-interleaved scans walk the COMPONENT's ceil(dim/8) grid
+        # (T.81 A.2.2), not the MCU-padded grid — off-by-a-column desync
+        # otherwise whenever a dimension isn't an MCU multiple
+        if comp == 0:
+            bw, bh_n = (w + 7) // 8, (h + 7) // 8
+            blocks = [yblocks[by][bx]
+                      for by in range(bh_n) for bx in range(bw)]
+        else:  # chroma planes (half resolution in 4:2:0), all zero
+            bw = (-(-w // 2) + 7) // 8
+            bh_n = (-(-h // 2) + 7) // 8
+            blocks = [zero_zz] * (bw * bh_n)
+        for i, zz in enumerate(blocks):
+            if ah == 0:
+                _emit_ac_first_block(sw, zz, ss, se, al)
+            else:
+                _emit_ac_refine_block(sw, zz, ss, se, al)
+            if restart_interval and i < len(blocks) - 1 \
+                    and (i + 1) % restart_interval == 0:
+                sw.restart()
+        return sw.finish()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos(members: list[int], ss: int, se: int, ah: int, al: int,
+            body: bytes) -> bytes:
+        hdr = bytes([len(members)])
+        for cid in members:
+            hdr += bytes((cid, 0x00))  # DC table 0, AC table 0
+        hdr += bytes((ss, se, (ah << 4) | al))
+        return seg(0xDA, hdr) + body
+
+    ncomp = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qtab[i] for i in _JPEG_ZZ))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    if gray:
+        sof += bytes((1, 0x11, 0))
+    else:
+        sof += bytes((1, 0x22, 0)) + bytes((2, 0x11, 0)) + bytes((3, 0x11, 0))
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS)
+               + bytes(_JPEG_PROG_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    all_ids = [1] if gray else [1, 2, 3]
+    out += sos(all_ids, 0, 0, 0, 1, dc_scan(0, 1))       # DC first, Al=1
+    out += sos([1], 1, 5, 0, 1, ac_scan(0, 1, 5, 0, 1))  # Y AC low band
+    out += sos([1], 6, 63, 0, 1, ac_scan(0, 6, 63, 0, 1))
+    if not gray:
+        out += sos([2], 1, 63, 0, 1, ac_scan(1, 1, 63, 0, 1))
+        out += sos([3], 1, 63, 0, 1, ac_scan(2, 1, 63, 0, 1))
+    out += sos(all_ids, 0, 0, 1, 0, dc_scan(1, 0))       # DC refine
+    out += sos([1], 1, 63, 1, 0, ac_scan(0, 1, 63, 1, 0))  # Y AC refine
+    if not gray:
+        out += sos([2], 1, 63, 1, 0, ac_scan(1, 1, 63, 1, 0))
+        out += sos([3], 1, 63, 1, 0, ac_scan(2, 1, 63, 1, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _JpegBitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -919,8 +1226,9 @@ def _decode_jpeg_luma(b: bytes) -> list[list[int]]:
 
     Entropy-decodes every component (interleaved MCUs must be walked in
     full) but IDCTs only the first (Y) component; chroma coefficients
-    are discarded — no upsampling/color conversion. Progressive (SOF2),
-    arithmetic (SOF9+), 12-bit and hierarchical files raise."""
+    are discarded — no upsampling/color conversion. Progressive (SOF2)
+    dispatches to the Annex G decoder (r7 rung); arithmetic (SOF9+),
+    12-bit and hierarchical files raise."""
     import struct
 
     import numpy as np
@@ -979,9 +1287,12 @@ def _decode_jpeg_luma(b: bytes) -> list[list[int]]:
             for ci in range(nc):
                 cid, hv, tq = payload[6 + ci * 3:9 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif m == 0xC2:
+            # progressive DCT (Annex G) — the r7 rung decodes it for real
+            return _decode_jpeg_progressive(b)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG (progressive/arithmetic)")
+            raise ValueError("unsupported JPEG (arithmetic/hierarchical)")
         elif m == 0xDD:
             (ri,) = struct.unpack_from(">H", payload, 0)
         elif m == 0xDA:
@@ -1097,8 +1408,15 @@ def _decode_jpeg_luma(b: bytes) -> list[list[int]]:
                             px0 = (bx * y_h + bh_) * 8
                         plane[py:py + 8, px0:px0 + 8] = blk
             mcu += 1
-    # map the Y plane to full image resolution (nearest neighbor when the
-    # luma itself is subsampled — legal but never seen in practice)
+    return _jpeg_plane_to_rows(plane, w, h, y_h, y_v, hmax, vmax)
+
+
+def _jpeg_plane_to_rows(plane, w: int, h: int, y_h: int, y_v: int,
+                        hmax: int, vmax: int) -> list[list[int]]:
+    """Map a decoded Y plane to full image resolution (nearest neighbor
+    when the luma itself is subsampled — legal but never seen in
+    practice)."""
+    plane_h, plane_w = plane.shape
     rows: list[list[int]] = []
     for r in range(h):
         pr = plane[min(plane_h - 1, r * y_v // vmax)]
@@ -1110,11 +1428,301 @@ def _decode_jpeg_luma(b: bytes) -> list[list[int]]:
     return rows
 
 
+def _split_restart_intervals(b: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``start`` split at RSTn markers, with
+    0xFF00 stuffing removed; returns (chunks, position of the terminating
+    marker's 0xFF)."""
+    chunks: list[bytes] = []
+    cur = bytearray()
+    p = start
+    while p < len(b):
+        byte = b[p]
+        if byte != 0xFF:
+            cur.append(byte)
+            p += 1
+            continue
+        nxt = b[p + 1] if p + 1 < len(b) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            chunks.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:  # next real marker (another SOS/DHT/EOI/…)
+            break
+    chunks.append(bytes(cur))
+    return chunks, p
+
+
+def _decode_jpeg_progressive(b: bytes) -> list[list[int]]:
+    """Progressive DCT JPEG (ITU T.81 Annex G, Huffman) → top-down
+    LUMINANCE rows (0-255) — the r7 S4 rung.
+
+    Implements the full successive-approximation scan algebra: DC first
+    (point transform = arithmetic shift) and DC refinement (one raw bit
+    per block), AC first with EOB-run coding (G.1.2.2: EOBn symbols skip
+    2^r..2^(r+1)-1 all-zero-tail blocks in one code), and AC refinement
+    (G.1.2.3: correction bits for history-nonzero coefficients interleaved
+    with (run,1) newly-significant insertions — the libjpeg
+    decode_mcu_AC_refine contract). DC scans may be interleaved
+    (MCU-ordered across components); AC scans are single-component by
+    spec (B.2.3) and walk the component's own ceil(dim/8) block raster.
+    Restart markers reset DC predictors and the EOB run per interval.
+    Huffman tables are SNAPSHOTTED per scan (files legally redefine DHT
+    between scans). Only the Y component is IDCTed, exactly like the
+    baseline rung. Coefficient state is held per block across scans —
+    memory is #blocks × 64 ints, i.e. proportional to the image, same
+    class as the output raster."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    w = h = 0
+    ri = 0
+    # (members=[(comp_idx, dc_tab, ac_tab)], ss, se, ah, al, chunks, ri)
+    scans: list[tuple] = []
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        while pos + 2 < len(b) and b[pos + 1] == 0xFF:  # fill bytes
+            pos += 1
+        m = b[pos + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        payload = b[pos + 4:pos + 2 + ln]
+        if m == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                p += 1
+                n = 64 * (2 if pq else 1)
+                raw = payload[p:p + n]
+                p += n
+                vals = (list(struct.unpack(f">{64}H", raw)) if pq
+                        else list(raw))
+                nat = [0] * 64
+                for i, zz in enumerate(_JPEG_ZZ):
+                    nat[zz] = vals[i]
+                qtabs[tq] = nat
+        elif m == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17:p + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif m == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            for ci in range(nc):
+                cid, hv, tq = payload[6 + ci * 3:9 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/unsupported JPEG frame type")
+        elif m == 0xDD:
+            (ri,) = struct.unpack_from(">H", payload, 0)
+        elif m == 0xDA:
+            ns = payload[0]
+            members = []
+            for ci in range(ns):
+                cs, tabs = payload[1 + ci * 2], payload[2 + ci * 2]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cs)
+                members.append((idx, huff.get((0, tabs >> 4)),
+                                huff.get((1, tabs & 0xF))))
+            ss, se, ahal = payload[1 + ns * 2:4 + ns * 2]
+            chunks, pos = _split_restart_intervals(b, pos + 2 + ln)
+            scans.append((members, ss, se, ahal >> 4, ahal & 0xF,
+                          chunks, ri))
+            continue
+        pos += 2 + ln
+    if not comps or not scans:
+        raise ValueError("progressive JPEG missing SOF2/SOS")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # per-component block grids: padded to the MCU grid (interleaved DC
+    # scans address up to mcux·h_i × mcuy·v_i blocks); non-interleaved
+    # scans walk only the component's own ceil grid
+    coefs: list = []
+    ceil_dims: list[tuple[int, int]] = []
+    for _cid, chf, cvf, _tq in comps:
+        bw_pad, bh_pad = mcux * chf, mcuy * cvf
+        coefs.append(np.zeros((bh_pad, bw_pad, 64), dtype=np.int32))
+        cw = -(-w * chf // hmax)
+        chh = -(-h * cvf // vmax)
+        ceil_dims.append((-(-cw // 8), -(-chh // 8)))
+
+    for members, ss, se, ah, al, chunks, scan_ri in scans:
+        interleaved = len(members) > 1
+        if ss == 0 and se != 0:
+            raise ValueError("progressive scan mixes DC and AC")
+        if ss == 0:
+            if any(t is None for _, t, _a in members) and ah == 0:
+                raise ValueError("JPEG Huffman table missing")
+            units = [(ci, comps[ci][1], comps[ci][2]) if interleaved
+                     else (ci, 1, 1) for ci, _, _ in members]
+            n_mcus = (mcux * mcuy if interleaved
+                      else ceil_dims[members[0][0]][0]
+                      * ceil_dims[members[0][0]][1])
+            row_w = mcux if interleaved else ceil_dims[members[0][0]][0]
+            mcu = 0
+            for seg_i, seg in enumerate(chunks):
+                rd = _JpegBitReader(seg)
+                preds = dict.fromkeys((ci for ci, _, _ in members), 0)
+                seg_mcus = (scan_ri
+                            if scan_ri and seg_i < len(chunks) - 1
+                            else n_mcus - mcu)
+                for _ in range(seg_mcus):
+                    if mcu >= n_mcus:
+                        break
+                    bx0, by0 = mcu % row_w, mcu // row_w
+                    for (ci, dc_tab, _a), (ci2, ch_, cv_) in zip(members,
+                                                                 units):
+                        cf = coefs[ci]
+                        for bv in range(cv_):
+                            for bh_ in range(ch_):
+                                if interleaved:
+                                    by = by0 * cv_ + bv
+                                    bx = bx0 * ch_ + bh_
+                                else:
+                                    by, bx = by0, bx0
+                                if ah == 0:
+                                    s = _huff_read(rd, dc_tab)
+                                    diff = (_jpeg_extend(rd.bits(s), s)
+                                            if s else 0)
+                                    preds[ci] += diff
+                                    cf[by, bx, 0] = preds[ci] << al
+                                elif rd.bit():
+                                    cf[by, bx, 0] |= 1 << al
+                    mcu += 1
+        else:  # AC scan: exactly one component (B.2.3)
+            ci, _d, ac_tab = members[0]
+            if ac_tab is None:
+                raise ValueError("JPEG Huffman table missing")
+            cf = coefs[ci]
+            bw, bh_n = ceil_dims[ci]
+            n_blocks = bw * bh_n
+            blk = 0
+            p1, m1 = 1 << al, -1 << al
+
+            for seg_i, seg in enumerate(chunks):
+                rd = _JpegBitReader(seg)
+                eobrun = 0
+                seg_blocks = (scan_ri
+                              if scan_ri and seg_i < len(chunks) - 1
+                              else n_blocks - blk)
+                for _ in range(seg_blocks):
+                    if blk >= n_blocks:
+                        break
+                    by, bx = blk // bw, blk % bw
+                    c = cf[by, bx]
+                    if ah == 0:  # AC first (G.1.2.2)
+                        if eobrun:
+                            eobrun -= 1
+                        else:
+                            k = ss
+                            while k <= se:
+                                rs = _huff_read(rd, ac_tab)
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += rd.bits(r)
+                                    break
+                                k += r
+                                if k > se:
+                                    raise ValueError(
+                                        "JPEG AC index overflow")
+                                c[_JPEG_ZZ[k]] = (
+                                    _jpeg_extend(rd.bits(s), s) << al)
+                                k += 1
+                    else:  # AC refinement (G.1.2.3)
+                        def _refine(c, zz, rd=rd, p1=p1, m1=m1):
+                            if rd.bit() and (c[zz] & p1) == 0:
+                                c[zz] += p1 if c[zz] >= 0 else m1
+
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = _huff_read(rd, ac_tab)
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += rd.bits(r)
+                                        break
+                                    val = 0
+                                elif s == 1:
+                                    val = p1 if rd.bit() else m1
+                                else:
+                                    raise ValueError(
+                                        "bad refinement magnitude")
+                                while k <= se:
+                                    zz = _JPEG_ZZ[k]
+                                    if c[zz] != 0:
+                                        _refine(c, zz)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    c[_JPEG_ZZ[k]] = val
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                zz = _JPEG_ZZ[k]
+                                if c[zz] != 0:
+                                    _refine(c, zz)
+                                k += 1
+                            eobrun -= 1
+                    blk += 1
+
+    # IDCT the Y component only (baseline-rung contract)
+    y_idx = 0
+    _cid, y_h, y_v, y_tq = comps[y_idx]
+    if y_tq not in qtabs:
+        raise ValueError("JPEG luma quant table missing")
+    yq = np.asarray(qtabs[y_tq], dtype=np.float64).reshape(8, 8)
+    t = _jpeg_dct_matrix()
+    bw, bh_n = ceil_dims[y_idx]
+    plane = np.zeros((bh_n * 8, bw * 8), dtype=np.uint8)
+    cf = coefs[y_idx]
+    for by in range(bh_n):
+        for bx in range(bw):
+            coef = np.zeros(64)
+            coef[:] = cf[by, bx]
+            blk_px = t.T @ (coef.reshape(8, 8) * yq) @ t + 128.0
+            plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                np.clip(np.rint(blk_px), 0, 255).astype(np.uint8)
+    return _jpeg_plane_to_rows(plane, w, h, y_h, y_v, hmax, vmax)
+
+
 def _ocr_parse_stdlib(b: bytes) -> str:
     """Template-matching OCR over a decoded bitmap (see module comment).
-    Accepts uncompressed 24-bit BMP, 8-bit PNG, and baseline sequential
-    JPEG (the formats machine renders/screenshots actually produce
-    without media libs)."""
+    Accepts uncompressed 24-bit BMP, 8-bit PNG, and baseline-sequential
+    OR progressive JPEG (the formats machine renders/screenshots actually
+    produce without media libs)."""
     if b.startswith(_PNG_SIG):
         px = _decode_png(b)
     elif b[:2] == b"\xff\xd8":

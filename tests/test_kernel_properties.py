@@ -435,12 +435,18 @@ def test_jpeg_decode_fidelity_and_unsupported_tiers():
     assert parsers._ocr_parse_stdlib(
         parsers.render_text_jpeg(text, subsampling="420")) == \
         parsers._ocr_parse_stdlib(jb)
-    # progressive SOF2 → ValueError naming the unsupported tier
+    # a baseline stream FORGED as SOF2 is a malformed progressive file
+    # (its single scan mixes DC and AC bands) → error, never silence
     prog = bytearray(parsers.render_text_jpeg("A"))
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive"):
         parsers._decode_jpeg_luma(bytes(prog))
+    # arithmetic coding (SOF9) stays the unsupported tier
+    ar = bytearray(parsers.render_text_jpeg("A"))
+    ar[ar.find(b"\xff\xc0") + 1] = 0xC9
+    with pytest.raises(ValueError, match="arithmetic"):
+        parsers._decode_jpeg_luma(bytes(ar))
     # truncated entropy data → error, not silence
     with pytest.raises(ValueError):
         parsers._decode_jpeg_luma(bytes(parsers.render_text_jpeg("AB")[:-40]))
@@ -802,3 +808,57 @@ def test_jpeg_fill_bytes_before_markers_decode():
     assert parsers._decode_jpeg_luma(bytes(padded)) == base
     assert parsers._ocr_parse_stdlib(bytes(padded)) == \
         parsers._ocr_parse_stdlib(jb)
+
+
+@given(st.lists(
+    st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ",
+            min_size=1, max_size=24).map(lambda s: s.strip()),
+    min_size=1, max_size=3),
+    st.sampled_from([("gray", 0), ("420", 0), ("gray", 3), ("420", 2)]))
+@settings(max_examples=20, deadline=None)
+def test_progressive_jpeg_decodes_identically_to_baseline(lines, mode):
+    """The round-7 progressive rung: the progressive twin quantizes
+    identically to the baseline twin, so the Annex G decode (DC first +
+    refine, spectral-selection AC first with EOB runs, AC refinement
+    correction bits, restart markers, interleaved-DC 4:2:0) must produce
+    BYTE-IDENTICAL luma rows — an exact cross-check of every scan
+    species, not a lossy similarity bound."""
+    import re
+
+    from multiagent_document_etl_system_spark.sources import parsers
+
+    subsampling, dri = mode
+    lines = [re.sub(r" +", " ", ln).strip() for ln in lines]
+    expected = [ln for ln in lines if ln]
+    text = "\n".join(lines)
+    base = parsers._decode_jpeg_luma(
+        parsers.render_text_jpeg(text, subsampling=subsampling))
+    jb = parsers.render_text_jpeg_progressive(
+        text, subsampling=subsampling, restart_interval=dri)
+    assert parsers._decode_jpeg_luma(jb) == base
+    got = parsers._ocr_parse_stdlib(jb)
+    assert [ln for ln in got.split("\n") if ln] == expected
+
+
+def test_progressive_jpeg_error_tiers():
+    """Truncated progressive streams and missing tables raise — never
+    fabricated pixels."""
+    import pytest
+
+    from multiagent_document_etl_system_spark.sources import parsers
+
+    jb = parsers.render_text_jpeg_progressive("AB")
+    with pytest.raises(ValueError):
+        parsers._decode_jpeg_luma(jb[:-40])  # truncated entropy data
+    # strip the DHT segments -> table-missing error, not garbage output
+    out = bytearray()
+    pos = 0
+    while pos < len(jb):
+        if jb[pos] == 0xFF and pos + 1 < len(jb) and jb[pos + 1] == 0xC4:
+            ln = (jb[pos + 2] << 8) | jb[pos + 3]
+            pos += 2 + ln
+            continue
+        out.append(jb[pos])
+        pos += 1
+    with pytest.raises(ValueError, match="missing|Huffman"):
+        parsers._decode_jpeg_luma(bytes(out))

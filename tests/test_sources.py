@@ -536,43 +536,52 @@ def test_mm_decode_real_pixels_for_bmp_png_jpeg(spark):
     feature is a luminance histogram of actual pixels — a rendered
     white-background image must put most mass in the top bin. A file that
     CLAIMS baseline JPEG but is corrupt is a per-row decode_error (same
-    contract as corrupt BMP/PNG); only the genuinely unsupported
-    progressive tier falls back to the deterministic fake."""
+    contract as corrupt BMP/PNG); r7: PROGRESSIVE JPEG decodes for real
+    too (same histogram as the baseline twin — identical quantization),
+    and only the arithmetic-coded tier falls back to the deterministic
+    fake."""
     from multiagent_document_etl_system_spark.sources.multimodal import (
         decode_features,
     )
     from multiagent_document_etl_system_spark.sources.parsers import (
         render_text_bmp,
         render_text_jpeg,
+        render_text_jpeg_progressive,
         render_text_png,
     )
 
     bmp = render_text_bmp("HI")
     png = render_text_png("HI")
     jpg = render_text_jpeg("HI")
-    prog = bytearray(render_text_jpeg("HI"))
-    prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # progressive SOF marker
+    prog = render_text_jpeg_progressive("HI")
+    arith = bytearray(render_text_jpeg("HI"))
+    arith[arith.find(b"\xff\xc0") + 1] = 0xC9  # arithmetic SOF marker
     rows = [(1, "image", bytearray(bmp), None),
             (2, "image", bytearray(png), None),
             (3, "image", bytearray(b"\xff\xd8 jpeg-ish junk"), None),
             (4, "image", bytearray(jpg), None),
-            (5, "image", bytearray(bytes(prog)), None)]
+            (5, "image", bytearray(prog), None),
+            (6, "image", bytearray(bytes(arith)), None)]
     from multiagent_document_etl_system_spark.sources.multimodal import (
         MEDIA_SCHEMA,
     )
 
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r.media_id: r for r in decode_features(df).collect()}
-    assert all(out[i].decode_error is None for i in (1, 2, 4, 5))
+    assert all(out[i].decode_error is None for i in (1, 2, 4, 5, 6))
     assert out[3].decode_error is not None  # corrupt baseline -> error
     # white background dominates -> top luminance bin carries most mass
-    for i in (1, 2, 4):
+    for i in (1, 2, 4, 5):
         feat = out[i].feature
         assert abs(sum(feat) - 1.0) < 1e-6
         assert feat[-1] == max(feat) and feat[-1] > 0.5
     # BMP and PNG render the same glyphs -> identical histograms
     assert [round(x, 6) for x in out[1].feature] == \
         [round(x, 6) for x in out[2].feature]
+    # progressive decodes for REAL: identical quantization to the
+    # baseline twin -> byte-identical luma -> identical histogram
+    assert [round(x, 6) for x in out[4].feature] == \
+        [round(x, 6) for x in out[5].feature]
     # JPEG is lossy: histogram close to the BMP one, not byte-equal
     l1 = sum(abs(a - b) for a, b in zip(out[1].feature, out[4].feature))
     assert l1 < 0.1, l1
