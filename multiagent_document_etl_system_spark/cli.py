@@ -643,6 +643,65 @@ def cmd_compact(args) -> dict:
     return out
 
 
+def cmd_bpe_train(args) -> dict:
+    """Train a BPE merge table FROM a documents parquet and persist it
+    (operators/bpe.bpe_train — the registry's td_bpe_train as a write
+    path): one parquet of (step, pair, merged, n_occurrences), the
+    artifact a tokenizer build loads. Deterministic end to end (count
+    DESC, pair ASC cut per round; greedy left-to-right application)."""
+    from multiagent_document_etl_system_spark.operators.bpe import bpe_train
+
+    if args.n_merges <= 0:
+        raise SystemExit(f"--n-merges {args.n_merges} must be positive")
+    spark = get_spark("doc-etl-bpe-train")
+    docs = spark.read.parquet(args.docs_parquet)
+    merges = bpe_train(docs, n_merges=args.n_merges)
+    spark.createDataFrame(
+        merges,
+        "step bigint, pair string, merged string, n_occurrences bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(args.out_dir)
+    return {"success": True, "out": args.out_dir, "n_merges": len(merges),
+            "merges": [m[2] for m in merges]}
+
+
+def cmd_ingest(args) -> dict:
+    """Incremental corpus ingest (the td_incremental_ingest recipe as a
+    write path): dedup an incoming shard against the persisted index
+    (`cli build-dedup-index` layout: <index_dir>/md5 + /bands), append
+    the survivors to the corpus directory, and grow the index with the
+    survivors' md5/band rows so the next shard checks against a current
+    index without a rebuild."""
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.operators.dedup import (
+        band_signatures,
+        dedup_against_index,
+        shingles,
+    )
+
+    spark = get_spark("doc-etl-ingest")
+    incoming = spark.read.parquet(args.incoming_parquet)
+    md5_idx = spark.read.parquet(f"{args.index_dir}/md5")
+    band_idx = spark.read.parquet(f"{args.index_dir}/bands")
+    flags = dedup_against_index(incoming, md5_idx, band_idx)
+    surv = (incoming.join(flags, "doc_id")
+            .filter(~F.col("exact_dup") & (F.col("n_band_matches") == 0))
+            .drop("exact_dup", "n_band_matches")
+            .localCheckpoint())  # one pass; three append targets
+    n_in, n_surv = incoming.count(), surv.count()
+    surv.write.mode("append").parquet(args.corpus_dir)
+    surv.select(F.md5("text").alias("h")).distinct() \
+        .write.mode("append").parquet(f"{args.index_dir}/md5")
+    (band_signatures(
+        surv.select(F.col("doc_id").alias("_id"),
+                    shingles(F.col("text"), 3).alias("_sh")))
+     .select("band", "bh").distinct()
+     .write.mode("append").parquet(f"{args.index_dir}/bands"))
+    return {"success": True, "corpus": args.corpus_dir,
+            "n_incoming": n_in, "n_appended": n_surv,
+            "n_dropped": n_in - n_surv}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="doc-etl")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -764,6 +823,16 @@ def main(argv=None) -> int:
     q.add_argument("--explain", action="store_true",
                    help="print the formatted physical plan instead of rows")
 
+    bt = sub.add_parser("bpe-train")
+    bt.add_argument("docs_parquet")
+    bt.add_argument("out_dir")
+    bt.add_argument("--n-merges", type=int, default=10)
+
+    ig = sub.add_parser("ingest")
+    ig.add_argument("incoming_parquet")
+    ig.add_argument("corpus_dir")
+    ig.add_argument("index_dir")
+
     args = p.parse_args(argv)
     out = {"process": cmd_process, "upload-schema": cmd_upload_schema,
            "stats": cmd_stats, "query": cmd_query, "curate": cmd_curate,
@@ -776,6 +845,8 @@ def main(argv=None) -> int:
            "provenance": cmd_provenance,
            "prepare": cmd_prepare,
            "validate": cmd_validate,
+           "bpe-train": cmd_bpe_train,
+           "ingest": cmd_ingest,
            "export-shards": cmd_export_shards}[args.cmd](args)
     print(json.dumps(out))
     return 0 if out.get("success", True) else 1

@@ -435,3 +435,59 @@ def test_provenance_writes_partitioned_audit(spark, tmp_path, capsys):
     for r in reasons:
         cnt = spark.read.parquet(f"{out}/reason={r}").count()
         assert cnt == m["by_reason"][r]
+
+
+def test_bpe_train_writes_merge_table(spark, tmp_path, capsys):
+    """bpe-train: the persisted merge table equals the in-process trainer
+    on the same corpus (deterministic cut), schema pinned."""
+    from multiagent_document_etl_system_spark.operators.bpe import bpe_train
+
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "aaab " * 9 + "ab ab ab"), (2, "aaab aaab xy xy")],
+        "doc_id long, text string").write.parquet(docs_dir)
+    out_dir = str(tmp_path / "merges")
+    rc, resp = _run(capsys, ["bpe-train", docs_dir, out_dir,
+                             "--n-merges", "4"])
+    assert rc == 0 and resp["n_merges"] >= 1
+    got = [tuple(r) for r in spark.read.parquet(out_dir)
+           .orderBy("step").collect()]
+    want = bpe_train(spark.read.parquet(docs_dir), n_merges=4)
+    assert got == want
+    assert resp["merges"] == [m[2] for m in want]
+
+
+def test_ingest_appends_survivors_and_grows_index(spark, tmp_path, capsys):
+    """ingest: exact/near dups vs the persisted index are dropped, the
+    novel doc appends, and the index grows so an immediate replay of the
+    appended doc is now an exact dup."""
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    incoming_dir = str(tmp_path / "incoming")
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron " * 5).strip()
+    novel = ("totally new content about adaptive query execution and "
+             "shuffle partition coalescing " * 5).strip()
+    spark.createDataFrame(
+        [(1, base, "en", "web", len(base))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long").write.parquet(corpus_dir)
+    rc, _ = _run(capsys, ["build-dedup-index", corpus_dir, index_dir])
+    assert rc == 0
+    spark.createDataFrame(
+        [(7, base, "en", "crawl", len(base)),              # exact dup
+         (17, base + " omega", "en", "crawl", len(base) + 6),  # near dup
+         (27, novel, "en", "crawl", len(novel))],          # novel
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long").write.parquet(incoming_dir)
+    rc, resp = _run(capsys, ["ingest", incoming_dir, corpus_dir, index_dir])
+    assert rc == 0
+    assert resp["n_incoming"] == 3
+    assert resp["n_appended"] == 1 and resp["n_dropped"] == 2
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(corpus_dir).select("doc_id").collect())
+    assert ids == [1, 27]
+    # replaying the appended doc must now hit the grown index exactly
+    rc, resp = _run(capsys, ["ingest", incoming_dir, corpus_dir, index_dir])
+    assert rc == 0 and resp["n_appended"] == 0 and resp["n_dropped"] == 3
