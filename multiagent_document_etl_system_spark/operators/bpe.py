@@ -107,10 +107,14 @@ def pair_counts(types: DataFrame) -> DataFrame:
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 10,
-              text_col: str = "text") -> list[tuple]:
+              text_col: str = "text",
+              return_types: bool = False):
     """The merge table: [(step, pair, merged, n_occurrences), ...] —
     ``n_merges`` rounds of count → argmax → greedy apply. Each round's
-    argmax is the deterministic (count DESC, pair ASC) cut."""
+    argmax is the deterministic (count DESC, pair ASC) cut.
+    ``return_types=True`` additionally returns the word-type table AFTER
+    all merges were applied — the trained tokenizer's segmentation of
+    the corpus vocabulary — as ``(merges, types_df)``."""
     types = word_types(docs, text_col).localCheckpoint()
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):
@@ -122,10 +126,12 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
         pair, n = best[0]["pair"], best[0]["n_occurrences"]
         a, b = pair.split(" ")
         merges.append((step, pair, a + b, n))
-        if step < n_merges:
+        if step < n_merges or return_types:
             types = types.select(
                 merge_apply(F.col("sym"), F.lit(a), F.lit(b)).alias("sym"),
                 "c").localCheckpoint()
+    if return_types:
+        return merges, types
     return merges
 
 
@@ -167,3 +173,25 @@ def bpe_train_sql(n_merges: int = 10, corpus: str = "documents",
     ]
     parts.append("\n" + "\nUNION ALL ".join(selects) + "\nORDER BY step")
     return "".join(parts)
+
+
+def bpe_segment_sql(n_merges: int = 10, corpus: str = "documents",
+                    text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`td_bpe_segment`: the trainer chain
+    extended one level (w{n} = w{n-1} with merge n applied), rolled up
+    into the tokens-per-word-type distribution."""
+    train = bpe_train_sql(n_merges, corpus, text_col)
+    # drop the trainer's final SELECT chain, keep the CTE chain
+    head = train[:train.rindex("\nSELECT CAST(1 AS BIGINT) AS step")]
+    n = n_merges
+    merged = merge_apply_sql("w.sym", "m.a", "m.b")
+    return f"""{head}, w{n} AS MATERIALIZED (
+  SELECT {merged} AS sym, w.c AS c
+  FROM w{n - 1} w, (SELECT string_split(pair, ' ')[1] AS a,
+                           string_split(pair, ' ')[2] AS b FROM m{n}) m
+)
+SELECT CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_symbols,
+  CAST(count(*) AS BIGINT) AS n_word_types,
+  CAST(sum(c) AS BIGINT) AS n_word_occurrences,
+  CAST(sum(c * len(string_split(sym, ' '))) AS BIGINT) AS n_tokens
+FROM w{n} GROUP BY 1 ORDER BY n_symbols"""

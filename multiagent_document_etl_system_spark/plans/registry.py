@@ -5691,10 +5691,38 @@ def st_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("shard"))
 
 
+@_q("td_bpe_segment", bpe.bpe_segment_sql(10))
+def td_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer APPLIED: after td_bpe_train's 10 merges,
+    how the vocabulary segments — per tokens-per-word-type count, the
+    number of word types, their corpus occurrence mass, and the total
+    BPE tokens they contribute. This is the fertility/compression report
+    a tokenizer build reads before committing a vocab (avg tokens per
+    word = sum(n_tokens)/sum(n_word_occurrences)); the oracle replays
+    the whole train+apply chain, so the driver hash-checks training AND
+    application end-to-end. Scale: the trainer's plan plus one
+    vocabulary-sized rollup."""
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
+    _merges, types = bpe.bpe_train(
+        ensure_parallelism(_docs(spark, sf_dir)), n_merges=10,
+        return_types=True)
+    syms = F.split("sym", " ")
+    return (types.select(F.size(syms).cast("bigint").alias("n_symbols"),
+                         "c")
+            .groupBy("n_symbols")
+            .agg(F.count("*").alias("n_word_types"),
+                 F.sum("c").cast("bigint").alias("n_word_occurrences"),
+                 F.sum(F.col("c") * F.col("n_symbols")).cast("bigint")
+                 .alias("n_tokens"))
+            .orderBy("n_symbols"))
+
+
 _QUEUED_FOR_R8 += [
     "td_bpe_train",
     "td_incremental_ingest",
     "st_incremental_ingest",
+    "td_bpe_segment",
     # contract change, not a new query: flipped from rows-only to fully
     # hash-oracled this round (integer state + max_by final-row cut) —
     # its prior driver rows were `no_oracle`, so the hash oracle has

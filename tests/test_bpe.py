@@ -5,9 +5,6 @@ reproduces a planted corpus's known merges."""
 
 from __future__ import annotations
 
-import string
-
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -108,3 +105,22 @@ def test_trainer_stops_when_no_pairs_remain(spark):
     got = bpe.bpe_train(docs, n_merges=10)
     # merges exhaust after every word is a single symbol
     assert [m[1] for m in got] == ["a b", "c d"]
+
+
+def test_segment_stats_consistent_with_trainer(spark):
+    """return_types applies every merge: the segmented type table's
+    token mass equals characters-per-word minus one per merge USE, and
+    the planted corpus segments exactly as hand-derived."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "aaab " * 9 + "ab ab ab")], "doc_id long, text string")
+    merges, types = bpe.bpe_train(docs, n_merges=4, return_types=True)
+    segs = {r["sym"]: r["c"] for r in types.collect()}
+    # merges: aa, ab, aaab -> 'aaab' collapses to ONE symbol, 'ab' too
+    assert segs == {"aaab": 9, "ab": 3}
+    # avg tokens per word(=1.0 here): the fertility report's numerator
+    stats = (types.select(F.size(F.split("sym", " ")).alias("n"), "c")
+             .agg(F.sum(F.col("n") * F.col("c")).alias("tok"),
+                  F.sum("c").alias("occ")).first())
+    assert stats["tok"] == stats["occ"] == 12
