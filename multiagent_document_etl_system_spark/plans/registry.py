@@ -3017,26 +3017,30 @@ def l4_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("s1_parse_dispatch", None)
 def s1_parse_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1–S5 — format-dispatch parsing over binary content
-    (/root/reference/src/parsers.py:4-32). The text, pdf, AND docx paths
-    parse for real (pdf/docx via pure-stdlib extractors when the reference
-    libraries are absent); image/OCR degrades per-row to a parse_error
-    (pytesseract absent, no stdlib rung exists for OCR) — the per-row
+    (/root/reference/src/parsers.py:4-32). The text, pdf, docx, AND
+    image paths parse for real (pdf/docx via pure-stdlib extractors;
+    images via the stdlib OCR rung over the BMP/PNG/JPEG decoders —
+    f.jpg below is a PROGRESSIVE JPEG, the r7 rung); a corrupt image
+    degrades per-row to a parse_error (d.png) — the per-row
     fault-tolerance contract. Pandas-UDF parse ⇒ rows-only."""
     from multiagent_document_etl_system_spark.sources.parsers import (
         make_demo_docx_bytes,
         make_demo_pdf_bytes,
         parse_documents,
+        render_text_jpeg_progressive,
     )
     docx_bytes = make_demo_docx_bytes(
         ["Invoice 42", "Total due: 19.99"], [["item", "qty", "price"]])
     pdf_bytes = make_demo_pdf_bytes(
         ["Receipt 7", "Paid: 12.50"], compress=True)
+    jpg_bytes = render_text_jpeg_progressive("SCAN 99", subsampling="420")
     rows = [
         ("a.txt", bytearray("plain text body".encode())),
         ("b.pdf", bytearray(pdf_bytes)),
         ("c.docx", bytearray(docx_bytes)),
         ("d.png", bytearray(b"\x89PNG fake")),
         ("e.csv", bytearray("x,y\n1,2".encode())),
+        ("f.jpg", bytearray(jpg_bytes)),
     ]
     binary = spark.createDataFrame(rows, "path string, content binary")
     parsed = parse_documents(binary)
@@ -4909,12 +4913,14 @@ NO_ORACLE_REASONS: dict[str, str] = {
                 "twin); executor-singleton + shape pytest",
     "l4_embed_dedup": "same inference path behind dedup-before-inference; "
                       "equivalence to l4_embed asserted in pytest",
-    "s1_parse_dispatch": "parses BINARY fixture files (PDF/DOCX/BMP) — "
-                         "DuckDB has no parser; round-trip pytest",
+    "s1_parse_dispatch": "parses BINARY fixture files (PDF/DOCX/images "
+                         "incl. progressive JPEG) — DuckDB has no "
+                         "parser; round-trip pytest",
     "mm_decode_features": "media decode via mapInPandas — REAL stdlib "
                           "pixel decode + luminance histogram for "
-                          "BMP/PNG/baseline-JPEG, deterministic fake for "
-                          "formats needing absent media libs (progressive "
+                          "BMP/PNG/baseline+progressive JPEG, "
+                          "deterministic fake for formats needing absent "
+                          "media libs (arithmetic "
                           "JPEG, MP3, video); REAL WAV/PCM energy "
                           "envelope; pytest",
     "mm_frame_sample": "video frame explode over opaque binary; pytest",
