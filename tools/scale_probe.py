@@ -50,6 +50,7 @@ DEFAULT = [
     "dedup_cluster_size_histogram", "td_dedup_policy_ablation",
     "td_dedup_provenance", "dedup_lsh_bucket_report",
     "td_bpe_train", "td_incremental_ingest", "q_asof_tolerance",
+    "td_bpe_segment",
 ]
 
 #: iterative-clustering composites materialize eager per-round checkpoints
@@ -60,7 +61,7 @@ REBUILD_PER_REP = {"td_curation_funnel", "td_prepare_corpus_v2",
                    "dedup_clusters", "v24_graph_pagerank",
                    "diag_prep_clusters",
                    # 10 train rounds run at build time (argmax collects)
-                   "td_bpe_train",
+                   "td_bpe_train", "td_bpe_segment",
                    # the provenance/ablation/histogram audits embed
                    # duplicate_clusters' eager checkpoints too
                    "td_dedup_provenance", "td_dedup_policy_ablation",
