@@ -75,15 +75,18 @@ def merge_apply_sql(sym: str, a: str, b: str) -> str:
 
 def word_types(docs: DataFrame, text_col: str = "text",
                min_word_len: int = 2) -> DataFrame:
-    """(sym, c): the word-TYPE table — each distinct lowercased
-    whitespace token as a space-separated character sequence with its
-    corpus frequency. The ONE corpus-scale shuffle of BPE training."""
+    """(w, sym, c): the word-TYPE table — each distinct lowercased
+    whitespace token, its space-separated character sequence, and its
+    corpus frequency. The ONE corpus-scale shuffle of BPE training; the
+    original word rides along so encode paths can join segmentations
+    back to documents."""
     words = (docs
              .select(F.explode(textfns.tokens(F.lower(F.col(text_col))))
                      .alias("w"))
              .filter(F.length("w") >= min_word_len))
     return (words.groupBy("w").agg(F.count("*").alias("c"))
-            .select(F.trim(F.regexp_replace("w", "(.)", "$1 "))
+            .select("w",
+                    F.trim(F.regexp_replace("w", "(.)", "$1 "))
                     .alias("sym"),
                     "c"))
 
@@ -128,6 +131,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
         merges.append((step, pair, a + b, n))
         if step < n_merges or return_types:
             types = types.select(
+                "w",
                 merge_apply(F.col("sym"), F.lit(a), F.lit(b)).alias("sym"),
                 "c").localCheckpoint()
     if return_types:
@@ -146,7 +150,8 @@ def bpe_train_sql(n_merges: int = 10, corpus: str = "documents",
     FROM {corpus})
   WHERE length(w) >= 2 GROUP BY w
 ), w0 AS MATERIALIZED (
-  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, c FROM words
+  SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, c
+  FROM words
 )"""]
     for i in range(1, n_merges + 1):
         parts.append(f""", p{i} AS (
@@ -162,7 +167,7 @@ def bpe_train_sql(n_merges: int = 10, corpus: str = "documents",
             merged = merge_apply_sql(
                 "w.sym", "m.a", "m.b")
             parts.append(f""", w{i} AS MATERIALIZED (
-  SELECT {merged} AS sym, w.c AS c
+  SELECT w.w AS w, {merged} AS sym, w.c AS c
   FROM w{i - 1} w, (SELECT string_split(pair, ' ')[1] AS a,
                            string_split(pair, ' ')[2] AS b FROM m{i}) m
 )""")
@@ -180,18 +185,57 @@ def bpe_segment_sql(n_merges: int = 10, corpus: str = "documents",
     """DuckDB oracle for :func:`td_bpe_segment`: the trainer chain
     extended one level (w{n} = w{n-1} with merge n applied), rolled up
     into the tokens-per-word-type distribution."""
-    train = bpe_train_sql(n_merges, corpus, text_col)
-    # drop the trainer's final SELECT chain, keep the CTE chain
-    head = train[:train.rindex("\nSELECT CAST(1 AS BIGINT) AS step")]
+    head = _bpe_chain_sql(n_merges, corpus, text_col)
     n = n_merges
-    merged = merge_apply_sql("w.sym", "m.a", "m.b")
-    return f"""{head}, w{n} AS MATERIALIZED (
-  SELECT {merged} AS sym, w.c AS c
-  FROM w{n - 1} w, (SELECT string_split(pair, ' ')[1] AS a,
-                           string_split(pair, ' ')[2] AS b FROM m{n}) m
-)
+    return f"""{head}
 SELECT CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_symbols,
   CAST(count(*) AS BIGINT) AS n_word_types,
   CAST(sum(c) AS BIGINT) AS n_word_occurrences,
   CAST(sum(c * len(string_split(sym, ' '))) AS BIGINT) AS n_tokens
 FROM w{n} GROUP BY 1 ORDER BY n_symbols"""
+
+
+def _bpe_chain_sql(n_merges: int, corpus: str, text_col: str) -> str:
+    """The trainer's CTE chain EXTENDED one level (w{n} = w{n-1} with
+    merge n applied): the fully-segmented vocabulary, for oracles that
+    consume the trained tokenizer rather than the merge table."""
+    train = bpe_train_sql(n_merges, corpus, text_col)
+    head = train[:train.rindex("\nSELECT CAST(1 AS BIGINT) AS step")]
+    n = n_merges
+    merged = merge_apply_sql("w.sym", "m.a", "m.b")
+    return f"""{head}, w{n} AS MATERIALIZED (
+  SELECT w.w AS w, {merged} AS sym, w.c AS c
+  FROM w{n - 1} w, (SELECT string_split(pair, ' ')[1] AS a,
+                           string_split(pair, ' ')[2] AS b FROM m{n}) m
+)"""
+
+
+def bpe_encode_sql(n_merges: int = 10, corpus: str = "documents",
+                   text_col: str = "text") -> str:
+    """DuckDB oracle for td_bpe_encode: per-document word stream joined
+    to the trained vocabulary's segmentation — doc-level BPE token
+    counts and half-up-rounded fertility (tokens per word) on the 1e4
+    integer grid."""
+    from multiagent_document_etl_system_spark.functions.numeric import (
+        idiv_round_sql,
+    )
+
+    head = _bpe_chain_sql(n_merges, corpus, text_col)
+    n = n_merges
+    fert = idiv_round_sql("10000 * sum(v.n_sym)", "count(*)")
+    return f"""{head}, vocab AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sym
+  FROM w{n}
+), docwords AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest({textfns.tokens_sql(f'lower({text_col})')}) AS w
+    FROM {corpus})
+  WHERE length(w) >= 2
+)
+SELECT d.doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+  {fert} AS fertility_q1e4
+FROM docwords d JOIN vocab v USING (w)
+GROUP BY d.doc_id"""

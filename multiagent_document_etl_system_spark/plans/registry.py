@@ -5724,11 +5724,44 @@ def td_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("n_symbols"))
 
 
+@_q("td_bpe_encode", bpe.bpe_encode_sql(10))
+def td_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer ENCODING the corpus: per document, the word
+    count (≥2-char whitespace tokens, the trainer's domain), the BPE
+    token count under td_bpe_train's 10 merges, and half-up fertility
+    (tokens per word) on the 1e4 integer grid — the per-document cost
+    model a token-budget planner reads (high-fertility docs burn budget).
+    Scale shape: words dedupe into the vocabulary-sized type table, the
+    fold runs ONCE PER TYPE, and documents join the (word → n_symbols)
+    vocab back — never re-segmenting per occurrence; AQE picks the join
+    strategy (the vocab side grows sublinearly, Heaps' law). The oracle
+    replays train + segment + join, so the whole tokenizer lifecycle is
+    driver-hash-checked: train (td_bpe_train), vocabulary shape
+    (td_bpe_segment), corpus encode (this)."""
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    _merges, types = bpe.bpe_train(docs, n_merges=10, return_types=True)
+    vocab = types.select(
+        "w", F.size(F.split("sym", " ")).cast("bigint").alias("n_sym"))
+    words = (docs.select(
+        "doc_id",
+        F.explode(textfns.tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.length("w") >= 2))
+    return (words.join(vocab, "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_words"),
+                 F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+                 idiv_round(F.lit(10000) * F.sum("n_sym"),
+                            F.count(F.lit(1))).alias("fertility_q1e4")))
+
+
 _QUEUED_FOR_R8 += [
     "td_bpe_train",
     "td_incremental_ingest",
     "st_incremental_ingest",
     "td_bpe_segment",
+    "td_bpe_encode",
     # contract change, not a new query: flipped from rows-only to fully
     # hash-oracled this round (integer state + max_by final-row cut) —
     # its prior driver rows were `no_oracle`, so the hash oracle has
