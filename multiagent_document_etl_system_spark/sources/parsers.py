@@ -767,18 +767,21 @@ def _jpeg_encode_block(zz: list[int], pred: int, wr: _JpegBitWriter,
 
 def render_text_jpeg(text: str, margin: int = 2, quality: int = 90,
                      subsampling: str = "gray",
-                     restart_interval: int = 0) -> bytes:
+                     restart_interval: int = 0,
+                     pixels: list[list[int]] | None = None) -> bytes:
     """Render A-Z/0-9/space text as a baseline sequential JPEG — the
     deterministic twin of the JPEG OCR rung. ``subsampling``: 'gray'
     (one component) or '420' (YCbCr 4:2:0 interleaved MCUs with neutral
     chroma — exercises the multi-component + subsampled decode path a
     real screenshot-as-JPEG takes). ``restart_interval`` > 0 emits DRI
-    + RSTn markers every N MCUs."""
+    + RSTn markers every N MCUs. ``pixels`` (rows of 0-255 luma)
+    bypasses text rendering — the fuzz hook for coefficient
+    distributions text never produces."""
     import struct
 
     import numpy as np
 
-    px = _render_text_pixels(text, margin)
+    px = pixels if pixels is not None else _render_text_pixels(text, margin)
     h, w = len(px), len(px[0])
     plane = np.asarray(px, dtype=np.float64)
     qtab = _jpeg_scaled_qtable(quality)
@@ -1024,7 +1027,9 @@ def _emit_ac_refine_block(sw: _ProgressiveScanWriter, zz: list[int],
 def render_text_jpeg_progressive(text: str, margin: int = 2,
                                  quality: int = 90,
                                  subsampling: str = "gray",
-                                 restart_interval: int = 0) -> bytes:
+                                 restart_interval: int = 0,
+                                 pixels: list[list[int]] | None = None
+                                 ) -> bytes:
     """Render text as a PROGRESSIVE JPEG (SOF2) — the encoder twin of
     ``_decode_jpeg_progressive``, exercising every scan species the
     decoder implements: interleaved DC first + DC refinement, spectral-
@@ -1035,12 +1040,14 @@ def render_text_jpeg_progressive(text: str, margin: int = 2,
     ``restart_interval`` > 0 segments every scan with RSTn markers.
     Quantization is identical to ``render_text_jpeg``, so the decoded
     luma is BIT-IDENTICAL to decoding the baseline twin of the same
-    text — the round-trip tests pin that equality."""
+    text — the round-trip tests pin that equality. ``pixels`` bypasses
+    text rendering (noise-raster fuzzing: dense/sparse coefficient
+    regimes text never produces)."""
     import struct
 
     import numpy as np
 
-    px = _render_text_pixels(text, margin)
+    px = pixels if pixels is not None else _render_text_pixels(text, margin)
     h, w = len(px), len(px[0])
     plane = np.asarray(px, dtype=np.float64)
     qtab = _jpeg_scaled_qtable(quality)

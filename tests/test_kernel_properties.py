@@ -862,3 +862,38 @@ def test_progressive_jpeg_error_tiers():
         pos += 1
     with pytest.raises(ValueError, match="missing|Huffman"):
         parsers._decode_jpeg_luma(bytes(out))
+
+
+@given(st.integers(0, 2**32 - 1),
+       st.sampled_from([5, 15, 50, 90]),
+       st.sampled_from([("gray", 0), ("420", 0), ("gray", 5), ("420", 3)]))
+@settings(max_examples=24, deadline=None)
+def test_progressive_noise_rasters_decode_identically(seed, quality, mode):
+    """Noise rasters hit coefficient regimes rendered text never
+    produces — dense high-magnitude ACs at q=5..15 and long EOB runs /
+    ZRL-inside-refinement windows at q=50..90 — and the progressive
+    decode must STILL be byte-identical to the baseline decode of the
+    same pixels (same quantization)."""
+    import random
+
+    from multiagent_document_etl_system_spark.sources import parsers
+
+    rng = random.Random(seed)
+    h, w = rng.choice([(8, 8), (11, 19), (24, 33), (16, 40)])
+    # mix regimes: pure noise, mostly-flat with speckles, blocky
+    kind = rng.randrange(3)
+    if kind == 0:
+        px = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    elif kind == 1:
+        px = [[255 if rng.random() > 0.03 else rng.randrange(256)
+               for _ in range(w)] for _ in range(h)]
+    else:
+        px = [[(r // 4 * 67 + c // 4 * 41) % 256 for c in range(w)]
+              for r in range(h)]
+    subsampling, dri = mode
+    base = parsers._decode_jpeg_luma(parsers.render_text_jpeg(
+        "", quality=quality, subsampling=subsampling, pixels=px))
+    prog = parsers._decode_jpeg_luma(parsers.render_text_jpeg_progressive(
+        "", quality=quality, subsampling=subsampling,
+        restart_interval=dri, pixels=px))
+    assert prog == base
