@@ -73,6 +73,29 @@ def merge_apply_sql(sym: str, a: str, b: str) -> str:
         ELSE acc || ' ' || s END)"""
 
 
+def apply_merges(sym: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a TRAINED merge list, in training order, to a
+    space-separated symbol string — encoding UNSEEN text with a frozen
+    tokenizer (the deploy path: a stream can't join a vocabulary that
+    never saw its words, but the merge rules apply to anything).
+    ``merges`` is driver-side (N is a small constant), so each fold
+    binds literal (a, b) — N composed aggregate expressions, no UDF."""
+    out = sym
+    for a, b in merges:
+        out = merge_apply(out, F.lit(a), F.lit(b))
+    return out
+
+
+def apply_merges_sql(sym: str, n_merges: int) -> str:
+    """DuckDB twin of :func:`apply_merges` against the trainer chain's
+    merge CTEs: level i reads (a, b) from the cross-joined 1-row
+    relation ``mm{i}`` (see :func:`bpe_stream_encode_sql`)."""
+    out = sym
+    for i in range(1, n_merges + 1):
+        out = merge_apply_sql(out, f"mm{i}.a", f"mm{i}.b")
+    return out
+
+
 def word_types(docs: DataFrame, text_col: str = "text",
                min_word_len: int = 2) -> DataFrame:
     """(w, sym, c): the word-TYPE table — each distinct lowercased
@@ -239,3 +262,45 @@ SELECT d.doc_id,
   {fert} AS fertility_q1e4
 FROM docwords d JOIN vocab v USING (w)
 GROUP BY d.doc_id"""
+
+
+def bpe_stream_encode_sql(n_merges: int = 10,
+                          corpus_where: str = "doc_id % 10 <> 7",
+                          incoming_where: str = "doc_id % 10 = 7",
+                          text_col: str = "text") -> str:
+    """DuckDB oracle for st_bpe_fertility: merges trained on the CORPUS
+    subset, applied per-word to the INCOMING subset via the same N-fold
+    chain (unseen words segment by rule application, no vocabulary
+    join), rolled up per incoming document."""
+    from multiagent_document_etl_system_spark.functions.numeric import (
+        idiv_round_sql,
+    )
+
+    corpus = f"(SELECT * FROM documents WHERE {corpus_where})"
+    train = bpe_train_sql(n_merges, corpus, text_col)
+    head = train[:train.rindex("\nSELECT CAST(1 AS BIGINT) AS step")]
+    mms = "".join(
+        f""", mm{i} AS (
+  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+  FROM m{i}
+)""" for i in range(1, n_merges + 1))
+    sym0 = "trim(regexp_replace(d.w, '(.)', '\\1 ', 'g'))"
+    encoded = apply_merges_sql(sym0, n_merges)
+    crosses = ", ".join(f"mm{i}" for i in range(1, n_merges + 1))
+    fert = idiv_round_sql("10000 * sum(n_sym)", "count(*)")
+    return f"""{head}{mms}, incoming AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest({textfns.tokens_sql(f'lower({text_col})')}) AS w
+    FROM documents WHERE {incoming_where})
+  WHERE length(w) >= 2
+), enc AS (
+  SELECT d.doc_id,
+    CAST(len(string_split({encoded}, ' ')) AS BIGINT) AS n_sym
+  FROM incoming d, {crosses}
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+  {fert} AS fertility_q1e4
+FROM enc GROUP BY doc_id"""

@@ -5756,12 +5756,58 @@ def td_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.count(F.lit(1))).alias("fertility_q1e4")))
 
 
+@_q("st_bpe_fertility", bpe.bpe_stream_encode_sql(10))
+def st_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run, hash-oracled: the FROZEN tokenizer at the
+    streaming front door. Merges are trained on the static corpus
+    (doc_id%10 != 7) in batch; each INCOMING document (the staged
+    %10==7 file stream) is encoded per micro-batch by APPLYING the
+    merge rules to its words (operators/bpe.apply_merges — ten composed
+    folds over literals, no vocabulary join, so unseen words segment
+    correctly), rolled up to per-doc word/BPE-token counts and half-up
+    fertility on the 1e4 grid — the signal a token-budget admission
+    gate compares. Deterministic at the cut: the merge list is a
+    driver-side constant for the run and the fold is order-free per
+    word, so the oracle restates train + apply as batch SQL. The stream
+    shuffles only (doc_id, n_sym) pairs; per-batch cost is words ×
+    10 folds, embarrassingly parallel."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_incoming_docs_dir(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 != 7)
+    merges = bpe.bpe_train(ensure_parallelism(corpus), n_merges=10)
+    pairs = [tuple(m[1].split(" ")) for m in merges]
+
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint").parquet(stage)
+    words = (stream.select(
+        "doc_id",
+        F.explode(textfns.tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.length("w") >= 2))
+    sym = F.trim(F.regexp_replace("w", "(.)", "$1 "))
+    n_sym = F.size(F.split(bpe.apply_merges(sym, pairs), " "))
+    enc = words.select("doc_id", n_sym.cast("bigint").alias("n_sym"))
+    agg = (enc.groupBy("doc_id")
+           .agg(F.count("*").cast("bigint").alias("n_words"),
+                F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+                idiv_round(F.lit(10000) * F.sum("n_sym"),
+                           F.count(F.lit(1))).alias("fertility_q1e4")))
+    name = f"st_bpe_fert_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 _QUEUED_FOR_R8 += [
     "td_bpe_train",
     "td_incremental_ingest",
     "st_incremental_ingest",
     "td_bpe_segment",
     "td_bpe_encode",
+    "st_bpe_fertility",
     # contract change, not a new query: flipped from rows-only to fully
     # hash-oracled this round (integer state + max_by final-row cut) —
     # its prior driver rows were `no_oracle`, so the hash oracle has

@@ -50,7 +50,7 @@ DEFAULT = [
     "dedup_cluster_size_histogram", "td_dedup_policy_ablation",
     "td_dedup_provenance", "dedup_lsh_bucket_report",
     "td_bpe_train", "td_incremental_ingest", "q_asof_tolerance",
-    "td_bpe_segment",
+    "td_bpe_segment", "st_bpe_fertility",
 ]
 
 #: iterative-clustering composites materialize eager per-round checkpoints
@@ -62,6 +62,8 @@ REBUILD_PER_REP = {"td_curation_funnel", "td_prepare_corpus_v2",
                    "diag_prep_clusters",
                    # 10 train rounds run at build time (argmax collects)
                    "td_bpe_train", "td_bpe_segment",
+                   # streaming run + training execute at build time
+                   "st_bpe_fertility",
                    # the provenance/ablation/histogram audits embed
                    # duplicate_clusters' eager checkpoints too
                    "td_dedup_provenance", "td_dedup_policy_ablation",
