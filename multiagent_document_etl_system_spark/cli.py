@@ -670,7 +670,25 @@ def cmd_ingest(args) -> dict:
     (`cli build-dedup-index` layout: <index_dir>/md5 + /bands), append
     the survivors to the corpus directory, and grow the index with the
     survivors' md5/band rows so the next shard checks against a current
-    index without a rebuild."""
+    index without a rebuild.
+
+    Crash-safe (ADVICE r7 #2 — the old three-blind-appends window): the
+    survivor set is first materialized to a shard-scoped STAGING dir
+    inside the corpus (underscore-prefixed, so corpus reads never see it;
+    mode("overwrite") makes the staging step itself idempotent), sealed
+    with a _STAGED_OK marker, and only then applied. A re-run after a
+    crash detects the sealed staging and RESUMES from it instead of
+    recomputing flags (which would wrongly drop the shard as exact-dup if
+    the crash fell between the index and corpus appends): the corpus
+    append is guarded by a doc_id anti-join against the corpus (bounded
+    repair — only the recovery path ever scans corpus doc_ids), and the
+    index appends are repeat-safe by set semantics
+    (dedup_against_index groupBys per doc, so duplicate index rows can't
+    change any flag). Deleting the staging dir is the commit point."""
+    import hashlib
+    import os
+    import shutil
+
     from pyspark.sql import functions as F
 
     from multiagent_document_etl_system_spark.operators.dedup import (
@@ -681,15 +699,32 @@ def cmd_ingest(args) -> dict:
 
     spark = get_spark("doc-etl-ingest")
     incoming = spark.read.parquet(args.incoming_parquet)
-    md5_idx = spark.read.parquet(f"{args.index_dir}/md5")
-    band_idx = spark.read.parquet(f"{args.index_dir}/bands")
-    flags = dedup_against_index(incoming, md5_idx, band_idx)
-    surv = (incoming.join(flags, "doc_id")
-            .filter(~F.col("exact_dup") & (F.col("n_band_matches") == 0))
-            .drop("exact_dup", "n_band_matches")
-            .localCheckpoint())  # one pass; three append targets
+    shard_id = hashlib.md5(
+        os.path.abspath(args.incoming_parquet).encode()).hexdigest()[:12]
+    staging = os.path.join(args.corpus_dir, f"_staged_{shard_id}")
+    ok_marker = os.path.join(staging, "_STAGED_OK")
+
+    recovering = os.path.exists(ok_marker)
+    if not recovering:
+        md5_idx = spark.read.parquet(f"{args.index_dir}/md5")
+        band_idx = spark.read.parquet(f"{args.index_dir}/bands")
+        flags = dedup_against_index(incoming, md5_idx, band_idx)
+        (incoming.join(flags, "doc_id")
+         .filter(~F.col("exact_dup") & (F.col("n_band_matches") == 0))
+         .drop("exact_dup", "n_band_matches")
+         .write.mode("overwrite").parquet(staging))
+        with open(ok_marker, "w"):
+            pass
+    surv = spark.read.parquet(staging)
     n_in, n_surv = incoming.count(), surv.count()
-    surv.write.mode("append").parquet(args.corpus_dir)
+
+    to_append = surv
+    if recovering:
+        # bounded repair: skip staging docs a pre-crash attempt already
+        # committed (doc_id-only column scan, recovery path only)
+        committed = spark.read.parquet(args.corpus_dir).select("doc_id")
+        to_append = surv.join(committed, "doc_id", "left_anti")
+    to_append.write.mode("append").parquet(args.corpus_dir)
     surv.select(F.md5("text").alias("h")).distinct() \
         .write.mode("append").parquet(f"{args.index_dir}/md5")
     (band_signatures(
@@ -697,9 +732,10 @@ def cmd_ingest(args) -> dict:
                     shingles(F.col("text"), 3).alias("_sh")))
      .select("band", "bh").distinct()
      .write.mode("append").parquet(f"{args.index_dir}/bands"))
+    shutil.rmtree(staging)  # commit point
     return {"success": True, "corpus": args.corpus_dir,
             "n_incoming": n_in, "n_appended": n_surv,
-            "n_dropped": n_in - n_surv}
+            "n_dropped": n_in - n_surv, "resumed": recovering}
 
 
 def main(argv=None) -> int:

@@ -96,6 +96,21 @@ def apply_merges_sql(sym: str, n_merges: int) -> str:
     return out
 
 
+def _merge_row_sql(i: int) -> str:
+    """A guaranteed-ONE-row (a, b) relation from the ≤1-row merge CTE
+    ``m{i}``: aggregating with max() always yields exactly one row, and
+    an EMPTY m{i} (corpus exhausted before round i — the Spark trainer
+    breaks early, bpe_train:150) degrades to the ('', '') sentinel, which
+    :func:`merge_apply_sql` provably no-ops (the merge branch requires
+    ``s = b`` and symbols are never empty). Without this, a bare cross
+    join against an empty m{i} collapses w{i} and everything downstream
+    to zero rows, diverging the two engines on degenerate/tiny corpora
+    (ADVICE r7 #1)."""
+    return (f"(SELECT coalesce(max(string_split(pair, ' ')[1]), '') AS a, "
+            f"coalesce(max(string_split(pair, ' ')[2]), '') AS b "
+            f"FROM m{i})")
+
+
 def word_types(docs: DataFrame, text_col: str = "text",
                min_word_len: int = 2) -> DataFrame:
     """(w, sym, c): the word-TYPE table — each distinct lowercased
@@ -191,8 +206,7 @@ def bpe_train_sql(n_merges: int = 10, corpus: str = "documents",
                 "w.sym", "m.a", "m.b")
             parts.append(f""", w{i} AS MATERIALIZED (
   SELECT w.w AS w, {merged} AS sym, w.c AS c
-  FROM w{i - 1} w, (SELECT string_split(pair, ' ')[1] AS a,
-                           string_split(pair, ' ')[2] AS b FROM m{i}) m
+  FROM w{i - 1} w, {_merge_row_sql(i)} m
 )""")
     selects = [
         f"SELECT CAST({i} AS BIGINT) AS step, pair, "
@@ -228,8 +242,7 @@ def _bpe_chain_sql(n_merges: int, corpus: str, text_col: str) -> str:
     merged = merge_apply_sql("w.sym", "m.a", "m.b")
     return f"""{head}, w{n} AS MATERIALIZED (
   SELECT w.w AS w, {merged} AS sym, w.c AS c
-  FROM w{n - 1} w, (SELECT string_split(pair, ' ')[1] AS a,
-                           string_split(pair, ' ')[2] AS b FROM m{n}) m
+  FROM w{n - 1} w, {_merge_row_sql(n)} m
 )"""
 
 
@@ -281,8 +294,7 @@ def bpe_stream_encode_sql(n_merges: int = 10,
     head = train[:train.rindex("\nSELECT CAST(1 AS BIGINT) AS step")]
     mms = "".join(
         f""", mm{i} AS (
-  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
-  FROM m{i}
+  SELECT a, b FROM {_merge_row_sql(i)}
 )""" for i in range(1, n_merges + 1))
     sym0 = "trim(regexp_replace(d.w, '(.)', '\\1 ', 'g'))"
     encoded = apply_merges_sql(sym0, n_merges)

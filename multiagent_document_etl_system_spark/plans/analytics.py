@@ -212,9 +212,14 @@ LATERAL (SELECT c_name, round(c_acctbal, 2) AS bal FROM customer
 def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery with per-row ORDER BY/LIMIT — top-3
     customers per nation expressed as a lateral join rather than a window
-    rank (the SQL-standard shape; Catalyst decorrelates it into the same
-    partitioned-rank plan q_min_per_group writes by hand). Deterministic
-    ties by name."""
+    rank (the SQL-standard shape). Deterministic ties by name.
+
+    Plan caveat (plan_lint GLOBAL_SORT_OK sanction): Catalyst 4.x
+    decorrelates the lateral 'ORDER BY ... LIMIT k' into a GLOBAL
+    range-sort of the whole inner table BEFORE the per-key rank filter —
+    a full-data sort the hand-written partitioned rank (q_min_per_group)
+    avoids. This query exists to exercise the SQL-standard shape; at
+    100 TB use the window-rank formulation."""
     _t(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
     _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
     return spark.sql("""
@@ -780,15 +785,24 @@ SELECT event_id,
   value IS DISTINCT FROM lag_value AS changed
 FROM (
   SELECT event_id, event_type, props, round(value, 2) AS value,
-    round(lag(value) OVER (ORDER BY event_id), 2) AS lag_value
+    round(lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 2)
+      AS lag_value
   FROM events
 )
 """)
 def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-semantics sweep: coalesce chains, nullif, null predicates, and
-    the null-safe comparison (IS DISTINCT FROM ≡ Spark's negated <=>)."""
+    the null-safe comparison (IS DISTINCT FROM ≡ Spark's negated <=>).
+
+    The lag runs per user (PARTITION BY user_id): an unpartitioned
+    Window.orderBy serializes the whole events table through ONE task
+    (`WindowExec: No Partition Defined` — the r7 verdict's scale-killer
+    #2). Per-user frames shuffle-partition by key and scale linearly;
+    each user's first event lags to NULL, which the null-safe compare
+    then reports as changed=true — same semantics either way for that
+    row, exercised identically by the oracle."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
     base = ev.select(
         "event_id", "event_type", "props",
         F.round("value", 2).alias("value"),

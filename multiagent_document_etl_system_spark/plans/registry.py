@@ -4880,8 +4880,70 @@ _DRIVER_WINDOW_R7 = [
 _QUEUED_FOR_R8: list[str] = []
 
 
+# Round-8 window (the driver checks the FIRST 50 registry entries), pinned
+# FIRST THING this round per NOTES.md's recipe and the r7 verdict order #1:
+# (1) the 7 items that queued behind the frozen r7 window — the BPE
+# lifecycle trio + segment/encode, the incremental-ingest pair, and the
+# st_stateful_totals CONTRACT FLIP (previously rows-only; its prior driver
+# rows were `no_oracle`, so this is the hash oracle's first driver
+# evidence). All 7 were standard+vanilla green on the r7 closing tree and
+# the judge spot-verified them in their own sweep. (2) Contract-coupled
+# re-confirms: q_null_functions (its unpartitioned window is FIXED this
+# round per verdict "What's wrong" #2 — Spark AND oracle change),
+# td_bpe_first_merges (operators/bpe.py oracle helpers gain the
+# empty-merge-round guard, ADVICE r7 #1), q_skew_profile (named in the
+# new plan_lint sanction list, verdict order #2). (3) The composite set.
+# (4) Remaining 35 slots = STALE-EVIDENCE REFRESH: every pad's last driver
+# row is r04 or older (most r02/r03) — the cumulative record stays fresh
+# instead of re-burning slots on r07-green names. FROZEN AT PIN TIME —
+# any query added this round goes to _QUEUED_FOR_R9, never into this list
+# (tests/test_registry_order.py enforces it).
+_DRIVER_WINDOW_R8 = [
+    # --- 7 queued-for-R8 (first driver evidence for these contracts) ---
+    "td_bpe_train",
+    "td_incremental_ingest",
+    "st_incremental_ingest",
+    "td_bpe_segment",
+    "td_bpe_encode",
+    "st_bpe_fertility",
+    "st_stateful_totals",
+    # --- contract-coupled re-confirms (r8 code touches these paths) ---
+    "q_null_functions", "td_bpe_first_merges", "q_skew_profile",
+    # --- composite set (highest-value re-confirms) ---
+    "td_prepare_corpus", "td_prepare_corpus_v2", "td_prepare_corpus_v3",
+    "td_curation_funnel", "pipeline_flagship",
+    # --- stale-evidence refresh: TPC-H shapes (last rows r03/r04) ---
+    "q1_pricing_summary", "q3_top_revenue_orders",
+    "q5_region_nation_revenue", "q9_product_type_profit",
+    "q13_order_distribution", "q18_large_orders", "q22_dormant_balances",
+    # --- windows (r03/r04) ---
+    "q_window_rank", "q_window_range_frame", "q_rolling_time_window",
+    # --- joins / subqueries (r03/r04) ---
+    "q_semi_join", "q_anti_join", "q_band_join", "q_correlated_subquery",
+    "q_recursive_cte",
+    # --- aggregation / set ops (r03/r04) ---
+    "q_grouping_sets", "q_percentiles", "q_set_ops",
+    # --- function sweeps (r04) ---
+    "q_date_functions", "q_string_functions", "q_regex_functions",
+    # --- ANN deterministic rungs (r02/r05) ---
+    "v15_int8_quantize", "v16_matryoshka_topk", "v20_binary_hamming_topk",
+    # --- dedup ladder rungs (r02) ---
+    "dedup_simhash", "dedup_containment", "dedup_edit_distance",
+    # --- streaming (r04) ---
+    "st_session_stream", "st_interval_join_stream",
+    # --- text analysis (r02/r03) ---
+    "ta_lang_id", "ta_pii_redact", "ta_fingerprint",
+    # --- pipeline / events (r02/r04) ---
+    "pipeline_stats", "q_sessionize", "q_json_events",
+]
+
+#: oracled queries added AFTER the r8 window was pinned — they queue for
+#: the r9 window head (frozen-window discipline, fourth rotation).
+_QUEUED_FOR_R9: list[str] = []
+
+
 def _driver_ordered(q: dict) -> dict:
-    head = [n for n in _DRIVER_WINDOW_R7 if n in q]
+    head = [n for n in _DRIVER_WINDOW_R8 if n in q]
     return {n: q[n] for n in head + [n for n in q if n not in set(head)]}
 
 
@@ -5630,7 +5692,15 @@ def st_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     static for the day's run; intra-shard pairs wait for the next
     refresh, exactly like the batch twin) and the manifest's bit_xor
     checksum is order-insensitive — so the ORACLE can restate the whole
-    streaming run as batch SQL."""
+    streaming run as batch SQL.
+
+    Exactly-once (ADVICE r7 #2): every sink lives in an ``epoch=N``
+    partition directory written with mode("overwrite") — the base corpus
+    and index land in epoch=-1, each micro-batch in its own epoch. A
+    retried micro-batch rewrites ITS partition instead of blind-appending,
+    and a crash between the three per-batch writes self-heals on replay
+    (all three are re-overwritten from the same deterministic survivor
+    set), honoring write_foreach_batch's idempotent-batch_fn contract."""
     import tempfile
     import uuid
 
@@ -5654,29 +5724,31 @@ def st_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_md5_dir = f"{work}/_index_md5"
     idx_band_dir = f"{work}/_index_band"
     corpus_dir = f"{work}/corpus"
-    corpus.write.parquet(corpus_dir)
-    md5_idx.write.parquet(idx_md5_dir)
-    band_idx.write.parquet(idx_band_dir)
+    corpus.write.parquet(f"{corpus_dir}/epoch=-1")
+    md5_idx.write.parquet(f"{idx_md5_dir}/epoch=-1")
+    band_idx.write.parquet(f"{idx_band_dir}/epoch=-1")
 
     stream = (spark.readStream.schema(
         "doc_id bigint, text string, lang string, source string, "
         "n_chars bigint")
         .option("maxFilesPerTrigger", 1).parquet(stage))
 
-    def ingest_batch(batch_df, _epoch):
+    def ingest_batch(batch_df, epoch):
         flags = dedup.dedup_against_index(batch_df, md5_idx, band_idx)
         surv = (batch_df.join(flags, "doc_id")
                 .filter(~F.col("exact_dup") & (F.col("n_band_matches") == 0))
                 .select("doc_id", "text", "n_chars"))
-        surv = surv.localCheckpoint()  # one pass; three append targets
-        surv.write.mode("append").parquet(corpus_dir)
+        surv = surv.localCheckpoint()  # one pass; three overwrite targets
+        # idempotent epoch-scoped overwrites, never blind appends: a
+        # micro-batch retry rewrites its own epoch=N partition
+        surv.write.mode("overwrite").parquet(f"{corpus_dir}/epoch={epoch}")
         surv.select(F.md5("text").alias("h")) \
-            .write.mode("append").parquet(idx_md5_dir)
+            .write.mode("overwrite").parquet(f"{idx_md5_dir}/epoch={epoch}")
         (dedup.band_signatures(
             surv.select(F.col("doc_id").alias("_id"),
                         dedup.shingles(F.col("text"), 3).alias("_sh")))
          .select("band", "bh").distinct()
-         .write.mode("append").parquet(idx_band_dir))
+         .write.mode("overwrite").parquet(f"{idx_band_dir}/epoch={epoch}"))
 
     q = streamx.write_foreach_batch(
         stream, f"{work}/_chk_{uuid.uuid4().hex[:8]}", ingest_batch)
@@ -5801,6 +5873,8 @@ def st_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# Historical record of the r7 queue (all 7 promoted into the r8 window
+# head at pin time — see _DRIVER_WINDOW_R8 above).
 _QUEUED_FOR_R8 += [
     "td_bpe_train",
     "td_incremental_ingest",
@@ -5809,9 +5883,9 @@ _QUEUED_FOR_R8 += [
     "td_bpe_encode",
     "st_bpe_fertility",
     # contract change, not a new query: flipped from rows-only to fully
-    # hash-oracled this round (integer state + max_by final-row cut) —
-    # its prior driver rows were `no_oracle`, so the hash oracle has
-    # never seen a driver run
+    # hash-oracled in r7 (integer state + max_by final-row cut) — its
+    # prior driver rows were `no_oracle`, so the hash oracle has never
+    # seen a driver run
     "st_stateful_totals",
 ]
 

@@ -111,6 +111,7 @@ def _decode_features(b: bytes, dim: int = 8) -> list[float]:
         _decode_jpeg_luma,
         _decode_png,
         _PNG_SIG,
+        UnsupportedJpegTier,
     )
 
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
@@ -132,10 +133,13 @@ def _decode_features(b: bytes, dim: int = 8) -> list[float]:
     elif b[:2] == b"\xff\xd8":
         try:
             rows = _decode_jpeg_luma(b)  # baseline OR progressive (r7)
-        except ValueError as exc:
-            if "arithmetic" not in str(exc):
-                raise  # corrupt file → per-row error, not a fake
-            rows = None  # arithmetic/hierarchical tier → deterministic fake
+        except UnsupportedJpegTier:
+            # legitimate-but-unimplemented tier (arithmetic/hierarchical/
+            # 12-bit) → deterministic fake; routing is on the exception
+            # TYPE, so decoder message rewording can't silently reclassify
+            # files (ADVICE r7 #3). Corrupt streams raise plain ValueError
+            # and surface as per-row errors.
+            rows = None
     if rows is None:
         return _fake_decode_features(b, dim)
     hist = [0] * dim

@@ -466,6 +466,15 @@ def render_text_png(text: str, margin: int = 2) -> bytes:
             + chunk(b"IEND", b""))
 
 
+class UnsupportedJpegTier(ValueError):
+    """A legitimate JPEG of a tier the pure-stdlib decoder doesn't
+    implement (arithmetic-coded SOF9+, hierarchical, 12-bit precision,
+    mixed frame types) — as opposed to a CORRUPT stream, which raises
+    plain ValueError. Callers route on the TYPE, never on message text
+    (ADVICE r7 #3): sources/multimodal.py degrades this tier to the
+    deterministic fake while corrupt files surface as per-row errors."""
+
+
 def _decode_bmp_24(b: bytes) -> list[list[int]]:
     """Uncompressed 24-bit BMP -> top-down luminance rows (0-255)."""
     import struct
@@ -1290,7 +1299,7 @@ def _decode_jpeg_luma(b: bytes) -> list[list[int]]:
         elif m in (0xC0, 0xC1):
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
-                raise ValueError(f"unsupported JPEG precision {prec}")
+                raise UnsupportedJpegTier(f"unsupported JPEG precision {prec}")
             for ci in range(nc):
                 cid, hv, tq = payload[6 + ci * 3:9 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
@@ -1299,7 +1308,7 @@ def _decode_jpeg_luma(b: bytes) -> list[list[int]]:
             return _decode_jpeg_progressive(b)
         elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG (arithmetic/hierarchical)")
+            raise UnsupportedJpegTier("unsupported JPEG (arithmetic/hierarchical)")
         elif m == 0xDD:
             (ri,) = struct.unpack_from(">H", payload, 0)
         elif m == 0xDA:
@@ -1534,13 +1543,13 @@ def _decode_jpeg_progressive(b: bytes) -> list[list[int]]:
         elif m == 0xC2:
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
-                raise ValueError(f"unsupported JPEG precision {prec}")
+                raise UnsupportedJpegTier(f"unsupported JPEG precision {prec}")
             for ci in range(nc):
                 cid, hv, tq = payload[6 + ci * 3:9 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
         elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("mixed/unsupported JPEG frame type")
+            raise UnsupportedJpegTier("mixed/unsupported JPEG frame type")
         elif m == 0xDD:
             (ri,) = struct.unpack_from(">H", payload, 0)
         elif m == 0xDA:
@@ -1579,6 +1588,12 @@ def _decode_jpeg_progressive(b: bytes) -> list[list[int]]:
         interleaved = len(members) > 1
         if ss == 0 and se != 0:
             raise ValueError("progressive scan mixes DC and AC")
+        if ss > 0 and len(members) > 1:
+            # T.81 B.2.3: AC scans are single-component by spec; a
+            # malformed multi-component AC scan would desync the
+            # bitstream and decode garbage — fail loudly like every
+            # other malformed-stream path (ADVICE r7 #4)
+            raise ValueError("progressive AC scan must be single-component")
         if ss == 0:
             if any(t is None for _, t, _a in members) and ah == 0:
                 raise ValueError("JPEG Huffman table missing")

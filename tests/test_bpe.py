@@ -107,6 +107,55 @@ def test_trainer_stops_when_no_pairs_remain(spark):
     assert [m[1] for m in got] == ["a b", "c d"]
 
 
+def test_oracle_chain_survives_corpus_exhaustion(spark):
+    """ADVICE r7 #1: when the corpus exhausts before n_merges rounds, the
+    Spark trainer breaks early but the unrolled DuckDB chain used to
+    cross-join each w{i} against a possibly-EMPTY m{i}, collapsing w{i}
+    and everything downstream to zero rows. The one-row ('', '') sentinel
+    (_merge_row_sql) makes the exhausted rounds provable no-ops: both
+    engines now agree on degenerate corpora — train, segment, encode,
+    and the stream-encode chain all stay populated and value-identical."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS "
+                "SELECT 1 AS doc_id, 'ab ab cd' AS text "
+                "UNION ALL SELECT 2, 'ab cd cd'")
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab cd cd")], "doc_id long, text string")
+
+    # 5 rounds requested, corpus exhausts after 2 (every word 1 symbol)
+    merges, types = bpe.bpe_train(docs, n_merges=5, return_types=True)
+    want_train = con.execute(bpe.bpe_train_sql(5)).fetchall()
+    assert [tuple(r) for r in want_train] == merges
+    assert len(merges) == 2
+
+    # segment: the oracle's w5 must hold the REAL segmented types, not
+    # collapse to zero rows
+    want_seg = con.execute(bpe.bpe_segment_sql(5)).fetchall()
+    assert want_seg == [(1, 2, 6, 6)]
+    seg = {r["sym"]: r["c"] for r in types.collect()}
+    assert seg == {"ab": 3, "cd": 3}
+
+    # encode + stream-encode chains survive too (fertility = 1.0 grid)
+    want_enc = sorted(con.execute(bpe.bpe_encode_sql(5)).fetchall())
+    assert want_enc == [(1, 3, 3, 10000), (2, 3, 3, 10000)]
+    want_stream = con.execute(bpe.bpe_stream_encode_sql(
+        5, corpus_where="doc_id = 1",
+        incoming_where="doc_id = 2")).fetchall()
+    assert want_stream == [(2, 3, 3, 10000)]
+
+    # Spark apply_merges with the SHORT trained list == oracle's padded
+    # no-op chain on unseen text
+    from pyspark.sql import functions as F
+
+    pairs = [(m[1].split(" ")[0], m[1].split(" ")[1]) for m in merges]
+    sym = F.trim(F.regexp_replace(F.lit("abcd"), "(.)", "$1 "))
+    got = spark.range(1).select(
+        bpe.apply_merges(sym, pairs).alias("s")).first()["s"]
+    assert got == "ab cd"
+
+
 def test_segment_stats_consistent_with_trainer(spark):
     """return_types applies every merge: the segmented type table's
     token mass equals characters-per-word minus one per merge USE, and

@@ -491,3 +491,52 @@ def test_ingest_appends_survivors_and_grows_index(spark, tmp_path, capsys):
     # replaying the appended doc must now hit the grown index exactly
     rc, resp = _run(capsys, ["ingest", incoming_dir, corpus_dir, index_dir])
     assert rc == 0 and resp["n_appended"] == 0 and resp["n_dropped"] == 3
+
+
+def test_ingest_resumes_after_crash_without_double_append(
+        spark, tmp_path, capsys):
+    """ADVICE r7 #2: a re-run after a crash between the corpus append and
+    the index appends must NOT double-append the survivors (the sealed
+    staging dir routes the re-run through the doc_id anti-join guard) and
+    must still grow the index so a replay is caught as an exact dup."""
+    import hashlib
+    import os
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    incoming_dir = str(tmp_path / "incoming")
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron " * 5).strip()
+    novel = ("fresh prose on columnar shuffle compaction and adaptive "
+             "skew splitting strategies " * 5).strip()
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    spark.createDataFrame([(1, base, "en", "web", len(base))],
+                          schema).write.parquet(corpus_dir)
+    rc, _ = _run(capsys, ["build-dedup-index", corpus_dir, index_dir])
+    assert rc == 0
+    spark.createDataFrame([(27, novel, "en", "crawl", len(novel))],
+                          schema).write.parquet(incoming_dir)
+
+    # simulate the crashed first attempt: staging sealed, corpus already
+    # appended, index appends never ran, staging never deleted
+    shard_id = hashlib.md5(
+        os.path.abspath(incoming_dir).encode()).hexdigest()[:12]
+    staging = os.path.join(corpus_dir, f"_staged_{shard_id}")
+    inc = spark.read.parquet(incoming_dir)
+    inc.write.mode("overwrite").parquet(staging)
+    open(os.path.join(staging, "_STAGED_OK"), "w").close()
+    inc.write.mode("append").parquet(corpus_dir)
+
+    rc, resp = _run(capsys, ["ingest", incoming_dir, corpus_dir, index_dir])
+    assert rc == 0 and resp["resumed"] is True
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(corpus_dir).select("doc_id").collect())
+    assert ids == [1, 27]  # no double-append
+    assert not os.path.exists(staging)  # committed
+
+    # the resumed run grew the index: a replay is now an exact dup
+    rc, resp = _run(capsys, ["ingest", incoming_dir, corpus_dir, index_dir])
+    assert rc == 0 and resp["resumed"] is False
+    assert resp["n_appended"] == 0 and resp["n_dropped"] == 1

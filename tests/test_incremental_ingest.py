@@ -69,15 +69,23 @@ def test_streaming_run_matches_batch_and_updates_index(spark, planted_dir):
 
     work = registry._LAST_INGEST_WORKDIR
     assert work is not None
-    updated = spark.read.parquet(f"{work}/corpus")
+    # every sink is epoch=N-partitioned (idempotent micro-batch
+    # overwrites, ADVICE r7 #2); drop the partition column for the
+    # set-semantics comparisons below
+    import os
+
+    assert any(e.startswith("epoch=") for e in os.listdir(f"{work}/corpus"))
+    updated = spark.read.parquet(f"{work}/corpus").drop("epoch")
     assert sorted(r["doc_id"] for r in updated.select("doc_id").collect()) \
         == [1, 2, 27]
 
     # persisted index after the run == a from-scratch rebuild over the
-    # updated corpus (set semantics — append wrote only survivor rows)
+    # updated corpus (set semantics — each epoch wrote only survivor rows)
     md5_rebuilt, band_rebuilt = dedup.build_dedup_index(updated)
-    md5_stored = spark.read.parquet(f"{work}/_index_md5").distinct()
-    band_stored = spark.read.parquet(f"{work}/_index_band").distinct()
+    md5_stored = (spark.read.parquet(f"{work}/_index_md5")
+                  .drop("epoch").distinct())
+    band_stored = (spark.read.parquet(f"{work}/_index_band")
+                   .drop("epoch").distinct())
     assert md5_stored.exceptAll(md5_rebuilt).count() == 0
     assert md5_rebuilt.exceptAll(md5_stored).count() == 0
     assert band_stored.exceptAll(band_rebuilt).count() == 0

@@ -442,10 +442,13 @@ def test_jpeg_decode_fidelity_and_unsupported_tiers():
     prog[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive"):
         parsers._decode_jpeg_luma(bytes(prog))
-    # arithmetic coding (SOF9) stays the unsupported tier
+    # arithmetic coding (SOF9) stays the unsupported tier — and raises
+    # the DEDICATED type (ADVICE r7 #3: callers route on the type, so a
+    # message reword can never silently reclassify files between the
+    # deterministic-fake tier and per-row errors)
     ar = bytearray(parsers.render_text_jpeg("A"))
     ar[ar.find(b"\xff\xc0") + 1] = 0xC9
-    with pytest.raises(ValueError, match="arithmetic"):
+    with pytest.raises(parsers.UnsupportedJpegTier, match="arithmetic"):
         parsers._decode_jpeg_luma(bytes(ar))
     # truncated entropy data → error, not silence
     with pytest.raises(ValueError):
@@ -454,8 +457,43 @@ def test_jpeg_decode_fidelity_and_unsupported_tiers():
     tw = bytearray(parsers.render_text_jpeg("A"))
     sof = tw.find(b"\xff\xc0")
     tw[sof + 4] = 12
-    with pytest.raises(ValueError, match="precision"):
+    with pytest.raises(parsers.UnsupportedJpegTier, match="precision"):
         parsers._decode_jpeg_luma(bytes(tw))
+    # a malformed progressive stream whose AC scan claims TWO components
+    # violates T.81 B.2.3 — it must fail loudly (bitstream desync would
+    # otherwise decode garbage), and as a CORRUPT-stream ValueError, not
+    # the unsupported-tier type (ADVICE r7 #4)
+    bad = bytearray(parsers.render_text_jpeg_progressive("A"))
+    pos = 2
+    while pos + 4 <= len(bad):
+        if bad[pos] != 0xFF:
+            break
+        m = bad[pos + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack_from(">H", bad, pos + 2)
+        if m == 0xDA:
+            ns = bad[pos + 4]
+            ss = bad[pos + 5 + ns * 2]
+            if ss > 0:  # first AC scan: duplicate its one member
+                cs, tabs = bad[pos + 5], bad[pos + 6]
+                bad[pos + 2:pos + 4] = struct.pack(">H", ln + 2)
+                bad[pos + 4] = 2
+                bad[pos + 5:pos + 5] = bytes([cs, tabs])
+                break
+            # DC scan: skip its entropy-coded data to the next marker
+            pos += 2 + ln
+            while pos + 1 < len(bad):
+                if (bad[pos] == 0xFF and bad[pos + 1] != 0x00
+                        and not 0xD0 <= bad[pos + 1] <= 0xD7):
+                    break
+                pos += 1
+            continue
+        pos += 2 + ln
+    with pytest.raises(ValueError, match="single-component") as exc_info:
+        parsers._decode_jpeg_luma(bytes(bad))
+    assert not isinstance(exc_info.value, parsers.UnsupportedJpegTier)
     # a DQT delivered as 16-bit values must decode identically (real
     # encoders emit Pq=1 for quality>some threshold): rebuild the segment
     jb2 = bytearray(jb)

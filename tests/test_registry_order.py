@@ -1,15 +1,16 @@
-"""Driver-window ordering invariants (round-7).
+"""Driver-window ordering invariants (round-8).
 
 The external driver checks the FIRST 50 registry entries each round; these
-tests pin that the round-7 window contains exactly what the r6 verdict and
-NOTES.md ordered: the 11 oracled queries that queued behind the frozen r6
-window at the head (their first driver rows), the asof-family re-confirms
-(operators/asof.py's tolerance axis handling changes this round), the
-contract-coupled composite set, and highest-value re-confirms for each
-heavy plan family. The six diag_prep_* diagnostics are retired from the
-head (all green r6; the composites they bisect flipped green). The window
-is FROZEN: queries added after the pin go to _QUEUED_FOR_R8, never into
-the window.
+tests pin that the round-8 window contains exactly what the r7 verdict and
+NOTES.md ordered: the 7 items that queued behind the frozen r7 window at
+the head (first driver evidence for those contracts — the BPE lifecycle,
+the incremental-ingest pair, and the st_stateful_totals contract flip),
+the contract-coupled re-confirms for code this round touches
+(q_null_functions window fix, operators/bpe.py oracle guard,
+q_skew_profile's plan_lint sanction), the composite set, and 35
+stale-evidence refresh slots whose last driver row is r04 or older. The
+window is FROZEN: queries added after the pin go to _QUEUED_FOR_R9, never
+into the window.
 """
 
 from __future__ import annotations
@@ -17,8 +18,9 @@ from __future__ import annotations
 from multiagent_document_etl_system_spark.plans.registry import (
     _DRIVER_WINDOW_R6,
     _DRIVER_WINDOW_R7,
-    _QUEUED_FOR_R7,
+    _DRIVER_WINDOW_R8,
     _QUEUED_FOR_R8,
+    _QUEUED_FOR_R9,
     QUERIES,
 )
 
@@ -84,94 +86,91 @@ _EVER_DRIVER_CHECKED = {
     "st_span_gate", "td_quality_classifier", "td_temperature_mix",
     "v21_recall_matrix", "dedup_cross_source_matrix",
 }
-# added by the r6 window (CORRECTNESS_r06 = exactly _DRIVER_WINDOW_R6,
-# 50/50 green — verified against the committed JSON before this pin)
+# added by the r6 and r7 windows (CORRECTNESS_r06/r07 == exactly those
+# windows, both 50/50 green — verified against the committed JSONs
+# before this pin)
 _EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R6)
+_EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R7)
 
-#: the 11 queries that queued behind the frozen r6 window — never driver
-#: checked; they MUST head the r7 window (NOTES.md recipe step 2)
-_QUEUED_11 = [
-    "td_prepare_corpus_v3", "dedup_lsh_bucket_report",
-    "ta_minhash_est_vs_exact", "td_length_mix_report", "td_dedup_provenance",
-    "td_bpe_first_merges", "dedup_cluster_size_histogram",
-    "td_dedup_policy_ablation", "ta_bigram_diversity", "st_diversity_gate",
-    "q_asof_tolerance",
+#: the 7 items that queued behind the frozen r7 window — they MUST head
+#: the r8 window (NOTES.md recipe). st_stateful_totals has prior driver
+#: rows but only `no_oracle` ones: its hash oracle (r7 contract flip) has
+#: never seen a driver run, so the slot still buys first-time evidence.
+_QUEUED_7 = [
+    "td_bpe_train", "td_incremental_ingest", "st_incremental_ingest",
+    "td_bpe_segment", "td_bpe_encode", "st_bpe_fertility",
+    "st_stateful_totals",
 ]
 
-#: deliberate re-confirms: asof family (operators/asof.py tolerance-axis
-#: contract work this round), td_shard_manifest (re-derived by the r7
-#: incremental-ingest recipe), plus the composite set and one
-#: representative per heavy plan family — every one previously green.
-_RECONFIRM_R7 = set(_DRIVER_WINDOW_R7) - set(_QUEUED_11)
+#: queued entries that DO have prior driver rows — but only rows-only
+#: `no_oracle` ones (contract flipped to hash-oracled in r7)
+_QUEUED_CONTRACT_FLIPS = {"st_stateful_totals"}
+
+#: deliberate re-confirms: contract-coupled (q_null_functions's window fix
+#: + oracle change, bpe.py's oracle empty-merge guard, q_skew_profile's
+#: plan_lint sanction), the composite set, and the stale-evidence refresh
+#: pads — every one previously green.
+_RECONFIRM_R8 = set(_DRIVER_WINDOW_R8) - set(_QUEUED_7)
 
 
 def test_window_is_exactly_the_head():
-    assert list(QUERIES)[: len(_DRIVER_WINDOW_R7)] == _DRIVER_WINDOW_R7
+    assert list(QUERIES)[: len(_DRIVER_WINDOW_R8)] == _DRIVER_WINDOW_R8
 
 
 def test_window_is_50_slots():
-    assert len(_DRIVER_WINDOW_R7) == 50
-    assert len(set(_DRIVER_WINDOW_R7)) == 50
+    assert len(_DRIVER_WINDOW_R8) == 50
+    assert len(set(_DRIVER_WINDOW_R8)) == 50
 
 
-def test_queued_11_lead_the_window():
-    assert _DRIVER_WINDOW_R7[:11] == _QUEUED_11
-    assert set(_QUEUED_11) == set(_QUEUED_FOR_R7)
-
-
-def test_diagnostics_retired():
-    """The six diag_prep_* stage diagnostics did their job in r6 (all
-    green; the composites flipped green) — NOTES.md retires them from the
-    head. They remain registered + oracled for ad-hoc bisection."""
-    for n in ("diag_prep_gate", "diag_prep_exact", "diag_prep_pairs",
-              "diag_prep_clusters", "diag_prep_survivors",
-              "diag_prep_tokens"):
-        assert n not in _DRIVER_WINDOW_R7, n
-        assert n in QUERIES and QUERIES[n][1], n
+def test_queued_7_lead_the_window():
+    assert _DRIVER_WINDOW_R8[:7] == _QUEUED_7
+    assert set(_QUEUED_7) == set(_QUEUED_FOR_R8)
 
 
 def test_window_slots_all_produce_evidence():
-    """Every slot is either a never-driver-checked queued query or a
-    deliberate (previously green) re-confirm — no accidental slots."""
-    for n in _DRIVER_WINDOW_R7:
-        if n in _QUEUED_11:
-            assert n not in _EVER_DRIVER_CHECKED, n
+    """Every slot is either first-hash-evidence (queued) or a deliberate
+    (previously green) re-confirm — no accidental slots."""
+    for n in _DRIVER_WINDOW_R8:
+        if n in _QUEUED_7:
+            assert (n not in _EVER_DRIVER_CHECKED
+                    or n in _QUEUED_CONTRACT_FLIPS), n
         else:
             assert n in _EVER_DRIVER_CHECKED, n
-            assert n in _RECONFIRM_R7, n
+            assert n in _RECONFIRM_R8, n
 
 
 def test_window_covers_every_never_checked_oracled_query():
-    """After r7's window runs, zero oracled queries lack a driver row —
-    except those added after the pin, which queue for r8."""
+    """After r8's window runs, zero oracled queries lack a driver row —
+    except those added after the pin, which queue for r9."""
     never = [n for n, (_, oracle) in QUERIES.items()
              if oracle and n not in _EVER_DRIVER_CHECKED]
     missing = [n for n in never
-               if n not in _DRIVER_WINDOW_R7 and n not in _QUEUED_FOR_R8]
+               if n not in _DRIVER_WINDOW_R8 and n not in _QUEUED_FOR_R9]
     assert not missing, missing
 
 
-#: queued entries that DO have prior driver rows — but only rows-only
-#: `no_oracle` ones: their hash oracle is new this round (contract flip),
-#: so the queue slot still buys first-time evidence
-_QUEUED_CONTRACT_FLIPS = {"st_stateful_totals"}
-
-
 def test_window_is_frozen_against_new_additions():
-    """Queries added after the r7 pin must NOT displace window slots: they
-    are oracled, exist, and sit in _QUEUED_FOR_R8 outside the window."""
-    for n in _QUEUED_FOR_R8:
+    """Queries added after the r8 pin must NOT displace window slots: they
+    are oracled, exist, and sit in _QUEUED_FOR_R9 outside the window."""
+    for n in _QUEUED_FOR_R9:
         assert n in QUERIES and QUERIES[n][1], n
-        assert n not in _DRIVER_WINDOW_R7, n
-        assert (n not in _EVER_DRIVER_CHECKED
-                or n in _QUEUED_CONTRACT_FLIPS), n
+        assert n not in _DRIVER_WINDOW_R8, n
+        assert n not in _EVER_DRIVER_CHECKED, n
 
 
 def test_no_rows_only_query_wastes_a_slot():
-    rows_only = [n for n in _DRIVER_WINDOW_R7 if not QUERIES[n][1]]
+    rows_only = [n for n in _DRIVER_WINDOW_R8 if not QUERIES[n][1]]
     assert not rows_only, rows_only
 
 
 def test_every_window_name_exists():
-    missing = [n for n in _DRIVER_WINDOW_R7 if n not in QUERIES]
+    missing = [n for n in _DRIVER_WINDOW_R8 if n not in QUERIES]
     assert not missing, missing
+
+
+def test_stale_refresh_pads_are_actually_stale():
+    """The 35 pad slots exist to refresh the OLDEST driver evidence; none
+    of them may come from the r7 window (freshest evidence)."""
+    pads = [n for n in _DRIVER_WINDOW_R8[15:]]
+    overlap = [n for n in pads if n in set(_DRIVER_WINDOW_R7)]
+    assert not overlap, overlap

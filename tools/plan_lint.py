@@ -5,10 +5,19 @@ for the patterns that kill 100 TB runs:
 
 - CartesianProduct / BroadcastNestedLoopJoin  (all-pairs blowup)
 - BatchEvalPython / ArrowEvalPython / MapInPandas (Python in the hot path)
-- a global Sort with no limit above it (full-data sort; top-k should be
-  TakeOrderedAndProject)
-- an Exchange SinglePartition under anything other than a tiny aggregate
-  or a bounded window (serial bottleneck)
+- a GLOBAL Sort with no limit above it and no aggregation below it
+  (full-data range-shuffle + sort of an unreduced relation; top-k should
+  be TakeOrderedAndProject, ordered reports should sort group-count-sized
+  aggregates). A global sort OVER an aggregate/limit is accepted
+  structurally: its input is group-count-sized, and group cardinality is
+  the query author's contract (asserted in docstrings), not statically
+  knowable here.
+- an Exchange SinglePartition feeding anything other than an aggregate
+  (serial bottleneck). The scalar-aggregate final step — partial rows,
+  one per partition, into a single-partition final HashAggregate — is
+  accepted structurally; a SinglePartition exchange into a Window/Sort
+  is an offender unless the fed relation is provably bounded
+  (SINGLE_PARTITION_OK, each entry justified).
 
 Each pattern has a sanction list — queries where the pattern is the
 DESIGN (documented in the query docstring) rather than an accident.
@@ -21,6 +30,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 import sys
 from pathlib import Path
 
@@ -68,6 +78,120 @@ BNLJ_OK = {
     "td_domain_mix", "v18_pq_adc_topk",
 }
 
+#: Global-sort-of-an-unreduced-relation sanctions. Every entry must name
+#: WHY the sorted relation is acceptable.
+GLOBAL_SORT_OK = {
+    # Catalyst 4.x decorrelates the LATERAL 'ORDER BY ... LIMIT k' into a
+    # pre-window GLOBAL range-sort of the whole inner table before the
+    # per-key rank filter — an engine artifact of the SQL-standard shape
+    # this query exists to exercise (docstring documents it). The
+    # hand-written partitioned rank (q_min_per_group) is the 100 TB path.
+    "q_lateral_topk",
+}
+
+#: Exchange-SinglePartition-into-non-aggregate sanctions. Every entry
+#: must name the BOUNDED relation the single partition carries.
+SINGLE_PARTITION_OK = {
+    # keys-sized rank window over the per-user_id size relation
+    # (documented "keys-sized, not corpus-sized"; the r7 verdict's
+    # borderline-acceptable case)
+    "q_skew_profile",
+    # assign_row_ids boundary exchange: the single partition carries the
+    # #partitions-row per-partition-count offset relation (kilobytes at
+    # any corpus size); the corpus itself never concentrates
+    "q_global_row_ids",
+    # #sources-row empty-frame mixing windows (share/boost totals over
+    # the per-source aggregate — single-digit row counts by schema)
+    "td_temperature_mix", "td_epoch_plan", "td_mix_post_dedup",
+    "td_prepare_corpus_v3",
+    # post-limit(1024) vocabulary id window — bounded by the explicit cut
+    "ta_collocations",
+}
+
+_AGG_NODES = r"HashAggregate|SortAggregate|ObjectHashAggregate"
+_REDUCER = re.compile(_AGG_NODES + r"|TakeOrdered|Limit")
+_LIMITER = re.compile(r"Limit|TakeOrdered")
+
+
+def _tree(plan: str) -> list[str]:
+    """The indented operator-tree section of explain('formatted')."""
+    out = []
+    for ln in plan.splitlines():
+        if ln.strip() == "":
+            break
+        out.append(ln)
+    return out
+
+
+def _indent(ln: str) -> int:
+    return len(re.match(r"^[\s:+\-*]*", ln).group(0))
+
+
+def _subtree(tree: list[str], i: int) -> list[str]:
+    d0 = _indent(tree[i])
+    out = []
+    for j in range(i + 1, len(tree)):
+        if _indent(tree[j]) <= d0:
+            break
+        out.append(tree[j])
+    return out
+
+
+def _ancestors(tree: list[str], i: int) -> list[str]:
+    d = _indent(tree[i])
+    out = []
+    for j in range(i - 1, -1, -1):
+        if _indent(tree[j]) < d:
+            out.append(tree[j])
+            d = _indent(tree[j])
+    return out
+
+
+def check_global_sort(plan: str) -> list[str]:
+    """Global Sort nodes with no Limit/TakeOrdered above and no
+    aggregation/limit below — i.e. a full range-shuffle + sort of an
+    unreduced relation."""
+    tree = _tree(plan)
+    global_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Sort\b[^(]*?Arguments: \[[^\n]*\], true, \d+",
+            plan)
+    }
+    hits = []
+    for i, ln in enumerate(tree):
+        m = re.search(r"\bSort \((\d+)\)", ln)
+        if not m or m.group(1) not in global_ids:
+            continue
+        if any(_LIMITER.search(a) for a in _ancestors(tree, i)):
+            continue
+        if any(_REDUCER.search(s) for s in _subtree(tree, i)):
+            continue
+        hits.append(f"GlobalSortNoLimit({m.group(1)})")
+    return hits
+
+
+def check_single_partition(plan: str) -> list[str]:
+    """Exchange SinglePartition nodes whose consumer is NOT an aggregate
+    final step — a Window/Sort/anything else over one partition is a
+    serial bottleneck unless the relation is bounded (sanction list)."""
+    tree = _tree(plan)
+    sp_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\b[^(]*?Arguments: SinglePartition", plan)
+    }
+    hits = []
+    for i, ln in enumerate(tree):
+        m = re.search(r"\bExchange \((\d+)\)", ln)
+        if not m or m.group(1) not in sp_ids:
+            continue
+        parent = next(iter(_ancestors(tree, i)), "")
+        if re.search(_AGG_NODES, parent):
+            continue  # scalar-agg final step: one partial row/partition
+        hits.append(f"SinglePartitionInto({parent.strip() or 'ROOT'})")
+    return hits
+
 
 def lint(spark, sf_dir: str) -> dict[str, list[str]]:
     from multiagent_document_etl_system_spark.plans.registry import QUERIES
@@ -91,6 +215,10 @@ def lint(spark, sf_dir: str) -> dict[str, list[str]]:
                          "MapInPandas", "FlatMapGroupsInPandas"):
                 if node in p:
                     hits.append(node)
+        if name not in GLOBAL_SORT_OK:
+            hits += check_global_sort(p)
+        if name not in SINGLE_PARTITION_OK:
+            hits += check_single_partition(p)
         if hits:
             bad[name] = hits
     return bad
