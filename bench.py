@@ -258,6 +258,25 @@ def main() -> None:
     # capture. Split the delivery: the FULL per-query map goes to a
     # committed BENCH_DETAIL.json next to this script; the stdout line
     # stays compact — totals + the 10 slowest queries — safely under 2 KB.
+    # Common-set guard against window-set drift (r7 verdict #7): the
+    # headline total runs over a MOVING query set, so "71.1 vs 63.4"
+    # reads as a regression when 4 queries were merely added. Compare
+    # the overlap with the PREVIOUS COMMITTED detail (same sf only) so
+    # the top-level number is interpretable without re-deriving it.
+    common = None
+    try:
+        prev = json.loads(Path(REPO, "BENCH_DETAIL.json").read_text())
+        if prev.get("sf") == sf:
+            shared = set(prev["queries"]) & set(times)
+            common = {
+                "n_common": len(shared),
+                "common_total_sec": round(
+                    sum(times[q] for q in shared), 3),
+                "prev_common_total_sec": round(
+                    sum(prev["queries"][q] for q in shared), 3),
+            }
+    except (OSError, ValueError, KeyError):
+        pass
     detail = {
         "metric": "headline_queries_total_time",
         "value": round(total, 3),
@@ -270,10 +289,12 @@ def main() -> None:
         "calibration_sec_last": cal_last,
         "load_factor": (round(cal_best / ref, 2) if ref else None),
     }
+    if common:
+        detail["common_set_vs_prev_committed"] = common
     Path(REPO, "BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=1) + "\n")
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
-    print(json.dumps({
+    line = {
         "metric": "headline_queries_total_time",
         "value": round(total, 3),
         "unit": "sec",
@@ -282,7 +303,10 @@ def main() -> None:
         "n_queries": len(HEADLINE),
         "sf": sf,
         "load_factor": (round(cal_best / ref, 2) if ref else None),
-    }))
+    }
+    if common:
+        line["common_set_vs_prev_committed"] = common
+    print(json.dumps(line))
     spark.stop()
 
 

@@ -233,16 +233,24 @@ def classify_llm(df: DataFrame, text_col: str = "text",
     executors once and reused across batches (per-executor singleton — the
     embed.py pattern). Never in the oracle path: the deterministic twin
     :func:`classify` defines the checked semantics (SURVEY.md §7.4).
+
+    Client failures (timeout, HTTP error, malformed response body) degrade
+    PER ROW to a NULL label — the reference's per-document try/except
+    (src/agents.py:96-101) — never failing the Spark task, so one broken
+    document cannot take down an Arrow batch of good ones.
     """
     the_client = client or mock_llm_client
 
-    @F.pandas_udf(T.StringType())
-    def _classify_batch(texts: pd.Series) -> pd.Series:
-        return pd.Series([
-            parse_label_response(
+    def _one(t) -> str | None:
+        try:
+            return parse_label_response(
                 the_client(build_classify_prompt(
                     t if isinstance(t, str) else "")))
-            for t in texts
-        ])
+        except Exception:  # noqa: BLE001 — row-level degrade by contract
+            return None
+
+    @F.pandas_udf(T.StringType())
+    def _classify_batch(texts: pd.Series) -> pd.Series:
+        return pd.Series([_one(t) for t in texts])
 
     return df.withColumn(out_col, _classify_batch(F.col(text_col)))

@@ -138,20 +138,123 @@ def extract_llm(df: DataFrame, schema_col: str | None = None,
     /upload-schema flow). Never in the oracle path — the deterministic
     twin :func:`extract_fields` defines the checked semantics; the two are
     contract-checked against each other in tests/test_llm_paths.py.
+
+    Client failures (timeout, HTTP error, malformed response body) degrade
+    PER ROW to a NULL ``out_col`` — never failing the Spark task (the
+    reference's per-document try/except, src/agents.py:196-206). A reply
+    that arrives but parses to junk stays the lenient-parse ``{}``.
     """
     import json  # noqa: PLC0415
 
     the_client = client or mock_llm_extract_client
 
-    @F.pandas_udf(T.StringType())
-    def _extract_batch(texts: pd.Series, schemas: pd.Series) -> pd.Series:
-        out = []
-        for t, sc in zip(texts, schemas):
+    def _one(t, sc) -> str | None:
+        try:
             resp = the_client(build_extract_prompt(
                 t if isinstance(t, str) else "",
                 sc if isinstance(sc, str) else None))
-            out.append(json.dumps(parse_json_response(resp), sort_keys=True))
-        return pd.Series(out)
+        except Exception:  # noqa: BLE001 — row-level degrade by contract
+            return None
+        return json.dumps(parse_json_response(resp), sort_keys=True)
+
+    @F.pandas_udf(T.StringType())
+    def _extract_batch(texts: pd.Series, schemas: pd.Series) -> pd.Series:
+        return pd.Series([_one(t, sc) for t, sc in zip(texts, schemas)])
 
     schema_arg = F.col(schema_col) if schema_col else F.lit(None).cast("string")
     return df.withColumn(out_col, _extract_batch(F.col(text_col), schema_arg))
+
+
+def _validate_py(d: dict) -> list[str]:
+    """Python replica of operators/validate._checks for the LLM retry loop
+    (same three rule families, same feedback strings — the reference's
+    validation agent, src/agents.py:209-263). Empty/absent fields pass
+    (not checked), exactly like the SQL twin."""
+    import datetime
+    import re
+
+    fb: list[str] = []
+    email = d.get("email") or ""
+    if email and not re.fullmatch(
+            r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", str(email)):
+        fb.append("malformed email")
+    date = d.get("date") or ""
+    if date:
+        try:
+            parsed = datetime.datetime.strptime(str(date), "%Y-%m-%d")
+            if not (datetime.datetime(1900, 1, 1) <= parsed
+                    <= datetime.datetime(2100, 1, 1)):
+                fb.append("impossible date")
+        except ValueError:
+            fb.append("impossible date")
+    amount = d.get("amount")
+    if amount is not None and str(amount) != "":
+        try:
+            float(amount)
+        except (TypeError, ValueError):
+            fb.append("non-numeric amount")
+    return fb
+
+
+def extract_llm_retry(df: DataFrame, schema_col: str | None = None,
+                      text_col: str = "text", client=None,
+                      max_retries: int = 1) -> DataFrame:
+    """The reference's extract → validate → retry-with-feedback agent loop
+    (src/agents.py:250-263: a rejected extraction re-prompts with the
+    validation feedback, bounded by MAX_RETRIES), run per document inside
+    ONE Arrow-batched Pandas UDF.
+
+    Appends a struct column ``extraction`` with fields: ``extracted``
+    (canonical flat JSON, NULL when the client failed), ``retry_count``,
+    ``is_valid``, ``feedback`` ('|'-joined rule violations of the FINAL
+    attempt — the same strings operators/validate emits).
+
+    Scale: stateless narrow map, no shuffle; the loop is per-row and
+    bounded (≤ 1 + max_retries client calls), so worst-case cost is a
+    constant factor on the inference budget — the same bound the
+    reference's MAX_RETRIES=1 enforces. Client failures degrade per row,
+    never per task."""
+    import json  # noqa: PLC0415
+
+    the_client = client or mock_llm_extract_client
+
+    out_type = T.StructType([
+        T.StructField("extracted", T.StringType()),
+        T.StructField("retry_count", T.IntegerType()),
+        T.StructField("is_valid", T.BooleanType()),
+        T.StructField("feedback", T.StringType()),
+    ])
+
+    def _one(t, sc) -> dict:
+        text = t if isinstance(t, str) else ""
+        schema = sc if isinstance(sc, str) else None
+        feedback: list[str] = []
+        d: dict = {}
+        retries = 0
+        for attempt in range(1 + max_retries):
+            try:
+                resp = the_client(build_extract_prompt(
+                    text, schema,
+                    feedback="|".join(feedback) if feedback else None))
+            except Exception:  # noqa: BLE001 — row-level degrade
+                return {"extracted": None, "retry_count": retries,
+                        "is_valid": False, "feedback": "client error"}
+            d = parse_json_response(resp)
+            feedback = _validate_py(d)
+            if not feedback:
+                break
+            if attempt < max_retries:
+                retries += 1
+        return {"extracted": json.dumps(d, sort_keys=True),
+                "retry_count": retries,
+                "is_valid": not feedback,
+                "feedback": "|".join(feedback)}
+
+    @F.pandas_udf(out_type)
+    def _retry_batch(texts: pd.Series, schemas: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([_one(t, sc)
+                             for t, sc in zip(texts, schemas)])
+
+    schema_arg = F.col(schema_col) if schema_col else F.lit(None).cast("string")
+    return df.withColumn(
+        "extraction", _retry_batch(F.col(text_col), schema_arg))
