@@ -426,6 +426,28 @@ def _render_text_pixels(text: str, margin: int = 2) -> list[list[int]]:
     return px
 
 
+def render_text_aa_pixels(text: str, scale: int = 2,
+                          margin: int = 2) -> list[list[int]]:
+    """ANTI-ALIASED raster: the bilevel glyph raster supersampled
+    ``scale``× then box-filtered ((4·center + 4-neighborhood)/8), the way
+    a screenshot of scaled text actually looks — glyph edges become gray
+    ramps (ink ≤ ~96, halo ≥ ~223) instead of a 0/255 step. The OCR rung
+    reads these through Otsu binarization (r8: the S4 boundary extension
+    — machine-rendered text stays REAL at any integer scale with AA)."""
+    base = _render_text_pixels(text, margin)
+    h0, w0 = len(base), len(base[0])
+    big = [[base[r // scale][c // scale] for c in range(w0 * scale)]
+           for r in range(h0 * scale)]
+    h, w = len(big), len(big[0])
+
+    def at(r: int, c: int) -> int:
+        return big[min(max(r, 0), h - 1)][min(max(c, 0), w - 1)]
+
+    return [[(4 * at(r, c) + at(r - 1, c) + at(r + 1, c)
+              + at(r, c - 1) + at(r, c + 1)) // 8
+             for c in range(w)] for r in range(h)]
+
+
 def render_text_bmp(text: str, margin: int = 2) -> bytes:
     """Render A-Z/0-9/space text (newlines = line breaks) as an
     uncompressed 24-bit BMP — the deterministic twin of the OCR rung."""
@@ -445,13 +467,16 @@ def render_text_bmp(text: str, margin: int = 2) -> bytes:
     return bytes(hdr + dib + body)
 
 
-def render_text_png(text: str, margin: int = 2) -> bytes:
+def render_text_png(text: str, margin: int = 2,
+                    pixels: list[list[int]] | None = None) -> bytes:
     """Render text as an 8-bit grayscale zlib-compressed PNG (filter 0)
-    — the deterministic twin of the PNG OCR rung."""
+    — the deterministic twin of the PNG OCR rung. ``pixels`` bypasses the
+    glyph renderer (the JPEG encoders' hook, mirrored): encode an
+    arbitrary raster — anti-aliased renders, synthetic photographs."""
     import struct
     import zlib
 
-    px = _render_text_pixels(text, margin)
+    px = pixels if pixels is not None else _render_text_pixels(text, margin)
     h, w = len(px), len(px[0])
 
     def chunk(typ: bytes, data: bytes) -> bytes:
@@ -1740,19 +1765,71 @@ def _decode_jpeg_progressive(b: bytes) -> list[list[int]]:
     return _jpeg_plane_to_rows(plane, w, h, y_h, y_v, hmax, vmax)
 
 
+def _otsu_threshold(px: list[list[int]]) -> int:
+    """Otsu's between-class-variance threshold over the luminance
+    histogram — replaces the fixed v<128 cut (r8) so ANTI-ALIASED
+    renders (gray edge ramps) and low-contrast scans binarize correctly.
+    Degenerate single-mode images fall back to 127 (≡ the old cut)."""
+    hist = [0] * 256
+    for row in px:
+        for v in row:
+            hist[v] += 1
+    total = sum(hist)
+    sum_all = sum(i * h for i, h in enumerate(hist))
+    w_b = s_b = 0
+    best_t, best_var = 127, -1.0
+    for t in range(256):
+        w_b += hist[t]
+        if w_b == 0:
+            continue
+        w_f = total - w_b
+        if w_f == 0:
+            break
+        s_b += t * hist[t]
+        m_b, m_f = s_b / w_b, (sum_all - s_b) / w_f
+        var = w_b * w_f * (m_b - m_f) ** 2
+        if var > best_var:
+            best_var, best_t = var, t
+    return best_t
+
+
+#: photograph gate thresholds (see _ocr_parse_stdlib): a binarized page
+#: of machine-rendered text is mostly background; a photograph's Otsu
+#: split inks roughly half the frame
+_OCR_MAX_INK_FRACTION = 0.45
+_OCR_MIN_PHOTO_AREA = 400
+
+
 def _ocr_parse_stdlib(b: bytes) -> str:
     """Template-matching OCR over a decoded bitmap (see module comment).
     Accepts uncompressed 24-bit BMP, 8-bit PNG, and baseline-sequential
     OR progressive JPEG (the formats machine renders/screenshots actually
-    produce without media libs)."""
+    produce without media libs). Binarization is Otsu-adaptive (r8), so
+    anti-aliased renders read as well as bilevel ones.
+
+    PHOTOGRAPH GATE (the S4 boundary, made explicit r8): an image whose
+    binarization inks most of the frame, or whose glyph cells mostly fail
+    template matching, is NOT machine-rendered text — it raises a per-row
+    error naming the pytesseract requirement instead of emitting silent
+    '?' garbage. That is the declared, test-pinned limit of the stdlib
+    rung: machine-rendered text (any integer scale, AA or bilevel, BMP/
+    PNG/JPEG) is REAL; photographs need the real OCR engine."""
     if b.startswith(_PNG_SIG):
         px = _decode_png(b)
     elif b[:2] == b"\xff\xd8":
         px = _decode_jpeg_luma(b)
     else:
         px = _decode_bmp_24(b)
-    ink = [[v < 128 for v in row] for row in px]
+    thr = _otsu_threshold(px)
+    ink = [[v <= thr for v in row] for row in px]
     h, w = len(ink), len(ink[0]) if ink else 0
+    if h * w >= _OCR_MIN_PHOTO_AREA:
+        ink_frac = sum(v for row in ink for v in row) / (h * w)
+        if ink_frac > _OCR_MAX_INK_FRACTION:
+            raise ValueError(
+                "image is not machine-rendered text (binarization inks "
+                f"{ink_frac:.0%} of the frame); photograph-tier OCR "
+                "requires pytesseract")
     # segment lines on blank pixel-rows
     lines, start = [], None
     for r in range(h + 1):
@@ -1764,12 +1841,16 @@ def _ocr_parse_stdlib(b: bytes) -> str:
             start = None
     out_lines = []
     for y0, y1 in lines:
-        # segment characters on blank pixel-columns
+        # segment characters on blank pixel-columns; the word-space gap
+        # threshold scales with line height (≈ 7×glyph scale), or a
+        # narrow glyph's blank flanks plus a scaled inter-char gap would
+        # read as a space on anti-aliased 2×/3× renders
+        space_thr = max(_GLYPH_W - 1, (9 * (y1 - y0)) // 14)
         cells, cstart, blanks, text = [], None, 0, []
         for c in range(w + 1):
             has_ink = c < w and any(ink[r][c] for r in range(y0, y1))
             if has_ink and cstart is None:
-                if cells and blanks >= _GLYPH_W - 1:
+                if cells and blanks >= space_thr:
                     cells.append(None)  # wide gap = space
                 cstart, blanks = c, 0
             elif not has_ink and cstart is not None:
@@ -1794,7 +1875,14 @@ def _ocr_parse_stdlib(b: bytes) -> str:
                     best, best_d = ch_name, d
             text.append(best)
         out_lines.append("".join(text))
-    return "\n".join(out_lines)
+    result = "\n".join(out_lines)
+    cells = sum(1 for ch in result if ch not in " \n")
+    if cells >= 8 and result.count("?") * 2 > cells:
+        raise ValueError(
+            "image is not machine-rendered text (template match failed "
+            f"on {result.count('?')}/{cells} glyph cells); "
+            "photograph-tier OCR requires pytesseract")
+    return result
 
 
 def _mk_fallback_parser(lib_name: str, lib_fn, stdlib_fn, label: str):

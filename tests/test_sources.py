@@ -474,6 +474,45 @@ def test_ocr_rejects_non_bmp_per_row():
         parsers._ocr_parse_stdlib(b"\x89PNG\r\n\x1a\n garbage")
 
 
+def test_ocr_reads_anti_aliased_renders_at_any_scale():
+    """The r8 S4 boundary extension: machine-rendered text stays REAL
+    under anti-aliasing (gray edge ramps) at 2x/3x/4x scale, through
+    both the PNG and the lossy JPEG container — Otsu binarization plus
+    the line-height-scaled space threshold do the work."""
+    text = "INVOICE 42 TOTAL 99\nITEM A 1 ITEM B 2"
+    for scale in (2, 3, 4):
+        aa = parsers.render_text_aa_pixels(text, scale=scale)
+        # AA really produced intermediate grays, not a bilevel image
+        flat = {v for row in aa for v in row}
+        assert any(30 < v < 220 for v in flat), sorted(flat)[:8]
+        assert parsers._ocr_parse_stdlib(
+            parsers.render_text_png("", pixels=aa)) == text
+        assert parsers._ocr_parse_stdlib(
+            parsers.render_text_jpeg("", pixels=aa, quality=90)) == text
+
+
+def test_ocr_photograph_gate_errors_per_row():
+    """The declared S4 limit (r7 verdict #6, closed r8): a photograph —
+    binarization inks most of the frame, or glyph cells mostly fail the
+    template match — raises the pinned pytesseract message instead of
+    emitting silent '?' garbage; parse_documents surfaces it as the
+    row's parse_error."""
+    import math
+
+    import pytest
+
+    w = h = 48
+    photo = [[max(0, min(255, int(
+        128 + 90 * math.sin(r / 3.1) * math.cos(c / 4.3) + r + c))) % 256
+        for c in range(w)] for r in range(h)]
+    png = parsers.render_text_png("", pixels=photo)
+    with pytest.raises(ValueError, match="requires pytesseract"):
+        parsers._ocr_parse_stdlib(png)
+    fn = parsers._PARSERS["image"]
+    text, err = fn(bytearray(png))
+    assert text is None and "requires pytesseract" in err
+
+
 def test_orc_round_trip_and_pushdown(spark, tmp_path):
     """ORC sink/source: values and schema survive a partitioned
     round-trip, and a partition filter prunes to the selected lang

@@ -64,6 +64,10 @@ REBUILD_PER_REP = {"td_curation_funnel", "td_prepare_corpus_v2",
                    "td_bpe_train", "td_bpe_segment",
                    # streaming run + training execute at build time
                    "st_bpe_fertility",
+                   # the foreachBatch ingest (5 micro-batches + epoch
+                   # overwrites) runs at build time; rebuilding times the
+                   # FULL streaming pipeline, not the manifest re-derive
+                   "st_incremental_ingest",
                    # the provenance/ablation/histogram audits embed
                    # duplicate_clusters' eager checkpoints too
                    "td_dedup_provenance", "td_dedup_policy_ablation",
