@@ -329,9 +329,24 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact-Jaccard verify: fetch shingle sets for the candidate ids only
-    sh_a = sh_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = sh_df.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    # exact-Jaccard verify: fetch shingle sets for the candidate ids only.
+    # The CANDIDATE-ID prune (r8, found by the 100x dup-bomb rehearsal):
+    # join the fat shingle-set relation against the DISTINCT candidate-id
+    # list first — ids stay broadcastable long after the pair relation
+    # outgrows the broadcast threshold (a dup-heavy corpus has O(copies²)
+    # pairs but only O(copies) candidate ids), so the corpus never
+    # shuffles its shingle arrays for the verify: without the prune, a
+    # pairs-side SMJ fallback moved corpus-scale arrays TWICE (9.4 GB of
+    # shuffle at the 100x rehearsal); with it, at worst the
+    # candidate-sized subset shuffles once per side.
+    cand_ids = (pairs.select(F.col("id_a").alias("_id"))
+                .union(pairs.select(F.col("id_b").alias("_id")))
+                .distinct())
+    sh_cand = sh_df.join(cand_ids, "_id")
+    sh_a = sh_cand.select(F.col("_id").alias("id_a"),
+                          F.col("_sh").alias("sh_a"))
+    sh_b = sh_cand.select(F.col("_id").alias("id_b"),
+                          F.col("_sh").alias("sh_b"))
     cand = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
     # Threshold SELECTION is pure-integer: |A∩B|·10⁴ ≥ t_q1e4·|A∪B| — no
     # double division or rounding mode can enter the survivor decision on

@@ -4955,6 +4955,11 @@ QUERIES = _driver_ordered(QUERIES)
 #: property check (noted). Surfaced in QUERIES.md and
 #: __spark_entry__.no_oracle_reasons() so the evidence ledger is explicit.
 NO_ORACLE_REASONS: dict[str, str] = {
+    "mm_phash_pairs": "binary image decode + DCT perceptual hash are "
+                      "Python-side (mapInPandas) by design; the pairing "
+                      "invariants (same content across containers pairs, "
+                      "different content does not) are pinned in "
+                      "tests/test_sources.py",
     "v8_ivf_topk": "KMeans coarse-quantizer fit (iterative, non-SQL); "
                    "recall vs exact top-k asserted in tests/test_similarity",
     "v19_ivfpq_topk": "KMeans coarse + PQ codebook fits (iterative, "
@@ -5873,6 +5878,172 @@ def st_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@_q("ta_langid_confusion", f"""
+SELECT lang, {textstats.lang_id_sql('text')} AS lang_pred,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def ta_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX: the labeled ``lang`` column crossed
+    with the n-gram-heuristic prediction (the ta_lang_id kernel), with
+    document and character mass per cell — the calibration report that
+    decides whether the cheap heuristic is good enough to gate a corpus
+    stratum or a real classifier is needed. One scan, one #langs²-row
+    hash aggregate with full map-side combine; nothing else moves."""
+    d = _docs(spark, sf_dir)
+    return (d.select("lang",
+                     textstats.lang_id_expr(F.col("text"))
+                     .alias("lang_pred"),
+                     "n_chars")
+            .groupBy("lang", "lang_pred")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("n_chars"))
+            .orderBy("lang", "lang_pred"))
+
+
+@_q("ta_zipf_profile", f"""
+WITH counts AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest({textfns.tokens_sql('lower(text)')}) AS w
+    FROM documents)
+  WHERE length(w) >= 1 GROUP BY 1, 2
+), ranked AS (
+  SELECT source, c,
+    row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS r
+  FROM counts
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS vocab,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(max(CASE WHEN r = 1 THEN c END) AS BIGINT) AS f1,
+  {idiv_round_sql('10000 * coalesce(max(CASE WHEN r = 10 THEN c END), 0)',
+                  'max(CASE WHEN r = 1 THEN c END)')} AS decay10_q1e4,
+  {idiv_round_sql('10000 * coalesce(max(CASE WHEN r = 100 THEN c END), 0)',
+                  'max(CASE WHEN r = 1 THEN c END)')} AS decay100_q1e4
+FROM ranked GROUP BY source ORDER BY source
+""")
+def ta_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-decay PROFILE per source — the log-free power-law
+    fingerprint: vocabulary size, token mass, the top frequency, and the
+    rank-10/rank-100 frequencies as integer ratios of rank-1 on the 1e4
+    grid (natural text decays ≈ 1/r, so decay10 ≈ 1000; generated or
+    templated text shows a much flatter or steeper cliff). All integer —
+    no log/float ever enters either engine.
+
+    Scale: one corpus-scale token shuffle into per-source vocabulary
+    counts, then a rank window PARTITIONED BY source over the vocab-sized
+    relation — vocabulary grows sublinearly (Heaps' law) and the window
+    carries two narrow columns, the q_skew_profile class of keys-sized
+    window (a two-phase per-source top-101 cut is the drop-in if a
+    single source's vocab ever outgrows a task)."""
+    d = _docs(spark, sf_dir)
+    counts = (d.select("source",
+                       F.explode(textfns.tokens(F.lower(F.col("text"))))
+                       .alias("w"))
+              .filter(F.length("w") >= 1)
+              .groupBy("source", "w")
+              .agg(F.count("*").cast("bigint").alias("c")))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("w"))
+    ranked = counts.select("source", "c",
+                           F.row_number().over(w).alias("r"))
+    f_at = lambda rank: F.max(F.when(F.col("r") == rank, F.col("c")))  # noqa: E731
+    return (ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        f_at(1).cast("bigint").alias("f1"),
+        idiv_round(F.lit(10000) * F.coalesce(f_at(10), F.lit(0)), f_at(1))
+        .alias("decay10_q1e4"),
+        idiv_round(F.lit(10000) * F.coalesce(f_at(100), F.lit(0)), f_at(1))
+        .alias("decay100_q1e4"),
+    ).orderBy("source"))
+
+
+@_q("mm_phash_pairs", None)
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup dedup via 64-bit perceptual hash (pHash): decode
+    luma (REAL stdlib BMP/PNG/JPEG decoders), DCT-II, median-threshold
+    the low-frequency block, then 4×16-bit band blocking + JVM
+    ``bit_count`` Hamming verify — the SimHash ladder applied to the
+    image modality (sources/multimodal.py:phash_images/phash_near_pairs).
+    The fixture plants the invariant the operator exists for: the SAME
+    rendered content in four containers (bilevel BMP, bilevel PNG,
+    anti-aliased PNG, lossy JPEG) must pair, different content must not.
+    Rows-only BY CONSTRUCTION: binary decode + DCT are Python-side
+    (mapInPandas) by design; the pairing invariants are pinned in
+    tests/test_sources.py. Scale: pairs exist only inside band buckets —
+    no all-pairs term; the hash is 8 bytes per image."""
+    from multiagent_document_etl_system_spark.sources import (
+        multimodal,
+        parsers,
+    )
+
+    texts = ["INVOICE 42 TOTAL 99", "REPORT AGG GROUP 7",
+             "CONTRACT KEY JOIN 13", "RECEIPT BATCH SCAN 88"]
+    rows = []
+    mid = 0
+    for t in texts:
+        aa = parsers.render_text_aa_pixels(t, scale=2)
+        for payload in (parsers.render_text_bmp(t),
+                        parsers.render_text_png(t),
+                        parsers.render_text_png("", pixels=aa),
+                        parsers.render_text_jpeg(t, quality=90)):
+            rows.append((mid, "image", bytearray(payload),
+                         (None, None, None, "file")))
+            mid += 1
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    # 8 bands (8-bit keys): the curated-collection recall setting — any
+    # pair differing in < 8 bits is guaranteed found (the fixture's
+    # cross-container distances run up to 8, spreadable across all four
+    # 16-bit bands)
+    return multimodal.phash_near_pairs(
+        multimodal.phash_images(media), max_hamming=16, n_bands=8)
+
+
+@_q("st_dedup_survivors", """
+SELECT event_id, user_id, event_type FROM events
+""")
+def st_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming ``dropDuplicatesWithinWatermark`` run, HASH-ORACLED
+    — the r7 verdict's stretch #8 promotion of the dedup stream into the
+    hash channel. The staged replay carries every event TWICE (two
+    byte-identical part files, delivered inside one micro-batch via
+    max_files_per_trigger=2), so the dedup state fires on every key and
+    drops exactly half the input — and because the colliding rows are
+    byte-identical, the surviving VALUES are deterministic even though
+    the surviving physical row is not: survivor identity is unobservable
+    in the projection, which is what makes the hash oracle sound. The
+    arrival-ordered raw run (st_dedup_stream) stays registered as
+    rows-only smoke for the genuinely order-dependent case.
+
+    Scale: dedup state is one entry per event_id within the watermark
+    horizon — bounded by key cardinality per window, not stream length;
+    the planted-duplicate staging is test scaffolding, not a shipped
+    cost."""
+    import tempfile
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    key = (spark.sparkContext.applicationId, sf_dir, "dup2")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="st_events_dup2_")
+        ev = load_table(spark, sf_dir, "events").coalesce(1)
+        ev.write.mode("append").parquet(stage)
+        ev.write.mode("append").parquet(stage)  # the byte-identical twin
+        _STREAM_STAGE_CACHE[key] = stage
+
+    stream = streamx.read_event_stream(spark, stage,
+                                       max_files_per_trigger=2)
+    deduped = streamx.dedup_within_watermark(stream, watermark="30 minutes")
+    name = f"st_dedup_surv_{uuid.uuid4().hex[:8]}"
+    streamx.run_to_memory(deduped.select("event_id", "user_id",
+                                         "event_type"),
+                          name, output_mode="append")
+    return spark.table(name)
+
+
 # Historical record of the r7 queue (all 7 promoted into the r8 window
 # head at pin time — see _DRIVER_WINDOW_R8 above).
 _QUEUED_FOR_R8 += [
@@ -5887,6 +6058,14 @@ _QUEUED_FOR_R8 += [
     # prior driver rows were `no_oracle`, so the hash oracle has never
     # seen a driver run
     "st_stateful_totals",
+]
+
+# Oracled queries added AFTER the r8 pin — frozen-window discipline,
+# fourth rotation: these head the r9 window.
+_QUEUED_FOR_R9 += [
+    "ta_langid_confusion",
+    "ta_zipf_profile",
+    "st_dedup_survivors",
 ]
 
 

@@ -290,6 +290,125 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     return vids.mapInPandas(op, schema=FRAME_SCHEMA)
 
 
+def _phash64(rows: list[list[int]]) -> int:
+    """64-bit PERCEPTUAL hash of a luminance raster (pHash): nearest
+    resample to 32×32 → 2D DCT-II (numpy matrix form — the same transform
+    family as the repo's real JPEG codec) → keep the top-left 8×8
+    low-frequency block, drop DC, threshold the 63 ACs at their median.
+    Identical content at different scales/containers (BMP vs PNG vs
+    mildly-lossy JPEG, anti-aliased vs bilevel) lands within a few bits;
+    unrelated content lands ~32 bits away — the image analogue of
+    SimHash, and the blocking key for image near-dup dedup."""
+    import numpy as np
+
+    a = np.asarray(rows, dtype=np.float64)
+    h, w = a.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    small = a[np.ix_(ys, xs)]
+    n = 32
+    k = np.arange(n)
+    cosm = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    freq = cosm @ small @ cosm.T
+    vals = freq[:8, :8].flatten()[1:]  # 63 ACs, DC dropped
+    med = float(np.median(vals))
+    bits = 0
+    for i, v in enumerate(vals):
+        if v > med:
+            bits |= 1 << i
+    return bits  # 63 bits -> always a non-negative int64
+
+
+def _decode_luma_rows(b: bytes, meta) -> list[list[int]]:
+    """Luminance raster from a media payload: raw8 rasters (the demo
+    fixture's codec), or the REAL stdlib BMP/PNG/JPEG decoders."""
+    from multiagent_document_etl_system_spark.sources.parsers import (
+        _decode_bmp_24,
+        _decode_jpeg_luma,
+        _decode_png,
+        _PNG_SIG,
+    )
+
+    if meta is not None and (meta.get("codec") if hasattr(meta, "get")
+                             else meta["codec"]) == "raw8":
+        w = meta["width"] if not hasattr(meta, "get") else meta.get("width")
+        h = meta["height"] if not hasattr(meta, "get") else meta.get("height")
+        if w and h and len(b) >= w * h:
+            return [list(b[y * w:(y + 1) * w]) for y in range(h)]
+        raise ValueError("raw8 payload shorter than width*height")
+    if b[:2] == b"BM":
+        return _decode_bmp_24(b)
+    if b[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        return _decode_jpeg_luma(b)
+    raise ValueError("unsupported image container for phash")
+
+
+def phash_images(media: DataFrame) -> DataFrame:
+    """mapInPandas perceptual-hash extraction over image rows:
+    (media_id, phash, decode_error) — per-row error capture, constant
+    memory per Arrow batch. phash is an int64, so everything downstream
+    (banding, Hamming verify) is pure JVM bit arithmetic."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                try:
+                    b = bytes(row["content"]) if row["content"] is not None \
+                        else b""
+                    ph = _phash64(_decode_luma_rows(b, row["meta"]))
+                    out.append((row["media_id"], ph, None))
+                except Exception as exc:  # noqa: BLE001 — row-level errors
+                    out.append((row["media_id"], None, str(exc)))
+            yield pd.DataFrame(out, columns=["media_id", "phash",
+                                             "decode_error"])
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        op, "media_id long, phash long, decode_error string")
+
+
+def phash_near_pairs(hashes: DataFrame, max_hamming: int = 10,
+                     n_bands: int = 4) -> DataFrame:
+    """Image near-dup candidate pairs: band the 64-bit pHash into
+    ``n_bands`` equal-width keys, equi-join on (band, key), then verify
+    the exact Hamming distance with JVM ``bit_count(a ^ b)``. No
+    all-pairs work: candidates exist only inside band buckets.
+
+    Recall/cost dial (pigeonhole): a pair differing in FEWER than
+    ``n_bands`` bits is ALWAYS found (some band must be untouched);
+    beyond that, recall is probabilistic — a pair is missed only when
+    its differing bits touch every band. More bands ⇒ higher recall but
+    shorter keys (64/n_bands bits) ⇒ bigger buckets: at 8 bands the
+    8-bit keys bucket ~N/256 images together, the multi-index-hashing
+    regime where the verify step carries the load. 4 bands (16-bit keys)
+    is the corpus-scale default; 8 suits curated collections where
+    recall at Hamming ≈ 10 matters more than bucket size."""
+    assert 64 % n_bands == 0, n_bands
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    h = hashes.filter(F.col("phash").isNotNull())
+    bands = h.select(
+        F.col("media_id").alias("_id"), "phash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned("phash", width * i)
+                     .bitwiseAND(F.lit(mask)).alias("bkey"))
+            for i in range(n_bands)])).alias("bk"),
+    ).select("_id", "phash", "bk.band", "bk.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(b, ["band", "bkey"])
+             .filter(F.col("a._id") < F.col("b._id"))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.expr("bit_count(a.phash ^ b.phash)")
+                     .cast("int").alias("hamming"))
+             .distinct()
+             .filter(F.col("hamming") <= max_hamming))
+    return pairs.orderBy("id_a", "id_b")
+
+
 def make_demo_media(spark, n: int = 64) -> DataFrame:
     """Deterministic in-code media fixture (binary payloads + typed meta).
     Image rows carry a FULL raw grayscale raster (meta.width×meta.height

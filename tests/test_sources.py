@@ -491,6 +491,47 @@ def test_ocr_reads_anti_aliased_renders_at_any_scale():
             parsers.render_text_jpeg("", pixels=aa, quality=90)) == text
 
 
+def test_phash_invariants_and_pairing(spark):
+    """Perceptual image hash (r8): the SAME rendered content survives
+    container and rendering changes (BMP == PNG exactly; anti-aliased and
+    lossy-JPEG versions within a small Hamming budget), DIFFERENT content
+    is far; the banded pair query finds exactly the same-content groups."""
+    from multiagent_document_etl_system_spark.sources import multimodal
+
+    def ph(payload):
+        rows = multimodal._decode_luma_rows(payload, {"codec": "file"})
+        return multimodal._phash64(rows)
+
+    a_bmp = ph(parsers.render_text_bmp("INVOICE 42 TOTAL 99"))
+    a_png = ph(parsers.render_text_png("INVOICE 42 TOTAL 99"))
+    a_aa = ph(parsers.render_text_png(
+        "", pixels=parsers.render_text_aa_pixels("INVOICE 42 TOTAL 99",
+                                                 scale=2)))
+    a_jpg = ph(parsers.render_text_jpeg("INVOICE 42 TOTAL 99", quality=90))
+    b_png = ph(parsers.render_text_png("REPORT AGG GROUP 7"))
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    assert a_bmp == a_png  # identical rasters -> identical hash
+    assert ham(a_bmp, a_aa) <= 16, ham(a_bmp, a_aa)
+    assert ham(a_bmp, a_jpg) <= 16, ham(a_bmp, a_jpg)
+    assert ham(a_bmp, b_png) > 16, ham(a_bmp, b_png)
+    assert 0 <= a_bmp < (1 << 63)  # fits a non-negative int64
+
+    # the registry fixture: 4 texts x 4 containers -> pairs ONLY within
+    # each text's container group (C(4,2)=6 pairs per text)
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    pairs = QUERIES["mm_phash_pairs"][0](
+        spark, "/root/testdata/sf0.001").collect()
+    groups = {r["id_a"] // 4 for r in pairs} | {r["id_b"] // 4
+                                                for r in pairs}
+    assert all(r["id_a"] // 4 == r["id_b"] // 4 for r in pairs)
+    assert len(pairs) == 6 * 4, len(pairs)
+    assert groups == {0, 1, 2, 3}
+
+
 def test_ocr_photograph_gate_errors_per_row():
     """The declared S4 limit (r7 verdict #6, closed r8): a photograph —
     binarization inks most of the frame, or glyph cells mostly fail the

@@ -44,6 +44,7 @@ PYTHON_OK = {
     "mm_decode_features", "mm_frame_sample", "mm_resize",
     "l4_embed", "l4_embed_dedup", "s1_parse_dispatch",
     "st_stateful_totals", "v13_topk_matmul", "v14_ann_lsh_matmul",
+    "mm_phash_pairs",  # binary decode + DCT perceptual hash (r8)
 }
 
 #: A cartesian is sanctioned ONLY when BOTH sides are bounded dimension

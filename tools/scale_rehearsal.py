@@ -1,0 +1,164 @@
+"""100×-shape rehearsal (VERDICT r7 #9): run the heaviest composites
+against a GENERATED large documents table — real wall-time + real
+shuffle bytes, the evidence static plan reading can't give.
+
+Fabrics:
+
+- ORGANIC (default): copy k of sf0.1's documents suffixes every token
+  with the copy index, so EVERY 3-gram shingle differs across copies —
+  copies share no near-dup structure and the workload shape matches
+  organic corpus growth. doc_ids offset by 100M per copy.
+- DUP BOMB (--dup): copy k rotates each document's word sequence left
+  by k. Rotation preserves all but ~4 boundary shingles, so every doc
+  gains factor-1 near-identical copies (Jaccard ≈ 0.99) — the
+  adversarial duplication-heavy regime. This fabric is what exposed the
+  r8 verify-join finding: candidate pairs grow O(copies²), the pair
+  broadcast falls back to SMJ, and (pre-fix) the corpus's shingle-set
+  arrays shuffled twice (9.4 GB at 100x) — now bounded by the
+  candidate-id prune in dedup.minhash_lsh_pairs.
+
+All other tables symlink to sf0.1 — the composites under test only scan
+documents.
+
+Usage: python tools/scale_rehearsal.py [--dup] [factor ...]
+(default factors: 10 100). Prints a table and the SCALE.md-ready rows;
+shuffle bytes come from the Spark REST status API (UI enabled for this
+session only).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+import urllib.request
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1"
+NAMES = ["td_curation_funnel", "td_prepare_corpus_v3",
+         "td_incremental_ingest"]
+#: composites whose iterative rounds run eagerly at DataFrame-build time
+#: (duplicate_clusters' per-round localCheckpoints) — timing a pre-built
+#: frame would skip them
+REBUILD = {"td_curation_funnel", "td_prepare_corpus_v3"}
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "embeddings"]
+
+
+def build_scaled_dir(spark, factor: int, dup_bomb: bool = False) -> str:
+    from pyspark.sql import functions as F
+
+    kind = "dup" if dup_bomb else "org"
+    out = tempfile.mkdtemp(prefix=f"sfx{factor}{kind}_")
+    d = spark.read.parquet(f"{BASE}/documents.parquet")
+    copies = []
+    for k in range(factor):
+        w = F.split("text", " ")
+        if k == 0:
+            txt = F.col("text")
+        elif dup_bomb:
+            txt = F.concat_ws(" ", F.concat(F.slice(w, k % 40 + 1, 1 << 20),
+                                            F.slice(w, 1, k % 40)))
+        else:
+            txt = F.concat_ws(" ", F.transform(
+                w, lambda t: F.concat(t, F.lit(str(k)))))
+        copies.append(d.select(
+            (F.col("doc_id") + k * 100_000_000).alias("doc_id"),
+            txt.alias("text"), "lang", "source",
+            F.length(txt).cast("bigint").alias("n_chars")))
+    full = copies[0]
+    for c in copies[1:]:
+        full = full.unionByName(c)
+    full.repartition(32).write.parquet(f"{out}/documents.parquet")
+    for t in TABLES:
+        os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def shuffle_totals(spark) -> tuple[int, int]:
+    url = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+                f"{url}/api/v1/applications/{app}/stages", timeout=5) as r:
+            stages = json.load(r)
+        return (sum(s.get("shuffleReadBytes", 0) for s in stages),
+                sum(s.get("shuffleWriteBytes", 0) for s in stages))
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return (0, 0)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    args = sys.argv[1:]
+    dup_bomb = "--dup" in args
+    factors = [int(a) for a in args if a != "--dup"] or [10, 100]
+    spark = (SparkSession.builder.master("local[32]")
+             .appName("scale-rehearsal")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+             .config("spark.ui.enabled", "true")
+             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+
+    dirs = {1: BASE}
+    for f in factors:
+        t0 = time.time()
+        dirs[f] = build_scaled_dir(spark, f, dup_bomb)
+        print(f"# built {f}x {'dup-bomb' if dup_bomb else 'organic'} "
+              f"fabric in {time.time() - t0:.1f}s -> {dirs[f]}",
+              file=sys.stderr)
+
+    results: dict[str, dict[int, tuple[float, int, int]]] = {}
+    for name in NAMES:
+        fn, _ = QUERIES[name]
+        results[name] = {}
+        for f in [1, *factors]:
+            sfd = dirs[f]
+            df = fn(spark, sfd)
+            df.write.format("noop").mode("overwrite").save()  # warm
+            best, best_sh = None, (0, 0)
+            for _ in range(2):
+                r0, w0 = shuffle_totals(spark)
+                t0 = time.time()
+                (fn(spark, sfd) if name in REBUILD else df) \
+                    .write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                r1, w1 = shuffle_totals(spark)
+                if best is None or dt < best:
+                    best, best_sh = dt, (r1 - r0, w1 - w0)
+            results[name][f] = (best, *best_sh)
+            print(f"# {name} @ {f}x: {best:.2f}s "
+                  f"shuffle r/w {best_sh[0] / 1e6:.1f}/{best_sh[1] / 1e6:.1f} MB",
+                  file=sys.stderr)
+
+    hi = max(factors)
+    print(f"{'query':24s} {'1x':>8s} " +
+          " ".join(f"{f}x".rjust(8) for f in factors) +
+          f" {'exp(1->' + str(hi) + 'x)':>14s} {'shWr@' + str(hi) + 'x':>10s}")
+    for name in NAMES:
+        row = results[name]
+        exp = math.log(row[hi][0] / row[1][0], hi)
+        cells = " ".join(f"{row[f][0]:8.2f}" for f in factors)
+        print(f"{name:24s} {row[1][0]:8.2f} {cells} {exp:14.2f} "
+              f"{row[hi][2] / 1e6:9.1f}M")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
