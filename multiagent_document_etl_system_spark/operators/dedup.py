@@ -340,9 +340,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # shuffle at the 100x rehearsal); with it, at worst the
     # candidate-sized subset shuffles once per side.
     cand_ids = (pairs.select(F.col("id_a").alias("_id"))
-                .union(pairs.select(F.col("id_b").alias("_id")))
-                .distinct())
-    sh_cand = sh_df.join(cand_ids, "_id")
+                .union(pairs.select(F.col("id_b").alias("_id"))))
+    # LEFT SEMI: no distinct shuffle needed (semi tolerates duplicate
+    # build rows and never multiplies the probe side)
+    sh_cand = sh_df.join(cand_ids, "_id", "left_semi")
     sh_a = sh_cand.select(F.col("_id").alias("id_a"),
                           F.col("_sh").alias("sh_a"))
     sh_b = sh_cand.select(F.col("_id").alias("id_b"),
