@@ -261,11 +261,25 @@ def main() -> None:
     # Common-set guard against window-set drift (r7 verdict #7): the
     # headline total runs over a MOVING query set, so "71.1 vs 63.4"
     # reads as a regression when 4 queries were merely added. Compare
-    # the overlap with the PREVIOUS COMMITTED detail (same sf only) so
+    # the overlap with the previous COMMITTED detail (same sf only) so
     # the top-level number is interpretable without re-deriving it.
+    # "Committed" means `git show HEAD:BENCH_DETAIL.json` — the on-disk
+    # file is this script's own output and would silently replace the
+    # baseline on back-to-back local runs; disk is only the fallback
+    # when git is unavailable, and the source is labeled either way.
     common = None
     try:
-        prev = json.loads(Path(REPO, "BENCH_DETAIL.json").read_text())
+        import subprocess
+        try:
+            raw = subprocess.run(
+                ["git", "-C", REPO, "show", "HEAD:BENCH_DETAIL.json"],
+                capture_output=True, check=True, timeout=10,
+            ).stdout.decode()
+            prev_source = "committed"
+        except (subprocess.SubprocessError, OSError):
+            raw = Path(REPO, "BENCH_DETAIL.json").read_text()
+            prev_source = "disk"
+        prev = json.loads(raw)
         if prev.get("sf") == sf:
             shared = set(prev["queries"]) & set(times)
             common = {
@@ -274,6 +288,7 @@ def main() -> None:
                     sum(times[q] for q in shared), 3),
                 "prev_common_total_sec": round(
                     sum(prev["queries"][q] for q in shared), 3),
+                "prev_source": prev_source,
             }
     except (OSError, ValueError, KeyError):
         pass

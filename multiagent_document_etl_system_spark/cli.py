@@ -686,8 +686,6 @@ def cmd_ingest(args) -> dict:
     (dedup_against_index groupBys per doc, so duplicate index rows can't
     change any flag). Deleting the staging dir is the commit point."""
     import hashlib
-    import os
-    import shutil
 
     from pyspark.sql import functions as F
 
@@ -698,13 +696,27 @@ def cmd_ingest(args) -> dict:
     )
 
     spark = get_spark("doc-etl-ingest")
-    incoming = spark.read.parquet(args.incoming_parquet)
-    shard_id = hashlib.md5(
-        os.path.abspath(args.incoming_parquet).encode()).hexdigest()[:12]
-    staging = os.path.join(args.corpus_dir, f"_staged_{shard_id}")
-    ok_marker = os.path.join(staging, "_STAGED_OK")
 
-    recovering = os.path.exists(ok_marker)
+    # ALL marker/existence/delete operations go through Hadoop's
+    # FileSystem API, not os/shutil: corpus_dir may be hdfs://, s3a://,
+    # or any other Spark-writable URI — the pre-r8 implementation was
+    # URI-agnostic and the crash-safety layer must stay so.
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(p: str):
+        return _hpath(p).getFileSystem(hconf)
+
+    shard_id = hashlib.md5(
+        args.incoming_parquet.encode()).hexdigest()[:12]
+    staging = f"{args.corpus_dir.rstrip('/')}/_staged_{shard_id}"
+    ok_marker = f"{staging}/_STAGED_OK"
+
+    incoming = spark.read.parquet(args.incoming_parquet)
+    recovering = _fs(ok_marker).exists(_hpath(ok_marker))
     if not recovering:
         md5_idx = spark.read.parquet(f"{args.index_dir}/md5")
         band_idx = spark.read.parquet(f"{args.index_dir}/bands")
@@ -713,8 +725,7 @@ def cmd_ingest(args) -> dict:
          .filter(~F.col("exact_dup") & (F.col("n_band_matches") == 0))
          .drop("exact_dup", "n_band_matches")
          .write.mode("overwrite").parquet(staging))
-        with open(ok_marker, "w"):
-            pass
+        _fs(ok_marker).create(_hpath(ok_marker), True).close()
     surv = spark.read.parquet(staging)
     n_in, n_surv = incoming.count(), surv.count()
 
@@ -724,6 +735,8 @@ def cmd_ingest(args) -> dict:
         # committed (doc_id-only column scan, recovery path only)
         committed = spark.read.parquet(args.corpus_dir).select("doc_id")
         to_append = surv.join(committed, "doc_id", "left_anti")
+        to_append = to_append.localCheckpoint()  # counted AND appended
+    n_new = to_append.count() if recovering else n_surv
     to_append.write.mode("append").parquet(args.corpus_dir)
     surv.select(F.md5("text").alias("h")).distinct() \
         .write.mode("append").parquet(f"{args.index_dir}/md5")
@@ -732,9 +745,13 @@ def cmd_ingest(args) -> dict:
                     shingles(F.col("text"), 3).alias("_sh")))
      .select("band", "bh").distinct()
      .write.mode("append").parquet(f"{args.index_dir}/bands"))
-    shutil.rmtree(staging)  # commit point
+    _fs(staging).delete(_hpath(staging), True)  # commit point
+    # n_appended counts rows THIS RUN actually appended (0 when the
+    # crashed attempt already committed them); n_survivors is the
+    # shard's dedup outcome, n_dropped its complement
     return {"success": True, "corpus": args.corpus_dir,
-            "n_incoming": n_in, "n_appended": n_surv,
+            "n_incoming": n_in, "n_appended": n_new,
+            "n_survivors": n_surv,
             "n_dropped": n_in - n_surv, "resumed": recovering}
 
 

@@ -242,12 +242,15 @@ def classify_llm(df: DataFrame, text_col: str = "text",
     the_client = client or mock_llm_client
 
     def _one(t) -> str | None:
+        # only the CLIENT call is guarded: a bug in the prompt builder or
+        # the (junk-safe by design) response parser must fail loudly, not
+        # silently NULL the whole corpus
+        prompt = build_classify_prompt(t if isinstance(t, str) else "")
         try:
-            return parse_label_response(
-                the_client(build_classify_prompt(
-                    t if isinstance(t, str) else "")))
+            resp = the_client(prompt)
         except Exception:  # noqa: BLE001 — row-level degrade by contract
             return None
+        return parse_label_response(resp)
 
     @F.pandas_udf(T.StringType())
     def _classify_batch(texts: pd.Series) -> pd.Series:

@@ -169,23 +169,35 @@ def _validate_py(d: dict) -> list[str]:
     """Python replica of operators/validate._checks for the LLM retry loop
     (same three rule families, same feedback strings — the reference's
     validation agent, src/agents.py:209-263). Empty/absent fields pass
-    (not checked), exactly like the SQL twin."""
+    (not checked), exactly like the SQL twin. The email regex is IMPORTED
+    from the twin (one source of truth), and the date rule requires the
+    zero-padded yyyy-MM-dd shape before parsing — strptime alone accepts
+    '2024-3-5', which try_to_timestamp(…, 'yyyy-MM-dd') rejects, and the
+    retry loop must never pass a row the validation operator will fail."""
     import datetime
     import re
 
+    from multiagent_document_etl_system_spark.operators.validate import (
+        EMAIL_FULL_RE,
+    )
+
     fb: list[str] = []
     email = d.get("email") or ""
-    if email and not re.fullmatch(
-            r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", str(email)):
+    # EMAIL_FULL_RE carries ^...$ anchors — harmless under fullmatch
+    if email and not re.fullmatch(EMAIL_FULL_RE, str(email)):
         fb.append("malformed email")
     date = d.get("date") or ""
     if date:
-        try:
-            parsed = datetime.datetime.strptime(str(date), "%Y-%m-%d")
-            if not (datetime.datetime(1900, 1, 1) <= parsed
-                    <= datetime.datetime(2100, 1, 1)):
-                fb.append("impossible date")
-        except ValueError:
+        sdate = str(date)
+        ok = bool(re.fullmatch(r"\d{4}-\d{2}-\d{2}", sdate))
+        if ok:
+            try:
+                parsed = datetime.datetime.strptime(sdate, "%Y-%m-%d")
+                ok = (datetime.datetime(1900, 1, 1) <= parsed
+                      <= datetime.datetime(2100, 1, 1))
+            except ValueError:
+                ok = False
+        if not ok:
             fb.append("impossible date")
     amount = d.get("amount")
     if amount is not None and str(amount) != "":

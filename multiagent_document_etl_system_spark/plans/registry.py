@@ -5992,10 +5992,11 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (None, None, None, "file")))
             mid += 1
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
-    # 8 bands (8-bit keys): the curated-collection recall setting — any
-    # pair differing in < 8 bits is guaranteed found (the fixture's
-    # cross-container distances run up to 8, spreadable across all four
-    # 16-bit bands)
+    # 8 bands of 8-bit keys: the curated-collection recall setting.
+    # Pigeonhole GUARANTEES pairs differing in < 8 bits; the fixture's
+    # worst cross-container distance is exactly 8, which is found here
+    # empirically (8 diffs would have to touch all 8 bands to be missed)
+    # and pinned by tests/test_sources.py — not proof-backed at 8.
     return multimodal.phash_near_pairs(
         multimodal.phash_images(media), max_hamming=16, n_bands=8)
 

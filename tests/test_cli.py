@@ -531,6 +531,9 @@ def test_ingest_resumes_after_crash_without_double_append(
 
     rc, resp = _run(capsys, ["ingest", incoming_dir, corpus_dir, index_dir])
     assert rc == 0 and resp["resumed"] is True
+    # the crashed attempt already committed the doc: THIS run appended 0,
+    # while the shard's dedup outcome (n_survivors) is still 1
+    assert resp["n_appended"] == 0 and resp["n_survivors"] == 1
     ids = sorted(r["doc_id"] for r in
                  spark.read.parquet(corpus_dir).select("doc_id").collect())
     assert ids == [1, 27]  # no double-append

@@ -88,6 +88,31 @@ def test_global_sort_accepts_topk():
     assert plan_lint.check_global_sort(_TOPK_SORT) == []
 
 
+_SORT_OVER_JOIN_WITH_BRANCH_AGG = _fmt("""
+* Sort (8)
++- SortMergeJoin Inner (7)
+   :- Exchange (3)
+   :  +- Filter (2)
+   :     +- Scan parquet  (1)
+   +- HashAggregate (6)
+      +- Exchange (5)
+         +- Scan parquet  (4)
+""", """
+(8) Sort
+Input [3]: [a#1, b#2, n#3]
+Arguments: [b#2 ASC NULLS FIRST], true, 0
+""")
+
+
+def test_global_sort_not_sanctioned_by_branch_aggregate():
+    """The r8 review's false negative: an aggregate on ONE branch of a
+    join does not reduce the join's output — only reducers on the Sort's
+    unary input spine may sanction it. A global sort over a corpus-scale
+    join whose dimension side happens to aggregate must still flag."""
+    assert plan_lint.check_global_sort(
+        _SORT_OVER_JOIN_WITH_BRANCH_AGG) == ["GlobalSortNoLimit(8)"]
+
+
 # -- check_single_partition --------------------------------------------
 
 _SP_INTO_WINDOW = _fmt("""

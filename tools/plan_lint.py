@@ -88,6 +88,13 @@ GLOBAL_SORT_OK = {
     # this query exists to exercise (docstring documents it). The
     # hand-written partitioned rank (q_min_per_group) is the 100 TB path.
     "q_lateral_topk",
+    # final orderBy over a JOIN of aggregates — the spine rule stops at
+    # the join (an aggregate on one branch proves nothing in general),
+    # but HERE both joined relations are group-count-bounded: the
+    # divergence report is #source-pairs × vocab-slice rows and the
+    # recall matrix is #rungs × k rows. Sanctioned by name with the
+    # boundedness argument, exactly what the sanction list is for.
+    "ta_source_divergence", "v21_recall_matrix",
 }
 
 #: Exchange-SinglePartition-into-non-aggregate sanctions. Every entry
@@ -148,10 +155,32 @@ def _ancestors(tree: list[str], i: int) -> list[str]:
     return out
 
 
+def _input_spine(tree: list[str], i: int) -> list[str]:
+    """The UNARY input chain below node i: follow single children and
+    stop at the first node with two or more (join/union) — an aggregate
+    on one BRANCH of a join does not reduce the join's output, so only
+    reducers on the spine may sanction a sort above them."""
+    out = []
+    sub_start, sub = i + 1, _subtree(tree, i)
+    while sub:
+        child_indent = min(_indent(ln) for ln in sub)
+        children = [j for j, ln in enumerate(sub)
+                    if _indent(ln) == child_indent]
+        if len(children) != 1:
+            break  # multi-child node: cardinality no longer spine-determined
+        j = children[0]
+        out.append(sub[j])
+        sub_start, sub = sub_start + j + 1, _subtree(tree, sub_start + j)
+    return out
+
+
 def check_global_sort(plan: str) -> list[str]:
     """Global Sort nodes with no Limit/TakeOrdered above and no
-    aggregation/limit below — i.e. a full range-shuffle + sort of an
-    unreduced relation."""
+    aggregation/limit on the INPUT SPINE below — i.e. a full
+    range-shuffle + sort of an unreduced relation. The reducer must sit
+    on the Sort's unary input chain: an aggregate on one branch of a
+    join below would not reduce what the Sort actually sorts (the r8
+    review's false-negative fix)."""
     tree = _tree(plan)
     global_ids = {
         m.group(1)
@@ -166,7 +195,7 @@ def check_global_sort(plan: str) -> list[str]:
             continue
         if any(_LIMITER.search(a) for a in _ancestors(tree, i)):
             continue
-        if any(_REDUCER.search(s) for s in _subtree(tree, i)):
+        if any(_REDUCER.search(s) for s in _input_spine(tree, i)):
             continue
         hits.append(f"GlobalSortNoLimit({m.group(1)})")
     return hits

@@ -46,7 +46,8 @@ NAMES = ["td_curation_funnel", "td_prepare_corpus_v3",
 #: composites whose iterative rounds run eagerly at DataFrame-build time
 #: (duplicate_clusters' per-round localCheckpoints) — timing a pre-built
 #: frame would skip them
-REBUILD = {"td_curation_funnel", "td_prepare_corpus_v3"}
+REBUILD = {"td_curation_funnel", "td_prepare_corpus_v3", "dedup_clusters",
+           "v24_graph_pagerank"}
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "embeddings"]
 
@@ -101,6 +102,19 @@ def main() -> int:
 
     args = sys.argv[1:]
     dup_bomb = "--dup" in args
+    names = NAMES
+    if "--names" in args:
+        i = args.index("--names")
+        if i + 1 >= len(args):
+            print("--names requires a comma-separated query list",
+                  file=sys.stderr)
+            return 2
+        names = args[i + 1].split(",")
+        del args[i:i + 2]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:  # fail BEFORE the expensive fabric build
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
     factors = [int(a) for a in args if a != "--dup"] or [10, 100]
     spark = (SparkSession.builder.master("local[32]")
              .appName("scale-rehearsal")
@@ -124,7 +138,7 @@ def main() -> int:
               file=sys.stderr)
 
     results: dict[str, dict[int, tuple[float, int, int]]] = {}
-    for name in NAMES:
+    for name in names:
         fn, _ = QUERIES[name]
         results[name] = {}
         for f in [1, *factors]:
@@ -150,7 +164,7 @@ def main() -> int:
     print(f"{'query':24s} {'1x':>8s} " +
           " ".join(f"{f}x".rjust(8) for f in factors) +
           f" {'exp(1->' + str(hi) + 'x)':>14s} {'shWr@' + str(hi) + 'x':>10s}")
-    for name in NAMES:
+    for name in names:
         row = results[name]
         exp = math.log(row[hi][0] / row[1][0], hi)
         cells = " ".join(f"{row[f][0]:8.2f}" for f in factors)
