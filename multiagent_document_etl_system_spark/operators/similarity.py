@@ -442,6 +442,28 @@ def ann_lsh_topk_multiprobe(queries: DataFrame, candidates: DataFrame,
     )
 
 
+def planes_for(n_vectors: int, target_bucket: int = 64,
+               floor_planes: int = 6, cap_planes: int = 16) -> int:
+    """LSH plane count that holds EXPECTED bucket occupancy near
+    ``target_bucket`` as the collection grows: ceil(log2(N/target)),
+    clamped to [floor, cap]. With a FIXED plane count, bucket occupancy
+    grows linearly in N and the within-bucket pair work quadratically —
+    the r8 100× rehearsal measured exactly that cliff on the kNN graph
+    (200k vectors over 2^6 buckets ⇒ ~3.1k/bucket ⇒ ~625M cosine pairs).
+    Log-scaling the planes restores O(N·target) pair volume; recall per
+    added plane is recovered by multiprobe (v11) where it matters.
+    Oracle-checked queries pin n_planes to a literal (their SQL twin
+    restates the plane constants), so this sizing rule is for the
+    DEPLOYMENT path — pass its result into knn_graph_stats /
+    embedding_near_pairs when N is known."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return floor_planes
+    return max(floor_planes,
+               min(cap_planes, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes via integer hashing (no
     numpy RNG on the driver → reproducible across runs/sessions, and the

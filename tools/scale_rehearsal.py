@@ -77,8 +77,31 @@ def build_scaled_dir(spark, factor: int, dup_bomb: bool = False) -> str:
     for c in copies[1:]:
         full = full.unionByName(c)
     full.repartition(32).write.parquet(f"{out}/documents.parquet")
+
+    # embeddings scale too (the ANN/graph ops read THIS table, not
+    # documents — without it their rehearsal rows are artifacts): copy k
+    # ROTATES each vector left by k positions — norms preserved, neighbor
+    # structure decorrelated across copies, so density grows like an
+    # organically larger collection rather than k-fold duplicate points.
+    e = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    ecopies = []
+    for k in range(factor):
+        dim = 64  # testdata embedding width; rotation is mod dim
+        r = k % dim
+        vec = (F.col("embedding") if r == 0 else
+               F.concat(F.slice("embedding", r + 1, dim - r),
+                        F.slice("embedding", 1, r)))
+        ecopies.append(e.select(
+            (F.col("vec_id") + k * 100_000_000).alias("vec_id"),
+            vec.alias("embedding"), "label"))
+    efull = ecopies[0]
+    for c in ecopies[1:]:
+        efull = efull.unionByName(c)
+    efull.repartition(32).write.parquet(f"{out}/embeddings.parquet")
+
     for t in TABLES:
-        os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+        if t != "embeddings":
+            os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
     return out
 
 
