@@ -4942,8 +4942,61 @@ _DRIVER_WINDOW_R8 = [
 _QUEUED_FOR_R9: list[str] = []
 
 
+# Round-9 window (the driver checks the FIRST 50 registry entries), pinned
+# FIRST THING this round per NOTES.md's recipe and the r8 verdict orders
+# #1 and #4: (1) the 3 items that queued behind the frozen r8 window —
+# first driver evidence for those contracts; (2) the 5 rows-only queries
+# that have NEVER had a driver row (verdict #4 — a `no_oracle` row is
+# still evidence the query RUNS under the driver session); (3) two
+# contract-coupled re-confirms: the r9 adaptive candidate-prune touches
+# dedup.minhash_lsh_pairs, so the two bench-regressed composites that
+# embed it re-confirm (td_prepare_corpus_v2, td_curation_funnel — both
+# r08-green; the pad set below also re-runs dedup_neighbor_jaccard, a
+# direct minhash_lsh_pairs wrapper, as a stale refresh); (4) the
+# remaining 40 slots = STALE-EVIDENCE REFRESH, strictly oldest-first:
+# every pad's latest driver row is r04 or older (3×r01, 11×r02, 25×r03,
+# 1×r04 — the whole pre-r04 oracled backlog clears this round; after r9
+# the oldest oracled evidence anywhere is r04). FROZEN AT PIN TIME — any
+# query added this round goes to _QUEUED_FOR_R10, never into this list
+# (tests/test_registry_order.py enforces it).
+_DRIVER_WINDOW_R9 = [
+    # --- 3 queued-for-R9 (first driver evidence) ---
+    "ta_langid_confusion",
+    "ta_zipf_profile",
+    "st_dedup_survivors",
+    # --- 5 rows-only queries with no driver row ever (verdict #4) ---
+    "mm_phash_pairs", "mm_frame_sample", "mm_resize",
+    "q_approx_percentile", "l4_embed_dedup",
+    # --- contract-coupled re-confirms (r9 touches minhash_lsh_pairs) ---
+    "td_prepare_corpus_v2", "td_curation_funnel",
+    # --- stale refresh: r01 evidence ---
+    "q_array_functions", "q_min_per_group", "q_window_firstlast",
+    # --- stale refresh: r02 evidence ---
+    "q_cube_status_priority", "q_distinct_agg", "q_event_dedup",
+    "q_global_topk", "q_rollup_region_nation", "q_window_lag",
+    "q_window_running", "st_tumbling_stream", "ta_bigrams",
+    "ta_term_frequency", "ta_token_stats",
+    # --- stale refresh: r03 evidence ---
+    "dedup_embedding_cosine", "dedup_exact_groups", "dedup_exact_keep",
+    "dedup_fingerprint_groups", "dedup_neighbor_jaccard",
+    "dedup_semantic_clusters", "k_json_kernels", "k_text_kernels",
+    "l1_classify", "l2_extract", "l3_validate", "ta_chunk_segments",
+    "ta_repetition", "td_profile", "td_snapshot_diff",
+    "td_stratified_sample", "v10_ann_recall", "v11_ann_multiprobe",
+    "v12_topk_auto", "v3_filtered_topk", "v4_top1_argmax",
+    "v5_fallback_cascade", "v6_ann_lsh_topk", "v6_namespace_scoped",
+    "v7_schema_id",
+    # --- stale refresh: r04 evidence ---
+    "q10_returned_revenue",
+]
+
+#: oracled queries added AFTER the r9 window was pinned — they queue for
+#: the r10 window head (frozen-window discipline, fifth rotation).
+_QUEUED_FOR_R10: list[str] = []
+
+
 def _driver_ordered(q: dict) -> dict:
-    head = [n for n in _DRIVER_WINDOW_R8 if n in q]
+    head = [n for n in _DRIVER_WINDOW_R9 if n in q]
     return {n: q[n] for n in head + [n for n in q if n not in set(head)]}
 
 
@@ -6061,8 +6114,8 @@ _QUEUED_FOR_R8 += [
     "st_stateful_totals",
 ]
 
-# Oracled queries added AFTER the r8 pin — frozen-window discipline,
-# fourth rotation: these head the r9 window.
+# Historical record of the r8 queue (all 3 promoted into the r9 window
+# head at pin time — see _DRIVER_WINDOW_R9 above).
 _QUEUED_FOR_R9 += [
     "ta_langid_confusion",
     "ta_zipf_profile",

@@ -1,16 +1,15 @@
-"""Driver-window ordering invariants (round-8).
+"""Driver-window ordering invariants (round-9).
 
 The external driver checks the FIRST 50 registry entries each round; these
-tests pin that the round-8 window contains exactly what the r7 verdict and
-NOTES.md ordered: the 7 items that queued behind the frozen r7 window at
-the head (first driver evidence for those contracts — the BPE lifecycle,
-the incremental-ingest pair, and the st_stateful_totals contract flip),
-the contract-coupled re-confirms for code this round touches
-(q_null_functions window fix, operators/bpe.py oracle guard,
-q_skew_profile's plan_lint sanction), the composite set, and 35
-stale-evidence refresh slots whose last driver row is r04 or older. The
-window is FROZEN: queries added after the pin go to _QUEUED_FOR_R9, never
-into the window.
+tests pin that the round-9 window contains exactly what the r8 verdict and
+NOTES.md ordered: the 3 items that queued behind the frozen r8 window at
+the head (first driver evidence), the 5 rows-only queries that have NEVER
+had a driver row (verdict #4 — a `no_oracle` row is still evidence the
+query runs under the driver session), two contract-coupled re-confirms
+(the r9 adaptive candidate-prune touches dedup.minhash_lsh_pairs, which
+both composites embed), and 40 stale-evidence refresh slots whose latest
+driver row is r04 or older. The window is FROZEN: queries added after the
+pin go to _QUEUED_FOR_R10, never into the window.
 """
 
 from __future__ import annotations
@@ -19,8 +18,9 @@ from multiagent_document_etl_system_spark.plans.registry import (
     _DRIVER_WINDOW_R6,
     _DRIVER_WINDOW_R7,
     _DRIVER_WINDOW_R8,
-    _QUEUED_FOR_R8,
+    _DRIVER_WINDOW_R9,
     _QUEUED_FOR_R9,
+    _QUEUED_FOR_R10,
     QUERIES,
 )
 
@@ -86,91 +86,100 @@ _EVER_DRIVER_CHECKED = {
     "st_span_gate", "td_quality_classifier", "td_temperature_mix",
     "v21_recall_matrix", "dedup_cross_source_matrix",
 }
-# added by the r6 and r7 windows (CORRECTNESS_r06/r07 == exactly those
-# windows, both 50/50 green — verified against the committed JSONs
+# added by the r6, r7 and r8 windows (CORRECTNESS_r06/r07/r08 == exactly
+# those windows, all 50/50 green — verified against the committed JSONs
 # before this pin)
 _EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R6)
 _EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R7)
+_EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R8)
 
-#: the 7 items that queued behind the frozen r7 window — they MUST head
-#: the r8 window (NOTES.md recipe). st_stateful_totals has prior driver
-#: rows but only `no_oracle` ones: its hash oracle (r7 contract flip) has
-#: never seen a driver run, so the slot still buys first-time evidence.
-_QUEUED_7 = [
-    "td_bpe_train", "td_incremental_ingest", "st_incremental_ingest",
-    "td_bpe_segment", "td_bpe_encode", "st_bpe_fertility",
-    "st_stateful_totals",
+#: the 3 oracled queries that queued behind the frozen r8 window — they
+#: MUST head the r9 window (NOTES.md recipe).
+_QUEUED_3 = ["ta_langid_confusion", "ta_zipf_profile", "st_dedup_survivors"]
+
+#: the 5 rows-only queries with NO driver row ever (verdict r8 #4): these
+#: deliberately occupy window slots ONCE so the driver records an
+#: `err: "no_oracle"` row proving each RUNS under the driver session.
+_ROWS_ONLY_SANCTIONED = [
+    "mm_phash_pairs", "mm_frame_sample", "mm_resize",
+    "q_approx_percentile", "l4_embed_dedup",
 ]
 
-#: queued entries that DO have prior driver rows — but only rows-only
-#: `no_oracle` ones (contract flipped to hash-oracled in r7)
-_QUEUED_CONTRACT_FLIPS = {"st_stateful_totals"}
-
-#: deliberate re-confirms: contract-coupled (q_null_functions's window fix
-#: + oracle change, bpe.py's oracle empty-merge guard, q_skew_profile's
-#: plan_lint sanction), the composite set, and the stale-evidence refresh
-#: pads — every one previously green.
-_RECONFIRM_R8 = set(_DRIVER_WINDOW_R8) - set(_QUEUED_7)
+#: deliberate re-confirms: contract-coupled (the r9 adaptive
+#: candidate-prune changes dedup.minhash_lsh_pairs, which both composites
+#: embed via _minhash_pairs_sql) + the 40 stale-evidence refresh pads —
+#: every one previously green.
+_RECONFIRM_R9 = (set(_DRIVER_WINDOW_R9) - set(_QUEUED_3)
+                 - set(_ROWS_ONLY_SANCTIONED))
 
 
 def test_window_is_exactly_the_head():
-    assert list(QUERIES)[: len(_DRIVER_WINDOW_R8)] == _DRIVER_WINDOW_R8
+    assert list(QUERIES)[: len(_DRIVER_WINDOW_R9)] == _DRIVER_WINDOW_R9
 
 
 def test_window_is_50_slots():
-    assert len(_DRIVER_WINDOW_R8) == 50
-    assert len(set(_DRIVER_WINDOW_R8)) == 50
+    assert len(_DRIVER_WINDOW_R9) == 50
+    assert len(set(_DRIVER_WINDOW_R9)) == 50
 
 
-def test_queued_7_lead_the_window():
-    assert _DRIVER_WINDOW_R8[:7] == _QUEUED_7
-    assert set(_QUEUED_7) == set(_QUEUED_FOR_R8)
+def test_queued_3_lead_the_window():
+    assert _DRIVER_WINDOW_R9[:3] == _QUEUED_3
+    assert set(_QUEUED_3) == set(_QUEUED_FOR_R9)
 
 
 def test_window_slots_all_produce_evidence():
-    """Every slot is either first-hash-evidence (queued) or a deliberate
-    (previously green) re-confirm — no accidental slots."""
-    for n in _DRIVER_WINDOW_R8:
-        if n in _QUEUED_7:
-            assert (n not in _EVER_DRIVER_CHECKED
-                    or n in _QUEUED_CONTRACT_FLIPS), n
+    """Every slot is first evidence (queued / sanctioned rows-only) or a
+    deliberate (previously green) re-confirm — no accidental slots."""
+    for n in _DRIVER_WINDOW_R9:
+        if n in _QUEUED_3 or n in _ROWS_ONLY_SANCTIONED:
+            assert n not in _EVER_DRIVER_CHECKED, n
         else:
             assert n in _EVER_DRIVER_CHECKED, n
-            assert n in _RECONFIRM_R8, n
+            assert n in _RECONFIRM_R9, n
+
+
+def test_stale_pads_have_at_least_40_slots():
+    """Verdict r8 #1: >=40 refreshed stale rows. The pads are everything
+    after the queued + rows-only + 2 re-confirm head (10 slots)."""
+    pads = _DRIVER_WINDOW_R9[10:]
+    assert len(pads) >= 40
 
 
 def test_window_covers_every_never_checked_oracled_query():
-    """After r8's window runs, zero oracled queries lack a driver row —
-    except those added after the pin, which queue for r9."""
+    """After r9's window runs, zero oracled queries lack a driver row —
+    except those added after the pin, which queue for r10."""
     never = [n for n, (_, oracle) in QUERIES.items()
              if oracle and n not in _EVER_DRIVER_CHECKED]
     missing = [n for n in never
-               if n not in _DRIVER_WINDOW_R8 and n not in _QUEUED_FOR_R9]
+               if n not in _DRIVER_WINDOW_R9 and n not in _QUEUED_FOR_R10]
     assert not missing, missing
 
 
 def test_window_is_frozen_against_new_additions():
-    """Queries added after the r8 pin must NOT displace window slots: they
-    are oracled, exist, and sit in _QUEUED_FOR_R9 outside the window."""
-    for n in _QUEUED_FOR_R9:
+    """Queries added after the r9 pin must NOT displace window slots: they
+    are oracled, exist, and sit in _QUEUED_FOR_R10 outside the window."""
+    for n in _QUEUED_FOR_R10:
         assert n in QUERIES and QUERIES[n][1], n
-        assert n not in _DRIVER_WINDOW_R8, n
+        assert n not in _DRIVER_WINDOW_R9, n
         assert n not in _EVER_DRIVER_CHECKED, n
 
 
-def test_no_rows_only_query_wastes_a_slot():
-    rows_only = [n for n in _DRIVER_WINDOW_R8 if not QUERIES[n][1]]
-    assert not rows_only, rows_only
+def test_rows_only_slots_are_exactly_the_sanctioned_five():
+    """Rows-only slots are normally waste; r9 sanctions exactly the 5
+    never-driver-checked ones (verdict #4), no others."""
+    rows_only = [n for n in _DRIVER_WINDOW_R9 if not QUERIES[n][1]]
+    assert sorted(rows_only) == sorted(_ROWS_ONLY_SANCTIONED), rows_only
 
 
 def test_every_window_name_exists():
-    missing = [n for n in _DRIVER_WINDOW_R8 if n not in QUERIES]
+    missing = [n for n in _DRIVER_WINDOW_R9 if n not in QUERIES]
     assert not missing, missing
 
 
 def test_stale_refresh_pads_are_actually_stale():
-    """The 35 pad slots exist to refresh the OLDEST driver evidence; none
-    of them may come from the r7 window (freshest evidence)."""
-    pads = [n for n in _DRIVER_WINDOW_R8[15:]]
-    overlap = [n for n in pads if n in set(_DRIVER_WINDOW_R7)]
+    """The 40 pad slots exist to refresh the OLDEST driver evidence; none
+    may come from the r7/r8 windows (freshest evidence)."""
+    pads = _DRIVER_WINDOW_R9[10:]
+    overlap = [n for n in pads
+               if n in set(_DRIVER_WINDOW_R7) | set(_DRIVER_WINDOW_R8)]
     assert not overlap, overlap

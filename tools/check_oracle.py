@@ -75,9 +75,9 @@ def main() -> int:
     if queued:
         # queries added after the window pin (next round's rotation)
         from multiagent_document_etl_system_spark.plans.registry import (
-            _QUEUED_FOR_R9,
+            _QUEUED_FOR_R10,
         )
-        names += list(_QUEUED_FOR_R9)
+        names += list(_QUEUED_FOR_R10)
     names = names or list(QUERIES)
 
     if vanilla:
