@@ -203,6 +203,13 @@ def main() -> None:
     # driver-side planning that a long-lived cluster amortizes to zero.
     REBUILD_PER_REP = {"td_prepare_corpus_v2", "td_prepare_corpus_v3",
                        "td_curation_funnel",
+                       # minhash_lsh_pairs eager-checkpoints its pair list
+                       # at build time (r9) — rebuild keeps the LSH chain
+                       # inside the measurement for every caller
+                       "dedup_minhash_lsh", "dedup_threshold_sweep",
+                       "dedup_keep_best", "ta_minhash_est_vs_exact",
+                       "td_dedup_provenance", "dedup_cluster_size_histogram",
+                       "td_dedup_policy_ablation",
                        # eager-checkpoints its edge list at build time —
                        # rebuilding per rep keeps the LSH join in the
                        # measurement

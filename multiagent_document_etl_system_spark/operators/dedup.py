@@ -286,7 +286,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       bands: int = 4, shingle_n: int = 3,
                       threshold: float = 0.5,
                       max_bucket: int = 1000,
-                      family: str = "md5") -> DataFrame:
+                      family: str = "md5",
+                      checkpoint_dir: str | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified by exact
     shingle Jaccard: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
 
@@ -303,7 +304,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     Bucket pair generation is O(b²) per bucket; ``max_bucket`` drops
     degenerate buckets (boilerplate clusters) the way production near-dup
     pipelines do, and AQE handles residual bucket skew.
+
+    ``checkpoint_dir``: the two lineage truncations below default to
+    ``localCheckpoint`` (right for local[N]); pass a directory for
+    reliable ``checkpoint()`` on a real cluster — the same knob
+    :func:`duplicate_clusters` exposes, for the same reason.
     """
+    def _truncate(rel: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            rel.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+            return rel.checkpoint(eager=True)
+        return rel.localCheckpoint(eager=True)
+
     sh_df = shingle_sets(df, text_col=text_col, id_col=id_col,
                          shingle_n=shingle_n)
     banded = band_signatures(sh_df, n_hashes=n_hashes, bands=bands,
@@ -314,6 +326,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .agg(F.collect_list("_id").alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    # The bucket relation is referenced TWICE below (pair generation +
+    # the candidate-id prune) and Catalyst does not share subtrees —
+    # unchecked, the shingle+minhash+band chain and its corpus-scale
+    # shuffle would execute once per reference (the r8 prune referenced
+    # the PAIR relation three times this way, which is exactly the
+    # +47-65% it cost at sf0.1). Truncating the lineage materializes the
+    # LSH chain ONCE; the bucket relation is O(candidate ids × bands)
+    # with every array capped at max_bucket — smaller than the pair list
+    # in the dup-heavy regime (pairs grow O(b²) per bucket, buckets O(b))
+    # and tiny next to the corpus at any scale. This replaces a
+    # probe-gated "adaptive prune": one mechanism covers both regimes
+    # instead of a mode switch that would still pay a probe job to pick
+    # the mode.
+    buckets = _truncate(buckets)
     pair_array = F.filter(
         F.flatten(F.transform(
             "ids",
@@ -339,10 +365,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # pairs-side SMJ fallback moved corpus-scale arrays TWICE (9.4 GB of
     # shuffle at the 100x rehearsal); with it, at worst the
     # candidate-sized subset shuffles once per side.
-    cand_ids = (pairs.select(F.col("id_a").alias("_id"))
-                .union(pairs.select(F.col("id_b").alias("_id"))))
-    # LEFT SEMI: no distinct shuffle needed (semi tolerates duplicate
-    # build rows and never multiplies the probe side)
+    # Candidate ids come from the (checkpointed) BUCKETS, not the pairs:
+    # every id in a surviving >=2-member bucket appears in >=1 pair (any
+    # two bucket members form one), so explode(ids) is exactly the pair
+    # id universe — without re-executing the pair explode+dedup. The
+    # .distinct() (r8 ADVICE) makes the build side genuinely O(candidate
+    # ids): without it the relation (and the planner's size estimate that
+    # decides broadcast) is bands×|bucket members| rows, which outgrows
+    # the broadcast threshold exactly when the raw pairs join did.
+    cand_ids = buckets.select(F.explode("ids").alias("_id")).distinct()
     sh_cand = sh_df.join(cand_ids, "_id", "left_semi")
     sh_a = sh_cand.select(F.col("_id").alias("id_a"),
                           F.col("_sh").alias("sh_a"))
@@ -359,7 +390,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     t_q = int(round(threshold * 10000))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
-    return (
+    verified = (
         cand.select(
             "id_a", "id_b", inter.alias("_i"), union.alias("_u"),
             F.round(
@@ -370,6 +401,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("_i") * F.lit(10000) >= F.lit(t_q) * F.col("_u"))
         .drop("_i", "_u")
     )
+    # Truncate the RESULT too: every composite consumer (cluster
+    # resolution + survivor anti-join, provenance, policy ablation)
+    # references the verified pair list at least twice, and without
+    # truncation each reference re-executes the semi-join + verify —
+    # including three more corpus scans of the shingle relation. The
+    # verified list is the smallest relation in the whole chain
+    # (threshold-filtered pairs), so this is the cheapest possible
+    # materialization point.
+    return _truncate(verified)
 
 
 SWEEP_THRESHOLDS: tuple[int, ...] = (

@@ -47,7 +47,12 @@ NAMES = ["td_curation_funnel", "td_prepare_corpus_v3",
 #: (duplicate_clusters' per-round localCheckpoints) — timing a pre-built
 #: frame would skip them
 REBUILD = {"td_curation_funnel", "td_prepare_corpus_v3", "dedup_clusters",
-           "v24_graph_pagerank"}
+           "v24_graph_pagerank",
+           # minhash_lsh_pairs eager-checkpoints at build time (r9)
+           "dedup_minhash_lsh", "dedup_threshold_sweep", "dedup_keep_best",
+           "td_prepare_corpus", "td_prepare_corpus_v2",
+           "ta_minhash_est_vs_exact", "td_dedup_provenance",
+           "dedup_cluster_size_histogram", "td_dedup_policy_ablation"}
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "embeddings"]
 
@@ -64,8 +69,13 @@ def build_scaled_dir(spark, factor: int, dup_bomb: bool = False) -> str:
         if k == 0:
             txt = F.col("text")
         elif dup_bomb:
-            txt = F.concat_ws(" ", F.concat(F.slice(w, k % 40 + 1, 1 << 20),
-                                            F.slice(w, 1, k % 40)))
+            # k % 39 + 1 (r8 ADVICE): a plain k % 40 rotation makes every
+            # copy with k ≡ 0 (mod 40) BYTE-IDENTICAL to copy 0 — exact
+            # dups the md5 path catches, not near-dups exercising the LSH
+            # verify. This keeps every non-base rotation nonzero.
+            rot = k % 39 + 1
+            txt = F.concat_ws(" ", F.concat(F.slice(w, rot + 1, 1 << 20),
+                                            F.slice(w, 1, rot)))
         else:
             txt = F.concat_ws(" ", F.transform(
                 w, lambda t: F.concat(t, F.lit(str(k)))))
