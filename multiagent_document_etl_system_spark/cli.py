@@ -664,6 +664,31 @@ def cmd_bpe_train(args) -> dict:
             "merges": [m[2] for m in merges]}
 
 
+def ingest_shard_id(spark, incoming: str) -> tuple[str, str]:
+    """(path_id, shard_id) for an ingest drop: path_id = md5 of the drop
+    path; shard_id = path_id + a CONTENT fingerprint (sorted file names +
+    lengths + modification times under the path, via Hadoop's FileSystem
+    so hdfs://, s3a://, and local URIs all work). Two runs over the same
+    drop path resume each other only when the bytes they saw match; a
+    reused path with new content gets a fresh shard identity."""
+    import hashlib
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(incoming)
+    fs = hp.getFileSystem(hconf)
+    entries = []
+    it = fs.listFiles(hp, True)
+    while it.hasNext():
+        st = it.next()
+        entries.append(f"{st.getPath().getName()}:{st.getLen()}:"
+                       f"{st.getModificationTime()}")
+    path_id = hashlib.md5(incoming.encode()).hexdigest()[:12]
+    content_id = hashlib.md5(
+        "\n".join(sorted(entries)).encode()).hexdigest()[:12]
+    return path_id, f"{path_id}-{content_id}"
+
+
 def cmd_ingest(args) -> dict:
     """Incremental corpus ingest (the td_incremental_ingest recipe as a
     write path): dedup an incoming shard against the persisted index
@@ -684,9 +709,9 @@ def cmd_ingest(args) -> dict:
     repair — only the recovery path ever scans corpus doc_ids), and the
     index appends are repeat-safe by set semantics
     (dedup_against_index groupBys per doc, so duplicate index rows can't
-    change any flag). Deleting the staging dir is the commit point."""
-    import hashlib
-
+    change any flag). Deleting the staging dir is the commit point.
+    Recovery only engages when the staging's CONTENT fingerprint matches
+    the incoming bytes (see :func:`ingest_shard_id` — r8 ADVICE)."""
     from pyspark.sql import functions as F
 
     from multiagent_document_etl_system_spark.operators.dedup import (
@@ -710,9 +735,19 @@ def cmd_ingest(args) -> dict:
     def _fs(p: str):
         return _hpath(p).getFileSystem(hconf)
 
-    shard_id = hashlib.md5(
-        args.incoming_parquet.encode()).hexdigest()[:12]
-    staging = f"{args.corpus_dir.rstrip('/')}/_staged_{shard_id}"
+    # shard identity = path hash + CONTENT fingerprint (r8 ADVICE: keyed
+    # on the path alone, a drop path reused with NEW content after a
+    # crashed run would silently resume the STALE staged survivors and
+    # never dedup the new shard's rows). Same-path stagings from an older
+    # content generation are definitively stale — delete them so they
+    # can't be resumed by any future run either.
+    path_id, shard_id = ingest_shard_id(spark, args.incoming_parquet)
+    corpus = args.corpus_dir.rstrip("/")
+    stale_glob = _hpath(f"{corpus}/_staged_{path_id}-*")
+    for st in (_fs(corpus).globStatus(stale_glob) or []):
+        if st.getPath().getName() != f"_staged_{shard_id}":
+            _fs(corpus).delete(st.getPath(), True)
+    staging = f"{corpus}/_staged_{shard_id}"
     ok_marker = f"{staging}/_STAGED_OK"
 
     incoming = spark.read.parquet(args.incoming_parquet)

@@ -200,12 +200,66 @@ def _validate_py(d: dict) -> list[str]:
         if not ok:
             fb.append("impossible date")
     amount = d.get("amount")
-    if amount is not None and str(amount) != "":
-        try:
-            float(amount)
-        except (TypeError, ValueError):
-            fb.append("non-numeric amount")
+    if (amount is not None and str(amount) != ""
+            and not isinstance(amount, (int, float))
+            and _spark_try_cast_double(str(amount)) is None):
+        fb.append("non-numeric amount")
     return fb
+
+
+def _is_hex_float(t: str) -> bool:
+    """Java hex floats require the 0x prefix; Python ``float.fromhex``
+    would also take bare '1p3', which Spark rejects."""
+    u = t[1:] if t[:1] in "+-" else t
+    return u[:2].lower() == "0x"
+
+
+def _spark_try_cast_double(t: str):
+    """Python mirror of Spark ``try_cast(s AS DOUBLE)`` — the rule the
+    validate operator applies — so the retry loop never passes a row the
+    validation operator will fail (r8 ADVICE: Python ``float()`` accepts
+    underscore-grouped '1_000', which Spark rejects). The reverse gaps are
+    closed too: Spark accepts Java ``Double.parseDouble`` forms Python
+    rejects — trailing d/f suffixes ('1d') and hex-significand floats
+    ('0x1p3') — plus the case-insensitive inf/infinity/nan special
+    literals (which Python's float() also takes). Pinned value-for-value
+    against a live Spark session in tests/test_llm_paths.py."""
+    import math
+    import re
+
+    t = t.strip()
+    if not t or "_" in t:
+        return None
+    try:
+        v = float(t)  # standard decimals/exponents + inf/infinity/nan
+        # SIGNED NaN is narrower than Python: Spark's special-literal
+        # path takes unsigned nan (any case), and the Java parseDouble
+        # path only exact-case [+-]?NaN — '-nan' is rejected by both.
+        if math.isnan(v) and t[0] in "+-" and t[1:] != "NaN":
+            return None
+        return v
+    except ValueError:
+        pass
+    if t[-1] in "dDfF":  # Java FloatingPointLiteral suffix
+        base = t[:-1]
+        # the suffix attaches to NUMERIC literals only — 'infd' is not
+        # Java Infinity and Spark rejects it (word forms are gated out by
+        # the digits-required regex; overflow like '1e309d' still passes,
+        # matching parseDouble's Infinity-on-overflow)
+        if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", base):
+            return float(base)
+        if _is_hex_float(base):
+            try:
+                return float.fromhex(base)  # 0x1p3d
+            except ValueError:
+                pass
+        return None
+    if _is_hex_float(t):
+        try:
+            return float.fromhex(t)  # 0x1p3 — parseDouble hex form
+        except ValueError:
+            return None
+    return None
 
 
 def extract_llm_retry(df: DataFrame, schema_col: str | None = None,

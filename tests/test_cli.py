@@ -499,7 +499,6 @@ def test_ingest_resumes_after_crash_without_double_append(
     the index appends must NOT double-append the survivors (the sealed
     staging dir routes the re-run through the doc_id anti-join guard) and
     must still grow the index so a replay is caught as an exact dup."""
-    import hashlib
     import os
 
     corpus_dir = str(tmp_path / "corpus")
@@ -521,8 +520,8 @@ def test_ingest_resumes_after_crash_without_double_append(
 
     # simulate the crashed first attempt: staging sealed, corpus already
     # appended, index appends never ran, staging never deleted
-    shard_id = hashlib.md5(
-        os.path.abspath(incoming_dir).encode()).hexdigest()[:12]
+    from multiagent_document_etl_system_spark.cli import ingest_shard_id
+    _, shard_id = ingest_shard_id(spark, os.path.abspath(incoming_dir))
     staging = os.path.join(corpus_dir, f"_staged_{shard_id}")
     inc = spark.read.parquet(incoming_dir)
     inc.write.mode("overwrite").parquet(staging)
@@ -543,3 +542,56 @@ def test_ingest_resumes_after_crash_without_double_append(
     rc, resp = _run(capsys, ["ingest", incoming_dir, corpus_dir, index_dir])
     assert rc == 0 and resp["resumed"] is False
     assert resp["n_appended"] == 0 and resp["n_dropped"] == 1
+
+
+def test_ingest_does_not_resume_stale_staging_after_content_change(
+        spark, tmp_path, capsys):
+    """r8 ADVICE: recovery keyed on md5(path) alone would resume a
+    crashed run's STALE staged survivors when the same drop path is
+    reused with NEW content — the new shard's rows would never be
+    deduped or ingested. The content fingerprint in the shard id must
+    route the re-run through a FRESH dedup of the new bytes and delete
+    the stale staging."""
+    import os
+    import shutil
+
+    from multiagent_document_etl_system_spark.cli import ingest_shard_id
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    incoming_dir = str(tmp_path / "incoming")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron " * 5).strip()
+    spark.createDataFrame([(1, base, "en", "web", len(base))],
+                          schema).write.parquet(corpus_dir)
+    rc, _ = _run(capsys, ["build-dedup-index", corpus_dir, index_dir])
+    assert rc == 0
+
+    # generation 1 of the drop path: one novel doc, crashed after sealing
+    gen1 = ("first generation prose about columnar layouts and shuffle "
+            "free aggregation pushdown " * 5).strip()
+    spark.createDataFrame([(101, gen1, "en", "crawl", len(gen1))],
+                          schema).write.parquet(incoming_dir)
+    _, stale_shard = ingest_shard_id(spark, incoming_dir)
+    staging = os.path.join(corpus_dir, f"_staged_{stale_shard}")
+    spark.read.parquet(incoming_dir).write.mode("overwrite").parquet(staging)
+    open(os.path.join(staging, "_STAGED_OK"), "w").close()
+
+    # the drop path is REUSED with generation 2: different content
+    shutil.rmtree(incoming_dir)
+    gen2 = ("second generation prose with entirely different vocabulary "
+            "about watermark eviction semantics " * 5).strip()
+    spark.createDataFrame([(202, gen2, "en", "crawl", len(gen2))],
+                          schema).write.parquet(incoming_dir)
+
+    rc, resp = _run(capsys, ["ingest", incoming_dir, corpus_dir, index_dir])
+    assert rc == 0
+    # NOT a resume: gen2 was deduped and ingested fresh
+    assert resp["resumed"] is False
+    assert resp["n_incoming"] == 1 and resp["n_appended"] == 1
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(corpus_dir).select("doc_id").collect())
+    assert ids == [1, 202]  # gen1's stale survivor (101) never ingested
+    assert not os.path.exists(staging)  # stale staging cleaned up

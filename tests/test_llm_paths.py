@@ -104,3 +104,35 @@ def test_classify_llm_is_arrow_batched_not_row_udf(spark):
         .executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_try_cast_double_mirror_matches_spark(spark):
+    """_spark_try_cast_double (the retry loop's amount rule) must agree
+    acceptance-for-acceptance with Spark's try_cast(s AS DOUBLE) — the
+    rule the validate operator applies — on every adversarial shape the
+    r8 ADVICE raised and the Java-only forms around it."""
+    vals = ["1_000", "1_0.5", "inf", "+inf", "-inf", "Infinity",
+            "-Infinity", "INFINITY", "nan", "NaN", "-nan", "-NaN", "+NaN", "-nAn", "1d", "1f",
+            "1D", "1F", "2.5d", "0x1p3", "0X1P3", "-0x1.8p1", "0x1p3d",
+            "1p3", " 1.5 ", "1e3", "1e", "+2", "-", ".5", "5.", "",
+            "1,000", "1.2.3", "½", "abc", "12abc", "1e309", "-1e-320",
+            "  +0.5e-2  ", "infd", "nanf", "Infinityd", "NaNd", "1e309d"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string") \
+        .select("s", F.col("s").try_cast("double").alias("d"))
+    spark_ok = {r["s"]: r["d"] is not None for r in df.collect()}
+    for v in vals:
+        mine = extract._spark_try_cast_double(v)
+        assert (mine is not None) == spark_ok[v], \
+            f"{v!r}: mirror={mine!r} spark_accepts={spark_ok[v]}"
+
+
+def test_validate_py_rejects_underscored_amounts():
+    """The r8 ADVICE repro: these passed _validate_py while the validate
+    operator flags them."""
+    assert extract._validate_py({"amount": "1_000"}) == [
+        "non-numeric amount"]
+    # Spark try_cast ACCEPTS the inf/nan special literals — so must the
+    # mirror (the ADVICE's suggested rejection would diverge the other way)
+    assert extract._validate_py({"amount": "inf"}) == []
+    assert extract._validate_py({"amount": "NaN"}) == []
+    assert extract._validate_py({"amount": "1d"}) == []

@@ -208,3 +208,40 @@ def test_null_functions_window_is_partitioned(spark):
     assert "hashpartitioning(user_id" in p
     assert plan_lint.check_single_partition(p) == []
     assert plan_lint.check_global_sort(p) == []
+
+
+_SORT_WITH_PAREN_INPUT = _fmt("""
+* Sort (3)
++- Exchange (2)
+   +- Scan parquet  (1)
+""", """
+(3) Sort
+Input [2]: [a#1, count(1)#5L]
+Arguments: [count(1)#5L ASC NULLS FIRST], true, 0
+""")
+
+
+def test_global_sort_sees_through_parenthesized_input_lists(spark=None):
+    """r8 ADVICE: a Sort whose detail-block Input list carries a
+    parenthesized expression (count(1)#5L from a preceding project) must
+    still be classified as global — the old [^(]*? span regex silently
+    skipped it."""
+    assert plan_lint.check_global_sort(_SORT_WITH_PAREN_INPUT) == [
+        "GlobalSortNoLimit(3)"]
+
+
+_SP_WITH_PAREN_INPUT = _fmt("""
+* Window (3)
++- Exchange (2)
+   +- Scan parquet  (1)
+""", """
+(2) Exchange
+Input [2]: [a#1, avg(b#2)#7]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=42]
+""")
+
+
+def test_single_partition_sees_through_parenthesized_input_lists():
+    """Same detail-block parsing hazard for the SinglePartition check."""
+    hits = plan_lint.check_single_partition(_SP_WITH_PAREN_INPUT)
+    assert hits and "Window" in hits[0]

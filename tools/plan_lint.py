@@ -174,6 +174,27 @@ def _input_spine(tree: list[str], i: int) -> list[str]:
     return out
 
 
+def _detail_blocks(plan: str) -> dict[str, tuple[str, str]]:
+    """node id -> (node name, its `Arguments:` payload), parsed from the
+    formatted-explain DETAIL section one node block at a time. An
+    `[^(]*?` span between the `(N) Name` header and `Arguments:` would
+    silently fail whenever the block's Input list carries a parenthesized
+    expression (`count(1)#5L`) — the r8 ADVICE false negative — so this
+    walks line-wise: a header line opens a block, the first `Arguments:`
+    line inside it is the payload."""
+    blocks: dict[str, tuple[str, str]] = {}
+    cur_id = cur_name = None
+    for ln in plan.splitlines():
+        m = re.match(r"\((\d+)\) (\w[\w $.]*)", ln)
+        if m:
+            cur_id, cur_name = m.group(1), m.group(2).strip()
+            continue
+        if cur_id is not None and ln.startswith("Arguments: ") \
+                and cur_id not in blocks:
+            blocks[cur_id] = (cur_name, ln[len("Arguments: "):])
+    return blocks
+
+
 def check_global_sort(plan: str) -> list[str]:
     """Global Sort nodes with no Limit/TakeOrdered above and no
     aggregation/limit on the INPUT SPINE below — i.e. a full
@@ -183,10 +204,8 @@ def check_global_sort(plan: str) -> list[str]:
     review's false-negative fix)."""
     tree = _tree(plan)
     global_ids = {
-        m.group(1)
-        for m in re.finditer(
-            r"\((\d+)\) Sort\b[^(]*?Arguments: \[[^\n]*\], true, \d+",
-            plan)
+        nid for nid, (name, args) in _detail_blocks(plan).items()
+        if re.match(r"Sort\b", name) and re.search(r", true, \d+\s*$", args)
     }
     hits = []
     for i, ln in enumerate(tree):
@@ -207,9 +226,9 @@ def check_single_partition(plan: str) -> list[str]:
     serial bottleneck unless the relation is bounded (sanction list)."""
     tree = _tree(plan)
     sp_ids = {
-        m.group(1)
-        for m in re.finditer(
-            r"\((\d+)\) Exchange\b[^(]*?Arguments: SinglePartition", plan)
+        nid for nid, (name, args) in _detail_blocks(plan).items()
+        if re.match(r"Exchange\b", name)
+        and args.startswith("SinglePartition")
     }
     hits = []
     for i, ln in enumerate(tree):
