@@ -256,3 +256,27 @@ def test_dedup_provenance_reasons(spark):
         assert r.ref_id is not None and r.ref_id < r.doc_id
     for r in by_reason.get("near_dup", []):
         assert r.ref_id is not None and r.ref_id != r.doc_id
+
+
+def test_minhash_pairs_reliable_checkpoint_path(spark, tmp_path):
+    """r9: minhash_lsh_pairs grew the same ``checkpoint_dir=`` knob as
+    duplicate_clusters (its bucket + result truncations default to
+    localCheckpoint — wrong for a real cluster where an executor loss
+    must not kill the lineage). Both paths must emit identical verified
+    pairs, and the reliable path must actually write checkpoint state."""
+    import os
+
+    from multiagent_document_etl_system_spark.io import load_table
+    from multiagent_document_etl_system_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])  # noqa: E731
+    local = sorted(map(key, minhash_lsh_pairs(docs, threshold=0.3)
+                       .collect()))
+    ckpt = str(tmp_path / "mh_ckpt")
+    reliable = sorted(map(key, minhash_lsh_pairs(
+        docs, threshold=0.3, checkpoint_dir=ckpt).collect()))
+    assert reliable == local and local  # identical AND non-trivial
+    assert any(os.scandir(ckpt)), "no files under the checkpoint dir"
