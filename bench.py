@@ -313,7 +313,14 @@ def main() -> None:
     }
     if common:
         detail["common_set_vs_prev_committed"] = common
-    Path(REPO, "BENCH_DETAIL.json").write_text(
+    # BENCH_DETAIL.json is the COMMITTED round-over-round record at the
+    # headline sf — a sanity run at another sf must not clobber it (r9:
+    # an sf0.001 smoke overwrote the r8 sf0.1 detail and silenced the
+    # common-set compare for a round). Other sfs write a suffixed,
+    # untracked file.
+    detail_name = ("BENCH_DETAIL.json" if sf == 0.1
+                   else f"BENCH_DETAIL_sf{sf}.json")
+    Path(REPO, detail_name).write_text(
         json.dumps(detail, indent=1) + "\n")
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     line = {
