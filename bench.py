@@ -150,6 +150,12 @@ HEADLINE = [
     "st_diversity_gate",
     # foreachBatch append pipeline: real parquet writes per micro-batch
     "st_incremental_ingest",
+    # r9 additions: the skew-resilient sessionization (the --skew
+    # rehearsal's 5.2x-at-100x fix) and the JDBC round-trip (the Derby
+    # write is session-cached; each rep re-executes the 8-stride
+    # partitioned read + aggregate)
+    "q_sessionize_chunked",
+    "k1_jdbc_roundtrip",
 ]
 
 

@@ -378,6 +378,57 @@ def upsert_parquet(spark: SparkSession, df: DataFrame, path: str,
     _swap_into_place(fs, HPath, tmp, path, old)
 
 
+def read_jdbc_partitioned(spark: SparkSession, url: str, table: str,
+                          partition_column: str, num_partitions: int = 8,
+                          lower_bound: int | None = None,
+                          upper_bound: int | None = None,
+                          **options: str) -> DataFrame:
+    """K1's READ direction, sized for a cluster: a plain ``spark.read
+    .jdbc`` pulls the whole table through ONE connection on one executor
+    — the serial-ingest anti-pattern at any scale. This splits the scan
+    into ``num_partitions`` range predicates on an integral
+    ``partition_column`` (each executor opens its own connection for its
+    stride), the standard Spark parallel-JDBC contract.
+
+    Bounds default to a one-row min/max probe of the source table — the
+    same cheap aggregate a production ingest job issues first — so
+    callers only pass them to pin a window. Empty table ⇒ empty frame
+    (bounds probe returns NULLs ⇒ unpartitioned read of zero rows).
+
+    Pushdown note: the range predicates land in each partition's WHERE
+    clause server-side; further filters composed on the returned frame
+    are pushed into the JDBC source by Catalyst where the dialect
+    supports them (`PushedFilters` in the scan node)."""
+    # the bounds probe must QUOTE the identifier: Spark's JDBC writer
+    # creates case-sensitive quoted columns, so an unquoted name would
+    # resolve to the dialect's upper-cased identifier and miss
+    # (Derby/Postgres/Oracle use ANSI double quotes; pass quote_char='`'
+    # for MySQL)
+    qc = options.pop("quote_char", '"')
+    reader = (spark.read.format("jdbc").option("url", url)
+              .option("dbtable", table).options(**options))
+    if lower_bound is None or upper_bound is None:
+        col = f"{qc}{partition_column}{qc}"
+        probe = (spark.read.format("jdbc").option("url", url)
+                 .option("query",
+                         f"SELECT MIN({col}) AS lo, "
+                         f"MAX({col}) AS hi FROM {table}")
+                 .options(**options).load().first())
+        # positional access: dialects re-case unquoted aliases
+        # (Derby upper-cases 'lo' -> 'LO')
+        if probe[0] is None:  # empty source table
+            return reader.load()
+        lower_bound = int(probe[0]) if lower_bound is None \
+            else lower_bound
+        upper_bound = int(probe[1]) if upper_bound is None \
+            else upper_bound
+    return (reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+            .load())
+
+
 def write_jdbc(df: DataFrame, url: str, table: str,
                mode: str = "append", **options: str) -> None:
     """K1 — Postgres insert sink (``/root/reference/src/supabase_client.py:45-76``)

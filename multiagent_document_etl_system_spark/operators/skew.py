@@ -71,3 +71,75 @@ def salted_agg(df: DataFrame, key: str, aggs: dict[str, tuple[str, str]],
         getattr(F, mergers[fn])(out).alias(out)
         for out, (_, fn) in aggs.items()
     ])
+
+
+def sessionize_chunked_counts(events: DataFrame, gap_s: int = 1800,
+                              chunk_s: int = 86400,
+                              user_col: str = "user_id",
+                              ts_col: str = "ts",
+                              order_col: str = "event_id") -> DataFrame:
+    """Skew-resilient sessionization counts: (user, n_sessions, n_events)
+    — identical semantics to the plain lag+cumsum gaps-and-islands
+    (plans/analytics.q_sessionize), restructured so NO window partition
+    ever holds a whole hot user.
+
+    The plain form partitions the event-level window by user alone; a
+    hot key (one user with 30% of a 100×-scaled stream — the --skew
+    rehearsal fabric) serializes in a single WindowExec partition:
+    measured exp ≈ 1.0 in the 10×→100× decade, 11 s at 100×. Salting
+    cannot fix a window the way it fixes an aggregate — the cumulative
+    sum is order-dependent — but sessionization has chunk-local
+    structure the window can exploit:
+
+    1. bucket events into ``chunk_s`` time chunks; run the SAME
+       lag+cumsum flags inside (user, chunk) partitions — the hot key
+       now splits across its active chunks, and within-chunk flags are
+       identical to the global ones except the chunk's FIRST event
+       (lag sees NULL locally);
+    2. per (user, chunk): local session count + first/last event time —
+       a hash aggregate (map-side partials, salt-proof);
+    3. the only cross-chunk coupling is whether a chunk's first event
+       CONTINUES the previous non-empty chunk's last session:
+       ``first_ts(c) - last_ts(prev) <= gap_s``. With ``chunk_s >
+       gap_s`` this can only ever hold for the adjacent chunk (an empty
+       chunk in between forces a gap >= chunk_s), so one lag over the
+       per-(user, chunk) relation — AT MOST time-range/chunk_s rows per
+       user, bucket-level not event-level — decides every merge;
+    4. n_sessions(user) = Σ local_sessions − Σ merges.
+
+    ``gap_s`` comparisons ride unix_timestamp seconds, mirroring the
+    plain form exactly (ties ordered by ``order_col``). Requires
+    ``chunk_s > gap_s`` (asserted) — the property step 3's adjacency
+    argument needs."""
+    from pyspark.sql import Window
+
+    if chunk_s <= gap_s:
+        raise ValueError(
+            f"chunk_s ({chunk_s}) must exceed gap_s ({gap_s}): the "
+            "adjacent-chunk merge argument requires an empty chunk to "
+            "imply a session break")
+    ut = F.unix_timestamp(ts_col)
+    ev = events.withColumn("_ut", ut) \
+        .withColumn("_chunk", F.floor(F.col("_ut") / chunk_s))
+    wloc = (Window.partitionBy(user_col, "_chunk")
+            .orderBy(ts_col, order_col))
+    gap = F.col("_ut") - F.lag("_ut").over(wloc)
+    flagged = ev.withColumn(
+        "_new",
+        F.when(F.lag(ts_col).over(wloc).isNull() | (gap > gap_s), 1)
+        .otherwise(0))
+    per_chunk = flagged.groupBy(user_col, "_chunk").agg(
+        F.sum("_new").alias("_n_local"),
+        F.count("*").alias("_n_events"),
+        F.min("_ut").alias("_first_ut"),
+        F.max("_ut").alias("_last_ut"))
+    wchunk = Window.partitionBy(user_col).orderBy("_chunk")
+    merged = per_chunk.withColumn(
+        "_joins_prev",
+        F.when(
+            (F.col("_first_ut") - F.lag("_last_ut").over(wchunk)) <= gap_s,
+            1).otherwise(0))
+    return merged.groupBy(user_col).agg(
+        (F.sum("_n_local") - F.sum("_joins_prev")).cast("bigint")
+        .alias("n_sessions"),
+        F.sum("_n_events").cast("bigint").alias("n_events"))

@@ -1433,7 +1433,12 @@ FROM sessions GROUP BY user_id
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-min gap): lag + cumulative sum.
     One shuffle on user_id; the same shape session_window gives in
-    streaming (streamx). Skewed users are AQE's problem, not ours."""
+    streaming (streamx). CAVEAT measured by the r9 --skew rehearsal: a
+    HOT user serializes in one WindowExec partition (exp ≈ 1.0 in the
+    10×→100× decade) — AQE cannot split a window partition and salting
+    breaks the cumulative sum. q_sessionize_chunked is the
+    skew-resilient form; this one stays the simple reference shape for
+    organically-keyed streams."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = Window.partitionBy("user_id").orderBy("ts") \
@@ -1448,6 +1453,45 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sess_id").cast("bigint").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+@_q("q_sessionize_chunked", """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+), sessions AS (
+  SELECT user_id,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged
+)
+SELECT user_id, CAST(count(DISTINCT sess_id) AS BIGINT) AS n_sessions,
+  count(*) AS n_events
+FROM sessions GROUP BY user_id
+""")
+def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-RESILIENT sessionization (operators/skew.py:
+    sessionize_chunked_counts), same 30-min-gap semantics as
+    q_sessionize — the oracle is literally the same SQL — but the
+    event-level window partitions by (user, day-chunk) instead of user
+    alone, so a hot key splits across its active chunks and the only
+    per-user window runs over the tiny per-(user, chunk) relation
+    (<= days rows per user). Cross-chunk session continuity is a single
+    bucket-level lag: with chunk > gap, an empty chunk between two
+    events forces a session break, so only adjacent non-empty chunks
+    can merge. Born from the r9 --skew rehearsal: the plain form
+    measured exp ~ 1.0 on the hot decade; this form is the 100 TB
+    path for power-law user activity."""
+    from multiagent_document_etl_system_spark.operators.skew import (
+        sessionize_chunked_counts,
+    )
+
+    return sessionize_chunked_counts(_t(spark, sf_dir, "events"))
 
 
 # ------------------------------------------------- TPC-H-shape breadth (r2)

@@ -220,6 +220,87 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def user_profile_tws(events: DataFrame) -> DataFrame:
+    """Per-user lifetime profile via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state API (SPARK-49488), the successor to the
+    ``applyInPandasWithState`` that :func:`running_user_totals` uses: a
+    ``StatefulProcessor`` class with TYPED state handles (value / map /
+    list, each independently evolvable and TTL-able) instead of one
+    opaque state tuple. Two of them are exercised here:
+
+    - ValueState ``(n, total, vmax)``: integer counters on the 1e6 grid —
+      integer addition and max are order-insensitive, so the FINAL state
+      per user is identical under any micro-batch partitioning (the
+      st_stateful_totals full-hash-oracle recipe).
+    - MapState keyed by ``event_type``: the per-user distinct-type set.
+      Set union is order-insensitive too, so ``n_types`` carries the
+      same oracle guarantee — and a keyed sub-state is exactly the shape
+      the old API could only fake by packing collections into the value
+      tuple.
+
+    Emits one row per (user, micro-batch) in update mode; consumers take
+    the final row per user (max_by over the strictly increasing
+    ``n_events``). State is a few bytes + one map entry per distinct
+    event type per user — scales with key cardinality, not stream
+    length.
+
+    ENVIRONMENT BOUNDARY: the API's Python<->JVM state protocol rides
+    the ``protobuf`` package, which this container does not ship — the
+    query raises STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE at the
+    first micro-batch here. The implementation is complete and the
+    staged-replay equality test (tests/test_streaming.py) activates
+    unchanged the moment the environment grows the package — the same
+    declared-boundary pattern as the pytesseract OCR tier."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._val = handle.getValueState(
+                "profile", "n long, total long, vmax long")
+            self._types = handle.getMapState(
+                "types", "event_type string", "seen boolean")
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._val.exists():
+                n, total, vmax = self._val.get()
+            else:
+                n, total, vmax = 0, 0, None
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                q = np.floor(
+                    pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+                    * 1e6 + 0.5).astype("int64")
+                total += int(q.sum())
+                m = int(q.max())
+                vmax = m if vmax is None or m > vmax else vmax
+                for et in pdf["event_type"].dropna().unique():
+                    self._types.updateValue((str(et),), (True,))
+            if n == 0:  # no data rows for this key in the batch
+                return
+            self._val.update((n, total, vmax))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n],
+                "total_q1e6": [total], "max_q1e6": [vmax],
+                "n_types": [n_types],
+            })
+
+        def close(self) -> None:
+            pass
+
+    out_schema = ("user_id long, n_events long, total_q1e6 long, "
+                  "max_q1e6 long, n_types long")
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _Profile(), out_schema, outputMode="update", timeMode="none")
+
+
 def run_to_memory(agg: DataFrame, name: str, output_mode: str = "append",
                   shuffle_partitions: int = 32):
     """Drive a streaming aggregation to completion over the (finite) file

@@ -90,3 +90,40 @@ def test_jdbc_overwrite_mode(spark, tmp_path):
     write_jdbc(two, url, "t", mode="overwrite", driver=DERBY)
     rows = sorted(tuple(r) for r in _read(spark, url, "t").collect())
     assert rows == [(2, "b"), (3, "c")]
+
+
+def test_partitioned_jdbc_read_roundtrip(spark, tmp_path):
+    """read_jdbc_partitioned must split the scan into range strides (one
+    JDBC partition per stride — N input partitions, each its own
+    connection) and return exactly the written rows; bounds default to
+    the min/max probe. Empty table ⇒ empty frame, no crash."""
+    from multiagent_document_etl_system_spark.io import (
+        read_jdbc_partitioned,
+        write_jdbc,
+    )
+
+    url = _url(tmp_path, "part_rt")
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CAST(id % 7 AS LONG) AS grp", "repeat('x', 10) AS pad")
+    write_jdbc(df, url, "wide", mode="append", driver=DERBY)
+
+    back = read_jdbc_partitioned(spark, url, "wide", "id",
+                                 num_partitions=8, driver=DERBY)
+    assert back.rdd.getNumPartitions() == 8
+    assert back.count() == 1000
+    assert back.agg({"id": "sum"}).first()[0] == 499500
+    # strides cover the space with no dup/loss at the boundaries
+    assert back.select("id").distinct().count() == 1000
+
+    # explicit bounds narrow server-side: only the window's strides read
+    lo = read_jdbc_partitioned(spark, url, "wide", "id", num_partitions=4,
+                               lower_bound=0, upper_bound=99, driver=DERBY)
+    # Spark's range partitioning CLAMPS strides, not rows: rows outside
+    # the bounds still land in the edge partitions by contract, so the
+    # narrowing is about stride math, not filtering — assert the contract
+    assert lo.count() == 1000 and lo.rdd.getNumPartitions() == 4
+
+    write_jdbc(df.limit(0), url, "empty_t", mode="append", driver=DERBY)
+    empty = read_jdbc_partitioned(spark, url, "empty_t", "id",
+                                  num_partitions=8, driver=DERBY)
+    assert empty.count() == 0

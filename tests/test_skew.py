@@ -99,3 +99,88 @@ def test_aqe_splits_skewed_smj_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sessionize_chunked_equals_plain_on_planted_boundaries(spark):
+    """The chunked form must agree with the plain lag+cumsum form on the
+    exact hazards its restructuring introduces: sessions straddling a
+    chunk boundary (merge), gaps of exactly gap_s (same session — the
+    rule is strictly >), breaks of gap_s+1 across a boundary, sessions
+    spanning 3+ chunks, an empty chunk between events (break by the
+    adjacency argument), and timestamp ties ordered by event_id."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from multiagent_document_etl_system_spark.operators.skew import (
+        sessionize_chunked_counts,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def at(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    day = 86400
+    rows = [
+        # user 1: one session straddling midnight (chunk boundary):
+        # events at 23:50 and 00:10 next day, 1200s apart -> ONE session
+        (101, 1, "a", at(day - 600), 1.0),
+        (102, 1, "a", at(day + 600), 1.0),
+        # user 1 later: exactly gap_s apart -> same session (rule is >)
+        (103, 1, "a", at(day + 600 + 1800), 1.0),
+        # then gap_s+1 -> new session
+        (104, 1, "a", at(day + 600 + 1800 + 1801), 1.0),
+        # user 2: a session spanning THREE chunks (events every 20 min
+        # around two midnights)
+        (201, 2, "b", at(2 * day - 1200), 1.0),
+        (202, 2, "b", at(2 * day - 100), 1.0),
+        (203, 2, "b", at(2 * day + 900), 1.0),
+        (204, 2, "b", at(3 * day - 900), 1.0),  # big gap same day -> new
+        (205, 2, "b", at(3 * day + 100), 1.0),  # straddles next midnight
+        # user 3: empty chunk between two events -> must break
+        (301, 3, "c", at(100), 1.0),
+        (302, 3, "c", at(2 * day + 100), 1.0),
+        # user 4: timestamp ties (same ts, distinct event_ids)
+        (401, 4, "d", at(5000), 1.0),
+        (402, 4, "d", at(5000), 1.0),
+        (403, 4, "d", at(5000 + 1801), 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in sessionize_chunked_counts(ev).collect()}
+
+    # the plain q_sessionize shape, inlined on the same frame
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sess_id", F.sum("new_sess").over(wrun)))
+    want = {r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in sess.groupBy("user_id").agg(
+                F.countDistinct("sess_id").cast("bigint")
+                .alias("n_sessions"),
+                F.count("*").alias("n_events")).collect()}
+    assert got == want
+    # and the planted expectations themselves
+    assert got[1] == (2, 4)
+    assert got[2] == (2, 5)
+    assert got[3] == (2, 2)
+    assert got[4] == (2, 3)
+
+
+def test_sessionize_chunked_rejects_chunk_not_exceeding_gap():
+    import pytest
+
+    from multiagent_document_etl_system_spark.operators.skew import (
+        sessionize_chunked_counts,
+    )
+
+    with pytest.raises(ValueError, match="must exceed"):
+        sessionize_chunked_counts(None, gap_s=3600, chunk_s=3600)

@@ -282,3 +282,57 @@ def test_foreach_batch_upsert_parquet_is_exactly_once(spark, tmp_path):
     vals = {r.event_id: r.value for r in out.collect()}
     assert all(vals[i] != -1.0 for i in range(0, 20))
     assert all(vals[i] == -1.0 for i in range(40, 60))
+
+
+def _protobuf_present() -> bool:
+    """transformWithStateInPandas's Python<->JVM state protocol rides
+    protobuf; absent here — the declared environment boundary."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_present(),
+    reason="protobuf absent — transformWithStateInPandas's state "
+           "protocol cannot initialize in this container (declared "
+           "boundary; install protobuf to activate)")
+def test_tws_user_profile_matches_batch(spark, events_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): the
+    typed ValueState counters and the MapState distinct-type set must
+    land on the batch groupBy profile exactly — same construction as
+    test_stateful_running_totals, richer state."""
+    from multiagent_document_etl_system_spark.streaming.streamx import (
+        EVENTS_SCHEMA,
+        run_to_memory,
+        user_profile_tws,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    run_to_memory(user_profile_tws(stream), "tws_profile",
+                  output_mode="update")
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    grid = F.floor(F.coalesce("value", F.lit(0.0)) * 1e6 + 0.5).cast("long")
+    expected = {
+        r["user_id"]: (r["n"], r["total"], r["vmax"], r["nt"])
+        for r in batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(grid).alias("total"),
+            F.max(grid).alias("vmax"),
+            F.countDistinct("event_type").alias("nt")).collect()
+    }
+    got = {
+        r["user_id"]: (r["n_events"], r["total_q1e6"], r["max_q1e6"],
+                       r["n_types"])
+        for r in spark.sql("""
+            SELECT * FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC) AS rn
+              FROM tws_profile) WHERE rn = 1""").collect()
+    }
+    assert got == expected

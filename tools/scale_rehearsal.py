@@ -9,18 +9,25 @@ Fabrics:
   copies share no near-dup structure and the workload shape matches
   organic corpus growth. doc_ids offset by 100M per copy.
 - DUP BOMB (--dup): copy k rotates each document's word sequence left
-  by k. Rotation preserves all but ~4 boundary shingles, so every doc
-  gains factor-1 near-identical copies (Jaccard ≈ 0.99) — the
+  by k%39+1. Rotation preserves all but ~4 boundary shingles, so every
+  doc gains factor-1 near-identical copies (Jaccard ≈ 0.99) — the
   adversarial duplication-heavy regime. This fabric is what exposed the
   r8 verify-join finding: candidate pairs grow O(copies²), the pair
   broadcast falls back to SMJ, and (pre-fix) the corpus's shingle-set
   arrays shuffled twice (9.4 GB at 100x) — now bounded by the
   candidate-id prune in dedup.minhash_lsh_pairs.
+- SKEW (--skew): scales the EVENTS table instead — copy k offsets
+  event_id by 100M and remaps ~30% of every copy's rows (pmod(event_id,
+  10) < 3) onto ONE hot user_id while the rest get fresh per-copy user
+  ids. Key-skew grows absolutely AND relatively with the factor: the
+  fabric for salted aggregation (designed for this) and for per-key
+  WINDOW functions (sessionization), whose hot partition CANNOT be
+  salted or AQE-split — the measurement this fabric exists to take.
 
-All other tables symlink to sf0.1 — the composites under test only scan
-documents.
+Other tables symlink to sf0.1 — the composites under test only scan
+the scaled table(s).
 
-Usage: python tools/scale_rehearsal.py [--dup] [factor ...]
+Usage: python tools/scale_rehearsal.py [--dup | --skew] [factor ...]
 (default factors: 10 100). Prints a table and the SCALE.md-ready rows;
 shuffle bytes come from the Spark REST status API (UI enabled for this
 session only).
@@ -57,11 +64,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "embeddings"]
 
 
-def build_scaled_dir(spark, factor: int, dup_bomb: bool = False) -> str:
+def build_scaled_dir(spark, factor: int, dup_bomb: bool = False,
+                     skew: bool = False) -> str:
     from pyspark.sql import functions as F
 
-    kind = "dup" if dup_bomb else "org"
+    kind = "skw" if skew else ("dup" if dup_bomb else "org")
     out = tempfile.mkdtemp(prefix=f"sfx{factor}{kind}_")
+    if skew:
+        return _build_skew_dir(spark, factor, out)
     d = spark.read.parquet(f"{BASE}/documents.parquet")
     copies = []
     for k in range(factor):
@@ -115,6 +125,35 @@ def build_scaled_dir(spark, factor: int, dup_bomb: bool = False) -> str:
     return out
 
 
+def _build_skew_dir(spark, factor: int, out: str) -> str:
+    """Events ×factor with a planted hot key: 30% of every copy's rows
+    remap to user_id 0; the rest get per-copy fresh user ids (distinct
+    users grow with the stream, like a real service). ts/event_type/
+    value ride unchanged so session and aggregate semantics stay
+    realistic; event_id offsets keep the key unique."""
+    from pyspark.sql import functions as F
+
+    from multiagent_document_etl_system_spark.io import load_table
+
+    e = load_table(spark, BASE, "events")  # handles TIMESTAMP(NANOS)
+    copies = []
+    for k in range(factor):
+        hot = F.pmod(F.col("event_id"), F.lit(10)) < 3
+        copies.append(e.select(
+            (F.col("event_id") + k * 100_000_000).alias("event_id"),
+            F.when(hot, F.lit(0).cast("long"))
+            .otherwise(F.col("user_id") + k * 1_000_000).alias("user_id"),
+            "event_type", "ts", "value"))
+    full = copies[0]
+    for c in copies[1:]:
+        full = full.unionByName(c)
+    full.repartition(32).write.parquet(f"{out}/events.parquet")
+    for t in TABLES + ["documents"]:
+        if t != "events":
+            os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
 def shuffle_totals(spark) -> tuple[int, int]:
     url = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
@@ -135,6 +174,7 @@ def main() -> int:
 
     args = sys.argv[1:]
     dup_bomb = "--dup" in args
+    skew = "--skew" in args
     names = NAMES
     if "--names" in args:
         i = args.index("--names")
@@ -148,7 +188,8 @@ def main() -> int:
     if unknown:  # fail BEFORE the expensive fabric build
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
-    factors = [int(a) for a in args if a != "--dup"] or [10, 100]
+    factors = [int(a) for a in args
+               if a not in ("--dup", "--skew")] or [10, 100]
     spark = (SparkSession.builder.master("local[32]")
              .appName("scale-rehearsal")
              .config("spark.sql.shuffle.partitions", "32")
@@ -165,8 +206,10 @@ def main() -> int:
     dirs = {1: BASE}
     for f in factors:
         t0 = time.time()
-        dirs[f] = build_scaled_dir(spark, f, dup_bomb)
-        print(f"# built {f}x {'dup-bomb' if dup_bomb else 'organic'} "
+        dirs[f] = build_scaled_dir(spark, f, dup_bomb, skew)
+        kind = ('skew' if skew else
+                'dup-bomb' if dup_bomb else 'organic')
+        print(f"# built {f}x {kind} "
               f"fabric in {time.time() - t0:.1f}s -> {dirs[f]}",
               file=sys.stderr)
 
