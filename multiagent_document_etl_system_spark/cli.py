@@ -666,26 +666,32 @@ def cmd_bpe_train(args) -> dict:
 
 def ingest_shard_id(spark, incoming: str) -> tuple[str, str]:
     """(path_id, shard_id) for an ingest drop: path_id = md5 of the drop
-    path; shard_id = path_id + a CONTENT fingerprint (sorted file names +
-    lengths + modification times under the path, via Hadoop's FileSystem
-    so hdfs://, s3a://, and local URIs all work). Two runs over the same
-    drop path resume each other only when the bytes they saw match; a
-    reused path with new content gets a fresh shard identity."""
+    path; shard_id = path_id + a CONTENT fingerprint over the sorted
+    (full relative path, length, mtime) listing under the path. The
+    listing is ONE distributed ``binaryFile`` metadata scan (content
+    column pruned, so no bytes are read) — a 10k-part drop costs one
+    Spark job, not 10k driver-side Py4J round trips — and keys on the
+    FULL path, so same-named files in different subdirectories stay
+    distinguishable (both r9 review findings). Works on any
+    Spark-readable URI (hdfs://, s3a://, local).
+
+    Two runs over the same drop path resume each other only when the
+    listing they saw matches; a reused path with new content gets a
+    fresh shard identity. A byte-identical RE-COPY also changes mtimes
+    and therefore the shard id — the re-run recomputes instead of
+    resuming, which is slower but always correct (the doc_id anti-join
+    repair only matters when the staging is genuinely the same
+    attempt's)."""
     import hashlib
 
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    hp = jvm.org.apache.hadoop.fs.Path(incoming)
-    fs = hp.getFileSystem(hconf)
-    entries = []
-    it = fs.listFiles(hp, True)
-    while it.hasNext():
-        st = it.next()
-        entries.append(f"{st.getPath().getName()}:{st.getLen()}:"
-                       f"{st.getModificationTime()}")
+    files = (spark.read.format("binaryFile")
+             .option("recursiveFileLookup", "true").load(incoming)
+             .select("path", "length", "modificationTime").collect())
+    entries = sorted(
+        f"{r['path']}:{r['length']}:{r['modificationTime'].isoformat()}"
+        for r in files)
     path_id = hashlib.md5(incoming.encode()).hexdigest()[:12]
-    content_id = hashlib.md5(
-        "\n".join(sorted(entries)).encode()).hexdigest()[:12]
+    content_id = hashlib.md5("\n".join(entries).encode()).hexdigest()[:12]
     return path_id, f"{path_id}-{content_id}"
 
 
@@ -743,11 +749,25 @@ def cmd_ingest(args) -> dict:
     # can't be resumed by any future run either.
     path_id, shard_id = ingest_shard_id(spark, args.incoming_parquet)
     corpus = args.corpus_dir.rstrip("/")
-    stale_glob = _hpath(f"{corpus}/_staged_{path_id}-*")
-    for st in (_fs(corpus).globStatus(stale_glob) or []):
-        if st.getPath().getName() != f"_staged_{shard_id}":
-            _fs(corpus).delete(st.getPath(), True)
     staging = f"{corpus}/_staged_{shard_id}"
+    # A LEGACY (pre-content-fingerprint) sealed staging for this drop
+    # path is a genuinely crashed run this release must still repair —
+    # its name carries no content hash to verify, and deleting it would
+    # recompute flags against an index that may hold the crashed run's
+    # partial appends (double-append, the r9 review's migration hazard).
+    # Resume it: crash-safety outranks the (hypothetical-for-legacy)
+    # stale-content hazard. Unsealed legacy dirs are incomplete writes —
+    # safe to discard.
+    legacy = f"{corpus}/_staged_{path_id}"
+    if _fs(legacy).exists(_hpath(f"{legacy}/_STAGED_OK")):
+        staging = legacy
+    # stale stagings for the SAME drop path: the old-name dir when not
+    # sealed, and any sealed/unsealed dir from a DIFFERENT content
+    # generation — delete so no future run can resume them
+    stale_glob = _hpath(f"{corpus}/_staged_{path_id}*")
+    for st in (_fs(corpus).globStatus(stale_glob) or []):
+        if f"{corpus}/{st.getPath().getName()}" != staging:
+            _fs(corpus).delete(st.getPath(), True)
     ok_marker = f"{staging}/_STAGED_OK"
 
     incoming = spark.read.parquet(args.incoming_parquet)

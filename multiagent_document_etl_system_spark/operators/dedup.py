@@ -281,6 +281,17 @@ def lsh_bucket_report(df: DataFrame, text_col: str = "text",
     )
 
 
+#: When False, :func:`minhash_lsh_pairs` skips BOTH of its eager lineage
+#: truncations so plan-audit tooling (tools/plan_lint.py,
+#: tools/plan_snapshot.py) can read the FULL LSH chain from explain()
+#: without executing any job — with the truncations on, every consumer's
+#: physical plan roots at `Scan ExistingRDD` and a regression inside the
+#: operator (a Python UDF, an unsanctioned global sort) would pass the
+#: registry-wide audit unseen (r9 review finding). Execution paths
+#: (driver, bench, rehearsal) leave this True.
+MATERIALIZE_PAIRS = True
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
@@ -311,6 +322,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     :func:`duplicate_clusters` exposes, for the same reason.
     """
     def _truncate(rel: DataFrame) -> DataFrame:
+        if not MATERIALIZE_PAIRS:
+            return rel  # audit mode: keep the chain visible in explain()
         if checkpoint_dir is not None:
             rel.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
             return rel.checkpoint(eager=True)

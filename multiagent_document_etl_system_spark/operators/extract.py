@@ -207,11 +207,6 @@ def _validate_py(d: dict) -> list[str]:
     return fb
 
 
-def _is_hex_float(t: str) -> bool:
-    """Java hex floats require the 0x prefix; Python ``float.fromhex``
-    would also take bare '1p3', which Spark rejects."""
-    u = t[1:] if t[:1] in "+-" else t
-    return u[:2].lower() == "0x"
 
 
 def _spark_try_cast_double(t: str):
@@ -224,41 +219,43 @@ def _spark_try_cast_double(t: str):
     ('0x1p3') — plus the case-insensitive inf/infinity/nan special
     literals (which Python's float() also takes). Pinned value-for-value
     against a live Spark session in tests/test_llm_paths.py."""
-    import math
     import re
 
-    t = t.strip()
-    if not t or "_" in t:
+    # Java String.trim strips only chars <= U+0020 — Python str.strip
+    # would also eat \xa0 and the Unicode space family, which
+    # parseDouble then rejects (r9 review finding)
+    t = t.strip("\x00\x01\x02\x03\x04\x05\x06\x07\x08\t\n\x0b\x0c\r"
+                "\x0e\x0f\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a"
+                "\x1b\x1c\x1d\x1e\x1f ")
+    if not t:
         return None
-    try:
-        v = float(t)  # standard decimals/exponents + inf/infinity/nan
-        # SIGNED NaN is narrower than Python: Spark's special-literal
-        # path takes unsigned nan (any case), and the Java parseDouble
-        # path only exact-case [+-]?NaN — '-nan' is rejected by both.
-        if math.isnan(v) and t[0] in "+-" and t[1:] != "NaN":
-            return None
-        return v
-    except ValueError:
-        pass
-    if t[-1] in "dDfF":  # Java FloatingPointLiteral suffix
-        base = t[:-1]
-        # the suffix attaches to NUMERIC literals only — 'infd' is not
-        # Java Infinity and Spark rejects it (word forms are gated out by
-        # the digits-required regex; overflow like '1e309d' still passes,
-        # matching parseDouble's Infinity-on-overflow)
-        if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", base):
-            return float(base)
-        if _is_hex_float(base):
-            try:
-                return float.fromhex(base)  # 0x1p3d
-            except ValueError:
-                pass
-        return None
-    if _is_hex_float(t):
-        try:
-            return float.fromhex(t)  # 0x1p3 — parseDouble hex form
-        except ValueError:
-            return None
+    low = t.lower()
+    # Spark Cast's special floating-point literals: signed inf/infinity
+    # any case; nan UNSIGNED any case. The Java path additionally takes
+    # exact-case [+-]?NaN / [+-]?Infinity (subsumed for infinity, and
+    # the signed-NaN case-exact form is allowed below).
+    if low in ("inf", "+inf", "-inf", "infinity", "+infinity",
+               "-infinity"):
+        return float(low)
+    if low == "nan" and t[0] not in "+-":
+        return float("nan")
+    if t[1:] == "NaN" and t[0] in "+-":  # Java Signopt NaN, exact case
+        return float("nan")
+    # Everything else is the Java FloatingPointLiteral grammar, matched
+    # with ASCII-only regexes: Python float() would also take Unicode
+    # digits ('١٢٣') and underscore grouping, both of which parseDouble
+    # rejects (r8 ADVICE + r9 review findings)
+    m = re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?[fFdD]?", t,
+                     flags=re.ASCII)
+    if m:
+        return float(t[:-1] if t[-1] in "fFdD" else t)
+    # hex form: Java REQUIRES the binary exponent ('0x1A' is rejected;
+    # float.fromhex would accept it, so gate with the full grammar)
+    m = re.fullmatch(
+        r"[+-]?0[xX]([0-9a-fA-F]+\.?[0-9a-fA-F]*|\.[0-9a-fA-F]+)"
+        r"[pP][+-]?\d+[fFdD]?", t, flags=re.ASCII)
+    if m:
+        return float.fromhex(t[:-1] if t[-1] in "fFdD" else t)
     return None
 
 

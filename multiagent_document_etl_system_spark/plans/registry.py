@@ -6050,9 +6050,11 @@ def st_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops exactly half the input — and because the colliding rows are
     byte-identical, the surviving VALUES are deterministic even though
     the surviving physical row is not: survivor identity is unobservable
-    in the projection, which is what makes the hash oracle sound. The
-    arrival-ordered raw run (st_dedup_stream) stays registered as
-    rows-only smoke for the genuinely order-dependent case.
+    in the projection, which is what makes the hash oracle sound. This
+    query ABSORBED the old rows-only arrival-ordered run
+    (st_dedup_stream, retired r9): the genuinely order-dependent
+    semantics — which physical row survives, watermark late-drops — are
+    pinned in tests/test_streaming.py instead.
 
     Scale: dedup state is one entry per event_id within the watermark
     horizon — bounded by key cardinality per window, not stream length;

@@ -595,3 +595,46 @@ def test_ingest_does_not_resume_stale_staging_after_content_change(
                  spark.read.parquet(corpus_dir).select("doc_id").collect())
     assert ids == [1, 202]  # gen1's stale survivor (101) never ingested
     assert not os.path.exists(staging)  # stale staging cleaned up
+
+
+def test_ingest_resumes_legacy_named_staging(spark, tmp_path, capsys):
+    """r9 review (migration hazard): a sealed staging dir written by the
+    pre-content-fingerprint release (`_staged_<path_id>`, no content
+    suffix) is a genuinely crashed run — the re-run must RESUME it (the
+    anti-join repair path), not recompute flags against a possibly
+    partially-updated index."""
+    import hashlib
+    import os
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    incoming_dir = str(tmp_path / "incoming")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron " * 5).strip()
+    novel = ("legacy staging resume prose about stride partitioned "
+             "ingest repair " * 5).strip()
+    spark.createDataFrame([(1, base, "en", "web", len(base))],
+                          schema).write.parquet(corpus_dir)
+    rc, _ = _run(capsys, ["build-dedup-index", corpus_dir, index_dir])
+    assert rc == 0
+    spark.createDataFrame([(55, novel, "en", "crawl", len(novel))],
+                          schema).write.parquet(incoming_dir)
+
+    # the legacy layout: staging named by path hash ONLY, sealed, corpus
+    # already appended (crash fell before the index appends)
+    path_id = hashlib.md5(incoming_dir.encode()).hexdigest()[:12]
+    staging = os.path.join(corpus_dir, f"_staged_{path_id}")
+    inc = spark.read.parquet(incoming_dir)
+    inc.write.mode("overwrite").parquet(staging)
+    open(os.path.join(staging, "_STAGED_OK"), "w").close()
+    inc.write.mode("append").parquet(corpus_dir)
+
+    rc, resp = _run(capsys, ["ingest", incoming_dir, corpus_dir, index_dir])
+    assert rc == 0 and resp["resumed"] is True
+    assert resp["n_appended"] == 0 and resp["n_survivors"] == 1
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(corpus_dir).select("doc_id").collect())
+    assert ids == [1, 55]  # no double-append
+    assert not os.path.exists(staging)  # committed + cleaned

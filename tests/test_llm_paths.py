@@ -116,7 +116,12 @@ def test_try_cast_double_mirror_matches_spark(spark):
             "1D", "1F", "2.5d", "0x1p3", "0X1P3", "-0x1.8p1", "0x1p3d",
             "1p3", " 1.5 ", "1e3", "1e", "+2", "-", ".5", "5.", "",
             "1,000", "1.2.3", "½", "abc", "12abc", "1e309", "-1e-320",
-            "  +0.5e-2  ", "infd", "nanf", "Infinityd", "NaNd", "1e309d"]
+            "  +0.5e-2  ", "infd", "nanf", "Infinityd", "NaNd", "1e309d",
+            # r9 review: hex without the binary exponent, Unicode
+            # digits, and non-Java whitespace must all REJECT
+            "0x1A", "0x1.8", "\u0661\u0662\u0663", "1.5\xa0",
+            "\xa01.5", "1\u06f2", "0x1.8p1f", "0xp3", "0x.p3",
+            "  1d  ", "+.5e\u06621"]
     df = spark.createDataFrame([(v,) for v in vals], "s string") \
         .select("s", F.col("s").try_cast("double").alias("d"))
     spark_ok = {r["s"]: r["d"] is not None for r in df.collect()}

@@ -82,10 +82,14 @@ def build_scaled_dir(spark, factor: int, dup_bomb: bool = False,
             # k % 39 + 1 (r8 ADVICE): a plain k % 40 rotation makes every
             # copy with k ≡ 0 (mod 40) BYTE-IDENTICAL to copy 0 — exact
             # dups the md5 path catches, not near-dups exercising the LSH
-            # verify. This keeps every non-base rotation nonzero.
+            # verify. Nonzero rotation alone still repeats mod 39 at
+            # factors > 39 (r9 review), so every copy ALSO gets one
+            # unique trailing token: byte-unique at ANY factor, still
+            # Jaccard ≈ 0.99 vs every sibling (one extra shingle).
             rot = k % 39 + 1
-            txt = F.concat_ws(" ", F.concat(F.slice(w, rot + 1, 1 << 20),
-                                            F.slice(w, 1, rot)))
+            txt = F.concat_ws(" ", F.concat(
+                F.slice(w, rot + 1, 1 << 20), F.slice(w, 1, rot),
+                F.array(F.lit(f"zq{k}"))))
         else:
             txt = F.concat_ws(" ", F.transform(
                 w, lambda t: F.concat(t, F.lit(str(k)))))
