@@ -761,13 +761,62 @@ def cmd_ingest(args) -> dict:
     legacy = f"{corpus}/_staged_{path_id}"
     if _fs(legacy).exists(_hpath(f"{legacy}/_STAGED_OK")):
         staging = legacy
-    # stale stagings for the SAME drop path: the old-name dir when not
-    # sealed, and any sealed/unsealed dir from a DIFFERENT content
-    # generation — delete so no future run can resume them
+
+    def _corpus_doc_ids():
+        # committed corpus doc_ids, or None when the corpus holds no
+        # data files yet (first-ever ingest crashed: the dir may contain
+        # only underscore-prefixed staging dirs, which a parquet read
+        # can't infer a schema from)
+        entries = _fs(corpus).listStatus(_hpath(corpus)) or []
+        if not any(not e.getPath().getName().startswith(("_", "."))
+                   for e in entries):
+            return None
+        return spark.read.parquet(args.corpus_dir).select("doc_id")
+
+    def _apply_staged(sdf, repair: bool):
+        """The commit tail: corpus append (doc_id anti-join guarded when
+        repairing — only recovery paths ever scan corpus doc_ids) +
+        md5/band index appends (repeat-safe by set semantics: duplicate
+        index rows can't change any dedup_against_index flag). Returns
+        the appended count when repairing, else None (the caller already
+        knows n_surv and skips the extra count job)."""
+        to_append, n = sdf, None
+        if repair:
+            committed = _corpus_doc_ids()
+            if committed is not None:
+                to_append = sdf.join(committed, "doc_id", "left_anti")
+                # counted AND appended — one computation
+                to_append = to_append.localCheckpoint()
+            n = to_append.count()
+        to_append.write.mode("append").parquet(args.corpus_dir)
+        sdf.select(F.md5("text").alias("h")).distinct() \
+            .write.mode("append").parquet(f"{args.index_dir}/md5")
+        (band_signatures(
+            sdf.select(F.col("doc_id").alias("_id"),
+                       shingles(F.col("text"), 3).alias("_sh")))
+         .select("band", "bh").distinct()
+         .write.mode("append").parquet(f"{args.index_dir}/bands"))
+        return n
+
+    # stale stagings for the SAME drop path: unsealed dirs (old-name or
+    # a different content generation) are incomplete writes — safe to
+    # drop blindly. A SEALED stale-generation staging is different (r9
+    # ADVICE, medium): its run may have crashed AFTER appending
+    # survivors to the corpus or to one of the two index tables and
+    # BEFORE the commit-point delete — deleting it as-is would orphan
+    # those partial commits (corpus docs with no md5/band index rows ⇒
+    # a later replay of that content is never deduped). Complete its
+    # commit tail first, exactly as the legacy resume does, THEN delete.
+    # This runs before dedup_against_index reads the index, so the
+    # current shard dedups against the repaired state.
     stale_glob = _hpath(f"{corpus}/_staged_{path_id}*")
     for st in (_fs(corpus).globStatus(stale_glob) or []):
-        if f"{corpus}/{st.getPath().getName()}" != staging:
-            _fs(corpus).delete(st.getPath(), True)
+        stale_path = f"{corpus}/{st.getPath().getName()}"
+        if stale_path == staging:
+            continue
+        if _fs(stale_path).exists(_hpath(f"{stale_path}/_STAGED_OK")):
+            _apply_staged(spark.read.parquet(stale_path), repair=True)
+        _fs(corpus).delete(st.getPath(), True)
     ok_marker = f"{staging}/_STAGED_OK"
 
     incoming = spark.read.parquet(args.incoming_parquet)
@@ -784,22 +833,9 @@ def cmd_ingest(args) -> dict:
     surv = spark.read.parquet(staging)
     n_in, n_surv = incoming.count(), surv.count()
 
-    to_append = surv
-    if recovering:
-        # bounded repair: skip staging docs a pre-crash attempt already
-        # committed (doc_id-only column scan, recovery path only)
-        committed = spark.read.parquet(args.corpus_dir).select("doc_id")
-        to_append = surv.join(committed, "doc_id", "left_anti")
-        to_append = to_append.localCheckpoint()  # counted AND appended
-    n_new = to_append.count() if recovering else n_surv
-    to_append.write.mode("append").parquet(args.corpus_dir)
-    surv.select(F.md5("text").alias("h")).distinct() \
-        .write.mode("append").parquet(f"{args.index_dir}/md5")
-    (band_signatures(
-        surv.select(F.col("doc_id").alias("_id"),
-                    shingles(F.col("text"), 3).alias("_sh")))
-     .select("band", "bh").distinct()
-     .write.mode("append").parquet(f"{args.index_dir}/bands"))
+    n_new = _apply_staged(surv, repair=recovering)
+    if n_new is None:
+        n_new = n_surv
     _fs(staging).delete(_hpath(staging), True)  # commit point
     # n_appended counts rows THIS RUN actually appended (0 when the
     # crashed attempt already committed them); n_survivors is the

@@ -391,9 +391,15 @@ def read_jdbc_partitioned(spark: SparkSession, url: str, table: str,
     stride), the standard Spark parallel-JDBC contract.
 
     Bounds default to a one-row min/max probe of the source table — the
-    same cheap aggregate a production ingest job issues first — so
-    callers only pass them to pin a window. Empty table ⇒ empty frame
-    (bounds probe returns NULLs ⇒ unpartitioned read of zero rows).
+    same cheap aggregate a production ingest job issues first. NOTE:
+    per Spark's JDBC contract, explicit lowerBound/upperBound only size
+    the partition STRIDES — the two edge partitions are open-ended
+    (``col < lo+stride`` and ``col >= hi-stride``), so every row is
+    still returned regardless of bounds (tests/test_jdbc.py pins this:
+    bounds 0..99 over 1000 ids reads all 1000 rows). Callers wanting an
+    actual window must add an explicit ``.filter`` / ``predicates`` —
+    bounds never filter. Empty table ⇒ empty frame (bounds probe
+    returns NULLs ⇒ unpartitioned read of zero rows).
 
     Pushdown note: the range predicates land in each partition's WHERE
     clause server-side; further filters composed on the returned frame

@@ -298,7 +298,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       threshold: float = 0.5,
                       max_bucket: int = 1000,
                       family: str = "md5",
-                      checkpoint_dir: str | None = None) -> DataFrame:
+                      checkpoint_dir: str | None = None,
+                      materialize_result: bool = True) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified by exact
     shingle Jaccard: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
 
@@ -320,6 +321,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ``localCheckpoint`` (right for local[N]); pass a directory for
     reliable ``checkpoint()`` on a real cluster — the same knob
     :func:`duplicate_clusters` exposes, for the same reason.
+
+    ``materialize_result``: the RESULT truncation exists for composite
+    consumers that re-reference the verified pair list (cluster
+    resolution, provenance, ablation) — without it each reference
+    re-runs the semi-join + verify. A TERMINAL caller that consumes the
+    pairs exactly once (the bare registry query, a single-pass
+    aggregate like :func:`threshold_sweep`) writes a result checkpoint
+    nobody re-reads; pass ``materialize_result=False`` to skip ONLY the
+    result truncation — the bucket truncation always stays, because it
+    protects the operator's own internal double reference (pair
+    generation + the candidate-id prune), not the consumers'.
     """
     def _truncate(rel: DataFrame) -> DataFrame:
         if not MATERIALIZE_PAIRS:
@@ -421,7 +433,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # including three more corpus scans of the shingle relation. The
     # verified list is the smallest relation in the whole chain
     # (threshold-filtered pairs), so this is the cheapest possible
-    # materialization point.
+    # materialization point. Consume-once callers skip it (see the
+    # materialize_result docstring): the bucket checkpoint above is the
+    # lineage fix; this one is purely a consumer-side amortization.
+    if not materialize_result:
+        return verified
     return _truncate(verified)
 
 

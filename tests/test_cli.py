@@ -550,8 +550,10 @@ def test_ingest_does_not_resume_stale_staging_after_content_change(
     crashed run's STALE staged survivors when the same drop path is
     reused with NEW content — the new shard's rows would never be
     deduped or ingested. The content fingerprint in the shard id must
-    route the re-run through a FRESH dedup of the new bytes and delete
-    the stale staging."""
+    route the re-run through a FRESH dedup of the new bytes. The stale
+    SEALED staging is not dropped: sealing records commit intent, so
+    the sweep completes gen1's commit tail (its run may have partially
+    committed — r9 ADVICE medium) and then deletes the dir."""
     import os
     import shutil
 
@@ -593,8 +595,84 @@ def test_ingest_does_not_resume_stale_staging_after_content_change(
     assert resp["n_incoming"] == 1 and resp["n_appended"] == 1
     ids = sorted(r["doc_id"] for r in
                  spark.read.parquet(corpus_dir).select("doc_id").collect())
-    assert ids == [1, 202]  # gen1's stale survivor (101) never ingested
+    # gen1's SEALED survivor (101) was committed by the sweep's
+    # tail-completion (sealing = commit intent), gen2 (202) by this run
+    assert ids == [1, 101, 202]
     assert not os.path.exists(staging)  # stale staging cleaned up
+    # the sweep grew the index for gen1 too: replaying gen1's content
+    # through the same path is now an exact dup
+    shutil.rmtree(incoming_dir)
+    spark.createDataFrame([(303, gen1, "en", "crawl", len(gen1))],
+                          schema).write.parquet(incoming_dir)
+    rc, resp = _run(capsys, ["ingest", incoming_dir, corpus_dir, index_dir])
+    assert rc == 0 and resp["n_appended"] == 0 and resp["n_dropped"] == 1
+
+
+def test_ingest_stale_sealed_staging_completes_partial_commit(
+        spark, tmp_path, capsys):
+    """r9 ADVICE (medium): a SEALED staging from an older content
+    generation can belong to a run that crashed AFTER appending its
+    survivors to the corpus and BEFORE the index appends. Blindly
+    deleting it would orphan that partial commit — corpus docs with no
+    md5/band index rows, so a later replay of the same content is never
+    deduped (double-append). The sweep must complete the commit tail
+    (anti-join-guarded corpus append — no double-append — plus the index
+    appends) before deleting."""
+    import os
+    import shutil
+
+    from multiagent_document_etl_system_spark.cli import ingest_shard_id
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    incoming_dir = str(tmp_path / "incoming")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron " * 5).strip()
+    spark.createDataFrame([(1, base, "en", "web", len(base))],
+                          schema).write.parquet(corpus_dir)
+    rc, _ = _run(capsys, ["build-dedup-index", corpus_dir, index_dir])
+    assert rc == 0
+
+    # generation 1: crashed AFTER the corpus append, BEFORE the index
+    # appends and the commit-point delete (the exact partial-commit
+    # window the sweep used to orphan)
+    gen1 = ("first generation prose about vectorized parquet decoding "
+            "and late materialization " * 5).strip()
+    spark.createDataFrame([(101, gen1, "en", "crawl", len(gen1))],
+                          schema).write.parquet(incoming_dir)
+    _, stale_shard = ingest_shard_id(spark, incoming_dir)
+    staging = os.path.join(corpus_dir, f"_staged_{stale_shard}")
+    inc1 = spark.read.parquet(incoming_dir)
+    inc1.write.mode("overwrite").parquet(staging)
+    open(os.path.join(staging, "_STAGED_OK"), "w").close()
+    inc1.write.mode("append").parquet(corpus_dir)  # partial commit
+
+    # the drop path is reused with generation 2 (different content)
+    shutil.rmtree(incoming_dir)
+    gen2 = ("second generation prose about dynamic partition pruning "
+            "and runtime filters " * 5).strip()
+    spark.createDataFrame([(202, gen2, "en", "crawl", len(gen2))],
+                          schema).write.parquet(incoming_dir)
+    rc, resp = _run(capsys, ["ingest", incoming_dir, corpus_dir, index_dir])
+    assert rc == 0 and resp["resumed"] is False
+    assert not os.path.exists(staging)
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(corpus_dir).select("doc_id").collect())
+    assert ids == [1, 101, 202]  # tail-completed, NOT double-appended
+
+    # the repaired index must now catch a replay of gen1's content —
+    # the exact missed-dedup the orphaned partial commit used to cause
+    shutil.rmtree(incoming_dir)
+    spark.createDataFrame([(301, gen1, "en", "crawl", len(gen1))],
+                          schema).write.parquet(incoming_dir)
+    rc, resp = _run(capsys, ["ingest", incoming_dir, corpus_dir, index_dir])
+    assert rc == 0
+    assert resp["n_appended"] == 0 and resp["n_dropped"] == 1
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(corpus_dir).select("doc_id").collect())
+    assert ids == [1, 101, 202]  # no double-append of gen1's content
 
 
 def test_ingest_resumes_legacy_named_staging(spark, tmp_path, capsys):

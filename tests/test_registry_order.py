@@ -1,15 +1,16 @@
-"""Driver-window ordering invariants (round-9).
+"""Driver-window ordering invariants (round-10).
 
 The external driver checks the FIRST 50 registry entries each round; these
-tests pin that the round-9 window contains exactly what the r8 verdict and
-NOTES.md ordered: the 3 items that queued behind the frozen r8 window at
-the head (first driver evidence), the 5 rows-only queries that have NEVER
-had a driver row (verdict #4 — a `no_oracle` row is still evidence the
-query runs under the driver session), two contract-coupled re-confirms
-(the r9 adaptive candidate-prune touches dedup.minhash_lsh_pairs, which
-both composites embed), and 40 stale-evidence refresh slots whose latest
-driver row is r04 or older. The window is FROZEN: queries added after the
-pin go to _QUEUED_FOR_R10, never into the window.
+tests pin that the round-10 window contains exactly what the r9 verdict
+and NOTES.md ordered: the 2 items that queued behind the frozen r9 window
+at the head (first driver evidence), 4 contract-coupled re-confirms (r10
+adds the consume-once materialize_result=False path to
+dedup.minhash_lsh_pairs and exactly these four registry callers take it),
+the entire r04-stale oracled block (29 refresh pads), the rows-only
+tail's SECOND rotation (verdict r9 #7 — 10 queries whose only driver
+evidence is an r02/r03/r04 `no_oracle` row), and 5 pads from the r05
+block (the remaining 31 are reserved for R11). The window is FROZEN:
+queries added after the pin go to _QUEUED_FOR_R11, never into the window.
 """
 
 from __future__ import annotations
@@ -19,8 +20,10 @@ from multiagent_document_etl_system_spark.plans.registry import (
     _DRIVER_WINDOW_R7,
     _DRIVER_WINDOW_R8,
     _DRIVER_WINDOW_R9,
+    _DRIVER_WINDOW_R10,
     _QUEUED_FOR_R9,
     _QUEUED_FOR_R10,
+    _QUEUED_FOR_R11,
     QUERIES,
 )
 
@@ -92,94 +95,107 @@ _EVER_DRIVER_CHECKED = {
 _EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R6)
 _EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R7)
 _EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R8)
+# the r9 window ran 50/50 green (CORRECTNESS_r09: 45 hash-pass + the 5
+# sanctioned no_oracle rows-only slots, each spark_rows > 0)
+_EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R9)
 
-#: the 3 oracled queries that queued behind the frozen r8 window — they
-#: MUST head the r9 window (NOTES.md recipe).
-_QUEUED_3 = ["ta_langid_confusion", "ta_zipf_profile", "st_dedup_survivors"]
+#: the 2 oracled queries that queued behind the frozen r9 window — they
+#: MUST head the r10 window (NOTES.md recipe; both hash-PASS in the r9
+#: judge's own vanilla run).
+_QUEUED_2 = ["k1_jdbc_roundtrip", "q_sessionize_chunked"]
 
-#: the 5 rows-only queries with NO driver row ever (verdict r8 #4): these
-#: deliberately occupy window slots ONCE so the driver records an
-#: `err: "no_oracle"` row proving each RUNS under the driver session.
-_ROWS_ONLY_SANCTIONED = [
-    "mm_phash_pairs", "mm_frame_sample", "mm_resize",
-    "q_approx_percentile", "l4_embed_dedup",
+#: contract-coupled re-confirms: r10's consume-once
+#: materialize_result=False path lands in exactly these four callers
+#: (all r6/r7-green); composites keep the result checkpoint and their
+#: plans are unchanged.
+_RECONFIRM_MINHASH = [
+    "dedup_minhash_lsh", "dedup_threshold_sweep", "diag_prep_pairs",
+    "ta_minhash_est_vs_exact",
 ]
 
-#: deliberate re-confirms: contract-coupled (the r9 adaptive
-#: candidate-prune changes dedup.minhash_lsh_pairs, which both composites
-#: embed via _minhash_pairs_sql) + the 40 stale-evidence refresh pads —
-#: every one previously green.
-_RECONFIRM_R9 = (set(_DRIVER_WINDOW_R9) - set(_QUEUED_3)
-                 - set(_ROWS_ONLY_SANCTIONED))
+#: the rows-only tail's SECOND rotation (verdict r9 #7): each of these
+#: produced its only driver evidence (an `err: "no_oracle"` row with
+#: spark_rows > 0) in r02/r03/r04 — the slot buys a fresh execution row.
+_ROWS_ONLY_ROTATION = [
+    "l4_embed", "mm_decode_features", "q_approx_distinct",
+    "s1_parse_dispatch", "v8_ivf_topk", "v13_topk_matmul",
+    "v14_ann_lsh_matmul", "v17_pq_codes", "v18_pq_adc_topk",
+    "v19_ivfpq_topk",
+]
 
 
 def test_window_is_exactly_the_head():
-    assert list(QUERIES)[: len(_DRIVER_WINDOW_R9)] == _DRIVER_WINDOW_R9
+    assert list(QUERIES)[: len(_DRIVER_WINDOW_R10)] == _DRIVER_WINDOW_R10
 
 
 def test_window_is_50_slots():
-    assert len(_DRIVER_WINDOW_R9) == 50
-    assert len(set(_DRIVER_WINDOW_R9)) == 50
+    assert len(_DRIVER_WINDOW_R10) == 50
+    assert len(set(_DRIVER_WINDOW_R10)) == 50
 
 
-def test_queued_3_lead_the_window():
-    assert _DRIVER_WINDOW_R9[:3] == _QUEUED_3
-    assert set(_QUEUED_3) == set(_QUEUED_FOR_R9)
+def test_queued_2_lead_the_window():
+    assert _DRIVER_WINDOW_R10[:2] == _QUEUED_2
+    assert set(_QUEUED_2) == set(_QUEUED_FOR_R10)
+
+
+def test_reconfirms_follow_the_queued_head():
+    assert _DRIVER_WINDOW_R10[2:6] == _RECONFIRM_MINHASH
 
 
 def test_window_slots_all_produce_evidence():
-    """Every slot is first evidence (queued / sanctioned rows-only) or a
-    deliberate (previously green) re-confirm — no accidental slots."""
-    for n in _DRIVER_WINDOW_R9:
-        if n in _QUEUED_3 or n in _ROWS_ONLY_SANCTIONED:
+    """Every slot is first evidence (queued) or a deliberate refresh of
+    a previously-recorded query — no accidental slots."""
+    for n in _DRIVER_WINDOW_R10:
+        if n in _QUEUED_2:
             assert n not in _EVER_DRIVER_CHECKED, n
         else:
             assert n in _EVER_DRIVER_CHECKED, n
-            assert n in _RECONFIRM_R9, n
 
 
 def test_stale_pads_have_at_least_40_slots():
-    """Verdict r8 #1: >=40 refreshed stale rows. The pads are everything
-    after the queued + rows-only + 2 re-confirm head (10 slots)."""
-    pads = _DRIVER_WINDOW_R9[10:]
+    """Verdict r9 #1/#7: the whole r04-stale oracled block (29) + the
+    rows-only rotation (10) + 5 r05 pads — everything after the 6-slot
+    head refreshes old evidence."""
+    pads = _DRIVER_WINDOW_R10[6:]
     assert len(pads) >= 40
 
 
 def test_window_covers_every_never_checked_oracled_query():
-    """After r9's window runs, zero oracled queries lack a driver row —
-    except those added after the pin, which queue for r10."""
+    """After r10's window runs, zero oracled queries lack a driver row —
+    except those added after the pin, which queue for r11."""
     never = [n for n, (_, oracle) in QUERIES.items()
              if oracle and n not in _EVER_DRIVER_CHECKED]
     missing = [n for n in never
-               if n not in _DRIVER_WINDOW_R9 and n not in _QUEUED_FOR_R10]
+               if n not in _DRIVER_WINDOW_R10 and n not in _QUEUED_FOR_R11]
     assert not missing, missing
 
 
 def test_window_is_frozen_against_new_additions():
-    """Queries added after the r9 pin must NOT displace window slots: they
-    are oracled, exist, and sit in _QUEUED_FOR_R10 outside the window."""
-    for n in _QUEUED_FOR_R10:
+    """Queries added after the r10 pin must NOT displace window slots:
+    they are oracled, exist, and sit in _QUEUED_FOR_R11 outside the
+    window."""
+    for n in _QUEUED_FOR_R11:
         assert n in QUERIES and QUERIES[n][1], n
-        assert n not in _DRIVER_WINDOW_R9, n
+        assert n not in _DRIVER_WINDOW_R10, n
         assert n not in _EVER_DRIVER_CHECKED, n
 
 
-def test_rows_only_slots_are_exactly_the_sanctioned_five():
-    """Rows-only slots are normally waste; r9 sanctions exactly the 5
-    never-driver-checked ones (verdict #4), no others."""
-    rows_only = [n for n in _DRIVER_WINDOW_R9 if not QUERIES[n][1]]
-    assert sorted(rows_only) == sorted(_ROWS_ONLY_SANCTIONED), rows_only
+def test_rows_only_slots_are_exactly_the_rotation_ten():
+    """Rows-only slots are normally waste; r10 sanctions exactly the 10
+    second-rotation ones (verdict r9 #7), no others."""
+    rows_only = [n for n in _DRIVER_WINDOW_R10 if not QUERIES[n][1]]
+    assert sorted(rows_only) == sorted(_ROWS_ONLY_ROTATION), rows_only
 
 
 def test_every_window_name_exists():
-    missing = [n for n in _DRIVER_WINDOW_R9 if n not in QUERIES]
+    missing = [n for n in _DRIVER_WINDOW_R10 if n not in QUERIES]
     assert not missing, missing
 
 
 def test_stale_refresh_pads_are_actually_stale():
-    """The 40 pad slots exist to refresh the OLDEST driver evidence; none
-    may come from the r7/r8 windows (freshest evidence)."""
-    pads = _DRIVER_WINDOW_R9[10:]
+    """The pad slots exist to refresh the OLDEST driver evidence; none
+    may come from the r8/r9 windows (freshest evidence)."""
+    pads = _DRIVER_WINDOW_R10[6:]
     overlap = [n for n in pads
-               if n in set(_DRIVER_WINDOW_R7) | set(_DRIVER_WINDOW_R8)]
+               if n in set(_DRIVER_WINDOW_R8) | set(_DRIVER_WINDOW_R9)]
     assert not overlap, overlap
