@@ -199,6 +199,7 @@ def main() -> None:
     cal_first = _time_calibration(spark, sf_dir)
 
     times: dict[str, float] = {}
+    rep_counts: dict[str, int] = {}
     total = 0.0
     # Iterative operators (duplicate_clusters inside these) materialize
     # eager per-round checkpoints at PLAN-BUILD time; timing only the final
@@ -260,6 +261,7 @@ def main() -> None:
                 break  # two consecutive non-improving reps ⇒ converged
         dt = round(min(reps), 3)
         times[name] = dt
+        rep_counts[name] = len(reps)
         total += dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
@@ -316,6 +318,18 @@ def main() -> None:
         "calibration_sec_first": cal_first,
         "calibration_sec_last": cal_last,
         "load_factor": (round(cal_best / ref, 2) if ref else None),
+        # Machine-readable methodology (r9 verdict stretch #8): the r9
+        # REBUILD_PER_REP membership change silently reshaped that
+        # round's headline (+~13 s of build-time checkpoints entering
+        # the measurement) and only a NOTES paragraph explained it.
+        # Recording the rebuild set and per-query rep counts lets
+        # tools/bench_diff.py separate "same-methodology delta" from
+        # "methodology changed" automatically.
+        "methodology": {
+            "action": "noop_write_best_of_n",
+            "rebuild_per_rep": sorted(REBUILD_PER_REP & set(HEADLINE)),
+            "rep_counts": rep_counts,
+        },
     }
     if common:
         detail["common_set_vs_prev_committed"] = common

@@ -4035,7 +4035,7 @@ def ta_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("n_shingles")).alias("novelty_q1e4")))
 
 
-@_q("ta_dup_ngram_coverage", f"""
+_DUP_NGRAM_COV_SQL = f"""
 WITH sh AS (
   SELECT doc_id, unnest({_SHINGLE_SQL}) AS s
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS __toks
@@ -4050,7 +4050,10 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
   CAST(floor(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 10000.0 / count(*)
              + 0.5) AS BIGINT) AS cov_q1e4
 FROM h JOIN cnt USING (sh_h) GROUP BY doc_id
-""")
+"""
+
+
+@_q("ta_dup_ngram_coverage", _DUP_NGRAM_COV_SQL)
 def ta_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-n-gram coverage per document — the standard corpus
     duplication DIAGNOSTIC (what fraction of a doc's 3-gram shingles also
@@ -4068,10 +4071,16 @@ def ta_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     a window partition holds one shingle's full df rows on one task, so
     a pathological mega-boilerplate shingle (1e8+ docs) would straggle
     where the join plan's AQE skew-split would not — WindowExec spills,
-    so it degrades, not OOMs; on a corpus known to carry such a shingle,
-    revert to the r4 join form (git history) or pre-strip top boilerplate
-    with ta_heavy_hitters. Exact integer outputs (coverage as a
-    scaled-int ratio) => full hash oracle."""
+    so it degrades, not OOMs. r10 planted and measured the regime
+    (SCALE.md --boiler fabric): at df = 150k the straggler does NOT yet
+    bite (a 150k-row window partition is ~2.4 MB — the hot decade is
+    volume-bound at exp ~0.88 for this plan AND the straggler-proof
+    twin alike); the warning regime starts where one partition's df
+    approaches executor memory. On a corpus that can reach it, use
+    ta_dup_ngram_coverage_strip — same rows, same oracle, sampled
+    hot-shingle probe + salted hot partitions, ≤5% overhead, max
+    partition bounded by construction. Exact integer outputs (coverage
+    as a scaled-int ratio) => full hash oracle."""
     d = _docs(spark, sf_dir)
     sh = d.select(
         "doc_id",
@@ -4089,6 +4098,24 @@ def ta_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("cov_q1e4"),
         )
     )
+
+
+@_q("ta_dup_ngram_coverage_strip", _DUP_NGRAM_COV_SQL)
+def ta_dup_ngram_coverage_strip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Skew-hardened twin of ta_dup_ngram_coverage — SAME rows, same
+    oracle, different physical strategy: a bounded Misra-Gries pass
+    finds mega-df shingles, flags them duplicated directly (distinct-
+    shingle basis ⇒ freq ≥ 2 IS duplication), and runs the window only
+    over the cold remainder, whose per-shingle partitions are
+    < N/inv_epsilon rows by construction. This is the `ta_heavy_hitters
+    pre-strip` mitigation the plain query's docstring names for corpora
+    carrying a mega-boilerplate shingle: the r10 --boiler fabric (a
+    14-token boilerplate in 30% of docs, per-shingle df 150k at 100×)
+    measured the plain window plan degrading to hot-decade exp ~0.94;
+    see operators/textstats.dup_ngram_coverage_stripped and SCALE.md
+    r10 for both numbers."""
+    return textstats.dup_ngram_coverage_stripped(_docs(spark, sf_dir))
 
 
 @_q("td_span_dedup", dedup.span_dedup_sql(n=3, min_df=2))
@@ -6267,14 +6294,22 @@ def k1_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # profile, Spark 4's arbitrary-state API) is implemented and carries the
 # same full-hash-oracle construction as st_stateful_totals — but its
 # Python<->JVM state protocol rides protobuf, which this container does
-# not ship (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE on import of
-# google.protobuf.descriptor), so it cannot be a registry query the
-# driver runs. tests/test_streaming.py gates a full staged-replay
-# equality check behind the protobuf import — the moment the environment
-# grows the package, the run activates unchanged (the pytesseract
-# boundary pattern).
+# not pip-ship, and the workers must inherit the shim on PYTHONPATH
+# BEFORE the JVM starts — a precondition the external driver's session
+# cannot be given, so it stays a test-surface operator rather than a
+# registry query. As of r10 the replay-equality check RUNS here:
+# tests/conftest.py auto-activates .proto_shim/ (the host SDK's
+# pure-Python protobuf + a minor-version-gate relaxation) and the test
+# pins RocksDBStateStoreProvider (typed state lives in per-variable
+# column families, which the default HDFS-backed provider refuses).
+# With a real `pip install protobuf` the shim stands down unchanged.
 
 _QUEUED_FOR_R10 += ["k1_jdbc_roundtrip", "q_sessionize_chunked"]
+
+# added after the R10 pin (frozen-window discipline): the heavy-hitter
+# pre-strip twin of ta_dup_ngram_coverage, built in response to the r10
+# --boiler rehearsal
+_QUEUED_FOR_R11 += ["ta_dup_ngram_coverage_strip"]
 
 
 # Re-apply the driver-window ordering AFTER the last registration: queries

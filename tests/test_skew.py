@@ -184,3 +184,71 @@ def test_sessionize_chunked_rejects_chunk_not_exceeding_gap():
 
     with pytest.raises(ValueError, match="must exceed"):
         sessionize_chunked_counts(None, gap_s=3600, chunk_s=3600)
+
+
+def test_dup_ngram_coverage_stripped_equals_plain_with_boilerplate(spark):
+    """r10 (--boiler rehearsal): dup_ngram_coverage_stripped must emit
+    EXACTLY the plain window plan's rows on a corpus carrying a planted
+    mega-boilerplate shingle — the hot shingles are flagged via the
+    Misra-Gries pre-strip (freq >= 2 on the distinct-shingle basis IS
+    duplication) while the window runs over the cold remainder only."""
+    from multiagent_document_etl_system_spark.operators.textstats import (
+        dup_ngram_coverage_stripped,
+    )
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    boiler = "all rights reserved terms of service apply"
+    rows = []
+    for i in range(40):
+        body = f"unique{i} prose{i} tokens{i} about{i} topic{i} number{i}"
+        # 30 of 40 docs carry the boilerplate (hot shingles, df=30);
+        # every doc keeps a unique body (cold shingles, df=1)
+        text = f"{body} {boiler}" if i < 30 else body
+        rows.append((i, text, "en", "web", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    # tiny inv_epsilon + full-rate probe so the planted shingles
+    # deterministically clear the hot threshold on a 40-doc corpus
+    # (threshold = max(2, sampled_N/inv_epsilon)); the probe sees df=30
+    # boilerplate shingles vs threshold ~18 => the hot path IS exercised
+    got = {r["doc_id"]: (r["n_shingles"], r["n_dup"], r["cov_q1e4"])
+           for r in dup_ngram_coverage_stripped(
+               docs, inv_epsilon=20, sample_frac=1.0).collect()}
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        plain_fn, _ = QUERIES["ta_dup_ngram_coverage"]
+        want = {r["doc_id"]: (r["n_shingles"], r["n_dup"], r["cov_q1e4"])
+                for r in plain_fn(spark, td).collect()}
+    assert got == want
+    # the boilerplate docs must show duplicated coverage, clean docs none
+    assert all(got[i][1] > 0 for i in range(30))
+    assert all(got[i][1] == 0 for i in range(30, 40))
+
+
+def test_dup_ngram_coverage_stripped_no_hot_shingles(spark):
+    """Degenerate path: corpus with NO shingle clearing the heavy-hitter
+    threshold — the hot set is empty (isin([]) guard) and the stripped
+    plan must still equal the plain semantics (everything cold)."""
+    from multiagent_document_etl_system_spark.operators.textstats import (
+        dup_ngram_coverage_stripped,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "web", 22),
+         (2, "epsilon zeta eta theta", "en", "web", 22),
+         (3, "alpha beta gamma delta", "en", "web", 22)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    # inv_epsilon=1 => threshold = ALL sampled occurrences: no shingle
+    # can qualify, so the hot set is empty and the isin([]) guard
+    # engages (full-rate probe keeps the emptiness deterministic)
+    got = {r["doc_id"]: (r["n_shingles"], r["n_dup"])
+           for r in dup_ngram_coverage_stripped(
+               docs, inv_epsilon=1, sample_frac=1.0).collect()}
+    # docs 1 and 3 are exact copies: every shingle duplicated; doc 2 clean
+    assert got[1] == got[3] and got[1][1] == got[1][0]
+    assert got[2][1] == 0

@@ -315,8 +315,23 @@ def test_tws_user_profile_matches_batch(spark, events_dir):
         .option("maxFilesPerTrigger", "1")
         .parquet(events_dir)
     )
-    run_to_memory(user_profile_tws(stream), "tws_profile",
-                  output_mode="update")
+    # transformWithStateInPandas keeps each typed state variable in its
+    # own column family — only the RocksDB provider (bundled in Spark's
+    # own jars) supports that; the default HDFS-backed provider raises
+    # UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKS = ("org.apache.spark.sql.execution.streaming.state."
+              "RocksDBStateStoreProvider")
+    prior = spark.conf.get(_KEY, None)
+    spark.conf.set(_KEY, _ROCKS)
+    try:
+        run_to_memory(user_profile_tws(stream), "tws_profile",
+                      output_mode="update")
+    finally:
+        if prior is None:
+            spark.conf.unset(_KEY)
+        else:
+            spark.conf.set(_KEY, prior)
     batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
     grid = F.floor(F.coalesce("value", F.lit(0.0)) * 1e6 + 0.5).cast("long")
     expected = {

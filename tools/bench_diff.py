@@ -40,6 +40,19 @@ def main() -> int:
           f"load {old.get('load_factor')}")
     print(f"new: {len(nq)} queries, total {new.get('value')}s, "
           f"load {new.get('load_factor')}")
+    # methodology-aware split (r9 verdict stretch #8): a query whose
+    # rebuild-per-rep membership changed between the two runs moved for
+    # a KNOWN reason — its build-time checkpoint entered/left the timed
+    # rep — and must not read as an organic regression. Files written
+    # before the methodology field exist compare as before (one pooled
+    # list, marked "methodology unknown").
+    om = old.get("methodology") or {}
+    nm = new.get("methodology") or {}
+    have_meth = bool(om) and bool(nm)
+    o_rb = set(om.get("rebuild_per_rep", []))
+    n_rb = set(nm.get("rebuild_per_rep", []))
+    meth_changed = (o_rb ^ n_rb) if have_meth else set()
+
     print(f"{'query':32s} {'old':>7s} {'new':>7s} {'ratio':>6s}")
     moved = []
     for name in sorted(set(oq) & set(nq)):
@@ -49,10 +62,22 @@ def main() -> int:
         r = b / a
         if r >= thr or r <= 1 / thr:
             moved.append((r, name, a, b))
-    for r, name, a, b in sorted(moved, reverse=True):
+    organic = [m for m in moved if m[1] not in meth_changed]
+    known = [m for m in moved if m[1] in meth_changed]
+    for r, name, a, b in sorted(organic, reverse=True):
         print(f"{name:32s} {a:7.2f} {b:7.2f} {r:6.2f}")
-    if not moved:
-        print(f"(no per-query movement beyond {thr}x)")
+    if not organic:
+        print(f"(no same-methodology movement beyond {thr}x)")
+    if known:
+        print("-- methodology changed (rebuild-per-rep membership "
+              "flipped; the move is expected, not organic) --")
+        for r, name, a, b in sorted(known, reverse=True):
+            flag = "entered" if name in n_rb else "left"
+            print(f"{name:32s} {a:7.2f} {b:7.2f} {r:6.2f}  "
+                  f"[{flag} rebuild set]")
+    if not have_meth:
+        print("(methodology unknown for one side — pre-r10 file; "
+              "movement list is pooled)")
     added = sorted(set(nq) - set(oq))
     gone = sorted(set(oq) - set(nq))
     if added:

@@ -23,11 +23,20 @@ Fabrics:
   fabric for salted aggregation (designed for this) and for per-key
   WINDOW functions (sessionization), whose hot partition CANNOT be
   salted or AQE-split — the measurement this fabric exists to take.
+- BOILERPLATE (--boiler, r10 verdict #4): documents ×factor where ~30%
+  of EVERY copy's docs (pmod(doc_id,10) < 3) append the SAME fixed
+  14-token boilerplate sentence (after the per-copy organic token
+  suffixing, so the boilerplate shingles are the ONLY cross-copy
+  overlap). Every boilerplate 3-gram lands in 30% of the whole corpus —
+  the planted mega-shingle that serializes one WindowExec partition in
+  ta_dup_ngram_coverage's window-over-sh_h plan (its documented
+  pathological regime) and floods the shingle side of the minhash
+  verify; max_bucket's drop behavior is measured on the same fabric.
 
 Other tables symlink to sf0.1 — the composites under test only scan
 the scaled table(s).
 
-Usage: python tools/scale_rehearsal.py [--dup | --skew] [factor ...]
+Usage: python tools/scale_rehearsal.py [--dup | --skew | --boiler] [factor ...]
 (default factors: 10 100). Prints a table and the SCALE.md-ready rows;
 shuffle bytes come from the Spark REST status API (UI enabled for this
 session only).
@@ -64,11 +73,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "embeddings"]
 
 
+#: the planted boilerplate (14 tokens => 12 shared 3-gram shingles).
+#: Fixed across copies BY DESIGN: its shingles' document frequency is
+#: 0.3 x factor x |documents| — the "mega-boilerplate shingle" regime
+#: ta_dup_ngram_coverage's docstring names as its straggler case.
+BOILER = ("standard legal disclaimer all rights reserved terms of "
+          "service apply contact support for assistance today")
+
+
 def build_scaled_dir(spark, factor: int, dup_bomb: bool = False,
-                     skew: bool = False) -> str:
+                     skew: bool = False, boiler: bool = False) -> str:
     from pyspark.sql import functions as F
 
-    kind = "skw" if skew else ("dup" if dup_bomb else "org")
+    kind = ("blr" if boiler else "skw" if skew
+            else "dup" if dup_bomb else "org")
     out = tempfile.mkdtemp(prefix=f"sfx{factor}{kind}_")
     if skew:
         return _build_skew_dir(spark, factor, out)
@@ -93,6 +111,13 @@ def build_scaled_dir(spark, factor: int, dup_bomb: bool = False,
         else:
             txt = F.concat_ws(" ", F.transform(
                 w, lambda t: F.concat(t, F.lit(str(k)))))
+        if boiler:
+            # appended AFTER the per-copy suffixing: the boilerplate
+            # shingles stay byte-identical across every copy — the only
+            # cross-copy shingle overlap on this fabric
+            hot = F.pmod(F.col("doc_id"), F.lit(10)) < 3
+            txt = F.when(hot, F.concat(txt, F.lit(" " + BOILER))) \
+                .otherwise(txt)
         copies.append(d.select(
             (F.col("doc_id") + k * 100_000_000).alias("doc_id"),
             txt.alias("text"), "lang", "source",
@@ -179,6 +204,7 @@ def main() -> int:
     args = sys.argv[1:]
     dup_bomb = "--dup" in args
     skew = "--skew" in args
+    boiler = "--boiler" in args
     names = NAMES
     if "--names" in args:
         i = args.index("--names")
@@ -193,7 +219,7 @@ def main() -> int:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
     factors = [int(a) for a in args
-               if a not in ("--dup", "--skew")] or [10, 100]
+               if a not in ("--dup", "--skew", "--boiler")] or [10, 100]
     spark = (SparkSession.builder.master("local[32]")
              .appName("scale-rehearsal")
              .config("spark.sql.shuffle.partitions", "32")
@@ -210,8 +236,8 @@ def main() -> int:
     dirs = {1: BASE}
     for f in factors:
         t0 = time.time()
-        dirs[f] = build_scaled_dir(spark, f, dup_bomb, skew)
-        kind = ('skew' if skew else
+        dirs[f] = build_scaled_dir(spark, f, dup_bomb, skew, boiler)
+        kind = ('boilerplate' if boiler else 'skew' if skew else
                 'dup-bomb' if dup_bomb else 'organic')
         print(f"# built {f}x {kind} "
               f"fabric in {time.time() - t0:.1f}s -> {dirs[f]}",
