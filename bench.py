@@ -156,6 +156,9 @@ HEADLINE = [
     # partitioned read + aggregate)
     "q_sessionize_chunked",
     "k1_jdbc_roundtrip",
+    # r10 addition: the heavy-hitter pre-strip twin (sampled probe +
+    # salted hot window) — benched alongside the plain form it shadows
+    "ta_dup_ngram_coverage_strip",
 ]
 
 

@@ -3069,6 +3069,65 @@ def s1_parse_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("s8_landing_datasource", None)
+def s8_landing_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S6 through the Spark 4 PYTHON DATASOURCE route (r10):
+    ``spark.read.format("doc_landing")`` parses landing files inside the
+    reader task itself — file bytes never enter a DataFrame column (the
+    binaryFile route materializes them twice: scan + Arrow hop into the
+    parse UDF). Same fixture content as s1_parse_dispatch written to a
+    session-scoped drop dir, read back with filesPerPartition=2 (3 input
+    partitions), and reduced to the dispatch/outcome surface. Equality
+    to the binaryFile route is pinned in tests/test_sources.py; binary
+    parsing + a local drop dir ⇒ rows-only (same reason as s1)."""
+    import os
+    import tempfile
+
+    from multiagent_document_etl_system_spark.sources.landing_ds import (
+        DocLandingDataSource,
+    )
+    from multiagent_document_etl_system_spark.sources.parsers import (
+        make_demo_docx_bytes,
+        make_demo_pdf_bytes,
+        render_text_jpeg_progressive,
+    )
+
+    key = (spark.sparkContext.applicationId, "s8_landing")
+    drop = _S8_DROP_CACHE.get(key)
+    if drop is None:
+        drop = tempfile.mkdtemp(prefix="s8_landing_")
+        files = {
+            "a.txt": "plain text body".encode(),
+            "b.pdf": make_demo_pdf_bytes(
+                ["Receipt 7", "Paid: 12.50"], compress=True),
+            "c.docx": make_demo_docx_bytes(
+                ["Invoice 42", "Total due: 19.99"],
+                [["item", "qty", "price"]]),
+            "d.png": b"\x89PNG fake",
+            "e.csv": "x,y\n1,2".encode(),
+            "f.jpg": render_text_jpeg_progressive("SCAN 99",
+                                                  subsampling="420"),
+        }
+        for name, content in files.items():
+            with open(os.path.join(drop, name), "wb") as fh:
+                fh.write(content)
+        _S8_DROP_CACHE[key] = drop
+    spark.dataSource.register(DocLandingDataSource)
+    df = (spark.read.format("doc_landing")
+          .option("filesPerPartition", "2").load(drop))
+    # no orderBy: the driver compare is order-insensitive and a global
+    # sort is a range exchange the plan lint rightly rejects
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        "format", "n_bytes",
+        F.col("raw_text").isNotNull().alias("parsed_ok"),
+        F.col("parse_error").isNotNull().alias("has_error"),
+    )
+
+
+_S8_DROP_CACHE: dict[tuple[str, str], str] = {}
+
+
 # memoized single-file stagings of the events table, keyed by
 # (session id, sf_dir) — the staging write is fixture setup, not part of
 # the measured streaming query (VERDICT r2 "what's wrong" #4)
@@ -5125,6 +5184,12 @@ NO_ORACLE_REASONS: dict[str, str] = {
     "s1_parse_dispatch": "parses BINARY fixture files (PDF/DOCX/images "
                          "incl. progressive JPEG) — DuckDB has no "
                          "parser; round-trip pytest",
+    "s8_landing_datasource": "Python-DataSource read of a binary "
+                             "landing drop (same parser table as s1) — "
+                             "DuckDB has no parser and the source is a "
+                             "local drop dir, not a registered table; "
+                             "equality to the binaryFile route pinned "
+                             "in tests/test_sources.py",
     "mm_decode_features": "media decode via mapInPandas — REAL stdlib "
                           "pixel decode + luminance histogram for "
                           "BMP/PNG/baseline+progressive JPEG, "
@@ -6308,7 +6373,10 @@ _QUEUED_FOR_R10 += ["k1_jdbc_roundtrip", "q_sessionize_chunked"]
 
 # added after the R10 pin (frozen-window discipline): the heavy-hitter
 # pre-strip twin of ta_dup_ngram_coverage, built in response to the r10
-# --boiler rehearsal
+# --boiler rehearsal. (s8_landing_datasource also landed post-pin but is
+# rows-only BY CONSTRUCTION — the queue holds oracled queries only; the
+# NOTES.md R11 plan reserves it a sanctioned rows-only slot instead,
+# the r9-window pattern for first no_oracle evidence.)
 _QUEUED_FOR_R11 += ["ta_dup_ngram_coverage_strip"]
 
 

@@ -56,6 +56,21 @@ def file_format(path: Column) -> Column:
     return fmt
 
 
+def format_for_path(path: str) -> str:
+    """Python-side twin of :func:`file_format` (same dispatch table, same
+    precedence) — used where no Column expression is available, e.g. the
+    doc_landing Python DataSource's executor-side read loop. Kept next to
+    the Column form so the two cannot drift."""
+    low = path.lower()
+    if low.endswith(PDF_EXTS):
+        return "pdf"
+    if low.endswith(DOCX_EXTS):
+        return "docx"
+    if low.endswith(IMAGE_EXTS):
+        return "image"
+    return "text"
+
+
 def _mk_parser(importer: Callable[[], object], parse_fn, label: str):
     """Build a (bytes → (text, error)) row parser with a lazy per-executor
     library import — errors become row values, never task failures."""

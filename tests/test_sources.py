@@ -726,3 +726,54 @@ def test_read_fixed_width_corpus_fault_contract(spark, tmp_path):
     assert bad["_corrupt_record"].startswith("eightchr")
     # audit-only query works (the thing the raw CSV source refuses)
     assert out.filter(out["_corrupt_record"].isNotNull()).count() == 2
+
+
+def test_doc_landing_datasource_matches_parse_documents(spark, landing):
+    """r10: the Spark 4 Python DataSource route
+    (spark.read.format('doc_landing')) must emit exactly the rows the
+    binaryFile + parse_documents route computes — same dispatch table,
+    same per-row error capture — while never materializing file bytes
+    into a DataFrame column."""
+    from multiagent_document_etl_system_spark.sources.landing_ds import (
+        DocLandingDataSource,
+    )
+
+    spark.dataSource.register(DocLandingDataSource)
+    got = {r["path"].removeprefix("file:"): (
+               r["format"], r["raw_text"], r["parse_error"] is None)
+           for r in spark.read.format("doc_landing").load(landing)
+           .collect()}
+    want = {r["path"].removeprefix("file:"): (
+                r["fmt"], r["raw_text"], r["parse_error"] is None)
+            for r in parsers.parse_documents(read_landing_dir(spark, landing))
+            .select("path", parsers.file_format(F.col("path")).alias("fmt"),
+                    "raw_text", "parse_error").collect()}
+    assert got == want and len(got) == 6
+    # n_bytes carries the real on-disk size
+    import os
+    for r in spark.read.format("doc_landing").load(landing).collect():
+        assert r["n_bytes"] == os.path.getsize(
+            r["path"].removeprefix("file:"))
+
+
+def test_doc_landing_datasource_partition_planning(spark, landing):
+    """filesPerPartition drives task fan-out: 6 files at 1 per group =>
+    6 input partitions; the default groups more densely."""
+    from multiagent_document_etl_system_spark.sources.landing_ds import (
+        DocLandingDataSource,
+        DocLandingReader,
+    )
+
+    spark.dataSource.register(DocLandingDataSource)
+    fine = (spark.read.format("doc_landing")
+            .option("filesPerPartition", "1").load(landing))
+    assert fine.rdd.getNumPartitions() == 6
+    # reader-level contract (no Spark needed): grouping math + rejections
+    r = DocLandingReader({"path": landing, "filesperpartition": "4"})
+    parts = r.partitions()
+    assert [len(p.paths) for p in parts] == [4, 2]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="local/mounted"):
+        DocLandingReader({"path": "s3a://bucket/drop"})
+    with _pytest.raises(ValueError, match="requires a load path"):
+        DocLandingReader({})
