@@ -668,19 +668,25 @@ def dup_ngram_coverage_stripped(df: DataFrame, text_col: str = "text",
     Python pass costing 2× what the straggler saved (36.1 vs 18.3 s);
     measurement, not intuition, picked this plan.
 
-    Plan: (1) PROBE — Bernoulli row-sample of the 8-byte hash stream,
-    tiny groupBy; a shingle sampled ≥ max(2, frac·N/inv_epsilon) times
-    is hot. The ≥2 floor makes false positives IMPOSSIBLE (a freq-1
-    shingle has one row; Bernoulli row sampling cannot emit it twice),
-    so the sampled count doubles as the exact freq≥2 proof. Bounded
-    collect: ordered by count desc, LIMIT inv_epsilon (overflow shingles
-    just stay cold). (2) ONE window pass over ALL rows, partitioned by
-    (sh_h, salt) where salt = pmod(doc_id, salt_buckets) for hot
-    shingles and 0 otherwise: hot partitions split salt_buckets-ways
-    (their nd is garbage and never read — the flag is a constant 1 for
-    hot), cold partitions are untouched so their nd stays exact. No
-    second scan, no union, no Python — the whole strip costs one
-    sampled probe on top of the plain plan.
+    Plan: (1) PROBE — Bernoulli DOCUMENT-sample BEFORE the explode (the
+    sample pushes below the shingle explode, so the probe pays ~frac of
+    one map pass, not a full one — the first sampled-probe cut sampled
+    the exploded rows and its two full explode passes cost +45% on the
+    organic 100× fabric; measured, then moved), tiny groupBy over the
+    sampled 8-byte hashes; a shingle seen in ≥ max(2,
+    frac·docs/inv_epsilon) sampled DOCS is hot. On the distinct-shingle
+    basis the ≥2 floor makes false positives IMPOSSIBLE: a df-1 shingle
+    lives in exactly one doc, and doc-sampling without replacement
+    cannot pick that doc twice — the sampled df doubles as the exact
+    df≥2 proof. Bounded collect: ordered by count desc, LIMIT
+    inv_epsilon (overflow shingles just stay cold). (2) ONE window pass
+    over ALL rows, partitioned by (sh_h, salt) where salt =
+    pmod(doc_id, salt_buckets) for hot shingles and 0 otherwise: hot
+    partitions split salt_buckets-ways (their nd is garbage and never
+    read — the flag is a constant 1 for hot), cold partitions are
+    untouched so their nd stays exact. No second full scan, no union,
+    no Python — the whole strip costs ~frac of a map pass on top of
+    the plain plan.
     """
     from multiagent_document_etl_system_spark.operators import dedup
 
@@ -688,13 +694,17 @@ def dup_ngram_coverage_stripped(df: DataFrame, text_col: str = "text",
                    F.explode(dedup.shingles(F.col(text_col), 3)).alias("s"))
          .select(id_col, dedup.hash64(F.col("s")).alias("sh_h")))
 
-    # --- probe: sampled hot-shingle detection (bounded collect:
-    # ≤ inv_epsilon rows by the LIMIT; misses only cost window balance,
-    # never correctness) ---
-    probe = (h.select("sh_h").sample(fraction=sample_frac, seed=42)
+    # --- probe: doc-sampled hot-shingle detection (bounded collects:
+    # one 1-row agg + ≤ inv_epsilon rows by the LIMIT; misses only cost
+    # window balance, never correctness) ---
+    sampled_docs = df.sample(fraction=sample_frac, seed=42)
+    probe = (sampled_docs
+             .select(F.explode(dedup.shingles(F.col(text_col), 3))
+                     .alias("s"))
+             .select(dedup.hash64(F.col("s")).alias("sh_h"))
              .groupBy("sh_h").agg(F.count("*").alias("n")))
-    n_sampled = probe.agg(F.sum("n")).collect()[0][0] or 0
-    thresh = max(2, int(n_sampled / inv_epsilon))
+    n_docs_sampled = sampled_docs.count()
+    thresh = max(2, int(n_docs_sampled / inv_epsilon))
     hot_ids = [r.sh_h for r in (probe.filter(F.col("n") >= thresh)
                                 .orderBy(F.desc("n"), F.asc("sh_h"))
                                 .limit(inv_epsilon).collect())]

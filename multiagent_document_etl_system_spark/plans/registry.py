@@ -3128,6 +3128,38 @@ def s8_landing_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S8_DROP_CACHE: dict[tuple[str, str], str] = {}
 
 
+@_q("s9_landing_stream", None)
+def s9_landing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 streaming through the Spark 4 Python DataSource API (r10):
+    ``spark.readStream.format("doc_landing")`` tails the same fixture
+    drop dir as s8 with a REAL availableNow run into a memory sink —
+    the SimpleDataSourceStreamReader's seen-set offset makes every
+    batch replayable (exactly-once restart pinned in
+    tests/test_sources.py with a parquet sink + checkpoint). Returns
+    the per-format parse outcome counts of the streamed batch.
+    Rows-only for the same reasons as s8 (binary parse, local drop)."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.sources.landing_ds import (
+        DocLandingDataSource,
+    )
+
+    s8_landing_datasource(spark, sf_dir)  # ensures the drop dir exists
+    drop = _S8_DROP_CACHE[(spark.sparkContext.applicationId, "s8_landing")]
+    spark.dataSource.register(DocLandingDataSource)
+    name = f"s9_landing_{uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("doc_landing").load(drop)
+         .writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return (spark.table(name)
+            .groupBy("format")
+            .agg(F.count("*").cast("bigint").alias("n_files"),
+                 F.sum(F.when(F.col("parse_error").isNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("n_parsed"))
+            )
+
+
 # memoized single-file stagings of the events table, keyed by
 # (session id, sf_dir) — the staging write is fixture setup, not part of
 # the measured streaming query (VERDICT r2 "what's wrong" #4)
@@ -4137,7 +4169,8 @@ def ta_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin alike); the warning regime starts where one partition's df
     approaches executor memory. On a corpus that can reach it, use
     ta_dup_ngram_coverage_strip — same rows, same oracle, sampled
-    hot-shingle probe + salted hot partitions, ≤5% overhead, max
+    doc-sampled hot-shingle probe + salted hot partitions (measured
+    at-or-below the plain plan on both fabrics — SCALE.md r10), max
     partition bounded by construction. Exact integer outputs (coverage
     as a scaled-int ratio) => full hash oracle."""
     d = _docs(spark, sf_dir)
@@ -5190,6 +5223,10 @@ NO_ORACLE_REASONS: dict[str, str] = {
                              "local drop dir, not a registered table; "
                              "equality to the binaryFile route pinned "
                              "in tests/test_sources.py",
+    "s9_landing_stream": "streaming flavor of s8 (REAL availableNow "
+                         "run through SimpleDataSourceStreamReader) — "
+                         "same no-parser/no-table reasons; exactly-once "
+                         "restart pinned in tests/test_sources.py",
     "mm_decode_features": "media decode via mapInPandas — REAL stdlib "
                           "pixel decode + luminance histogram for "
                           "BMP/PNG/baseline+progressive JPEG, "
