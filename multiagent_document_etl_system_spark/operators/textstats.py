@@ -687,6 +687,15 @@ def dup_ngram_coverage_stripped(df: DataFrame, text_col: str = "text",
     untouched so their nd stays exact. No second full scan, no union,
     no Python — the whole strip costs ~frac of a map pass on top of
     the plain plan.
+
+    Bound honesty: with a SAMPLED probe the max-cold-partition bound is
+    probabilistic, not structural — a shingle with df just above
+    docs/inv_epsilon can be missed. The miss probability decays
+    exponentially in df (Chernoff on ~frac·df sampled hits vs the
+    threshold), so the mega-boilerplate regime this operator exists for
+    (df orders of magnitude above threshold) is caught with near
+    certainty; a borderline miss costs one modestly-oversized window
+    partition, never correctness.
     """
     from multiagent_document_etl_system_spark.operators import dedup
 

@@ -3143,15 +3143,20 @@ def s9_landing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multiagent_document_etl_system_spark.sources.landing_ds import (
         DocLandingDataSource,
     )
+    from multiagent_document_etl_system_spark.streaming.streamx import (
+        run_to_memory,
+    )
 
     s8_landing_datasource(spark, sf_dir)  # ensures the drop dir exists
     drop = _S8_DROP_CACHE[(spark.sparkContext.applicationId, "s8_landing")]
     spark.dataSource.register(DocLandingDataSource)
     name = f"s9_landing_{uuid.uuid4().hex[:8]}"
-    q = (spark.readStream.format("doc_landing").load(drop)
-         .writeStream.format("memory").queryName(name)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    # run_to_memory: BLOCKING awaitTermination (a timeout variant can
+    # return before the availableNow run finishes on a loaded host,
+    # silently truncating the memory table) + the state-store
+    # shuffle-partition pinning every other streaming query uses
+    run_to_memory(spark.readStream.format("doc_landing").load(drop),
+                  name, output_mode="append")
     return (spark.table(name)
             .groupBy("format")
             .agg(F.count("*").cast("bigint").alias("n_files"),
@@ -4171,7 +4176,8 @@ def ta_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta_dup_ngram_coverage_strip — same rows, same oracle, sampled
     doc-sampled hot-shingle probe + salted hot partitions (measured
     at-or-below the plain plan on both fabrics — SCALE.md r10), max
-    partition bounded by construction. Exact integer outputs (coverage
+    cold partition bounded with exponentially-small miss probability
+    (see the operator's bound-honesty note). Exact integer outputs (coverage
     as a scaled-int ratio) => full hash oracle."""
     d = _docs(spark, sf_dir)
     sh = d.select(

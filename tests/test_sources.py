@@ -807,7 +807,7 @@ def test_doc_landing_stream_reads_new_files_exactly_once(
              .writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        q.awaitTermination()  # availableNow terminates; blocking await
         rows = spark.read.parquet(out).collect()
         return {os.path.basename(r["path"]): r["raw_text"] for r in rows}, \
             len(rows)
