@@ -1345,6 +1345,74 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 materialize_result=False))
 
 
+@_q("dedup_cross_source_links", f"""
+WITH pairs AS ({_minhash_pairs_sql(0.3)}),
+src AS (SELECT doc_id, source FROM documents),
+oriented AS (
+  SELECT p.id_a AS doc_id, sa.source AS doc_source,
+         p.id_b AS match_id, sb.source AS match_source,
+         CAST(floor(p.jaccard * 10000 + 0.5) AS BIGINT) AS jaccard_q1e4
+  FROM pairs p JOIN src sa ON sa.doc_id = p.id_a
+               JOIN src sb ON sb.doc_id = p.id_b
+  WHERE sa.source <> sb.source
+  UNION ALL
+  SELECT p.id_b, sb.source, p.id_a, sa.source,
+         CAST(floor(p.jaccard * 10000 + 0.5) AS BIGINT)
+  FROM pairs p JOIN src sa ON sa.doc_id = p.id_a
+               JOIN src sb ON sb.doc_id = p.id_b
+  WHERE sa.source <> sb.source
+)
+SELECT doc_id, doc_source, match_id, match_source, jaccard_q1e4
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY jaccard_q1e4 DESC, match_id ASC) AS rn
+  FROM oriented
+) WHERE rn = 1
+""")
+def dedup_cross_source_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source RECORD LINKAGE: for every document that has a
+    near-duplicate in a DIFFERENT source, its single best cross-source
+    match (highest verified Jaccard, doc_id tie-break) — the link table
+    behind snapshot/crawl alignment ("which feed carries this article"),
+    where dedup_cross_source_matrix only counts. The blocking-join
+    pattern: candidates come from banded MinHash LSH (never all-pairs),
+    verify is exact shingle Jaccard, and the per-doc argmax is a
+    row_number window over a doc's own handful of matches (no skew
+    surface: partition size = a doc's cross-source match count).
+    COMPOSITE consumer: the symmetrize union references the pair
+    relation twice, so the result checkpoint stays ON (the r9
+    subtree-non-sharing lesson — consume-once here would re-run the
+    whole verify chain per union branch). Integer 1e-4-grid scores ⇒
+    full hash oracle."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    src = docs.select("doc_id", "source")
+    jq = F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("bigint")
+    p = (pairs
+         .join(src.select(F.col("doc_id").alias("id_a"),
+                          F.col("source").alias("src_a")), "id_a")
+         .join(src.select(F.col("doc_id").alias("id_b"),
+                          F.col("source").alias("src_b")), "id_b")
+         .filter(F.col("src_a") != F.col("src_b"))
+         .select("id_a", "src_a", "id_b", "src_b", jq.alias("jaccard_q1e4")))
+    oriented = (
+        p.select(F.col("id_a").alias("doc_id"),
+                 F.col("src_a").alias("doc_source"),
+                 F.col("id_b").alias("match_id"),
+                 F.col("src_b").alias("match_source"), "jaccard_q1e4")
+        .unionByName(
+            p.select(F.col("id_b").alias("doc_id"),
+                     F.col("src_b").alias("doc_source"),
+                     F.col("id_a").alias("match_id"),
+                     F.col("src_a").alias("match_source"),
+                     "jaccard_q1e4")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard_q1e4"), F.asc("match_id"))
+    return (oriented.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
 @_q("dedup_simhash", f"""
 WITH tok AS (
   SELECT doc_id AS id,
@@ -6420,7 +6488,8 @@ _QUEUED_FOR_R10 += ["k1_jdbc_roundtrip", "q_sessionize_chunked"]
 # rows-only BY CONSTRUCTION — the queue holds oracled queries only; the
 # NOTES.md R11 plan reserves it a sanctioned rows-only slot instead,
 # the r9-window pattern for first no_oracle evidence.)
-_QUEUED_FOR_R11 += ["ta_dup_ngram_coverage_strip"]
+_QUEUED_FOR_R11 += ["ta_dup_ngram_coverage_strip",
+                    "dedup_cross_source_links"]
 
 
 # Re-apply the driver-window ordering AFTER the last registration: queries
