@@ -159,6 +159,9 @@ HEADLINE = [
     # r10 addition: the heavy-hitter pre-strip twin (sampled probe +
     # salted hot window) — benched alongside the plain form it shadows
     "ta_dup_ngram_coverage_strip",
+    # r10 addition: cross-source record linkage (LSH blocking join +
+    # per-doc argmax); a composite minhash caller, so rebuild-per-rep
+    "dedup_cross_source_links",
 ]
 
 
@@ -218,6 +221,7 @@ def main() -> None:
                        # inside the measurement for every caller
                        "dedup_minhash_lsh", "dedup_threshold_sweep",
                        "dedup_keep_best", "ta_minhash_est_vs_exact",
+                       "dedup_cross_source_links",
                        "td_dedup_provenance", "dedup_cluster_size_histogram",
                        "td_dedup_policy_ablation",
                        # eager-checkpoints its edge list at build time —
