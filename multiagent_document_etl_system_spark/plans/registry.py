@@ -5249,9 +5249,63 @@ _DRIVER_WINDOW_R10 = [
 #: for the r11 window head (frozen-window discipline, sixth rotation).
 _QUEUED_FOR_R11: list[str] = []
 
+# ---- ROUND-11 DRIVER WINDOW (pinned per NOTES.md + r10 verdict #1) ----
+# The external driver checks the FIRST 50 registry entries. Composition:
+# (1) the 2 oracled queries that queued behind the frozen r10 window —
+# first driver evidence (both hash-PASS in the r10 judge's own vanilla
+# run); (2) the 2 sanctioned rows-only first-evidence slots for the
+# Spark 4 Python-DataSource landing reads (the r9 pattern — reasons in
+# NO_ORACLE_REASONS; s9's stream reader is ALSO contract-changed this
+# round: r11 replaces the driver-side SimpleDataSourceStreamReader with
+# the partition-planned DataSourceStreamReader, r10 verdict #2);
+# (3) 2 contract-coupled re-confirms for this round's changes:
+# ta_dup_ngram_coverage (r11 wires the r10 strip variant as an
+# auto-selected plan behind a bounded probe — r10 verdict #8) and
+# k1_jdbc_roundtrip (r11 replaces the mtime-keyed stale-Derby-dir purge
+# with a heartbeat-keyed one — ADVICE r10); (4) the ENTIRE remaining
+# r05-evidence oracled block (31 queries, named in NOTES.md and
+# recomputed from CORRECTNESS_r01..r10 at pin time — r10 came back
+# 50/50 green so the stale frontier is exactly this block); (5) 13 pads
+# from the r06 block (27 queries — the remaining 14 are reserved for
+# R12). FROZEN AT PIN TIME — any query added this round goes to
+# _QUEUED_FOR_R12, never into this list (tests/test_registry_order.py
+# enforces it).
+_DRIVER_WINDOW_R11 = [
+    # --- 2 queued-for-R11 (first driver evidence, oracled) ---
+    "ta_dup_ngram_coverage_strip",
+    "dedup_cross_source_links",
+    # --- sanctioned rows-only first-evidence slots (NOTES.md R11 plan) --
+    "s8_landing_datasource",
+    "s9_landing_stream",
+    # --- contract-coupled re-confirms (r11 changes land in these) ---
+    "ta_dup_ngram_coverage",
+    "k1_jdbc_roundtrip",
+    # --- stale refresh: the entire r05-evidence oracled block (31) ---
+    "q_funnel_conversion", "q_histogram", "q_incremental_agg_merge",
+    "q_interval_join_binned", "q_limit_offset", "q_nullsafe_join",
+    "q_resample_gapfill", "q_retention_cohorts", "q_rollup_grouping_id",
+    "q_scd2_intervals", "q_set_ops_all", "q_skew_salted_agg",
+    "q_sliding_window", "q_stats_moments", "q_tumbling_window",
+    "q_window_percent_rank", "st_curation_stream", "st_span_gate",
+    "ta_bigram_logprob", "ta_gopher_rules", "ta_heavy_hitters",
+    "ta_inverted_index", "ta_quality_score", "ta_readability", "ta_tfidf",
+    "td_importance_resample", "td_quality_calibration", "td_shuffle_order",
+    "td_split", "td_token_budget_pack", "td_zorder_layout",
+    # --- stale refresh: first 13 of the r06 block (14 reserved for R12) --
+    "diag_prep_gate", "diag_prep_exact", "diag_prep_clusters",
+    "diag_prep_survivors", "diag_prep_tokens", "ta_lang_confusion",
+    "ta_collocations", "st_interval_join_outer_stream",
+    "st_variant_stream", "ta_cdc_chunks", "ta_boolean_search",
+    "ta_countmin_freq", "v25_centroid_outliers",
+]
+
+#: oracled queries added AFTER the r11 window was pinned — they queue
+#: for the r12 window head (frozen-window discipline, seventh rotation).
+_QUEUED_FOR_R12: list[str] = []
+
 
 def _driver_ordered(q: dict) -> dict:
-    head = [n for n in _DRIVER_WINDOW_R10 if n in q]
+    head = [n for n in _DRIVER_WINDOW_R11 if n in q]
     return {n: q[n] for n in head + [n for n in q if n not in set(head)]}
 
 

@@ -1,16 +1,16 @@
-"""Driver-window ordering invariants (round-10).
+"""Driver-window ordering invariants (round-11).
 
 The external driver checks the FIRST 50 registry entries each round; these
-tests pin that the round-10 window contains exactly what the r9 verdict
-and NOTES.md ordered: the 2 items that queued behind the frozen r9 window
-at the head (first driver evidence), 4 contract-coupled re-confirms (r10
-adds the consume-once materialize_result=False path to
-dedup.minhash_lsh_pairs and exactly these four registry callers take it),
-the entire r04-stale oracled block (29 refresh pads), the rows-only
-tail's SECOND rotation (verdict r9 #7 — 10 queries whose only driver
-evidence is an r02/r03/r04 `no_oracle` row), and 5 pads from the r05
-block (the remaining 31 are reserved for R11). The window is FROZEN:
-queries added after the pin go to _QUEUED_FOR_R11, never into the window.
+tests pin that the round-11 window contains exactly what the r10 verdict
+and NOTES.md ordered: the 2 oracled queries that queued behind the frozen
+r10 window at the head (first driver evidence), the 2 sanctioned rows-only
+first-evidence slots for the Spark 4 Python-DataSource landing reads, 2
+contract-coupled re-confirms (r11 wires the strip variant as
+ta_dup_ngram_coverage's auto-selected plan and replaces k1's mtime-keyed
+stale-Derby purge with a heartbeat-keyed one), the entire r05-stale
+oracled block (31 refresh pads), and 13 pads from the r06 block (the
+remaining 14 are reserved for R12). The window is FROZEN: queries added
+after the pin go to _QUEUED_FOR_R12, never into the window.
 """
 
 from __future__ import annotations
@@ -21,9 +21,9 @@ from multiagent_document_etl_system_spark.plans.registry import (
     _DRIVER_WINDOW_R8,
     _DRIVER_WINDOW_R9,
     _DRIVER_WINDOW_R10,
-    _QUEUED_FOR_R9,
-    _QUEUED_FOR_R10,
+    _DRIVER_WINDOW_R11,
     _QUEUED_FOR_R11,
+    _QUEUED_FOR_R12,
     QUERIES,
 )
 
@@ -98,104 +98,105 @@ _EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R8)
 # the r9 window ran 50/50 green (CORRECTNESS_r09: 45 hash-pass + the 5
 # sanctioned no_oracle rows-only slots, each spark_rows > 0)
 _EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R9)
+# the r10 window ran 50/50 green (CORRECTNESS_r10: 40 hash-pass + the 10
+# second-rotation no_oracle rows-only slots, each spark_rows > 0)
+_EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R10)
 
-#: the 2 oracled queries that queued behind the frozen r9 window — they
-#: MUST head the r10 window (NOTES.md recipe; both hash-PASS in the r9
+#: the 2 oracled queries that queued behind the frozen r10 window — they
+#: MUST head the r11 window (NOTES.md recipe; both hash-PASS in the r10
 #: judge's own vanilla run).
-_QUEUED_2 = ["k1_jdbc_roundtrip", "q_sessionize_chunked"]
+_QUEUED_2 = ["ta_dup_ngram_coverage_strip", "dedup_cross_source_links"]
 
-#: contract-coupled re-confirms: r10's consume-once
-#: materialize_result=False path lands in exactly these four callers
-#: (all r6/r7-green); composites keep the result checkpoint and their
-#: plans are unchanged.
-_RECONFIRM_MINHASH = [
-    "dedup_minhash_lsh", "dedup_threshold_sweep", "diag_prep_pairs",
-    "ta_minhash_est_vs_exact",
-]
+#: the 2 sanctioned rows-only first-evidence slots (NOTES.md R11 plan —
+#: the r9 pattern for first `no_oracle` evidence): the Spark 4 Python
+#: DataSource landing reads, both added post-r10-pin, both rows-only BY
+#: CONSTRUCTION (reasons in NO_ORACLE_REASONS).
+_SANCTIONED_ROWS_ONLY = ["s8_landing_datasource", "s9_landing_stream"]
 
-#: the rows-only tail's SECOND rotation (verdict r9 #7): each of these
-#: produced its only driver evidence (an `err: "no_oracle"` row with
-#: spark_rows > 0) in r02/r03/r04 — the slot buys a fresh execution row.
-_ROWS_ONLY_ROTATION = [
-    "l4_embed", "mm_decode_features", "q_approx_distinct",
-    "s1_parse_dispatch", "v8_ivf_topk", "v13_topk_matmul",
-    "v14_ann_lsh_matmul", "v17_pq_codes", "v18_pq_adc_topk",
-    "v19_ivfpq_topk",
-]
+#: contract-coupled re-confirms: r11 wires the strip variant as
+#: ta_dup_ngram_coverage's auto-selected plan (r10 verdict #8) and
+#: replaces k1's mtime-keyed stale-Derby-dir purge with a
+#: heartbeat-keyed one (ADVICE r10). Both r10-green; the slot buys a
+#: fresh row under the changed contract.
+_RECONFIRMS = ["ta_dup_ngram_coverage", "k1_jdbc_roundtrip"]
 
 
 def test_window_is_exactly_the_head():
-    assert list(QUERIES)[: len(_DRIVER_WINDOW_R10)] == _DRIVER_WINDOW_R10
+    assert list(QUERIES)[: len(_DRIVER_WINDOW_R11)] == _DRIVER_WINDOW_R11
 
 
 def test_window_is_50_slots():
-    assert len(_DRIVER_WINDOW_R10) == 50
-    assert len(set(_DRIVER_WINDOW_R10)) == 50
+    assert len(_DRIVER_WINDOW_R11) == 50
+    assert len(set(_DRIVER_WINDOW_R11)) == 50
 
 
 def test_queued_2_lead_the_window():
-    assert _DRIVER_WINDOW_R10[:2] == _QUEUED_2
-    assert set(_QUEUED_2) == set(_QUEUED_FOR_R10)
+    assert _DRIVER_WINDOW_R11[:2] == _QUEUED_2
+    assert set(_QUEUED_2) == set(_QUEUED_FOR_R11)
 
 
-def test_reconfirms_follow_the_queued_head():
-    assert _DRIVER_WINDOW_R10[2:6] == _RECONFIRM_MINHASH
+def test_sanctioned_rows_only_follow_the_queued_head():
+    assert _DRIVER_WINDOW_R11[2:4] == _SANCTIONED_ROWS_ONLY
+
+
+def test_reconfirms_follow_the_rows_only_slots():
+    assert _DRIVER_WINDOW_R11[4:6] == _RECONFIRMS
 
 
 def test_window_slots_all_produce_evidence():
-    """Every slot is first evidence (queued) or a deliberate refresh of
-    a previously-recorded query — no accidental slots."""
-    for n in _DRIVER_WINDOW_R10:
-        if n in _QUEUED_2:
+    """Every slot is first evidence (queued / sanctioned rows-only) or a
+    deliberate refresh of a previously-recorded query — no accidental
+    slots."""
+    for n in _DRIVER_WINDOW_R11:
+        if n in _QUEUED_2 or n in _SANCTIONED_ROWS_ONLY:
             assert n not in _EVER_DRIVER_CHECKED, n
         else:
             assert n in _EVER_DRIVER_CHECKED, n
 
 
-def test_stale_pads_have_at_least_40_slots():
-    """Verdict r9 #1/#7: the whole r04-stale oracled block (29) + the
-    rows-only rotation (10) + 5 r05 pads — everything after the 6-slot
-    head refreshes old evidence."""
-    pads = _DRIVER_WINDOW_R10[6:]
-    assert len(pads) >= 40
+def test_stale_pads_have_at_least_44_slots():
+    """Verdict r10 #1: the whole r05-stale oracled block (31) + 13 r06
+    pads — everything after the 6-slot head refreshes old evidence."""
+    pads = _DRIVER_WINDOW_R11[6:]
+    assert len(pads) >= 44
 
 
 def test_window_covers_every_never_checked_oracled_query():
-    """After r10's window runs, zero oracled queries lack a driver row —
-    except those added after the pin, which queue for r11."""
+    """After r11's window runs, zero oracled queries lack a driver row —
+    except those added after the pin, which queue for r12."""
     never = [n for n, (_, oracle) in QUERIES.items()
              if oracle and n not in _EVER_DRIVER_CHECKED]
     missing = [n for n in never
-               if n not in _DRIVER_WINDOW_R10 and n not in _QUEUED_FOR_R11]
+               if n not in _DRIVER_WINDOW_R11 and n not in _QUEUED_FOR_R12]
     assert not missing, missing
 
 
 def test_window_is_frozen_against_new_additions():
-    """Queries added after the r10 pin must NOT displace window slots:
-    they are oracled, exist, and sit in _QUEUED_FOR_R11 outside the
+    """Queries added after the r11 pin must NOT displace window slots:
+    they are oracled, exist, and sit in _QUEUED_FOR_R12 outside the
     window."""
-    for n in _QUEUED_FOR_R11:
+    for n in _QUEUED_FOR_R12:
         assert n in QUERIES and QUERIES[n][1], n
-        assert n not in _DRIVER_WINDOW_R10, n
+        assert n not in _DRIVER_WINDOW_R11, n
         assert n not in _EVER_DRIVER_CHECKED, n
 
 
-def test_rows_only_slots_are_exactly_the_rotation_ten():
-    """Rows-only slots are normally waste; r10 sanctions exactly the 10
-    second-rotation ones (verdict r9 #7), no others."""
-    rows_only = [n for n in _DRIVER_WINDOW_R10 if not QUERIES[n][1]]
-    assert sorted(rows_only) == sorted(_ROWS_ONLY_ROTATION), rows_only
+def test_rows_only_slots_are_exactly_the_sanctioned_two():
+    """Rows-only slots are normally waste; r11 sanctions exactly the 2
+    first-evidence DataSource slots (NOTES.md R11 plan), no others."""
+    rows_only = [n for n in _DRIVER_WINDOW_R11 if not QUERIES[n][1]]
+    assert sorted(rows_only) == sorted(_SANCTIONED_ROWS_ONLY), rows_only
 
 
 def test_every_window_name_exists():
-    missing = [n for n in _DRIVER_WINDOW_R10 if n not in QUERIES]
+    missing = [n for n in _DRIVER_WINDOW_R11 if n not in QUERIES]
     assert not missing, missing
 
 
 def test_stale_refresh_pads_are_actually_stale():
     """The pad slots exist to refresh the OLDEST driver evidence; none
-    may come from the r8/r9 windows (freshest evidence)."""
-    pads = _DRIVER_WINDOW_R10[6:]
+    may come from the r9/r10 windows (freshest evidence)."""
+    pads = _DRIVER_WINDOW_R11[6:]
     overlap = [n for n in pads
-               if n in set(_DRIVER_WINDOW_R8) | set(_DRIVER_WINDOW_R9)]
+               if n in set(_DRIVER_WINDOW_R9) | set(_DRIVER_WINDOW_R10)]
     assert not overlap, overlap
