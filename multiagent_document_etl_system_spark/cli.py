@@ -802,20 +802,34 @@ def cmd_ingest(args) -> dict:
     # a different content generation) are incomplete writes — safe to
     # drop blindly. A SEALED stale-generation staging is different (r9
     # ADVICE, medium): its run may have crashed AFTER appending
-    # survivors to the corpus or to one of the two index tables and
-    # BEFORE the commit-point delete — deleting it as-is would orphan
-    # those partial commits (corpus docs with no md5/band index rows ⇒
-    # a later replay of that content is never deduped). Complete its
-    # commit tail first, exactly as the legacy resume does, THEN delete.
-    # This runs before dedup_against_index reads the index, so the
-    # current shard dedups against the repaired state.
+    # survivors to the corpus and BEFORE the index appends and the
+    # commit-point delete — deleting it as-is would orphan that partial
+    # commit (corpus docs with no md5/band index rows ⇒ a later replay
+    # of that content is never deduped). But completing the tail
+    # UNCONDITIONALLY resurrects content the operator deliberately
+    # replaced when the crashed run committed nothing (r10 ADVICE): the
+    # repair only runs on EVIDENCE of a partial commit — some staged
+    # doc_id already in the corpus. _apply_staged appends corpus-first,
+    # so "no staged doc_id in the corpus" proves the index appends never
+    # started either (Spark's parquet append commits atomically via the
+    # job-commit protocol — a crashed append leaves no committed files).
+    # The probe is a LIMIT-1 semi-join, recovery-path-only. This runs
+    # before dedup_against_index reads the index, so the current shard
+    # dedups against the repaired state.
     stale_glob = _hpath(f"{corpus}/_staged_{path_id}*")
     for st in (_fs(corpus).globStatus(stale_glob) or []):
         stale_path = f"{corpus}/{st.getPath().getName()}"
         if stale_path == staging:
             continue
         if _fs(stale_path).exists(_hpath(f"{stale_path}/_STAGED_OK")):
-            _apply_staged(spark.read.parquet(stale_path), repair=True)
+            sdf = spark.read.parquet(stale_path)
+            committed = _corpus_doc_ids()
+            partially_committed = committed is not None and bool(
+                sdf.select("doc_id")
+                   .join(committed, "doc_id", "left_semi")
+                   .limit(1).take(1))
+            if partially_committed:
+                _apply_staged(sdf, repair=True)
         _fs(corpus).delete(st.getPath(), True)
     ok_marker = f"{staging}/_STAGED_OK"
 

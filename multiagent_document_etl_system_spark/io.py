@@ -435,6 +435,79 @@ def read_jdbc_partitioned(spark: SparkSession, url: str, table: str,
             .load())
 
 
+def _pidfile_owner_alive(run_dir: str) -> bool:
+    """True iff run_dir's ``_OWNER_PID`` names a live process."""
+    import os
+
+    try:
+        with open(os.path.join(run_dir, "_OWNER_PID")) as fh:
+            pid = int(fh.read().strip())
+    except (OSError, ValueError):
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OSError):
+        return True  # exists but not ours — definitely alive
+
+
+def _newest_mtime(run_dir: str) -> float:
+    """Newest mtime of ANYTHING under run_dir (recursive — a dir's own
+    mtime only moves when direct children are added/removed, while e.g.
+    Derby's ongoing writes land deeper)."""
+    import os
+
+    newest = 0.0
+    for base, _, names in os.walk(run_dir):
+        for n in [*names, "."]:
+            try:
+                newest = max(newest, os.path.getmtime(
+                    os.path.join(base, n)))
+            except OSError:
+                pass
+    return newest
+
+
+def scratch_run_dir(root: str, stale_after_sec: float = 3600.0) -> str:
+    """Create a fresh pidfile-owned run directory under ``root``, purging
+    siblings left by prior crashed runs first.
+
+    Liveness is keyed on each sibling's ``_OWNER_PID`` pidfile, NOT the
+    directory mtime (r10 ADVICE: a dir's mtime only changes when direct
+    children are added/removed — a live embedded-Derby database whose
+    writes land deeper could be deleted out from under a >1h-old
+    concurrent session). A sibling is purged only when its recorded
+    owner is dead (``kill(pid, 0)`` fails) or when it carries no pidfile
+    and nothing under it has been touched for ``stale_after_sec``.
+    The caller still owns end-of-life cleanup (atexit/rmtree)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    os.makedirs(root, exist_ok=True)
+    now = time.time()
+    for stale in os.listdir(root):
+        p = os.path.join(root, stale)
+        try:
+            if not os.path.isdir(p) or _pidfile_owner_alive(p):
+                continue
+            has_pidfile = os.path.exists(os.path.join(p, "_OWNER_PID"))
+            # dead recorded owner => crashed run, purge now; no pidfile
+            # (pre-r11 layout or a run mid-creation) => only after
+            # stale_after_sec of recursive quiet
+            if has_pidfile or now - _newest_mtime(p) > stale_after_sec:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    run_dir = tempfile.mkdtemp(prefix="run_", dir=root)
+    with open(os.path.join(run_dir, "_OWNER_PID"), "w") as fh:
+        fh.write(str(os.getpid()))
+    return run_dir
+
+
 def write_jdbc(df: DataFrame, url: str, table: str,
                mode: str = "append", **options: str) -> None:
     """K1 — Postgres insert sink (``/root/reference/src/supabase_client.py:45-76``)

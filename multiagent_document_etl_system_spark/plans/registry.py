@@ -4270,17 +4270,28 @@ def ta_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ta_dup_ngram_coverage_strip(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Skew-hardened twin of ta_dup_ngram_coverage — SAME rows, same
-    oracle, different physical strategy: a bounded Misra-Gries pass
-    finds mega-df shingles, flags them duplicated directly (distinct-
-    shingle basis ⇒ freq ≥ 2 IS duplication), and runs the window only
-    over the cold remainder, whose per-shingle partitions are
-    < N/inv_epsilon rows by construction. This is the `ta_heavy_hitters
-    pre-strip` mitigation the plain query's docstring names for corpora
-    carrying a mega-boilerplate shingle: the r10 --boiler fabric (a
-    14-token boilerplate in 30% of docs, per-shingle df 150k at 100×)
-    measured the plain window plan degrading to hot-decade exp ~0.94;
-    see operators/textstats.dup_ngram_coverage_stripped and SCALE.md
-    r10 for both numbers."""
+    oracle, different physical strategy: a seeded Bernoulli DOC-sample
+    probe (NOT Misra-Gries — an MG mapInPandas pass was measured 2×
+    worse and abandoned, see the operator docstring) finds mega-df
+    shingle candidates, which are flagged duplicated directly
+    (distinct-shingle basis ⇒ freq ≥ 2 IS duplication, and a df-1
+    shingle lives in ONE doc so doc-sampling can never see it twice —
+    the ≥2 floor is false-positive-free regardless of sampling luck),
+    while ONE window pass runs over all rows with hot shingles salted
+    64 ways (their count is never read) and cold shingles unsalted
+    (their count stays exact). Probabilistic miss bound: a df-d shingle
+    escapes the frac=0.01 doc probe with probability ≲ (1-frac)^d —
+    exponential decay in df, so the mega-df regime the strip exists for
+    is caught with near certainty; a borderline miss costs one
+    modestly-oversized window partition, never a wrong row.
+    This is the `ta_heavy_hitters pre-strip` mitigation the plain
+    query's docstring names for corpora carrying a mega-boilerplate
+    shingle: the r10 --boiler fabric (a 14-token boilerplate in 30% of
+    docs, per-shingle df 150k at 100×) measured the plain window plan
+    degrading to hot-decade exp ~0.94; see
+    operators/textstats.dup_ngram_coverage_stripped and SCALE.md for
+    both numbers (re-measured r11 with the probe inside the timed rep —
+    ADVICE r10)."""
     return textstats.dup_ngram_coverage_stripped(_docs(spark, sf_dir))
 
 
@@ -6480,24 +6491,18 @@ def k1_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if url is None:
         # The Derby dir holds a full copy of the documents table, so a
         # leaked dir is table-sized (r9 ADVICE): create it under a FIXED
-        # scratch root, register best-effort removal at interpreter
-        # exit, and purge siblings left by prior crashed runs (mtime
-        # > 1 h — old enough that no live concurrent session owns them).
+        # scratch root via io.scratch_run_dir, which purges siblings
+        # left by prior CRASHED runs keyed on a pidfile liveness check —
+        # not the dir mtime, which Derby's deeper writes never touch
+        # (r10 ADVICE) — and register best-effort removal at interpreter
+        # exit.
         import atexit
         import shutil
-        import time
 
-        root = os.path.join(tempfile.gettempdir(), "mdes_k1_derby")
-        os.makedirs(root, exist_ok=True)
-        now = time.time()
-        for stale in os.listdir(root):
-            p = os.path.join(root, stale)
-            try:
-                if now - os.path.getmtime(p) > 3600:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
-        db_dir = tempfile.mkdtemp(prefix="run_", dir=root)
+        from multiagent_document_etl_system_spark.io import scratch_run_dir
+
+        db_dir = scratch_run_dir(
+            os.path.join(tempfile.gettempdir(), "mdes_k1_derby"))
         atexit.register(shutil.rmtree, db_dir, ignore_errors=True)
         db = db_dir + "/db"
         url = f"jdbc:derby:{db};create=true"

@@ -111,7 +111,11 @@ def _parse_one(path: str):
         with open(path, "rb") as fh:
             b = fh.read()
     except OSError as exc:  # deleted between list and read
-        return (path, "text", 0, None, f"read failed: {exc}")
+        # format still comes from the dispatch table (r10 ADVICE: a
+        # hardcoded 'text' here made a vanished .pdf skew per-format
+        # aggregations such as s9_landing_stream's groupBy('format'))
+        return (path, format_for_path(path), 0, None,
+                f"read failed: {exc}")
     fmt = format_for_path(path)
     parser = _PARSERS.get(fmt)
     text, err = parser(b) if parser else _text_parse(b)

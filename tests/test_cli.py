@@ -551,9 +551,13 @@ def test_ingest_does_not_resume_stale_staging_after_content_change(
     reused with NEW content — the new shard's rows would never be
     deduped or ingested. The content fingerprint in the shard id must
     route the re-run through a FRESH dedup of the new bytes. The stale
-    SEALED staging is not dropped: sealing records commit intent, so
-    the sweep completes gen1's commit tail (its run may have partially
-    committed — r9 ADVICE medium) and then deletes the dir."""
+    SEALED staging here carries NO partial-commit evidence (its run
+    crashed right after sealing — nothing reached the corpus or index),
+    so the sweep deletes it WITHOUT completing the commit tail (r10
+    ADVICE: unconditional tail-completion resurrected content the
+    operator deliberately replaced); see
+    test_ingest_stale_sealed_staging_completes_partial_commit for the
+    evidence-present branch."""
     import os
     import shutil
 
@@ -595,17 +599,18 @@ def test_ingest_does_not_resume_stale_staging_after_content_change(
     assert resp["n_incoming"] == 1 and resp["n_appended"] == 1
     ids = sorted(r["doc_id"] for r in
                  spark.read.parquet(corpus_dir).select("doc_id").collect())
-    # gen1's SEALED survivor (101) was committed by the sweep's
-    # tail-completion (sealing = commit intent), gen2 (202) by this run
-    assert ids == [1, 101, 202]
+    # gen1's crashed run committed NOTHING (no staged doc_id in the
+    # corpus), so the sweep deleted its staging without resurrecting the
+    # deliberately-replaced content: only the seed and gen2 remain
+    assert ids == [1, 202]
     assert not os.path.exists(staging)  # stale staging cleaned up
-    # the sweep grew the index for gen1 too: replaying gen1's content
-    # through the same path is now an exact dup
+    # gen1's content never reached corpus or index — replaying it
+    # through the same path ingests it as NEW content, not a dup
     shutil.rmtree(incoming_dir)
     spark.createDataFrame([(303, gen1, "en", "crawl", len(gen1))],
                           schema).write.parquet(incoming_dir)
     rc, resp = _run(capsys, ["ingest", incoming_dir, corpus_dir, index_dir])
-    assert rc == 0 and resp["n_appended"] == 0 and resp["n_dropped"] == 1
+    assert rc == 0 and resp["n_appended"] == 1 and resp["n_dropped"] == 0
 
 
 def test_ingest_stale_sealed_staging_completes_partial_commit(

@@ -127,3 +127,63 @@ def test_partitioned_jdbc_read_roundtrip(spark, tmp_path):
     empty = read_jdbc_partitioned(spark, url, "empty_t", "id",
                                   num_partitions=8, driver=DERBY)
     assert empty.count() == 0
+
+
+def test_scratch_run_dir_purges_only_dead_owners(tmp_path):
+    """r10 ADVICE: the old purge keyed on the run dir's mtime, but a
+    directory's mtime only moves when DIRECT children change — Derby's
+    ongoing writes land deeper, so a live >1h-old concurrent session
+    could have its database deleted. The pidfile-keyed purge must keep
+    a live-owner dir no matter how old it looks, purge a dead-owner dir
+    immediately, and apply the 1h recursive-quiet rule only to dirs
+    with no pidfile at all."""
+    import os
+    import time
+
+    from multiagent_document_etl_system_spark.io import scratch_run_dir
+
+    root = str(tmp_path / "scratch")
+    os.makedirs(root)
+    old = time.time() - 7200
+
+    # (a) live owner (this very process), dir + contents backdated 2h —
+    # the exact scenario the mtime purge got wrong
+    live = os.path.join(root, "run_live")
+    os.makedirs(os.path.join(live, "db", "seg0"))
+    with open(os.path.join(live, "_OWNER_PID"), "w") as fh:
+        fh.write(str(os.getpid()))
+    deep = os.path.join(live, "db", "seg0", "c180.dat")
+    open(deep, "w").close()
+    for p in (live, os.path.join(live, "db"), deep,
+              os.path.join(live, "_OWNER_PID")):
+        os.utime(p, (old, old))
+
+    # (b) dead owner — purged immediately, age-independent
+    dead = os.path.join(root, "run_dead")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "_OWNER_PID"), "w") as fh:
+        fh.write("999999999")  # beyond pid_max: never a live process
+
+    # (c) no pidfile, recursively quiet for 2h — purged by the age rule
+    legacy_old = os.path.join(root, "run_legacy_old")
+    os.makedirs(legacy_old)
+    open(os.path.join(legacy_old, "db.lck"), "w").close()
+    os.utime(legacy_old, (old, old))
+    os.utime(os.path.join(legacy_old, "db.lck"), (old, old))
+
+    # (d) no pidfile, dir mtime old but a DEEP file is fresh — kept
+    # (recursive newest-mtime, not the dir's own)
+    legacy_fresh = os.path.join(root, "run_legacy_fresh")
+    os.makedirs(os.path.join(legacy_fresh, "db"))
+    open(os.path.join(legacy_fresh, "db", "log.dat"), "w").close()
+    os.utime(legacy_fresh, (old, old))
+    os.utime(os.path.join(legacy_fresh, "db"), (old, old))
+
+    fresh = scratch_run_dir(root)
+    assert os.path.isdir(live), "live-owner dir must survive any age"
+    assert not os.path.exists(dead), "dead-owner dir purged immediately"
+    assert not os.path.exists(legacy_old), "quiet pidfile-less dir purged"
+    assert os.path.isdir(legacy_fresh), "deep-fresh pidfile-less dir kept"
+    # the new dir is pidfile-owned, so a CONCURRENT session won't purge it
+    with open(os.path.join(fresh, "_OWNER_PID")) as fh:
+        assert int(fh.read()) == os.getpid()

@@ -36,15 +36,21 @@ def main() -> int:
     spark = get_spark(app_name="ab-query-bench")
     QUERIES["q_global_topk"][0](spark, sf_dir).collect()  # JVM warm-up
 
-    # mirror bench.py: operators that eager-checkpoint at plan-build time
-    # must rebuild inside the timed rep or their heavy stages escape the
-    # measurement (v24 checkpoints its kNN edge list in BOTH trees)
-    rebuild = {"td_prepare_corpus_v2", "td_prepare_corpus_v3",
-               "td_curation_funnel", "dedup_minhash_lsh",
-               "dedup_threshold_sweep", "dedup_keep_best",
-               "ta_minhash_est_vs_exact", "td_dedup_provenance",
-               "dedup_cluster_size_histogram", "td_dedup_policy_ablation",
-               "v24_graph_pagerank", "td_bpe_train"}
+    # bench.py's rebuild set, imported FROM THE TREE UNDER MEASUREMENT so
+    # the two can never drift (ADVICE r10: a hand-mirrored copy omitted
+    # ta_dup_ngram_coverage_strip, letting its eager probe escape the
+    # timed rep). Older worktrees keep the set inside main(); fall back
+    # to the last hand-mirrored snapshot for those.
+    try:
+        from bench import REBUILD_PER_REP as rebuild
+    except ImportError:
+        rebuild = {"td_prepare_corpus_v2", "td_prepare_corpus_v3",
+                   "td_curation_funnel", "dedup_minhash_lsh",
+                   "dedup_threshold_sweep", "dedup_keep_best",
+                   "ta_minhash_est_vs_exact", "td_dedup_provenance",
+                   "dedup_cluster_size_histogram",
+                   "td_dedup_policy_ablation",
+                   "v24_graph_pagerank", "td_bpe_train"}
     out: dict[str, float] = {}
     for name in names:
         fn, _ = QUERIES[name]

@@ -61,7 +61,11 @@ NAMES = ["td_curation_funnel", "td_prepare_corpus_v3",
          "td_incremental_ingest"]
 #: composites whose iterative rounds run eagerly at DataFrame-build time
 #: (duplicate_clusters' per-round localCheckpoints) — timing a pre-built
-#: frame would skip them
+#: frame would skip them. Unioned with bench.py's REBUILD_PER_REP so the
+#: two sets can never drift again (ADVICE r10: a hand-mirrored copy
+#: omitted ta_dup_ngram_coverage_strip, letting its eager hot-shingle
+#: probe escape the timed reps — the r10 100x strip-vs-plain rows were
+#: re-measured under this corrected methodology, SCALE.md r11).
 REBUILD = {"td_curation_funnel", "td_prepare_corpus_v3", "dedup_clusters",
            "v24_graph_pagerank",
            # minhash_lsh_pairs eager-checkpoints at build time (r9)
@@ -69,6 +73,11 @@ REBUILD = {"td_curation_funnel", "td_prepare_corpus_v3", "dedup_clusters",
            "td_prepare_corpus", "td_prepare_corpus_v2",
            "ta_minhash_est_vs_exact", "td_dedup_provenance",
            "dedup_cluster_size_histogram", "td_dedup_policy_ablation"}
+try:
+    from bench import REBUILD_PER_REP
+    REBUILD |= REBUILD_PER_REP
+except ImportError:  # pre-r11 trees keep the set inside bench.main()
+    pass
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "embeddings"]
 
