@@ -3198,13 +3198,16 @@ _S8_DROP_CACHE: dict[tuple[str, str], str] = {}
 
 @_q("s9_landing_stream", None)
 def s9_landing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6 streaming through the Spark 4 Python DataSource API (r10):
-    ``spark.readStream.format("doc_landing")`` tails the same fixture
-    drop dir as s8 with a REAL availableNow run into a memory sink —
-    the SimpleDataSourceStreamReader's seen-set offset makes every
-    batch replayable (exactly-once restart pinned in
-    tests/test_sources.py with a parquet sink + checkpoint). Returns
-    the per-format parse outcome counts of the streamed batch.
+    """S6 streaming through the Spark 4 Python DataSource API (r10;
+    partition-planned r11): ``spark.readStream.format("doc_landing")``
+    tails the same fixture drop dir as s8 with a REAL availableNow run
+    into a memory sink — the DataSourceStreamReader's seen-set offset
+    makes every batch replayable (exactly-once restart pinned in
+    tests/test_sources.py with a parquet sink + checkpoint), and
+    ``read(partition)`` parses in EXECUTOR tasks (the r10 simple-reader
+    cut parsed on the driver at 656 files/s; the r11 planned reader's
+    marginal 5k-file cost matches the batch DataSource — SCALE.md r11).
+    Returns the per-format parse outcome counts of the streamed batch.
     Rows-only for the same reasons as s8 (binary parse, local drop)."""
     import uuid
 

@@ -47,8 +47,8 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 #: matches parsers.parse_documents' output surface (path/format/
@@ -122,31 +122,40 @@ def _parse_one(path: str):
     return (path, fmt, len(b), text, err)
 
 
-class DocLandingStreamReader(SimpleDataSourceStreamReader):
+class DocLandingStreamReader(DataSourceStreamReader):
     """S6's streaming flavor through the Spark 4 DataSource API:
     ``spark.readStream.format("doc_landing").load(dir)`` tails a drop
     directory — each micro-batch parses exactly the files that appeared
     since the last committed offset.
 
-    Offset model: the offset dict carries the full set of SEEN file
-    paths (``{"files": {path: size}}``). That makes every batch
-    REPLAYABLE by construction — ``readBetweenOffsets(start, end)``
-    re-parses exactly ``end − start`` on failure recovery, the
-    exactly-once contract — and is robust to files arriving in any
-    name order (a new file that sorts before already-seen ones is still
-    ``not in seen``). Scope note, stated where users look: the offset
-    grows with the file count, so this reader targets the reference's
-    landing-drop scale (thousands of files per dir); an unbounded
-    production feed should rotate drop directories or use the
-    binaryFile `readStream` route, whose compacted offset log Spark
-    maintains natively. The simple-reader API executes read() on the
-    driver — the same machine that runs the listing — which fits the
-    per-drop batch sizes here; parse cost per batch is bounded by the
-    files that arrived since the previous trigger. Measured (SCALE.md
-    r10): 656 files/s through one availableNow batch of 5k files vs the
-    batch reader's fully-parallel 1.35 s for the same drop — so BULK
-    BACKFILLS belong on the batch `doc_landing` read, with the stream
-    taking over for per-trigger arrivals.
+    PARTITION-PLANNED (r11, verdict #2): the first cut rode
+    ``SimpleDataSourceStreamReader``, whose contract executes ``read()``
+    on the DRIVER — one Python process parsed every record (measured 656
+    files/s on a 5k-file drop, SCALE.md r10, vs the batch reader's
+    fully-parallel 1.35 s). This full ``DataSourceStreamReader`` keeps
+    the exact same seen-set offset model but only LISTS on the driver:
+    ``partitions(start, end)`` chunks the new files into
+    ``filesPerPartition`` groups and ``read(partition)`` parses inside
+    executor tasks — the same fan-out as the batch reader, so a bulk
+    backfill through the stream now costs about what the batch read
+    costs plus trigger overhead.
+
+    Offset model: an offset is the cumulative set of SEEN file paths
+    (``{"files": {path: size}}``). Every batch is replayable by
+    construction — on restart Spark replans ``partitions(start, end)``
+    from the checkpointed offsets and re-reads exactly ``end − start``,
+    the exactly-once contract — and the model is robust to files
+    arriving in any name order (a new file that sorts before seen ones
+    is still ``not in seen``). ``latestOffset`` folds the current
+    listing into the driver-side cumulative set (re-seeded from the
+    checkpointed offsets on restart via ``partitions``), so a file
+    deleted AFTER being seen stays seen and a later re-creation of the
+    same path is not re-emitted within a reader's lifetime. Scope note,
+    stated where users look: the offset grows with the file count, so
+    this reader targets the reference's landing-drop scale (thousands
+    of files per dir); an unbounded production feed should rotate drop
+    directories or use the binaryFile `readStream` route, whose
+    compacted offset log Spark maintains natively.
     """
 
     def __init__(self, options: dict):
@@ -157,6 +166,11 @@ class DocLandingStreamReader(SimpleDataSourceStreamReader):
             raise ValueError(
                 f"doc_landing reads local/mounted paths only, got {path!r}")
         self.path = path.removeprefix("file://")
+        self.files_per_partition = max(
+            1, int(options.get("filesperpartition", "8")))
+        #: cumulative seen set (driver-side; rebuilt from checkpointed
+        #: offsets after a restart — partitions() folds start/end in)
+        self._seen: dict = {}
 
     def _list(self) -> dict:
         out = {}
@@ -172,17 +186,26 @@ class DocLandingStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"files": {}}
 
-    def read(self, start: dict):
-        seen = start.get("files", {})
-        current = self._list()
-        new = sorted(p for p in current if p not in seen)
-        end = {"files": {**seen, **{p: current[p] for p in new}}}
-        return iter([_parse_one(p) for p in new]), end
+    def latestOffset(self) -> dict:
+        self._seen.update(self._list())
+        return {"files": dict(self._seen)}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # replaying from a checkpoint lands here without latestOffset
+        # having ever seen these offsets — fold them into the seen set
+        # so the NEXT latestOffset doesn't re-emit restored files
+        self._seen.update(start.get("files", {}))
+        self._seen.update(end.get("files", {}))
         seen = start.get("files", {})
-        batch = sorted(p for p in end.get("files", {}) if p not in seen)
-        return iter([_parse_one(p) for p in batch])
+        new = sorted(p for p in end.get("files", {}) if p not in seen)
+        n = self.files_per_partition
+        return [_FileGroup(new[i:i + n]) for i in range(0, len(new), n)]
+
+    def read(self, partition: _FileGroup):
+        # executor-side, exactly like the batch reader — bytes never
+        # transit the driver
+        for p in partition.paths:
+            yield _parse_one(p)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the checkpoint; nothing source-side to ack
@@ -201,5 +224,5 @@ class DocLandingDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return DocLandingReader(self.options)
 
-    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+    def streamReader(self, schema) -> DataSourceStreamReader:
         return DocLandingStreamReader(self.options)

@@ -824,3 +824,52 @@ def test_doc_landing_stream_reads_new_files_exactly_once(
     assert got == {"one.txt": "first file", "two.txt": "second file",
                    "aaa_three.txt": "third file"}
     assert n == 3  # one/two NOT re-emitted across the restart
+
+
+def test_doc_landing_stream_reader_partition_planning(tmp_path):
+    """r11 (verdict #2): the streaming flavor is partition-planned — the
+    driver only LISTS; parse work is chunked into filesPerPartition
+    groups executed by reader tasks. Pure reader-level contract: offset
+    math, fan-out math, seen-set accumulation (a file deleted after
+    being seen stays seen), and restart re-seeding via partitions()."""
+    from multiagent_document_etl_system_spark.sources.landing_ds import (
+        DocLandingStreamReader,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i in range(5):
+        (drop / f"f{i}.txt").write_bytes(b"x" * (i + 1))
+
+    r = DocLandingStreamReader({"path": str(drop),
+                                "filesperpartition": "2"})
+    assert r.initialOffset() == {"files": {}}
+    end1 = r.latestOffset()
+    assert len(end1["files"]) == 5
+    parts = r.partitions({"files": {}}, end1)
+    assert [len(p.paths) for p in parts] == [2, 2, 1]  # executor fan-out
+    # read() is per-partition and parses only that group's files
+    rows = list(r.read(parts[0]))
+    assert len(rows) == 2 and all(rw[4] is None for rw in rows)
+
+    # a seen file vanishes; a new one lands: the cumulative offset keeps
+    # the deleted file (no re-emit on re-creation) and only the new file
+    # is planned
+    (drop / "f0.txt").unlink()
+    (drop / "new.txt").write_bytes(b"fresh")
+    end2 = r.latestOffset()
+    assert str(drop / "f0.txt") in end2["files"]  # still seen
+    new_parts = r.partitions(end1, end2)
+    assert [len(p.paths) for p in new_parts] == [1]
+    assert new_parts[0].paths == [str(drop / "new.txt")]
+
+    # empty range (start == end) => no partitions, per the API contract
+    assert r.partitions(end2, end2) == []
+
+    # restart: a FRESH reader replaying from checkpointed offsets folds
+    # them into its seen set, so its next latestOffset re-emits nothing
+    r2 = DocLandingStreamReader({"path": str(drop),
+                                 "filesperpartition": "2"})
+    r2.partitions(end1, end2)  # the replay call Spark makes on restart
+    end3 = r2.latestOffset()
+    assert r2.partitions(end2, end3) == []
