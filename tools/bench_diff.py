@@ -32,6 +32,10 @@ def main() -> int:
     p.add_argument("new_json")
     p.add_argument("--threshold", type=float, default=1.5,
                    help="flag ratios beyond this factor (default 1.5)")
+    p.add_argument("--ab-threshold", type=float, default=1.25,
+                   help="same-methodology movers beyond this factor get "
+                        "a ready-to-run interleaved A/B command "
+                        "(default 1.25)")
     ns = p.parse_args()
     thr = ns.threshold
     old, new = load(ns.old_json), load(ns.new_json)
@@ -54,7 +58,7 @@ def main() -> int:
     meth_changed = (o_rb ^ n_rb) if have_meth else set()
 
     print(f"{'query':32s} {'old':>7s} {'new':>7s} {'ratio':>6s}")
-    moved = []
+    moved, ab_movers = [], []
     for name in sorted(set(oq) & set(nq)):
         a, b = oq[name], nq[name]
         if a <= 0:
@@ -62,6 +66,9 @@ def main() -> int:
         r = b / a
         if r >= thr or r <= 1 / thr:
             moved.append((r, name, a, b))
+        if ((r >= ns.ab_threshold or r <= 1 / ns.ab_threshold)
+                and name not in meth_changed):
+            ab_movers.append(name)
     organic = [m for m in moved if m[1] not in meth_changed]
     known = [m for m in moved if m[1] in meth_changed]
     for r, name, a, b in sorted(organic, reverse=True):
@@ -84,7 +91,45 @@ def main() -> int:
         print("added:", ", ".join(added))
     if gone:
         print("removed:", ", ".join(gone))
+    # One-step attribution (r10 verdict #7): any same-methodology mover
+    # beyond --ab-threshold gets the EXACT interleaved-A/B invocation
+    # that settles "environment drift vs plan regression" (NOTES'
+    # sharp-edge rule; the method that closed the r8→r9 scare). The old
+    # tree rev is resolved from git when the old file is committed —
+    # the commit that added BENCH_r{N}.json carries round N's closing
+    # tree — else a placeholder is emitted.
+    if ab_movers:
+        rev = _added_rev(ns.old_json) or "<old-tree-rev>"
+        qlist = ",".join(sorted(ab_movers))
+        print(f"\n-- {len(ab_movers)} same-methodology mover(s) beyond "
+              f"{ns.ab_threshold}x: attribute before believing --")
+        print("  git worktree add /root/repo/.ab_old " + rev)
+        print("  for i in 1 2 3; do")
+        print(f"    python tools/ab_query_bench.py /root/repo/.ab_old "
+              f"{qlist} /root/testdata/sf0.1")
+        print(f"    python tools/ab_query_bench.py /root/repo "
+              f"{qlist} /root/testdata/sf0.1")
+        print("  done  # compare per-query minima per tree; "
+              "ratios inside rep spread = environment drift")
     return 0
+
+
+def _added_rev(path: str) -> str | None:
+    """Hash of the commit that ADDED `path` (best-effort; None when git
+    or the file's history is unavailable)."""
+    import os
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(path)) or ".",
+             "log", "--diff-filter=A", "-n1", "--format=%h", "--",
+             os.path.basename(path)],
+            capture_output=True, text=True, timeout=10)
+        rev = out.stdout.strip()
+        return rev or None
+    except (OSError, subprocess.SubprocessError):
+        return None
 
 
 if __name__ == "__main__":
