@@ -57,3 +57,18 @@ def no_oracle_reasons() -> dict[str, str]:
         NO_ORACLE_REASONS,
     )
     return dict(NO_ORACLE_REASONS)
+
+
+def env_gated_reasons() -> dict[str, str]:
+    """Queries that REGISTER CONDITIONALLY on environment capability and
+    did NOT register in this interpreter, with the machine-readable
+    reason (the no_oracle_reasons() pattern for absent-by-environment
+    rather than oracle-less-by-construction). Currently:
+    ``st_user_profile_tws`` (transformWithStateInPandas — its state
+    protocol needs protobuf importable by Spark's Python workers); a
+    protobuf-equipped driver sees it in queries()/oracle_sql() with a
+    full hash oracle and this dict empty."""
+    from multiagent_document_etl_system_spark.plans.registry import (
+        ENV_GATED_REASONS,
+    )
+    return dict(ENV_GATED_REASONS)

@@ -6528,19 +6528,114 @@ def k1_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("fp").alias("max_fp"))
 
 
+# ---- ENV-GATED registration: st_user_profile_tws (r10 verdict #4) ----
 # streamx.user_profile_tws (the transformWithStateInPandas per-user
-# profile, Spark 4's arbitrary-state API) is implemented and carries the
-# same full-hash-oracle construction as st_stateful_totals — but its
+# profile, Spark 4's arbitrary-state API) carries the same
+# full-hash-oracle construction as st_stateful_totals — but its
 # Python<->JVM state protocol rides protobuf, which this container does
-# not pip-ship, and the workers must inherit the shim on PYTHONPATH
-# BEFORE the JVM starts — a precondition the external driver's session
-# cannot be given, so it stays a test-surface operator rather than a
-# registry query. As of r10 the replay-equality check RUNS here:
-# tests/conftest.py auto-activates .proto_shim/ (the host SDK's
-# pure-Python protobuf + a minor-version-gate relaxation) and the test
-# pins RocksDBStateStoreProvider (typed state lives in per-variable
-# column families, which the default HDFS-backed provider refuses).
-# With a real `pip install protobuf` the shim stands down unchanged.
+# not pip-ship, and when protobuf is only reachable through the
+# .proto_shim/ sys.path shim the Spark WORKERS must inherit it via
+# PYTHONPATH exported before the JVM starts. Rather than staying a
+# test-surface operator (its r10 posture), the query registers itself
+# whenever the environment can actually execute it, so any
+# protobuf-equipped driver exercises the full oracle; otherwise the
+# machine-readable no-run reason lands in ENV_GATED_REASONS (surfaced
+# by __spark_entry__.env_gated_reasons(), the no_oracle_reasons()
+# pattern). Under pytest the conftest shim activates before this module
+# imports, so the gate passes there and the oracle-equality test runs.
+
+ENV_GATED_REASONS: dict[str, str] = {}
+
+_TWS_ORACLE = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(floor(coalesce(value, 0) * 1e6 + 0.5) AS BIGINT))
+       AS BIGINT) AS total_q1e6,
+  CAST(max(CAST(floor(coalesce(value, 0) * 1e6 + 0.5) AS BIGINT))
+       AS BIGINT) AS max_q1e6,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def _tws_env_support() -> str | None:
+    """None when transformWithStateInPandas can run END-TO-END in this
+    interpreter's Spark sessions, else the machine-readable reason."""
+    import importlib.util
+    import os
+
+    try:
+        spec = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:  # no `google` namespace package at all
+        spec = None
+    if spec is None:
+        return ("protobuf absent — transformWithStateInPandas's "
+                "Python<->JVM state protocol cannot initialize "
+                "(pip install protobuf activates the query unchanged)")
+    origin = spec.origin or ""
+    via_shim = "google_appengine" in origin or ".proto_shim" in origin
+    if via_shim and ".proto_shim" not in os.environ.get("PYTHONPATH", ""):
+        return ("protobuf reachable only via a sys.path shim that is "
+                "not exported on PYTHONPATH — Spark's Python workers "
+                "would not inherit it and the state server fails at "
+                "the first micro-batch")
+    return None
+
+
+def _register_user_profile_tws() -> None:
+    reason = _tws_env_support()
+    if reason is not None:
+        ENV_GATED_REASONS["st_user_profile_tws"] = reason
+        return
+
+    @_q("st_user_profile_tws", _TWS_ORACLE)
+    def st_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """REAL transformWithStateInPandas run, hash-oracled — the
+        Spark 4 arbitrary-state API (typed ValueState counters + a
+        MapState distinct-type set; streamx.user_profile_tws). Same
+        determinism construction as st_stateful_totals: integer-grid
+        state (order-insensitive under any micro-batch partitioning),
+        final row per user via max_by over the strictly increasing
+        n_events; the oracle restates the run as the batch aggregate.
+        Registered only when the environment can execute the protobuf
+        state protocol (see ENV_GATED_REASONS); pins the RocksDB state
+        store provider for the query's duration — typed state lives in
+        per-variable column families, which the default HDFS-backed
+        provider refuses."""
+        import uuid
+
+        from multiagent_document_etl_system_spark.streaming import streamx
+
+        stage = _staged_events_dir(spark, sf_dir)
+        stream = streamx.read_event_stream(spark, stage,
+                                           max_files_per_trigger=10)
+        prof = streamx.user_profile_tws(stream)
+        name = f"st_tws_{uuid.uuid4().hex[:8]}"
+        key = "spark.sql.streaming.stateStore.providerClass"
+        rocks = ("org.apache.spark.sql.execution.streaming.state."
+                 "RocksDBStateStoreProvider")
+        prior = spark.conf.get(key, None)
+        spark.conf.set(key, rocks)
+        try:
+            streamx.run_to_memory(prof, name, output_mode="update")
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+        return (spark.table(name).groupBy("user_id")
+                .agg(F.max("n_events").alias("n_events"),
+                     F.expr("max_by(total_q1e6, n_events)")
+                     .alias("total_q1e6"),
+                     F.expr("max_by(max_q1e6, n_events)")
+                     .alias("max_q1e6"),
+                     F.expr("max_by(n_types, n_events)")
+                     .alias("n_types")))
+
+    # frozen-window discipline: an env-gated registration still queues
+    # for the NEXT window like any post-pin add (only in environments
+    # where it registered at all)
+    _QUEUED_FOR_R12.append("st_user_profile_tws")
+
 
 _QUEUED_FOR_R10 += ["k1_jdbc_roundtrip", "q_sessionize_chunked"]
 
@@ -6552,6 +6647,8 @@ _QUEUED_FOR_R10 += ["k1_jdbc_roundtrip", "q_sessionize_chunked"]
 # the r9-window pattern for first no_oracle evidence.)
 _QUEUED_FOR_R11 += ["ta_dup_ngram_coverage_strip",
                     "dedup_cross_source_links"]
+
+_register_user_profile_tws()
 
 
 # Re-apply the driver-window ordering AFTER the last registration: queries

@@ -351,3 +351,39 @@ def test_tws_user_profile_matches_batch(spark, events_dir):
               FROM tws_profile) WHERE rn = 1""").collect()
     }
     assert got == expected
+
+
+@pytest.mark.skipif(
+    not _protobuf_present(),
+    reason="protobuf absent — st_user_profile_tws does not register "
+           "(env-gated; see registry.ENV_GATED_REASONS)")
+def test_st_user_profile_tws_registry_oracle(spark, duck):
+    """r11 (verdict #4): the env-gated REGISTRY entry for the
+    transformWithStateInPandas profile must hash-match its DuckDB
+    oracle exactly the way the driver compares (all-integer outputs,
+    order-insensitive). Also pins the gate bookkeeping: registered here
+    (the conftest shim is active) ⇒ not in ENV_GATED_REASONS, queued
+    for the R12 window."""
+    from multiagent_document_etl_system_spark.plans.registry import (
+        ENV_GATED_REASONS,
+        _QUEUED_FOR_R12,
+        QUERIES,
+    )
+
+    assert "st_user_profile_tws" in QUERIES
+    assert "st_user_profile_tws" not in ENV_GATED_REASONS
+    assert "st_user_profile_tws" in _QUEUED_FOR_R12
+    fn, oracle = QUERIES["st_user_profile_tws"]
+    assert oracle is not None
+
+    got = fn(spark, SF_DIR)
+    cols = sorted(got.columns)
+    spark_rows = sorted(
+        tuple(r[c] for c in cols) for r in got.collect())
+    duck_out = duck.sql(oracle)
+    dcols = sorted(duck_out.columns)
+    assert dcols == cols
+    idx = [duck_out.columns.index(c) for c in dcols]
+    duck_rows = sorted(
+        tuple(row[i] for i in idx) for row in duck_out.fetchall())
+    assert spark_rows == duck_rows
