@@ -1,0 +1,105 @@
+"""The engine's complete named-query surface (driver contract).
+
+One entry per implemented operator from SURVEY.md §2 (+ north-star
+extensions). Each name maps to (spark_fn, oracle_sql | None); oracle None ⇒
+the driver records a weaker rows-only check (reserved for genuinely
+non-SQL-expressible ops: MinHash/SimHash signatures use xxhash64 which
+DuckDB lacks; approx_count_distinct HLLs differ by construction).
+
+Split into per-domain modules in r11 (verdict #5) from the former
+6,700-line plans/registry.py. The import order BELOW is load-bearing: it
+reproduces the original file's top-to-bottom registration order exactly
+(the external driver samples the first 50 QUERIES entries in insertion
+order, and QUERIES.md documents the rest in the same order) —
+tests/test_registry_order.py pins the head and
+tests/test_registry_split.py pins the full 251-name sequence against the
+pre-split snapshot. Every module registers into the shared dict in
+``_base`` via the ``_q`` decorator at import time; the two window
+reorders (in ``windows`` after the pre-r6 surface, and here after the
+last registration) permute the dict IN PLACE so all modules keep aliasing
+one object.
+"""
+
+from __future__ import annotations
+
+from multiagent_document_etl_system_spark.plans.registry._base import (  # noqa: F401
+    QUERIES,
+    QueryFn,
+    RELATIONAL_QUERIES,
+    _docs,
+    _emb,
+    _q,
+)
+
+# ---- registration-order imports (DO NOT REORDER; see module docstring) --
+from multiagent_document_etl_system_spark.plans.registry import (  # noqa: E402,F401
+    kernels,
+    ann,
+    dedup,
+    curation,
+    textstats,
+    events,
+    sources_streaming,
+    corpus,
+    search,
+)
+
+# relational surface (analytics.py) — registered between the search slice
+# and the window pins, exactly where the monolith merged it
+QUERIES.update(RELATIONAL_QUERIES)
+
+from multiagent_document_etl_system_spark.plans.registry import (  # noqa: E402,F401
+    windows,
+    reports,
+    sinks,
+)
+
+from multiagent_document_etl_system_spark.plans.registry.ann import (  # noqa: E402,F401
+    _namespace_registry_dir,
+)
+from multiagent_document_etl_system_spark.plans.registry.curation import (  # noqa: E402,F401
+    curation_flags,
+)
+from multiagent_document_etl_system_spark.plans.registry.sinks import (  # noqa: E402,F401
+    ENV_GATED_REASONS,
+)
+from multiagent_document_etl_system_spark.plans.registry.windows import (  # noqa: E402,F401
+    _DRIVER_WINDOW_R4,
+    _DRIVER_WINDOW_R5,
+    _DRIVER_WINDOW_R6,
+    _DRIVER_WINDOW_R7,
+    _DRIVER_WINDOW_R8,
+    _DRIVER_WINDOW_R9,
+    _DRIVER_WINDOW_R10,
+    _DRIVER_WINDOW_R11,
+    _QUEUED_FOR_R6,
+    _QUEUED_FOR_R7,
+    _QUEUED_FOR_R8,
+    _QUEUED_FOR_R9,
+    _QUEUED_FOR_R10,
+    _QUEUED_FOR_R11,
+    _QUEUED_FOR_R12,
+    NO_ORACLE_REASONS,
+    _driver_ordered,
+)
+
+# Re-apply the driver-window ordering AFTER the last registration: queries
+# registered below the first reorder (in `windows`) would otherwise append
+# at the dict tail even when the pinned window names them — exactly the
+# off-by-one that left r5's head one slot short. In place, so every module
+# keeps aliasing the same dict. Idempotent; tests/test_registry_order.py
+# pins head == window.
+_ordered = _driver_ordered(QUERIES)
+QUERIES.clear()
+QUERIES.update(_ordered)
+del _ordered
+
+
+def __getattr__(name: str):
+    # _LAST_INGEST_WORKDIR is REBOUND (global) inside reports at query
+    # run time — a static `from .reports import` here would freeze the
+    # import-time value; proxy the attribute dynamically instead.
+    if name == "_LAST_INGEST_WORKDIR":
+        return reports._LAST_INGEST_WORKDIR
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}")

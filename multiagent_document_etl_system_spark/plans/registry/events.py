@@ -1,0 +1,203 @@
+"""Event-table operators: the as-of join family, approximate distinct, event dedup.
+
+Registration-order slice of the former plans/registry.py (r11 split);
+order within and across modules is load-bearing -- the driver window and
+QUERIES.md read QUERIES in insertion order.
+"""
+
+from __future__ import annotations
+
+from multiagent_document_etl_system_spark.plans.registry._base import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    Window,
+    _q,
+    load_table,
+)
+
+@_q("q_asof_join", """
+WITH v AS (SELECT user_id, ts, max(value) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+  round(p.value, 2) AS purchase_value,
+  round(v.view_value, 2) AS asof_view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""")
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase attributed to the
+    latest prior view per user. Oracle = DuckDB's native ASOF LEFT JOIN;
+    the Spark side is the union+window composition — one shuffle on
+    user_id. Right side pre-aggregated to unique (user, ts) so the
+    at-tie choice is well-defined in both engines."""
+    from multiagent_document_etl_system_spark.operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    out = asof_join(purchases, views, key="user_id")
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("asof_view_value", 2).alias("asof_view_value"),
+    )
+
+
+@_q("q_asof_forward", """
+WITH v AS (SELECT user_id, ts, max(value) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+  round(p.value, 2) AS purchase_value,
+  round(v.view_value, 2) AS next_view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+""")
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase paired with the EARLIEST view at
+    or after it per user (next-event lookup — next tick, next session).
+    Same union+window composition as backward, scanned descending; oracle
+    = DuckDB's native ASOF with the comparison flipped."""
+    from multiagent_document_etl_system_spark.operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    out = asof_join(purchases, views, key="user_id", direction="forward")
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("asof_view_value", 2).alias("next_view_value"),
+    )
+
+
+@_q("q_asof_nearest", """
+WITH v AS (SELECT user_id, ts, max(value) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+b AS (SELECT p.event_id, p.user_id, p.ts, p.value,
+        v.ts AS bts, v.view_value AS bval
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+f AS (SELECT p.event_id, v.ts AS fts, v.view_value AS fval
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts)
+SELECT b.event_id, b.user_id,
+  round(b.value, 2) AS purchase_value,
+  round(CASE WHEN fts IS NULL THEN bval
+             WHEN bts IS NULL THEN fval
+             WHEN (fts - b.ts) < (b.ts - bts) THEN fval
+             ELSE bval END, 2) AS nearest_view_value
+FROM b JOIN f USING (event_id)
+""")
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each purchase paired with the time-CLOSEST view
+    per user, ties to the earlier one — both directional scans evaluated
+    over the same keyed exchange. Oracle composes DuckDB's two native
+    ASOF directions with the identical interval tie-break."""
+    from multiagent_document_etl_system_spark.operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    out = asof_join(purchases, views, key="user_id", direction="nearest")
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("asof_view_value", 2).alias("nearest_view_value"),
+    )
+
+
+@_q("q_asof_tolerance", """
+WITH v AS (SELECT user_id, ts, max(value) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+  CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS purchase_cents,
+  CAST(floor(CASE WHEN v.ts IS NOT NULL
+              AND (p.ts - v.ts) <= INTERVAL 600 SECOND
+             THEN v.view_value END * 100 + 0.5) AS BIGINT)
+    AS recent_view_cents
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""")
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOLERANCE-bounded as-of join (pandas merge_asof(tolerance=...)
+    semantics): each purchase attributed to the latest prior view per
+    user ONLY if it happened within the last 10 minutes — the attribution
+    window / staleness bound every market-data and ads pipeline puts on
+    raw as-of matches (an hour-old price is not "the" price). The bound
+    is a per-row predicate applied AFTER the window scan
+    (operators/asof.py), so the plan — one keyed exchange + linear
+    in-partition scan — costs exactly the unbounded join; the oracle is
+    DuckDB's native ASOF with the interval test restated on its match."""
+    from multiagent_document_etl_system_spark.operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    out = asof_join(purchases, views, key="user_id",
+                    tolerance=600 * 1_000_000)  # µs axis: 10 minutes
+    # exact cents BIGINT (the float-output pin's rule for new queries):
+    # floor(x*100 + 0.5) is the same deterministic per-row op on both
+    # engines' identical input doubles
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return out.select(
+        "event_id", "user_id",
+        cents("value").alias("purchase_cents"),
+        cents("asof_view_value").alias("recent_view_cents"),
+    )
+
+
+@_q("q_approx_distinct", None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — approximate by construction, engine
+    HLLs differ ⇒ rows-only. Exact twin checked in q_distinct_agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@_q("q_event_dedup", """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+    row_number() OVER (
+      PARTITION BY user_id, event_type, date_trunc('minute', CAST(ts AS TIMESTAMP))
+      ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dropDuplicatesWithinWatermark: one event
+    per (user, type, minute), deterministic keep = lowest event_id. The
+    streaming flavor is smoke-tested in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("minute", "ts")
+    ).orderBy("event_id")
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+

@@ -1,0 +1,220 @@
+"""K1 JDBC round-trip sink query and the env-gated transformWithStateInPandas registration.
+
+Registration-order slice of the former plans/registry.py (r11 split);
+order within and across modules is load-bearing -- the driver window and
+QUERIES.md read QUERIES in insertion order.
+"""
+
+from __future__ import annotations
+
+from multiagent_document_etl_system_spark.plans.registry._base import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    _q,
+    io_read_jdbc_partitioned,
+    io_write_jdbc,
+    load_table,
+)
+from multiagent_document_etl_system_spark.plans.registry.sources_streaming import (
+    _staged_events_dir,
+)
+from multiagent_document_etl_system_spark.plans.registry.windows import (
+    _QUEUED_FOR_R10,
+    _QUEUED_FOR_R11,
+    _QUEUED_FOR_R12,
+)
+
+_JDBC_DB_CACHE: dict[tuple[str, str], str] = {}
+
+_DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@_q("k1_jdbc_roundtrip", """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  min(md5(text)) AS min_fp, max(md5(text)) AS max_fp
+FROM documents GROUP BY lang, source
+""")
+def k1_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 JDBC sink in the ORACLE path (r8 verdict #7 — the last
+    component verified only by pytest): write the documents table through
+    ``io.write_jdbc`` into an embedded Derby database (a REAL in-process
+    JDBC engine on Spark's own classpath — the reference's Postgres
+    insert, /root/reference/src/supabase_client.py:45-76, is the same
+    call with its url/driver options), read it back over JDBC, and
+    aggregate per (lang, source): doc count, char mass, and min/max
+    content fingerprint. The oracle computes the identical aggregate
+    straight from the parquet, so a hash match proves the JDBC write +
+    read round-trip is value-lossless for everything the aggregates see.
+    The text column rides as md5 hex (Spark and DuckDB both emit
+    lowercase hex over the same UTF-8 bytes) — fixed-width VARCHAR
+    instead of a CLOB column JDBC comparisons choke on.
+
+    Scale: the write is per-partition batched inserts (every executor
+    holds its own connection — the JDBC sink's parallelism is the
+    DataFrame's partitioning); the read-back aggregate reduces to
+    #langs × #sources rows."""
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    url = _JDBC_DB_CACHE.get(key)
+    if url is None:
+        # The Derby dir holds a full copy of the documents table, so a
+        # leaked dir is table-sized (r9 ADVICE): create it under a FIXED
+        # scratch root via io.scratch_run_dir, which purges siblings
+        # left by prior CRASHED runs keyed on a pidfile liveness check —
+        # not the dir mtime, which Derby's deeper writes never touch
+        # (r10 ADVICE) — and register best-effort removal at interpreter
+        # exit.
+        import atexit
+        import shutil
+
+        from multiagent_document_etl_system_spark.io import scratch_run_dir
+
+        db_dir = scratch_run_dir(
+            os.path.join(tempfile.gettempdir(), "mdes_k1_derby"))
+        atexit.register(shutil.rmtree, db_dir, ignore_errors=True)
+        db = db_dir + "/db"
+        url = f"jdbc:derby:{db};create=true"
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars",
+            F.md5("text").alias("fp"))
+        io_write_jdbc(docs, url, "documents_rt", mode="overwrite",
+                      driver=_DERBY)
+        _JDBC_DB_CACHE[key] = url
+    # read back through the PARTITIONED reader — 8 range strides on
+    # doc_id, one connection per stride (the cluster-scale ingest path,
+    # io.read_jdbc_partitioned) — so the hash oracle checks the parallel
+    # read, not just the write
+    back = io_read_jdbc_partitioned(spark, url, "documents_rt", "doc_id",
+                                    num_partitions=8, driver=_DERBY)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"))
+
+
+# ---- ENV-GATED registration: st_user_profile_tws (r10 verdict #4) ----
+# streamx.user_profile_tws (the transformWithStateInPandas per-user
+# profile, Spark 4's arbitrary-state API) carries the same
+# full-hash-oracle construction as st_stateful_totals — but its
+# Python<->JVM state protocol rides protobuf, which this container does
+# not pip-ship, and when protobuf is only reachable through the
+# .proto_shim/ sys.path shim the Spark WORKERS must inherit it via
+# PYTHONPATH exported before the JVM starts. Rather than staying a
+# test-surface operator (its r10 posture), the query registers itself
+# whenever the environment can actually execute it, so any
+# protobuf-equipped driver exercises the full oracle; otherwise the
+# machine-readable no-run reason lands in ENV_GATED_REASONS (surfaced
+# by __spark_entry__.env_gated_reasons(), the no_oracle_reasons()
+# pattern). Under pytest the conftest shim activates before this module
+# imports, so the gate passes there and the oracle-equality test runs.
+
+ENV_GATED_REASONS: dict[str, str] = {}
+
+_TWS_ORACLE = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(floor(coalesce(value, 0) * 1e6 + 0.5) AS BIGINT))
+       AS BIGINT) AS total_q1e6,
+  CAST(max(CAST(floor(coalesce(value, 0) * 1e6 + 0.5) AS BIGINT))
+       AS BIGINT) AS max_q1e6,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def _tws_env_support() -> str | None:
+    """None when transformWithStateInPandas can run END-TO-END in this
+    interpreter's Spark sessions, else the machine-readable reason."""
+    import importlib.util
+    import os
+
+    try:
+        spec = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:  # no `google` namespace package at all
+        spec = None
+    if spec is None:
+        return ("protobuf absent — transformWithStateInPandas's "
+                "Python<->JVM state protocol cannot initialize "
+                "(pip install protobuf activates the query unchanged)")
+    origin = spec.origin or ""
+    via_shim = "google_appengine" in origin or ".proto_shim" in origin
+    if via_shim and ".proto_shim" not in os.environ.get("PYTHONPATH", ""):
+        return ("protobuf reachable only via a sys.path shim that is "
+                "not exported on PYTHONPATH — Spark's Python workers "
+                "would not inherit it and the state server fails at "
+                "the first micro-batch")
+    return None
+
+
+def _register_user_profile_tws() -> None:
+    reason = _tws_env_support()
+    if reason is not None:
+        ENV_GATED_REASONS["st_user_profile_tws"] = reason
+        return
+
+    @_q("st_user_profile_tws", _TWS_ORACLE)
+    def st_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """REAL transformWithStateInPandas run, hash-oracled — the
+        Spark 4 arbitrary-state API (typed ValueState counters + a
+        MapState distinct-type set; streamx.user_profile_tws). Same
+        determinism construction as st_stateful_totals: integer-grid
+        state (order-insensitive under any micro-batch partitioning),
+        final row per user via max_by over the strictly increasing
+        n_events; the oracle restates the run as the batch aggregate.
+        Registered only when the environment can execute the protobuf
+        state protocol (see ENV_GATED_REASONS); pins the RocksDB state
+        store provider for the query's duration — typed state lives in
+        per-variable column families, which the default HDFS-backed
+        provider refuses."""
+        import uuid
+
+        from multiagent_document_etl_system_spark.streaming import streamx
+
+        stage = _staged_events_dir(spark, sf_dir)
+        stream = streamx.read_event_stream(spark, stage,
+                                           max_files_per_trigger=10)
+        prof = streamx.user_profile_tws(stream)
+        name = f"st_tws_{uuid.uuid4().hex[:8]}"
+        key = "spark.sql.streaming.stateStore.providerClass"
+        rocks = ("org.apache.spark.sql.execution.streaming.state."
+                 "RocksDBStateStoreProvider")
+        prior = spark.conf.get(key, None)
+        spark.conf.set(key, rocks)
+        try:
+            streamx.run_to_memory(prof, name, output_mode="update")
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+        return (spark.table(name).groupBy("user_id")
+                .agg(F.max("n_events").alias("n_events"),
+                     F.expr("max_by(total_q1e6, n_events)")
+                     .alias("total_q1e6"),
+                     F.expr("max_by(max_q1e6, n_events)")
+                     .alias("max_q1e6"),
+                     F.expr("max_by(n_types, n_events)")
+                     .alias("n_types")))
+
+    # frozen-window discipline: an env-gated registration still queues
+    # for the NEXT window like any post-pin add (only in environments
+    # where it registered at all)
+    _QUEUED_FOR_R12.append("st_user_profile_tws")
+
+
+_QUEUED_FOR_R10 += ["k1_jdbc_roundtrip", "q_sessionize_chunked"]
+
+# added after the R10 pin (frozen-window discipline): the heavy-hitter
+# pre-strip twin of ta_dup_ngram_coverage, built in response to the r10
+# --boiler rehearsal. (s8_landing_datasource also landed post-pin but is
+# rows-only BY CONSTRUCTION — the queue holds oracled queries only; the
+# NOTES.md R11 plan reserves it a sanctioned rows-only slot instead,
+# the r9-window pattern for first no_oracle evidence.)
+_QUEUED_FOR_R11 += ["ta_dup_ngram_coverage_strip",
+                    "dedup_cross_source_links"]
+
+_register_user_profile_tws()

@@ -1,0 +1,59 @@
+"""r11 (verdict #5): the 6,700-line plans/registry.py became a package of
+registration-order slices. These tests pin what the split must preserve:
+the FULL 251-name insertion order (frozen snapshot taken from the
+pre-split monolith — the driver window reads the head, QUERIES.md the
+tail), the per-module size bound the verdict set (~1,500 lines), and the
+dynamic re-export of the one module global that rebinds at run time."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+PKG = REPO / "multiagent_document_etl_system_spark" / "plans" / "registry"
+
+
+def test_full_registration_order_matches_presplit_snapshot():
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    snap = json.loads(
+        (Path(__file__).parent / "registry_order_snapshot.json").read_text())
+    got = list(QUERIES)
+    # the env-gated tws query registers only when protobuf is importable
+    # (it is under the conftest shim); the snapshot was taken shim-less
+    got = [n for n in got if n != "st_user_profile_tws"]
+    snap = [n for n in snap if n != "st_user_profile_tws"]
+    assert got == snap
+
+
+def test_no_registry_module_exceeds_the_size_bound():
+    over = {p.name: sum(1 for _ in p.open())
+            for p in PKG.glob("*.py")
+            if sum(1 for _ in p.open()) > 1500}
+    assert not over, over
+
+
+def test_last_ingest_workdir_proxies_dynamically():
+    """registry._LAST_INGEST_WORKDIR is rebound (global) inside the
+    reports slice when td_incremental_ingest runs; the package __getattr__
+    must read through to the live value, not an import-time copy."""
+    from multiagent_document_etl_system_spark.plans import registry
+    from multiagent_document_etl_system_spark.plans.registry import reports
+
+    sentinel = object()
+    prior = reports._LAST_INGEST_WORKDIR
+    try:
+        reports._LAST_INGEST_WORKDIR = sentinel
+        assert registry._LAST_INGEST_WORKDIR is sentinel
+    finally:
+        reports._LAST_INGEST_WORKDIR = prior
+
+
+def test_package_reexports_the_external_surface():
+    from multiagent_document_etl_system_spark.plans import registry
+
+    for name in ("QUERIES", "NO_ORACLE_REASONS", "ENV_GATED_REASONS",
+                 "_DRIVER_WINDOW_R11", "_QUEUED_FOR_R12",
+                 "_namespace_registry_dir", "curation_flags"):
+        assert hasattr(registry, name), name
