@@ -315,20 +315,3 @@ def v24_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ids-only join+groupBy on the same key: connected-components shape,
     linear plan depth. See operators/similarity.py:graph_pagerank."""
     return similarity.graph_pagerank(_emb(spark, sf_dir), dim=64)
-
-
-
-
-
-# ---------------------------------------------------------------------------
-# Driver-window ordering. The external correctness driver samples the FIRST
-# 50 entries of this dict, in insertion order, each round. Decorator order
-# (vector/dedup work prepended over rounds 1-3) left 77 queries — the whole
-# TPC-H suite, the window/subquery/function sweeps, 5 of 6 streaming runs —
-# without a single driver-checked row across r1-r3 (they all pass the
-# identical local comparator, tools/check_oracle.py, but that is soft
-# evidence). The fix is pure ordering: an explicit head list puts the
-# never-driver-checked queries (and this round's red-cell fixes, which must
-# be RE-shown) inside the window; the tail keeps the remaining
-# never-checked queries first so the window can rotate onto them next
-# round. tests/test_registry_order.py pins the invariants.
