@@ -685,8 +685,17 @@ def dup_ngram_coverage_stripped(df: DataFrame, text_col: str = "text",
     partitions split salt_buckets-ways (their nd is garbage and never
     read — the flag is a constant 1 for hot), cold partitions are
     untouched so their nd stays exact. No second full scan, no union,
-    no Python — the whole strip costs ~frac of a map pass on top of
-    the plain plan.
+    no Python.
+
+    Measured cost, probe INSIDE the timed rep (r11 — the r10 numbers
+    let the plan-build-time probe escape the measurement and are
+    retracted): ~1.09× the plain window plan on the organic 100× fabric
+    (19.0 vs 17.5 s) and ~2× on the boiler fabric (39.9 vs 20.2 s),
+    because at df = 150k the plain plan's straggler does not yet bite
+    while the probe (sampled explode + groupBy + bounded collect)
+    re-runs per execution. This operator is therefore the INSURANCE
+    plan for df regimes where one window partition approaches executor
+    memory — not a default, and not auto-selected (SCALE.md r11).
 
     Bound honesty: with a SAMPLED probe the max-cold-partition bound is
     probabilistic, not structural — a shingle with df just above

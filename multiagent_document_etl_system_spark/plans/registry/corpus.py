@@ -261,12 +261,16 @@ def ta_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume-bound at exp ~0.88 for this plan AND the straggler-proof
     twin alike); the warning regime starts where one partition's df
     approaches executor memory. On a corpus that can reach it, use
-    ta_dup_ngram_coverage_strip — same rows, same oracle, sampled
-    doc-sampled hot-shingle probe + salted hot partitions (measured
-    at-or-below the plain plan on both fabrics — SCALE.md r10), max
-    cold partition bounded with exponentially-small miss probability
-    (see the operator's bound-honesty note). Exact integer outputs (coverage
-    as a scaled-int ratio) => full hash oracle."""
+    ta_dup_ngram_coverage_strip — same rows, same oracle, doc-sampled
+    hot-shingle probe + salted hot partitions, max cold partition
+    bounded with exponentially-small miss probability. Price that
+    insurance honestly: with the probe INSIDE the timed rep (ADVICE
+    r10) the strip measures ~1.09× this plan on the organic fabric and
+    ~2× on the boiler fabric at 100× (SCALE.md r11) — this plain plan
+    is the right default everywhere the fabrics can test, and the r10
+    verdict-#8 auto-route was deliberately NOT wired for that reason.
+    Exact integer outputs (coverage as a scaled-int ratio) => full hash
+    oracle."""
     d = _docs(spark, sf_dir)
     sh = d.select(
         "doc_id",
@@ -306,12 +310,15 @@ def ta_dup_ngram_coverage_strip(spark: SparkSession,
     modestly-oversized window partition, never a wrong row.
     This is the `ta_heavy_hitters pre-strip` mitigation the plain
     query's docstring names for corpora carrying a mega-boilerplate
-    shingle: the r10 --boiler fabric (a 14-token boilerplate in 30% of
-    docs, per-shingle df 150k at 100×) measured the plain window plan
-    degrading to hot-decade exp ~0.94; see
-    operators/textstats.dup_ngram_coverage_stripped and SCALE.md for
-    both numbers (re-measured r11 with the probe inside the timed rep —
-    ADVICE r10)."""
+    shingle. Measured honestly (r11, probe inside the timed rep —
+    ADVICE r10): the strip costs ~1.09× the plain plan on the organic
+    100× fabric and ~2× on the boiler fabric, because at df = 150k the
+    plain plan's straggler does not yet bite while the probe re-runs
+    per execution — so this query is the INSURANCE PLAN for df regimes
+    orders of magnitude beyond the fabric (one window partition
+    approaching executor memory), not a default (the r10 verdict-#8
+    auto-route was evaluated and deliberately not wired). SCALE.md r11
+    has the full table."""
     return textstats.dup_ngram_coverage_stripped(_docs(spark, sf_dir))
 
 
