@@ -174,7 +174,7 @@ def cmd_query(args) -> dict:
 def cmd_curate(args) -> dict:
     """Write the CURATED corpus: the survivors of the full curation funnel
     (gopher gates → decontamination → exact dedup → near-dup cluster
-    removal, plans/registry.py:curation_flags) with PII redacted, as
+    removal, plans/registry/curation.py:curation_flags) with PII redacted, as
     parquet partitioned by lang. One job computes both the output and the
     per-stage funnel metrics via the observe API (no second pass)."""
     from pyspark.sql import Observation
