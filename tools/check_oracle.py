@@ -23,7 +23,34 @@ import duckdb  # noqa: E402
 
 from multiagent_document_etl_system_spark import get_spark  # noqa: E402
 from multiagent_document_etl_system_spark.io import TABLES  # noqa: E402
-from multiagent_document_etl_system_spark.plans.registry import QUERIES  # noqa: E402
+
+# NOTE: the registry import happens inside main() — AFTER optional
+# --shim activation — because env-gated queries (st_user_profile_tws)
+# decide their registration at registry import time.
+
+
+def _activate_proto_shim() -> bool:
+    """--shim: mirror tests/conftest.py — put the host SDK's pure-Python
+    protobuf on PYTHONPATH (workers inherit it) BEFORE the registry
+    import and the first SparkSession, so the env-gated
+    transformWithStateInPandas query registers and can be checked here.
+    No-op (returns False) when the shim or the SDK copy is absent."""
+    try:
+        import google.protobuf  # noqa: F401
+        return True  # real protobuf — nothing to do
+    except ImportError:
+        pass
+    import os
+    shim = Path(REPO) / ".proto_shim"
+    sdk = Path("/usr/lib/google-cloud-sdk/platform/google_appengine")
+    if not ((shim / "sitecustomize.py").exists()
+            and (sdk / "google/protobuf/descriptor.py").exists()):
+        return False
+    os.environ["PYTHONPATH"] = (
+        str(shim) + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    sys.path.insert(0, str(shim))
+    import sitecustomize  # noqa: F401
+    return True
 
 
 def norm_value(v) -> str:
@@ -65,6 +92,13 @@ def main() -> int:
     queued = "--queued" in args
     if queued:
         args.remove("--queued")
+    shim = "--shim" in args
+    if shim:
+        args.remove("--shim")
+        if not _activate_proto_shim():
+            print("--shim: no protobuf and no shimmable SDK copy — "
+                  "env-gated queries stay unregistered", file=sys.stderr)
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
     sf_dir = "/root/testdata/sf0.01"
     if args and "/" in args[0]:
         sf_dir, args = args[0], args[1:]
@@ -75,9 +109,9 @@ def main() -> int:
     if queued:
         # queries added after the window pin (next round's rotation)
         from multiagent_document_etl_system_spark.plans.registry import (
-            _QUEUED_FOR_R10,
+            _QUEUED_FOR_R12,
         )
-        names += list(_QUEUED_FOR_R10)
+        names += [n for n in _QUEUED_FOR_R12 if n in QUERIES]
     names = names or list(QUERIES)
 
     if vanilla:
