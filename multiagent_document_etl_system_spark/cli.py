@@ -809,7 +809,9 @@ def cmd_ingest(args) -> dict:
     # UNCONDITIONALLY resurrects content the operator deliberately
     # replaced when the crashed run committed nothing (r10 ADVICE): the
     # repair only runs on EVIDENCE of a partial commit — some staged
-    # doc_id already in the corpus. _apply_staged appends corpus-first,
+    # (doc_id, content-hash) pair already in the corpus (the hash keeps
+    # a coincidental doc_id collision from counting as proof).
+    # _apply_staged appends corpus-first,
     # so "no staged doc_id in the corpus" proves the index appends never
     # started either (Spark's parquet append commits atomically via the
     # job-commit protocol — a crashed append leaves no committed files).
@@ -824,9 +826,15 @@ def cmd_ingest(args) -> dict:
         if _fs(stale_path).exists(_hpath(f"{stale_path}/_STAGED_OK")):
             sdf = spark.read.parquet(stale_path)
             committed = _corpus_doc_ids()
+            # evidence keys on (doc_id, content hash), not doc_id alone:
+            # a coincidental doc_id collision with unrelated corpus
+            # content must not count as proof and resurrect a replaced
+            # generation (r11 review)
             partially_committed = committed is not None and bool(
-                sdf.select("doc_id")
-                   .join(committed, "doc_id", "left_semi")
+                sdf.select("doc_id", F.md5("text").alias("_h"))
+                   .join(spark.read.parquet(args.corpus_dir)
+                         .select("doc_id", F.md5("text").alias("_h")),
+                         ["doc_id", "_h"], "left_semi")
                    .limit(1).take(1))
             if partially_committed:
                 _apply_staged(sdf, repair=True)

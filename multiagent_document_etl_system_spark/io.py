@@ -435,22 +435,26 @@ def read_jdbc_partitioned(spark: SparkSession, url: str, table: str,
             .load())
 
 
-def _pidfile_owner_alive(run_dir: str) -> bool:
-    """True iff run_dir's ``_OWNER_PID`` names a live process."""
+def _pidfile_owner_state(run_dir: str) -> str:
+    """'alive' | 'dead' | 'unknown' for run_dir's ``_OWNER_PID``.
+
+    'unknown' covers a missing pidfile AND an unreadable/empty one — a
+    concurrent creator may have opened the file but not yet flushed the
+    pid (r11 review), so unreadable must NOT be treated as dead."""
     import os
 
     try:
         with open(os.path.join(run_dir, "_OWNER_PID")) as fh:
             pid = int(fh.read().strip())
     except (OSError, ValueError):
-        return False
+        return "unknown"
     try:
         os.kill(pid, 0)
-        return True
+        return "alive"
     except ProcessLookupError:
-        return False
+        return "dead"
     except (PermissionError, OSError):
-        return True  # exists but not ours — definitely alive
+        return "alive"  # exists but not ours — definitely alive
 
 
 def _newest_mtime(run_dir: str) -> float:
@@ -479,7 +483,9 @@ def scratch_run_dir(root: str, stale_after_sec: float = 3600.0) -> str:
     children are added/removed — a live embedded-Derby database whose
     writes land deeper could be deleted out from under a >1h-old
     concurrent session). A sibling is purged only when its recorded
-    owner is dead (``kill(pid, 0)`` fails) or when it carries no pidfile
+    owner is dead (``kill(pid, 0)`` fails) or when its owner is UNKNOWN
+    (no pidfile — pre-r11 layout, a run mid-creation, or an
+    unreadable/empty pidfile a concurrent creator hasn't flushed yet)
     and nothing under it has been touched for ``stale_after_sec``.
     The caller still owns end-of-life cleanup (atexit/rmtree)."""
     import os
@@ -492,13 +498,14 @@ def scratch_run_dir(root: str, stale_after_sec: float = 3600.0) -> str:
     for stale in os.listdir(root):
         p = os.path.join(root, stale)
         try:
-            if not os.path.isdir(p) or _pidfile_owner_alive(p):
+            if not os.path.isdir(p):
                 continue
-            has_pidfile = os.path.exists(os.path.join(p, "_OWNER_PID"))
-            # dead recorded owner => crashed run, purge now; no pidfile
-            # (pre-r11 layout or a run mid-creation) => only after
-            # stale_after_sec of recursive quiet
-            if has_pidfile or now - _newest_mtime(p) > stale_after_sec:
+            state = _pidfile_owner_state(p)
+            if state == "alive":
+                continue
+            # dead recorded owner => crashed run, purge now; unknown
+            # owner => only after stale_after_sec of recursive quiet
+            if state == "dead" or now - _newest_mtime(p) > stale_after_sec:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass

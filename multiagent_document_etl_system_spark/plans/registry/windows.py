@@ -409,11 +409,14 @@ _QUEUED_FOR_R11: list[str] = []
 # NO_ORACLE_REASONS; s9's stream reader is ALSO contract-changed this
 # round: r11 replaces the driver-side SimpleDataSourceStreamReader with
 # the partition-planned DataSourceStreamReader, r10 verdict #2);
-# (3) 2 contract-coupled re-confirms for this round's changes:
-# ta_dup_ngram_coverage (r11 wires the r10 strip variant as an
-# auto-selected plan behind a bounded probe — r10 verdict #8) and
-# k1_jdbc_roundtrip (r11 replaces the mtime-keyed stale-Derby-dir purge
-# with a heartbeat-keyed one — ADVICE r10); (4) the ENTIRE remaining
+# (3) 2 re-confirm slots for this round's changes:
+# ta_dup_ngram_coverage (pinned for the planned r10-verdict-#8
+# auto-route; the corrected measurement then said DON'T wire it —
+# SCALE.md r11 — so the query's plan is UNCHANGED and the slot serves
+# as an r07-stale refresh for the query whose docstring contract was
+# retracted/corrected this round) and k1_jdbc_roundtrip (r11 replaces
+# the mtime-keyed stale-Derby-dir purge with a pidfile-liveness one —
+# ADVICE r10); (4) the ENTIRE remaining
 # r05-evidence oracled block (31 queries, named in NOTES.md and
 # recomputed from CORRECTNESS_r01..r10 at pin time — r10 came back
 # 50/50 green so the stale frontier is exactly this block); (5) 13 pads
@@ -505,9 +508,11 @@ NO_ORACLE_REASONS: dict[str, str] = {
                              "equality to the binaryFile route pinned "
                              "in tests/test_sources.py",
     "s9_landing_stream": "streaming flavor of s8 (REAL availableNow "
-                         "run through SimpleDataSourceStreamReader) — "
-                         "same no-parser/no-table reasons; exactly-once "
-                         "restart pinned in tests/test_sources.py",
+                         "run through the partition-planned "
+                         "DataSourceStreamReader — parse in executor "
+                         "tasks, r11) — same no-parser/no-table "
+                         "reasons; exactly-once restart pinned in "
+                         "tests/test_sources.py",
     "mm_decode_features": "media decode via mapInPandas — REAL stdlib "
                           "pixel decode + luminance histogram for "
                           "BMP/PNG/baseline+progressive JPEG, "

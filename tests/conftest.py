@@ -12,36 +12,20 @@ if REPO not in sys.path:
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _activate_proto_shim() -> None:
-    """r10 (verdict #5): unblock the transformWithStateInPandas replay
-    test when the host carries a pure-Python protobuf anywhere. The
-    container ships no google.protobuf, but this host's google-cloud-sdk
-    bundles protobuf 6.32.0 under platform/google_appengine;
-    .proto_shim/sitecustomize.py puts it on sys.path and relaxes ONLY
-    the gencode-minor-version refusal (6.33 gencode on 6.32 runtime —
-    identical wire format). Must run at conftest IMPORT time: PYTHONPATH
-    has to be exported before the first SparkSession starts so the
-    Python workers Spark spawns (which speak the protobuf state-server
-    protocol) inherit it. No-op when real protobuf exists or the SDK
-    copy is absent — the test keeps its skip gate either way."""
-    try:
-        import google.protobuf  # noqa: F401
-        return  # a real protobuf is installed; nothing to shim
-    except ImportError:
-        pass
-    import os
-    shim = Path(REPO) / ".proto_shim"
-    sdk = Path("/usr/lib/google-cloud-sdk/platform/google_appengine")
-    if not ((shim / "sitecustomize.py").exists()
-            and (sdk / "google/protobuf/descriptor.py").exists()):
-        return
-    os.environ["PYTHONPATH"] = (
-        str(shim) + os.pathsep + os.environ.get("PYTHONPATH", ""))
-    sys.path.insert(0, str(shim))
-    import sitecustomize  # noqa: F401  (executes the shim in-process)
+# r10 (verdict #5): unblock the transformWithStateInPandas replay test
+# when the host carries a pure-Python protobuf anywhere. ONE shared
+# implementation (multiagent_document_etl_system_spark/protoshim.py —
+# also behind `check_oracle --shim`; the r11 review caught the two call
+# sites drifting as near-copies). Must run at conftest IMPORT time:
+# PYTHONPATH has to be exported before the first SparkSession starts so
+# the Python workers Spark spawns (which speak the protobuf
+# state-server protocol) inherit it. No-op when real protobuf exists or
+# the SDK copy is absent — the tws test keeps its skip gate either way.
+from multiagent_document_etl_system_spark.protoshim import (  # noqa: E402
+    activate_proto_shim,
+)
 
-
-_activate_proto_shim()
+activate_proto_shim()
 
 
 @pytest.fixture(scope="session")

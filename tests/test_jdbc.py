@@ -179,11 +179,19 @@ def test_scratch_run_dir_purges_only_dead_owners(tmp_path):
     os.utime(legacy_fresh, (old, old))
     os.utime(os.path.join(legacy_fresh, "db"), (old, old))
 
+    # (e) EMPTY pidfile with fresh contents — a concurrent creator that
+    # opened but hasn't flushed the pid yet; must be treated as
+    # unknown-owner (age rule), NOT dead (purge) — r11 review race
+    mid_create = os.path.join(root, "run_mid_create")
+    os.makedirs(mid_create)
+    open(os.path.join(mid_create, "_OWNER_PID"), "w").close()  # empty
+
     fresh = scratch_run_dir(root)
     assert os.path.isdir(live), "live-owner dir must survive any age"
     assert not os.path.exists(dead), "dead-owner dir purged immediately"
     assert not os.path.exists(legacy_old), "quiet pidfile-less dir purged"
     assert os.path.isdir(legacy_fresh), "deep-fresh pidfile-less dir kept"
+    assert os.path.isdir(mid_create), "empty-pidfile fresh dir kept"
     # the new dir is pidfile-owned, so a CONCURRENT session won't purge it
     with open(os.path.join(fresh, "_OWNER_PID")) as fh:
         assert int(fh.read()) == os.getpid()

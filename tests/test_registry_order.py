@@ -5,9 +5,11 @@ tests pin that the round-11 window contains exactly what the r10 verdict
 and NOTES.md ordered: the 2 oracled queries that queued behind the frozen
 r10 window at the head (first driver evidence), the 2 sanctioned rows-only
 first-evidence slots for the Spark 4 Python-DataSource landing reads, 2
-contract-coupled re-confirms (r11 wires the strip variant as
-ta_dup_ngram_coverage's auto-selected plan and replaces k1's mtime-keyed
-stale-Derby purge with a heartbeat-keyed one), the entire r05-stale
+re-confirm slots (ta_dup_ngram_coverage, pinned for the planned
+verdict-#8 auto-route — the corrected measurement then said don't wire
+it, so the slot serves as an r07-stale refresh for the query whose
+docstring contract was corrected; and k1_jdbc_roundtrip, whose
+mtime-keyed stale-Derby purge became pidfile-keyed), the entire r05-stale
 oracled block (31 refresh pads), and 13 pads from the r06 block (the
 remaining 14 are reserved for R12). The window is FROZEN: queries added
 after the pin go to _QUEUED_FOR_R12, never into the window.
@@ -113,11 +115,12 @@ _QUEUED_2 = ["ta_dup_ngram_coverage_strip", "dedup_cross_source_links"]
 #: CONSTRUCTION (reasons in NO_ORACLE_REASONS).
 _SANCTIONED_ROWS_ONLY = ["s8_landing_datasource", "s9_landing_stream"]
 
-#: contract-coupled re-confirms: r11 wires the strip variant as
-#: ta_dup_ngram_coverage's auto-selected plan (r10 verdict #8) and
-#: replaces k1's mtime-keyed stale-Derby-dir purge with a
-#: heartbeat-keyed one (ADVICE r10). Both r10-green; the slot buys a
-#: fresh row under the changed contract.
+#: re-confirm slots: ta_dup_ngram_coverage was pinned for the planned
+#: verdict-#8 auto-route, which the corrected strip measurement then
+#: rejected (SCALE.md r11) — its plan is unchanged and the slot doubles
+#: as an r07-stale refresh; k1_jdbc_roundtrip's mtime-keyed stale-Derby
+#: purge became pidfile-keyed (ADVICE r10). Both r10/r07-green; each
+#: slot buys a fresh driver row.
 _RECONFIRMS = ["ta_dup_ngram_coverage", "k1_jdbc_roundtrip"]
 
 

@@ -28,9 +28,9 @@ def test_full_registration_order_matches_presplit_snapshot():
 
 
 def test_no_registry_module_exceeds_the_size_bound():
-    over = {p.name: sum(1 for _ in p.open())
-            for p in PKG.glob("*.py")
-            if sum(1 for _ in p.open()) > 1500}
+    sizes = {p.name: len(p.read_text().splitlines())
+             for p in PKG.glob("*.py")}
+    over = {name: n for name, n in sizes.items() if n > 1500}
     assert not over, over
 
 

@@ -44,13 +44,19 @@ def main() -> int:
     try:
         from bench import REBUILD_PER_REP as rebuild
     except ImportError:
+        # the FULL set from the last pre-r11 bench.main() (r10 tree) —
+        # an incomplete fallback re-creates the drift for exactly the
+        # eager queries where it matters most (review r11)
         rebuild = {"td_prepare_corpus_v2", "td_prepare_corpus_v3",
                    "td_curation_funnel", "dedup_minhash_lsh",
                    "dedup_threshold_sweep", "dedup_keep_best",
-                   "ta_minhash_est_vs_exact", "td_dedup_provenance",
+                   "ta_minhash_est_vs_exact", "dedup_cross_source_links",
+                   "td_dedup_provenance",
                    "dedup_cluster_size_histogram",
                    "td_dedup_policy_ablation",
-                   "v24_graph_pagerank", "td_bpe_train"}
+                   "v24_graph_pagerank", "td_bpe_train",
+                   "st_tumbling_stream", "st_variant_stream",
+                   "st_diversity_gate", "st_incremental_ingest"}
     out: dict[str, float] = {}
     for name in names:
         fn, _ = QUERIES[name]

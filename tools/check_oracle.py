@@ -30,27 +30,15 @@ from multiagent_document_etl_system_spark.io import TABLES  # noqa: E402
 
 
 def _activate_proto_shim() -> bool:
-    """--shim: mirror tests/conftest.py — put the host SDK's pure-Python
-    protobuf on PYTHONPATH (workers inherit it) BEFORE the registry
+    """--shim: activate the shared protobuf shim (see
+    multiagent_document_etl_system_spark/protoshim.py — ONE
+    implementation, also used by tests/conftest.py) BEFORE the registry
     import and the first SparkSession, so the env-gated
-    transformWithStateInPandas query registers and can be checked here.
-    No-op (returns False) when the shim or the SDK copy is absent."""
-    try:
-        import google.protobuf  # noqa: F401
-        return True  # real protobuf — nothing to do
-    except ImportError:
-        pass
-    import os
-    shim = Path(REPO) / ".proto_shim"
-    sdk = Path("/usr/lib/google-cloud-sdk/platform/google_appengine")
-    if not ((shim / "sitecustomize.py").exists()
-            and (sdk / "google/protobuf/descriptor.py").exists()):
-        return False
-    os.environ["PYTHONPATH"] = (
-        str(shim) + os.pathsep + os.environ.get("PYTHONPATH", ""))
-    sys.path.insert(0, str(shim))
-    import sitecustomize  # noqa: F401
-    return True
+    transformWithStateInPandas query registers and can be checked here."""
+    from multiagent_document_etl_system_spark.protoshim import (
+        activate_proto_shim,
+    )
+    return activate_proto_shim()
 
 
 def norm_value(v) -> str:
