@@ -873,3 +873,79 @@ def test_doc_landing_stream_reader_partition_planning(tmp_path):
     r2.partitions(end1, end2)  # the replay call Spark makes on restart
     end3 = r2.latestOffset()
     assert r2.partitions(end2, end3) == []
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    script=hst.lists(
+        hst.tuples(
+            hst.lists(hst.integers(0, 30), max_size=4),   # files created
+            hst.lists(hst.integers(0, 30), max_size=2),   # files deleted
+        ),
+        min_size=1, max_size=8),
+    restart_after=hst.integers(0, 7),
+)
+def test_doc_landing_stream_offsets_exactly_once(tmp_path_factory, script,
+                                                 restart_after):
+    """Property (r11): under ANY interleaving of file creations and
+    deletions across triggers — including a reader restart that replays
+    the last offset range — the seen-set offset model emits every
+    created path AT MOST once, never re-emits across a restart, and
+    emits every file that exists at listing time and was never deleted
+    before it (exactly-once for stable files)."""
+    import os
+
+    from multiagent_document_etl_system_spark.sources.landing_ds import (
+        DocLandingStreamReader,
+    )
+
+    drop = tmp_path_factory.mktemp("prop_drop")
+    opts = {"path": str(drop), "filesperpartition": "3"}
+    r = DocLandingStreamReader(opts)
+    prev = r.initialOffset()
+    emitted: list[str] = []
+    ever_stable: set[str] = set()  # created and never later deleted
+    deleted: set[str] = set()
+
+    def drain(reader, start, end):
+        out = []
+        for part in reader.partitions(start, end):
+            out.extend(part.paths)
+        return out
+
+    for i, (creates, deletes) in enumerate(script):
+        for n in creates:
+            p = drop / f"f{n:02d}.txt"
+            p.write_bytes(b"x")
+            deleted.discard(str(p))
+        for n in deletes:
+            p = drop / f"f{n:02d}.txt"
+            if p.exists():
+                p.unlink()
+                deleted.add(str(p))
+        end = r.latestOffset()
+        batch = drain(r, prev, end)
+        emitted.extend(batch)
+        if i == restart_after:
+            # crash + restart: a FRESH reader replays the last committed
+            # range (Spark's recovery path), then resumes from `end`
+            r2 = DocLandingStreamReader(opts)
+            replay = drain(r2, prev, end)
+            assert sorted(replay) == sorted(batch)  # deterministic replay
+            r = r2  # continue on the restarted reader (replay NOT kept:
+            # Spark replaces the failed batch's output, not appends)
+        prev = end
+    # final settle trigger
+    end = r.latestOffset()
+    emitted.extend(drain(r, prev, end))
+
+    # at-most-once: no path emitted twice
+    assert len(emitted) == len(set(emitted)), emitted
+    # exactly-once for files present at the end (they appeared at some
+    # listing and were never missed)
+    present = {os.path.join(str(drop), f) for f in os.listdir(drop)}
+    assert present <= set(emitted)
