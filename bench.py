@@ -162,6 +162,10 @@ HEADLINE = [
     # r10 addition: cross-source record linkage (LSH blocking join +
     # per-doc argmax); a composite minhash caller, so rebuild-per-rep
     "dedup_cross_source_links",
+    # r11 addition: the Avro round-trip — the write is session-cached
+    # (like k1's Derby write), so each rep measures the avro_py
+    # DataSource READ + aggregate, i.e. container decode throughput
+    "s10_avro_roundtrip",
 ]
 
 

