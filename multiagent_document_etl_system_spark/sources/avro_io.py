@@ -327,7 +327,12 @@ def write_avro(df, out_dir: str, codec: str = "deflate") -> int:
 from pyspark.sql.datasource import (  # noqa: E402
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
+)
+
+from multiagent_document_etl_system_spark.sources.filestream import (  # noqa: E402
+    SeenSetFileStreamReader,
 )
 
 
@@ -371,6 +376,31 @@ class AvroPyReader(DataSourceReader):
                 yield tuple(row.get(c) for c in cols)
 
 
+class AvroPyStreamReader(SeenSetFileStreamReader):
+    """Streaming flavor: ``spark.readStream.format("avro_py")`` tails a
+    directory of container files — the Kafka-dump/CDC-drop cadence.
+    Offset model, restart/replay semantics, and scope notes live in the
+    shared base (sources/filestream — the same reader behind the
+    doc_landing stream, whose checkpoint-restart and hypothesis
+    interleaving tests pin the contract); this subclass decodes
+    containers in executor tasks. A file is one atomic unit: Avro OCF
+    writers land whole files (the sync-marker framing means a partial
+    file fails loudly at decode rather than yielding half-rows)."""
+
+    def __init__(self, options: dict, schema_fields: list[str]):
+        super().__init__(options)
+        self.schema_fields = schema_fields
+
+    def _accept(self, name: str) -> bool:
+        return name.endswith(".avro")
+
+    def read(self, partition):
+        cols = self.schema_fields
+        for path in partition.paths:
+            for row in read_container(path):
+                yield tuple(row.get(c) for c in cols)
+
+
 class AvroPyDataSource(DataSource):
     """``spark.read.format("avro_py")`` — see module docstring. The
     schema comes from the FIRST file's embedded writer schema (one
@@ -407,3 +437,7 @@ class AvroPyDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return AvroPyReader(self.options, [f.name for f in schema.fields])
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return AvroPyStreamReader(self.options,
+                                  [f.name for f in schema.fields])

@@ -51,6 +51,10 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from multiagent_document_etl_system_spark.sources.filestream import (
+    SeenSetFileStreamReader,
+)
+
 #: matches parsers.parse_documents' output surface (path/format/
 #: raw_text/parse_error) plus the size the binaryFile route carries
 LANDING_SCHEMA = ("path string, format string, n_bytes bigint, "
@@ -122,7 +126,7 @@ def _parse_one(path: str):
     return (path, fmt, len(b), text, err)
 
 
-class DocLandingStreamReader(DataSourceStreamReader):
+class DocLandingStreamReader(SeenSetFileStreamReader):
     """S6's streaming flavor through the Spark 4 DataSource API:
     ``spark.readStream.format("doc_landing").load(dir)`` tails a drop
     directory — each micro-batch parses exactly the files that appeared
@@ -132,83 +136,19 @@ class DocLandingStreamReader(DataSourceStreamReader):
     ``SimpleDataSourceStreamReader``, whose contract executes ``read()``
     on the DRIVER — one Python process parsed every record (measured 656
     files/s on a 5k-file drop, SCALE.md r10, vs the batch reader's
-    fully-parallel 1.35 s). This full ``DataSourceStreamReader`` keeps
-    the exact same seen-set offset model but only LISTS on the driver:
-    ``partitions(start, end)`` chunks the new files into
-    ``filesPerPartition`` groups and ``read(partition)`` parses inside
-    executor tasks — the same fan-out as the batch reader, so a bulk
-    backfill through the stream now costs about what the batch read
-    costs plus trigger overhead.
-
-    Offset model: an offset is the cumulative set of SEEN file paths
-    (``{"files": {path: size}}``). Every batch is replayable by
-    construction — on restart Spark replans ``partitions(start, end)``
-    from the checkpointed offsets and re-reads exactly ``end − start``,
-    the exactly-once contract — and the model is robust to files
-    arriving in any name order (a new file that sorts before seen ones
-    is still ``not in seen``). ``latestOffset`` folds the current
-    listing into the driver-side cumulative set (re-seeded from the
-    checkpointed offsets on restart via ``partitions``), so a file
-    deleted AFTER being seen stays seen and a later re-creation of the
-    same path is not re-emitted within a reader's lifetime. Scope note,
-    stated where users look: the offset grows with the file count, so
-    this reader targets the reference's landing-drop scale (thousands
-    of files per dir); an unbounded production feed should rotate drop
-    directories or use the binaryFile `readStream` route, whose
-    compacted offset log Spark maintains natively.
+    fully-parallel 1.35 s). The cumulative-seen-set offset model, the
+    restart/replay semantics, and their scope notes live in the shared
+    base (sources/filestream.SeenSetFileStreamReader — also behind the
+    avro_py stream); this subclass only supplies the executor-side
+    decode. Measured r11: marginal 5k-file stream cost 1.03 s ≈ the
+    batch DataSource's own 1.07 s parquet-write cost (SCALE.md).
     """
 
-    def __init__(self, options: dict):
-        path = options.get("path")
-        if not path:
-            raise ValueError("doc_landing requires a load path")
-        if "://" in path and not path.startswith("file://"):
-            raise ValueError(
-                f"doc_landing reads local/mounted paths only, got {path!r}")
-        self.path = path.removeprefix("file://")
-        self.files_per_partition = max(
-            1, int(options.get("filesperpartition", "8")))
-        #: cumulative seen set (driver-side; rebuilt from checkpointed
-        #: offsets after a restart — partitions() folds start/end in)
-        self._seen: dict = {}
-
-    def _list(self) -> dict:
-        out = {}
-        for root, _, files in os.walk(self.path):
-            for f in files:
-                p = os.path.join(root, f)
-                try:
-                    out[p] = os.path.getsize(p)
-                except OSError:
-                    continue  # vanished mid-listing; next batch re-lists
-        return out
-
-    def initialOffset(self) -> dict:
-        return {"files": {}}
-
-    def latestOffset(self) -> dict:
-        self._seen.update(self._list())
-        return {"files": dict(self._seen)}
-
-    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        # replaying from a checkpoint lands here without latestOffset
-        # having ever seen these offsets — fold them into the seen set
-        # so the NEXT latestOffset doesn't re-emit restored files
-        self._seen.update(start.get("files", {}))
-        self._seen.update(end.get("files", {}))
-        seen = start.get("files", {})
-        new = sorted(p for p in end.get("files", {}) if p not in seen)
-        n = self.files_per_partition
-        return [_FileGroup(new[i:i + n]) for i in range(0, len(new), n)]
-
-    def read(self, partition: _FileGroup):
+    def read(self, partition):
         # executor-side, exactly like the batch reader — bytes never
         # transit the driver
         for p in partition.paths:
             yield _parse_one(p)
-
-    def commit(self, end: dict) -> None:
-        pass  # offsets live in the checkpoint; nothing source-side to ack
 
 
 class DocLandingDataSource(DataSource):
