@@ -260,7 +260,50 @@ def s10_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.md5("text")).alias("max_fp"))
 
 
-_QUEUED_FOR_R12.append("s10_avro_roundtrip")
+@_q("s11_avro_stream", """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  min(md5(text)) AS min_fp, max(md5(text)) AS max_fp
+FROM documents GROUP BY lang, source
+""")
+def s11_avro_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming Avro ingest, hash-oracled (r11): tail the staged
+    container drop through ``spark.readStream.format("avro_py")``
+    (sources/filestream's partition-planned seen-set reader — the same
+    offset contract as the doc_landing stream, decode in executor
+    tasks), availableNow into a memory sink, aggregate per
+    (lang, source). Unlike the doc_landing stream (rows-only: binary
+    parsing), Avro rows are structured, so the FULL hash oracle applies
+    — min/max md5(text) proves the streamed decode value-lossless
+    byte-for-byte against the parquet-derived oracle, the same gate the
+    batch round-trip (s10) carries. Exactly-once across a checkpoint
+    restart is pinned in tests/test_avro.py."""
+    import uuid
+
+    from multiagent_document_etl_system_spark.sources.avro_io import (
+        AvroPyDataSource,
+    )
+    from multiagent_document_etl_system_spark.streaming.streamx import (
+        run_to_memory,
+    )
+
+    s10_avro_roundtrip(spark, sf_dir)  # ensures the avro staging exists
+    stage = _AVRO_STAGE_CACHE[(spark.sparkContext.applicationId, sf_dir)]
+    spark.dataSource.register(AvroPyDataSource)
+    name = f"s11_avro_{uuid.uuid4().hex[:8]}"
+    stream = (spark.readStream.format("avro_py")
+              .schema("doc_id bigint, text string, lang string, "
+                      "source string, n_chars bigint")
+              .option("filesPerPartition", "2").load(stage))
+    run_to_memory(stream, name, output_mode="append")
+    return (spark.table(name).groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min(F.md5("text")).alias("min_fp"),
+        F.max(F.md5("text")).alias("max_fp")))
+
+
+_QUEUED_FOR_R12 += ["s10_avro_roundtrip", "s11_avro_stream"]
 
 _QUEUED_FOR_R10 += ["k1_jdbc_roundtrip", "q_sessionize_chunked"]
 
