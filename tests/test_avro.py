@@ -181,6 +181,319 @@ def test_registry_avro_roundtrip_oracle(spark, duck):
     assert spark_rows == duck_rows
 
 
+def test_null_first_union_roundtrip(tmp_path):
+    """["null", T] — the dominant convention in real Kafka/CDC Avro
+    files — encodes null as branch 0 and the value as branch 1 (r12,
+    ADVICE: branch indices come from the schema, never assumed)."""
+    schema = json.dumps({"type": "record", "name": "row", "fields": [
+        {"name": "doc_id", "type": ["null", "long"]},
+        {"name": "text", "type": ["null", "string"]}]})
+    rows = [{"doc_id": 7, "text": "alpha"},
+            {"doc_id": None, "text": None},
+            {"doc_id": -3, "text": ""}]
+    p = str(tmp_path / "nf.avro")
+    assert write_container(p, schema, rows, rows_per_block=2) == 3
+    assert list(read_container(p)) == rows
+
+
+def test_cross_implementation_null_first_union(spark, tmp_path):
+    """The null-first case the r11 Java cross test missed: a
+    spec-compliant reader must see our ["null", T] branch indices the
+    way the official library does, both directions."""
+    jvm = spark.sparkContext._jvm
+    schema = json.dumps({"type": "record", "name": "row", "fields": [
+        {"name": "doc_id", "type": ["null", "long"]},
+        {"name": "text", "type": ["null", "string"]}]})
+    rows = [{"doc_id": (1 << 40) + 1, "text": "value-then-null"},
+            {"doc_id": None, "text": None}]
+    exp = [(r["doc_id"], r["text"]) for r in rows]
+
+    ours = str(tmp_path / "ours_nf.avro")
+    write_container(ours, schema, rows, codec="deflate")
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(ours),
+        jvm.org.apache.avro.generic.GenericDatumReader())
+    got = []
+    while rdr.hasNext():
+        rec = rdr.next()
+        txt = rec.get("text")
+        got.append((rec.get("doc_id"),
+                    None if txt is None else str(txt)))
+    rdr.close()
+    assert got == exp
+
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch))
+    theirs = str(tmp_path / "theirs_nf.avro")
+    dfw.create(sch, jvm.java.io.File(theirs))
+    for r in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+        rec.put("doc_id", r["doc_id"])
+        rec.put("text", r["text"])
+        dfw.append(rec)
+    dfw.close()
+    assert [(r["doc_id"], r["text"])
+            for r in read_container(theirs)] == exp
+
+
+def test_cross_implementation_temporal_and_numeric_types(spark, tmp_path):
+    """r12 type widening: int / float / date / timestamp-micros against
+    the official Java library, both directions. Java's generic reader
+    surfaces logical types as their raw base values (Integer days, Long
+    micros) — expectations compare at that level; our decoder yields
+    date/datetime objects."""
+    from datetime import date, datetime, timedelta, timezone
+
+    jvm = spark.sparkContext._jvm
+    schema = json.dumps({"type": "record", "name": "row", "fields": [
+        {"name": "d", "type": [{"type": "int", "logicalType": "date"},
+                               "null"]},
+        {"name": "ts", "type": [{"type": "long",
+                                 "logicalType": "timestamp-micros"},
+                                "null"]},
+        {"name": "n", "type": ["int", "null"]},
+        {"name": "f", "type": ["float", "null"]}]})
+    d0 = date(2024, 2, 29)
+    ts0 = datetime(2024, 3, 1, 12, 30, 45, 123456, tzinfo=timezone.utc)
+    days0 = (d0 - date(1970, 1, 1)).days
+    us0 = ((ts0 - datetime(1970, 1, 1, tzinfo=timezone.utc))
+           // timedelta(microseconds=1))
+    rows = [{"d": d0, "ts": ts0, "n": -42, "f": 2.5},
+            {"d": None, "ts": None, "n": None, "f": None}]
+
+    ours = str(tmp_path / "ours_t.avro")
+    write_container(ours, schema, rows, codec="deflate")
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(ours),
+        jvm.org.apache.avro.generic.GenericDatumReader())
+    got = []
+    while rdr.hasNext():
+        rec = rdr.next()
+        got.append((rec.get("d"), rec.get("ts"), rec.get("n"),
+                    rec.get("f")))
+    rdr.close()
+    assert got == [(days0, us0, -42, 2.5), (None, None, None, None)]
+
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch))
+    theirs = str(tmp_path / "theirs_t.avro")
+    dfw.create(sch, jvm.java.io.File(theirs))
+    # build the Java records via Avro's own JSON decoder — py4j unboxes
+    # java.lang.Float/Integer back to Python floats/ints, so put()-style
+    # construction can never type a float union branch correctly
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    for rec_json in (
+        json.dumps({"d": {"int": days0}, "ts": {"long": us0},
+                    "n": {"int": -42}, "f": {"float": 2.5}}),
+        json.dumps({"d": None, "ts": None, "n": None, "f": None}),
+    ):
+        dec = jvm.org.apache.avro.io.DecoderFactory.get() \
+            .jsonDecoder(sch, rec_json)
+        dfw.append(reader.read(None, dec))
+    dfw.close()
+    back = [(r["d"], r["ts"], r["n"], r["f"])
+            for r in read_container(theirs)]
+    assert back == [(d0, ts0, -42, 2.5), (None, None, None, None)]
+
+
+def test_spark_nan_and_big_int64_fidelity(spark, tmp_path):
+    """r12 (ADVICE): the mapInArrow write path must keep (1) int64
+    above 2^53 exact even in a batch that also carries a NULL in that
+    column (the pandas bridge would promote to float64 and round), and
+    (2) SQL NULL distinct from a genuine NaN double (the pandas bridge
+    maps both to NaN)."""
+    import math
+
+    from multiagent_document_etl_system_spark.sources.avro_io import (
+        AvroPyDataSource,
+        write_avro,
+    )
+
+    big = (1 << 60) + 7  # not representable in float64
+    df = spark.createDataFrame(
+        [(big, float("nan")), (None, 1.5), (3, None)],
+        "big bigint, x double").coalesce(1)
+    out = str(tmp_path / "nan_out")
+    assert write_avro(df, out, codec="null") == 3
+    spark.dataSource.register(AvroPyDataSource)
+    back = spark.read.format("avro_py").load(out).collect()
+    by_big = {r["big"]: r["x"] for r in back}
+    assert big in by_big, "int64 above 2^53 must survive exactly"
+    assert math.isnan(by_big[big]), "NaN must round-trip as NaN"
+    assert by_big[None] == 1.5 and by_big[3] is None, \
+        "SQL NULL must stay NULL, not become NaN"
+
+
+def test_streaming_decode_memory_is_block_bounded(tmp_path):
+    """r12 verdict #2: read_container reads incrementally — decoding a
+    container many times larger than one block must allocate one block
+    at a time, never the whole file (the multi-GB Kafka-dump case)."""
+    import tracemalloc
+
+    schema = json.dumps({"type": "record", "name": "row", "fields": [
+        {"name": "doc_id", "type": ["long", "null"]},
+        {"name": "text", "type": ["string", "null"]}]})
+    text = "x" * 10_000
+    n_rows = 6_000  # ~60 MB of payload, ~1 MB blocks (100 rows each)
+    p = str(tmp_path / "big.avro")
+    write_container(p, schema,
+                    ({"doc_id": i, "text": text} for i in range(n_rows)),
+                    codec="null", rows_per_block=100)
+    size = os.path.getsize(p)
+    assert size > 40 * 1024 * 1024
+
+    tracemalloc.start()
+    count = 0
+    for row in read_container(p):
+        count += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert count == n_rows
+    # whole-file buffering would peak at >= size; block-at-a-time peaks
+    # at ~2 blocks (compressed + decompressed) plus row overhead
+    assert peak < size / 4, f"peak {peak} vs file {size}"
+
+
+def test_header_errors_are_loud(tmp_path):
+    """r12 (ADVICE): missing avro.schema metadata and truncated headers
+    raise AvroSchemaError with a message — never bare KeyError /
+    IndexError."""
+    from multiagent_document_etl_system_spark.sources.avro_io import (
+        MAGIC,
+        _enc_bytes,
+        _enc_long,
+        _enc_str,
+        read_header,
+    )
+
+    # header whose metadata map has no avro.schema key
+    blob = bytearray(MAGIC)
+    blob += _enc_long(1) + _enc_str("avro.codec") + _enc_bytes(b"null")
+    blob += _enc_long(0) + b"S" * 16
+    with pytest.raises(AvroSchemaError, match="avro.schema"):
+        read_header(bytes(blob))
+    # truncated header (cut mid-metadata)
+    p = str(tmp_path / "t.avro")
+    write_container(p, SCHEMA, [{"doc_id": 1, "text": "x", "score": 1.0,
+                                 "ok": True, "raw": b"b"}])
+    whole = open(p, "rb").read()
+    with pytest.raises(AvroSchemaError, match="truncated"):
+        read_header(whole[:20])
+    # truncated block payload
+    open(p, "wb").write(whole[:-10])
+    with pytest.raises(AvroSchemaError, match="truncated"):
+        list(read_container(p))
+
+
+def test_schema_inference_streams_large_metadata_headers(tmp_path):
+    """r12 (ADVICE): an OCF whose metadata block exceeds the old 64 KiB
+    sniff window (big schema / extra meta keys) must still infer — the
+    header is now read incrementally, not from a fixed prefix."""
+    from multiagent_document_etl_system_spark.sources.avro_io import (
+        MAGIC,
+        AvroPyDataSource,
+        _enc_bytes,
+        _enc_long,
+        _enc_str,
+        read_header,
+    )
+
+    base = str(tmp_path / "pad" / "base.avro")
+    os.makedirs(os.path.dirname(base))
+    schema = json.dumps({"type": "record", "name": "row", "fields": [
+        {"name": "doc_id", "type": ["long", "null"]}]})
+    write_container(base, schema, [{"doc_id": 5}], codec="null")
+    whole = open(base, "rb").read()
+    _, _, sync, data_off = read_header(whole)
+    padded = bytearray(MAGIC)
+    padded += _enc_long(3)
+    padded += _enc_str("avro.schema") + _enc_bytes(schema.encode())
+    padded += _enc_str("avro.codec") + _enc_bytes(b"null")
+    padded += _enc_str("user.pad") + _enc_bytes(b"P" * (100 * 1024))
+    padded += _enc_long(0) + sync + whole[data_off:]
+    open(base, "wb").write(bytes(padded))
+
+    ds = AvroPyDataSource(options={"path": str(tmp_path / "pad")})
+    assert ds.schema() == "doc_id bigint"
+    assert [r["doc_id"] for r in read_container(base)] == [5]
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    """r12 verdict #8: a drop dir with two writer-schema generations
+    (gen2 adds nullable fields) reads as the UNION of fields under
+    mergeSchemas — older files surface the added fields as NULL — and a
+    same-name/different-type conflict refuses loudly."""
+    from multiagent_document_etl_system_spark.sources.avro_io import (
+        AvroPyDataSource,
+        _check_file_schema,
+        write_avro,
+    )
+
+    drop = str(tmp_path / "drop")
+    gen1 = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id bigint, text string").coalesce(1)
+    gen2 = spark.createDataFrame(
+        [(3, "three", "en", 5)],
+        "doc_id bigint, text string, lang string, n_chars bigint"
+    ).coalesce(1)
+    write_avro(gen1, drop, codec="deflate")
+    write_avro(gen2, drop, codec="deflate")
+
+    spark.dataSource.register(AvroPyDataSource)
+    back = (spark.read.format("avro_py")
+            .option("mergeSchemas", "true").load(drop))
+    assert set(back.columns) == {"doc_id", "text", "lang", "n_chars"}
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert rows[1]["lang"] is None and rows[1]["n_chars"] is None
+    assert rows[3]["lang"] == "en" and rows[3]["n_chars"] == 5
+
+    # without mergeSchemas the first (sorted) file's schema wins and the
+    # reader still decodes every file by its own embedded schema
+    first_only = spark.read.format("avro_py").load(drop)
+    assert first_only.count() == 3
+
+    # conflict: a third generation re-types an existing field
+    bad = spark.createDataFrame([(4, 9)], "doc_id bigint, text bigint") \
+        .coalesce(1)
+    write_avro(bad, drop, codec="null")
+    with pytest.raises(AvroSchemaError, match="conflict"):
+        AvroPyDataSource(
+            options={"path": drop, "mergeschemas": "true"}).schema()
+    with pytest.raises(AvroSchemaError, match="expects"):
+        for f in sorted(os.listdir(drop)):
+            _check_file_schema(os.path.join(drop, f), {"text": "string"})
+
+
+def test_spark_temporal_roundtrip(spark, tmp_path):
+    """timestamp/date/int/float columns round-trip exactly through
+    write_avro → avro_py (timestamp at microsecond precision as
+    timestamp-micros, date as epoch days)."""
+    from datetime import date, datetime
+
+    from multiagent_document_etl_system_spark.sources.avro_io import (
+        AvroPyDataSource,
+        write_avro,
+    )
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 3, 1, 12, 30, 45, 123456), date(2020, 2, 29),
+          42, 2.5),
+         (datetime(1969, 12, 31, 23, 59, 59, 999999), date(1969, 7, 20),
+          -(1 << 31), -0.0),
+         (None, None, None, None)],
+        "ts timestamp, d date, n int, f float").coalesce(1)
+    out = str(tmp_path / "temporal")
+    assert write_avro(df, out, codec="deflate") == 3
+    spark.dataSource.register(AvroPyDataSource)
+    back = spark.read.format("avro_py").load(out)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    key = lambda t: tuple(map(repr, t))  # noqa: E731
+    assert (sorted(map(tuple, back.collect()), key=key)
+            == sorted(map(tuple, df.collect()), key=key))
+
+
 def test_avro_stream_reads_new_files_exactly_once(spark, tmp_path):
     """Streaming flavor (shared seen-set reader): each micro-batch
     decodes exactly the container files that appeared since the last
