@@ -23,6 +23,7 @@ from multiagent_document_etl_system_spark.plans.registry.windows import (
     _QUEUED_FOR_R10,
     _QUEUED_FOR_R11,
     _QUEUED_FOR_R12,
+    _QUEUED_FOR_R13,
 )
 
 _JDBC_DB_CACHE: dict[tuple[str, str], str] = {}
@@ -303,7 +304,142 @@ def s11_avro_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.md5("text")).alias("max_fp")))
 
 
+#: one typed-Avro staging per (session, sf_dir) — same idempotence rule
+_AVRO_TYPED_STAGE_CACHE: dict[tuple[str, str], str] = {}
+
+
+@_q("s12_avro_typed_roundtrip", """
+WITH typed AS (
+  SELECT event_id, event_type, ts,
+    DATE '1970-01-01' + CAST(event_id % 40000 AS INT) AS d,
+    CAST(event_id % 1000000 AS INT) AS n_i,
+    CAST(value AS FLOAT) AS v_f
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(epoch_us(ts)) AS BIGINT) AS sum_ts_us,
+  CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+  CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+  CAST(sum(d - DATE '1970-01-01') AS BIGINT) AS sum_days,
+  CAST(sum(n_i) AS BIGINT) AS sum_int,
+  CAST(sum(CAST(floor(CAST(v_f AS DOUBLE) * 100 + 0.5) AS BIGINT))
+       AS BIGINT) AS sum_v_q
+FROM typed GROUP BY event_type
+""")
+def s12_avro_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed Avro round-trip (r12 verdict #3): the events table plus
+    derived date / int / float columns rides through the widened
+    avro_py type subset — timestamp-micros (micros-exact), date (epoch
+    days), 32-bit int, float — and every column is pinned by an
+    integer-exact aggregate the oracle restates from the parquet:
+    timestamps via unix_micros/epoch_us (timezone-free instants), the
+    date via days-since-epoch, the float via a 1e-2 quantization grid
+    (float32→double cast is exact in both engines; integer sums are
+    order-free). A hash match proves encode→decode value-lossless for
+    the CDC column shapes (timestamps ride in virtually every CDC
+    record — the capability gap the r11 verdict named). The temporal
+    encodings are additionally cross-validated against the official
+    Java Avro library (tests/test_avro.py)."""
+    import tempfile
+
+    from multiagent_document_etl_system_spark.sources.avro_io import (
+        AvroPyDataSource,
+        write_avro,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _AVRO_TYPED_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="avro_typed_")
+        typed = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts",
+            F.date_add(F.lit("1970-01-01").cast("date"),
+                       (F.col("event_id") % 40000).cast("int")).alias("d"),
+            (F.col("event_id") % 1000000).cast("int").alias("n_i"),
+            F.col("value").cast("float").alias("v_f"))
+        write_avro(typed.repartition(4), stage, codec="deflate")
+        _AVRO_TYPED_STAGE_CACHE[key] = stage
+    spark.dataSource.register(AvroPyDataSource)
+    back = (spark.read.format("avro_py")
+            .option("filesPerPartition", "2").load(stage))
+    epoch = F.lit("1970-01-01").cast("date")
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.unix_micros("ts")).cast("bigint").alias("sum_ts_us"),
+        F.min(F.unix_micros("ts")).cast("bigint").alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("max_ts_us"),
+        F.sum(F.datediff("d", epoch)).cast("bigint").alias("sum_days"),
+        F.sum("n_i").cast("bigint").alias("sum_int"),
+        F.sum(F.floor(F.col("v_f").cast("double") * 100 + 0.5))
+        .cast("bigint").alias("sum_v_q"))
+
+
+#: one evolution staging per (session, sf_dir)
+_AVRO_EVO_STAGE_CACHE: dict[tuple[str, str], str] = {}
+
+
+@_q("s13_avro_evolution", """
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_gen2,
+  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+    AS sum_chars_gen2,
+  min(md5(text)) AS min_fp, max(md5(text)) AS max_fp
+FROM documents GROUP BY lang
+""")
+def s13_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution Avro read (r12 verdict #8, the multi-day CDC
+    drop shape): the documents table is staged as TWO writer-schema
+    generations in one drop dir — even doc_ids with (doc_id, text,
+    lang), odd doc_ids with (doc_id, text, lang, source, n_chars) —
+    and read back with ``mergeSchemas=true``, which unions the fields
+    (one ~100-byte header read per file at planning); each file decodes
+    by its OWN embedded schema and gen1 rows surface the added fields
+    as NULL. The aggregate pins the resolution: n_gen2 counts rows
+    whose n_chars survived (non-null ⇔ gen2 by construction),
+    sum_chars_gen2 their char mass, min/max md5(text) every document
+    byte across BOTH generations. The oracle restates the generation
+    split as doc_id parity straight from the parquet. Same-name/
+    different-type conflicts refuse loudly (tests/test_avro.py)."""
+    import tempfile
+
+    from multiagent_document_etl_system_spark.sources.avro_io import (
+        AvroPyDataSource,
+        write_avro,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _AVRO_EVO_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="avro_evo_")
+        docs = load_table(spark, sf_dir, "documents")
+        gen1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "lang")
+        gen2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "lang", "source", "n_chars")
+        write_avro(gen1.repartition(2), stage, codec="deflate")
+        write_avro(gen2.repartition(2), stage, codec="deflate")
+        _AVRO_EVO_STAGE_CACHE[key] = stage
+    spark.dataSource.register(AvroPyDataSource)
+    back = (spark.read.format("avro_py")
+            .option("mergeSchemas", "true")
+            .option("filesPerPartition", "2").load(stage))
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_chars").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_gen2"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars_gen2"),
+        F.min(F.md5("text")).alias("min_fp"),
+        F.max(F.md5("text")).alias("max_fp"))
+
+
 _QUEUED_FOR_R12 += ["s10_avro_roundtrip", "s11_avro_stream"]
+
+# added after the R12 pin (frozen-window discipline): the r12 typed and
+# schema-evolution Avro round-trips queue for the R13 window head
+_QUEUED_FOR_R13 += ["s12_avro_typed_roundtrip", "s13_avro_evolution"]
 
 _QUEUED_FOR_R10 += ["k1_jdbc_roundtrip", "q_sessionize_chunked"]
 

@@ -457,6 +457,10 @@ _DRIVER_WINDOW_R11 = [
 #: for the r12 window head (frozen-window discipline, seventh rotation).
 _QUEUED_FOR_R12: list[str] = []
 
+#: oracled queries added AFTER the r12 window was pinned — they queue
+#: for the r13 window head (frozen-window discipline, eighth rotation).
+_QUEUED_FOR_R13: list[str] = []
+
 
 def _driver_ordered(q: dict) -> dict:
     head = [n for n in _DRIVER_WINDOW_R11 if n in q]

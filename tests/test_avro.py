@@ -163,13 +163,18 @@ def test_corrupt_container_raises(tmp_path):
         list(read_container(p))
 
 
-def test_registry_avro_roundtrip_oracle(spark, duck):
-    """The queued-for-R12 registry query hash-matches its DuckDB oracle
-    exactly the way the driver compares (all string/int outputs)."""
+@pytest.mark.parametrize("name", ["s10_avro_roundtrip",
+                                  "s12_avro_typed_roundtrip",
+                                  "s13_avro_evolution"])
+def test_registry_avro_roundtrip_oracle(spark, duck, name):
+    """The avro registry queries (batch round-trip, r12 typed
+    round-trip, r12 schema-evolution read) hash-match their DuckDB
+    oracles exactly the way the driver compares (all string/int
+    outputs)."""
     from multiagent_document_etl_system_spark.plans.registry import QUERIES
     from tests.conftest import SF_DIR
 
-    fn, oracle = QUERIES["s10_avro_roundtrip"]
+    fn, oracle = QUERIES[name]
     assert oracle is not None
     got = fn(spark, SF_DIR)
     cols = sorted(got.columns)

@@ -167,10 +167,15 @@ def test_stale_pads_have_at_least_44_slots():
 def test_window_covers_every_never_checked_oracled_query():
     """After r11's window runs, zero oracled queries lack a driver row —
     except those added after the pin, which queue for r12."""
+    from multiagent_document_etl_system_spark.plans.registry.windows import (
+        _QUEUED_FOR_R13,
+    )
+
     never = [n for n, (_, oracle) in QUERIES.items()
              if oracle and n not in _EVER_DRIVER_CHECKED]
     missing = [n for n in never
-               if n not in _DRIVER_WINDOW_R11 and n not in _QUEUED_FOR_R12]
+               if n not in _DRIVER_WINDOW_R11 and n not in _QUEUED_FOR_R12
+               and n not in _QUEUED_FOR_R13]
     assert not missing, missing
 
 

@@ -19,17 +19,21 @@ def test_full_registration_order_matches_presplit_snapshot():
         _QUEUED_FOR_R12,
         QUERIES,
     )
+    from multiagent_document_etl_system_spark.plans.registry.windows import (
+        _QUEUED_FOR_R13,
+    )
 
     snap = json.loads(
         (Path(__file__).parent / "registry_order_snapshot.json").read_text())
     got = list(QUERIES)
     # queries added AFTER the snapshot (frozen-window discipline: they
-    # queue for R12 and append at the dict tail) and the env-gated tws
-    # query (registers only when protobuf is importable — it is under
-    # the conftest shim; the snapshot was taken shim-less) are excluded;
-    # everything the snapshot knows must match it EXACTLY, in order.
-    post_snapshot = (set(_QUEUED_FOR_R12) | {"st_user_profile_tws"}) \
-        - set(snap)
+    # queue for the next window and append at the dict tail) and the
+    # env-gated tws query (registers only when protobuf is importable —
+    # it is under the conftest shim; the snapshot was taken shim-less)
+    # are excluded; everything the snapshot knows must match it EXACTLY,
+    # in order.
+    post_snapshot = (set(_QUEUED_FOR_R12) | set(_QUEUED_FOR_R13)
+                     | {"st_user_profile_tws"}) - set(snap)
     got = [n for n in got if n not in post_snapshot]
     snap = [n for n in snap if n != "st_user_profile_tws"]
     assert got == snap
