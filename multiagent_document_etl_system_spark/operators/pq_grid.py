@@ -1,0 +1,377 @@
+"""Deterministic integer-grid product quantization — the hash-oracled
+PQ rung (r12 verdict #4).
+
+The float PQ family (operators/similarity.pq_fit/pq_codes/pq_adc_*)
+fits its codebooks with KMeans — iterative, seed-dependent, not
+SQL-restatable — so its registry queries could only ever be rows-only.
+This module is the same FAISS-PQ architecture re-derived so that EVERY
+step is an exactly-specified integer function of the input, restatable
+in DuckDB SQL clause by clause:
+
+- vectors are L2-normalized and snapped to a 1e-4 integer grid
+  (``floor(x/||x|| * 10000 + 0.5)`` — the v15/v20 exact-integer
+  convention; both engines compute the identical IEEE doubles, and all
+  distances thereafter are exact BIGINT sums, associativity-free);
+- codebooks come from a DETERMINISTIC fit: anchored init (centroid
+  (s, c) = the subvector of the sample row with rank
+  ``(s*n_codes + c) % n_sample`` by id) followed by ``n_iters`` Lloyd
+  steps on the grid — assignment is an integer argmin with a
+  (distance, code) tie-break, the update is
+  ``floor(sum/count + 0.5)`` per coordinate (integer sums are exact,
+  one IEEE division, empty codes keep their previous centroid). Lloyd
+  iterations with a fixed init and count are deterministic, and each
+  step is one SQL CTE — so unlike KMeans the whole fit rides inside
+  the oracle. Measured at fixture scale the 3-iteration grid fit
+  reaches the SAME ADC-prefilter recall@5 (0.80 with k_adc=100) as
+  the float-KMeans rung's documented number — determinism costs no
+  ranking quality here (pinned in tests/test_pq_grid.py);
+- the fit input is the ``ivf_fit_cap(n_codes)`` rows with the SMALLEST
+  id (``ORDER BY id LIMIT`` — SQL-expressible, unlike the repo's
+  xxhash64 sampling convention; documented divergence, same bounded-fit
+  rationale as similarity.ivf_train_sample).
+
+Scale shape matches the float rung: the fit sees a bounded sample
+(one TakeOrderedAndProject over the corpus + n_iters tiny aggregates
+over ≤4096 cached rows); corpus-wide assignment is one narrow map with
+the codebooks as literals; ADC scoring is m lookups per pair over a
+broadcast query-side distance table; exact rerank touches only
+Q x k_adc full vectors. Driver-side state is the codebook itself —
+n_subspaces × n_codes × width ints (4 KB here), collected via two
+BOUNDED collects per fit stated at the call sites.
+
+The float KMeans variants remain the perf/quality kernels for
+deployments that can spare the oracle (operators/similarity.py); the
+registry's v17/v18 run THIS rung so their driver rows are full hash
+checks. Reference parity: the reference stores raw float32 vectors
+(/root/reference/src/pinecone_utils.py:64-92) — PQ is part of the
+100 TB storage ladder built beyond it (SURVEY.md §2 north star).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F  # noqa: N812
+
+from multiagent_document_etl_system_spark.operators.similarity import (
+    cosine_sql,
+    exact_rerank,
+    ivf_fit_cap,
+    norm,
+)
+
+GRID = 10_000
+
+
+def grid_vec(vec_col: str, grid: int = GRID) -> Column:
+    """L2-normalize, then snap each element to the 1/grid integer grid
+    (BIGINT). Zero vectors snap to all-zero. Exactly restated in SQL by
+    :func:`_gv_sql`."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = norm(v)
+    return F.when(nrm == 0,
+                  F.transform(v, lambda x: F.lit(0).cast("bigint"))) \
+        .otherwise(F.transform(v, lambda x: F.floor(x / nrm * grid + 0.5)))
+
+
+def _best_struct(xq_col, book: list[list[int]], s: int, width: int):
+    """(distance, code) argmin struct for subspace ``s`` — array_min over
+    (BIGINT distance, code index) structs = the (d ASC, c ASC) tie-break
+    the SQL twin states via row_number."""
+    book_lit = F.array(*[F.array(*[F.lit(x) for x in ctr]) for ctr in book])
+    sub = F.slice(xq_col, s * width + 1, width)
+    return F.array_min(F.transform(
+        book_lit,
+        lambda ctr, j: F.struct(
+            F.aggregate(F.zip_with(sub, ctr, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x).alias("d"),
+            j.alias("c"),
+        ),
+    ))
+
+
+def pq_grid_fit(df: DataFrame, dim: int, n_subspaces: int = 4,
+                n_codes: int = 16, n_iters: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                grid: int = GRID) -> list[list[list[int]]]:
+    """The deterministic grid-Lloyd codebook fit (module docstring).
+    Returns integer codebooks as plain lists so assignment/scoring plans
+    take them as literals. Two bounded collect sites:
+
+    - the anchor rows: ≤ n_subspaces*n_codes rows (64 here);
+    - per (iteration, subspace): the per-code sum/count aggregate,
+      ≤ n_codes rows (16 here) — 3×4 = 12 tiny aggregates total.
+    """
+    width = dim // n_subspaces
+    assert width * n_subspaces == dim, "dim must split evenly"
+    cap = ivf_fit_cap(n_codes)
+    samp = (df.select(F.col(id_col).alias("_id"),
+                      grid_vec(vec_col, grid).alias("_xq"))
+            .orderBy("_id").limit(cap).persist())
+    try:
+        # anchored init — BOUNDED collect: ≤ n_subspaces*n_codes rows
+        head = sorted(samp.orderBy("_id")
+                      .limit(n_subspaces * n_codes).collect(),
+                      key=lambda r: r["_id"])
+        if not head:
+            raise ValueError("pq_grid_fit: empty candidate set")
+        books = []
+        for s in range(n_subspaces):
+            books.append([
+                [int(x) for x in
+                 head[(s * n_codes + c) % len(head)]
+                 ["_xq"][s * width:(s + 1) * width]]
+                for c in range(n_codes)])
+
+        for _ in range(n_iters):
+            # all subspaces in ONE job: explode (s, subvector, code)
+            # structs, aggregate per (s, code). BOUNDED collect:
+            # ≤ n_subspaces*n_codes rows (one per live code)
+            staged = samp.select(F.explode(F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("_xq", s * width + 1, width).alias("sub"),
+                    _best_struct(F.col("_xq"), books[s], s, width)
+                    .getField("c").alias("code"))
+                for s in range(n_subspaces)])).alias("x"))
+            agg = (staged.groupBy("x.s", "x.code")
+                   .agg(F.count("*").alias("n"),
+                        *[F.sum(F.col("x.sub")[i]).alias(f"s{i}")
+                          for i in range(width)])
+                   .collect())
+            # floor(sum/count + 0.5): exact integer sum, ONE IEEE
+            # division — the SQL twin states the identical expression
+            upd = {(int(r["s"]), int(r["code"])):
+                   [math.floor(r[f"s{i}"] / r["n"] + 0.5)
+                    for i in range(width)] for r in agg}
+            books = [[upd.get((s, c), books[s][c])
+                      for c in range(n_codes)]
+                     for s in range(n_subspaces)]
+    finally:
+        samp.unpersist()
+    return books
+
+
+def pq_grid_codes(df: DataFrame, dim: int,
+                  codebooks: list[list[list[int]]],
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  grid: int = GRID) -> DataFrame:
+    """Corpus-wide assignment against literal integer codebooks — one
+    narrow map, no shuffle, no Python. Output: (id, codes array<int>,
+    err_sq_grid BIGINT = Σ per-subspace min squared grid distance — the
+    exact-integer reconstruction audit, the grid twin of pq_codes'
+    err_q)."""
+    n_subspaces = len(codebooks)
+    width = dim // n_subspaces
+    base = df.select(F.col(id_col), grid_vec(vec_col, grid).alias("_xq"))
+    staged = base.select(
+        id_col,
+        *[_best_struct(F.col("_xq"), book, s, width).alias(f"_best{s}")
+          for s, book in enumerate(codebooks)])
+    err = None
+    for s in range(n_subspaces):
+        d = F.col(f"_best{s}").getField("d")
+        err = d if err is None else err + d
+    return staged.select(
+        id_col,
+        F.array(*[F.col(f"_best{s}").getField("c").cast("int")
+                  for s in range(n_subspaces)]).alias("codes"),
+        err.cast("bigint").alias("err_sq_grid"))
+
+
+def pq_grid_adc_rerank_topk(queries: DataFrame, candidates: DataFrame,
+                            dim: int, k: int = 5, k_adc: int = 100,
+                            n_subspaces: int = 4, n_codes: int = 16,
+                            n_iters: int = 3, grid: int = GRID,
+                            q_id: str = "q_id", c_id: str = "c_id",
+                            q_vec: str = "q_vec",
+                            c_vec: str = "c_vec") -> DataFrame:
+    """The FAISS-PQ query shape over the deterministic grid codebooks:
+    each query precomputes one (n_subspaces × n_codes) INTEGER distance
+    table against the literal codebooks (broadcast), a candidate's ADC
+    distance is m exact BIGINT lookups + adds over its codes, the k_adc
+    survivors exact-rerank to top-k (float cosine rounded to 4 dp — the
+    proven v16/v20 oracle bridge). Fully deterministic ⇒ full hash
+    oracle (:func:`pq_grid_adc_sql`)."""
+    books = pq_grid_fit(candidates, dim, n_subspaces=n_subspaces,
+                        n_codes=n_codes, n_iters=n_iters,
+                        id_col=c_id, vec_col=c_vec, grid=grid)
+    codes = pq_grid_codes(candidates, dim, books, id_col=c_id,
+                          vec_col=c_vec, grid=grid).select(c_id, "codes")
+
+    width = dim // n_subspaces
+    q_n = queries.select(F.col(q_id), grid_vec(q_vec, grid).alias("_xq"))
+    tables = []
+    for s, book in enumerate(books):
+        book_lit = F.array(*[
+            F.array(*[F.lit(x) for x in ctr]) for ctr in book])
+        sub = F.slice("_xq", s * width + 1, width)
+        tables.append(F.transform(
+            book_lit,
+            lambda ctr: F.aggregate(
+                F.zip_with(sub, ctr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"), lambda acc, x: acc + x)))
+    qdt = q_n.select(q_id, F.array(*tables).alias("_dt"))
+
+    pairs = codes.crossJoin(F.broadcast(qdt)) \
+        .filter(F.col(q_id) != F.col(c_id))
+    dist = None
+    for s in range(n_subspaces):
+        term = F.element_at(F.element_at("_dt", s + 1),
+                            F.col("codes")[s] + 1)
+        dist = term if dist is None else dist + term
+    pre = pairs.select(q_id, c_id, dist.cast("bigint").alias("adc_d"))
+    w = Window.partitionBy(q_id).orderBy(F.asc("adc_d"), F.asc(c_id))
+    pre = pre.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k_adc).select(q_id, c_id)
+    return exact_rerank(pre, queries, candidates, k=k, q_id=q_id,
+                        c_id=c_id, q_vec=q_vec, c_vec=c_vec)
+
+
+# ------------------------------------------------------------ SQL twins
+
+def _gv_sql(grid: int) -> str:
+    """The grid_vec twin: identical IEEE op order (x / ||x|| * grid
+    + 0.5, then floor) — list_dot_product folds left-to-right exactly
+    like the Spark aggregate (the repo-wide parity primitive)."""
+    return f"""CASE WHEN list_dot_product(v, v) = 0
+      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      ELSE list_transform(v, x -> CAST(floor(
+             x / sqrt(list_dot_product(v, v)) * {grid} + 0.5) AS BIGINT))
+      END"""
+
+
+def _asg_sql(src: str, book: str, out_id: str, width: int) -> str:
+    """One integer-argmin assignment block: squared grid distance of
+    every ({src} row, {book} centroid) pair via a diff-list dot product
+    (exact — values < 2^53)."""
+    return f"""(
+  SELECT {out_id}, s, c, CAST(list_dot_product(df, df) AS BIGINT) AS d
+  FROM (SELECT t.vid AS {out_id}, b.s, b.c,
+          list_transform(range(1, {width + 1}),
+            i -> CAST(t.xq[b.s*{width} + i] - b.ctr[i] AS DOUBLE)) AS df
+        FROM {src} t, {book} b))"""
+
+
+def pq_grid_fit_ctes(table: str = "embeddings", id_col: str = "vec_id",
+                     vec_col: str = "embedding", dim: int = 64,
+                     n_subspaces: int = 4, n_codes: int = 16,
+                     n_iters: int = 3, grid: int = GRID) -> tuple[str, str]:
+    """CTE chain restating the ENTIRE deterministic fit + corpus
+    assignment: (ctes_text, final_book_name). Downstream clauses read
+    ``pq_gv`` (gridded vectors) and ``pq_codes`` (vid, s, c, d)."""
+    width = dim // n_subspaces
+    cap = ivf_fit_cap(n_codes)
+    parts = [f"""pq_raw AS (
+  SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v FROM {table}
+), pq_gv AS (
+  SELECT vid, {_gv_sql(grid)} AS xq FROM pq_raw
+), pq_samp AS (
+  SELECT vid, xq, row_number() OVER (ORDER BY vid) - 1 AS r
+  FROM (SELECT * FROM pq_gv ORDER BY vid LIMIT {cap})
+), pq_nsamp AS (SELECT count(*) AS n FROM pq_samp),
+pq_sc AS (
+  SELECT s.s, c.c FROM (SELECT unnest(range(0, {n_subspaces})) AS s) s,
+                       (SELECT unnest(range(0, {n_codes})) AS c) c
+), pq_book0 AS (
+  SELECT pq_sc.s, pq_sc.c,
+    list_transform(range(1, {width + 1}),
+                   i -> pq_samp.xq[pq_sc.s*{width} + i]) AS ctr
+  FROM pq_sc JOIN pq_samp
+    ON pq_samp.r = (pq_sc.s*{n_codes} + pq_sc.c)
+               % (SELECT n FROM pq_nsamp)
+)"""]
+    for t in range(1, n_iters + 1):
+        parts.append(f"""pq_asg{t} AS {_asg_sql('pq_samp',
+                                                f'pq_book{t - 1}',
+                                                'vid', width)},
+pq_best{t} AS (
+  SELECT vid, s, c FROM (
+    SELECT vid, s, c,
+      row_number() OVER (PARTITION BY vid, s ORDER BY d ASC, c ASC) AS rn
+    FROM pq_asg{t}) WHERE rn = 1
+), pq_upd{t} AS (
+  SELECT u.s, u.c,
+    list(CAST(floor(CAST(u.sm AS DOUBLE) / u.n + 0.5) AS BIGINT)
+         ORDER BY u.i) AS ctr
+  FROM (
+    SELECT bb.s, bb.c, ii.i,
+      sum(smp.xq[bb.s*{width} + ii.i]) AS sm, count(*) AS n
+    FROM pq_best{t} bb JOIN pq_samp smp USING (vid),
+         (SELECT unnest(range(1, {width + 1})) AS i) ii
+    GROUP BY bb.s, bb.c, ii.i) u
+  GROUP BY u.s, u.c
+), pq_book{t} AS (
+  SELECT b.s, b.c, COALESCE(u.ctr, b.ctr) AS ctr
+  FROM pq_book{t - 1} b
+  LEFT JOIN pq_upd{t} u ON u.s = b.s AND u.c = b.c
+)""")
+    book = f"pq_book{n_iters}"
+    parts.append(f"""pq_all AS {_asg_sql('pq_gv', book, 'vid', width)},
+pq_codes AS (
+  SELECT vid, s, c, d FROM (
+    SELECT vid, s, c, d,
+      row_number() OVER (PARTITION BY vid, s ORDER BY d ASC, c ASC) AS rn
+    FROM pq_all) WHERE rn = 1
+)""")
+    return ",\n".join(parts), book
+
+
+def pq_grid_codes_sql(**kw) -> str:
+    """DuckDB twin of the v17 registry output: dash-joined codes +
+    exact-integer reconstruction error."""
+    ctes, _ = pq_grid_fit_ctes(**kw)
+    return f"""
+WITH {ctes}
+SELECT vid AS vec_id,
+  string_agg(c::VARCHAR, '-' ORDER BY s) AS codes,
+  CAST(sum(d) AS BIGINT) AS err_sq_grid
+FROM pq_codes GROUP BY vid
+"""
+
+
+def pq_grid_adc_ctes(query_filter: str = "vid % 100 = 0",
+                     k: int = 5, k_adc: int = 100, **kw) -> str:
+    """Extend the fit chain with the ADC + exact-rerank query path;
+    downstream reads ``pq_picks`` (q_id, c_id, score, rank)."""
+    dim = kw.get("dim", 64)
+    n_subspaces = kw.get("n_subspaces", 4)
+    width = dim // n_subspaces
+    ctes, book = pq_grid_fit_ctes(**kw)
+    cos = cosine_sql("q.v", "c.v")
+    return f"""{ctes},
+pq_qgv AS (SELECT vid, xq FROM pq_gv WHERE {query_filter}),
+pq_qdt AS {_asg_sql('pq_qgv', book, 'q_id', width)},
+pq_adc AS (
+  SELECT t.q_id, k.vid AS c_id, CAST(sum(t.d) AS BIGINT) AS adc_d
+  FROM pq_codes k JOIN pq_qdt t ON t.s = k.s AND t.c = k.c
+  WHERE k.vid <> t.q_id
+  GROUP BY t.q_id, k.vid
+), pq_pre AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+      row_number() OVER (PARTITION BY q_id
+                         ORDER BY adc_d ASC, c_id ASC) AS rn
+    FROM pq_adc) WHERE rn <= {k_adc}
+), pq_rerank AS (
+  SELECT p.q_id, p.c_id, round({cos}, 4) AS score
+  FROM pq_pre p JOIN pq_raw q ON q.vid = p.q_id
+                JOIN pq_raw c ON c.vid = p.c_id
+), pq_picks AS (
+  SELECT q_id, c_id, score, rank FROM (
+    SELECT q_id, c_id, score,
+      CAST(row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, c_id ASC) AS BIGINT)
+        AS rank
+    FROM pq_rerank) WHERE rank <= {k}
+)"""
+
+
+def pq_grid_adc_sql(**kw) -> str:
+    """DuckDB twin of the v18 registry output."""
+    return f"""
+WITH {pq_grid_adc_ctes(**kw)}
+SELECT q_id, c_id, score, rank FROM pq_picks
+"""

@@ -72,6 +72,7 @@ from multiagent_document_etl_system_spark.plans.registry.windows import (  # noq
     _DRIVER_WINDOW_R9,
     _DRIVER_WINDOW_R10,
     _DRIVER_WINDOW_R11,
+    _DRIVER_WINDOW_R12,
     _QUEUED_FOR_R6,
     _QUEUED_FOR_R7,
     _QUEUED_FOR_R8,
@@ -79,6 +80,7 @@ from multiagent_document_etl_system_spark.plans.registry.windows import (  # noq
     _QUEUED_FOR_R10,
     _QUEUED_FOR_R11,
     _QUEUED_FOR_R12,
+    _QUEUED_FOR_R13,
     NO_ORACLE_REASONS,
     _driver_ordered,
 )

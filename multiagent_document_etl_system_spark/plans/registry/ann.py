@@ -22,6 +22,7 @@ from multiagent_document_etl_system_spark.plans.registry._base import (  # noqa:
     schema_id_sql,
     similarity,
 )
+from multiagent_document_etl_system_spark.operators import pq_grid
 from multiagent_document_etl_system_spark.plans.registry.kernels import (
     _FALLBACK_SCHEMA_LIT,
 )
@@ -482,18 +483,27 @@ def v12_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("v17_pq_codes", None)
+@_q("v17_pq_codes", pq_grid.pq_grid_codes_sql())
 def v17_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization (similarity.pq_codes): 4 subspace codebooks of
-    16 entries each, learned on a bounded sample — 64 floats become 4
-    small ints per vector (64x vs float32), with the reconstruction-error
-    audit column. KMeans codebooks ⇒ rows-only check; the int8 (v15) and
-    matryoshka (v16) rungs carry the deterministic hash oracles.
+    """Product quantization storage rung, HASH-ORACLED (r12 verdict #4):
+    4 subspace codebooks of 16 entries each — 64 floats become 4 small
+    ints per vector (64x vs float32) with an exact-integer
+    reconstruction-error audit column. r12 moves this query from the
+    KMeans fit (rows-only by construction) onto operators/pq_grid's
+    deterministic grid-Lloyd fit: anchored init + 3 Lloyd iterations on
+    a 1e-4 integer grid, every step restated clause-by-clause in the
+    DuckDB oracle (the fit itself rides INSIDE the SQL), distances exact
+    BIGINT sums. Measured recall parity with the KMeans fit at fixture
+    scale is pinned in tests/test_pq_grid.py; the float KMeans variant
+    remains the perf kernel (similarity.pq_codes, exercised by v19's
+    IVF-PQ composition and the pytest recall properties).
 
     Registry outputs must be scalar (driver canon crashes on array cells,
     r03), so the 4-code array is emitted dash-joined ('3-0-12-7'); the
-    array-typed internal API is similarity.pq_codes."""
-    out = similarity.pq_codes(_emb(spark, sf_dir), dim=64)
+    array-typed internal API is pq_grid.pq_grid_codes."""
+    e = _emb(spark, sf_dir)
+    books = pq_grid.pq_grid_fit(e, dim=64)
+    out = pq_grid.pq_grid_codes(e, 64, books)
     return out.withColumn(
         "codes", F.concat_ws("-", F.col("codes").cast("array<string>")))
 
@@ -514,18 +524,26 @@ def v19_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-@_q("v18_pq_adc_topk", None)
+@_q("v18_pq_adc_topk", pq_grid.pq_grid_adc_sql(
+    query_filter="vid % 100 = 0", k=5, k_adc=100))
 def v18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC retrieval (similarity.pq_adc_rerank_topk): distance-table
-    lookups over v17's 4-byte codes prefilter 100 candidates per query,
-    exact cosine reranks to top-5 — the FAISS-IVFPQ query shape. KMeans
-    codebooks ⇒ rows-only."""
+    """PQ-ADC retrieval, HASH-ORACLED (r12 verdict #4): integer
+    distance-table lookups over v17's grid codes prefilter 100
+    candidates per query (exact BIGINT adds — no float until the
+    rerank), exact cosine reranks to top-5 (rounded-4dp, the proven
+    v16/v20 oracle bridge) — the FAISS-PQ query shape. The DuckDB twin
+    restates the whole pipeline including the deterministic grid-Lloyd
+    fit (see v17 / operators/pq_grid.py); the KMeans-fit float variant
+    (similarity.pq_adc_rerank_topk) stays as the perf kernel with its
+    pytest recall properties. Scale: query-side distance tables
+    broadcast; the corpus contributes one narrow code map + the ranked
+    prefilter window; rerank touches Q x 100 vectors."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = e.select(F.col("vec_id").alias("c_id"),
                  F.col("embedding").alias("c_vec"))
-    out = similarity.pq_adc_rerank_topk(q, c, dim=64, k=5, k_adc=100)
+    out = pq_grid.pq_grid_adc_rerank_topk(q, c, dim=64, k=5, k_adc=100)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -645,12 +663,18 @@ def v16_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _V21_COS_EX = similarity.cosine_sql("q.qv", "c.cv")
 _V21_COS_PRE = similarity.cosine_sql("q.qv[1:16]", "c.cv[1:16]")
 
+#: the deterministic grid-PQ rung's full fit+ADC+rerank chain (r12) —
+#: ends in pq_picks(q_id, c_id, score, rank)
+_V21_PQ_CTES = pq_grid.pq_grid_adc_ctes(
+    query_filter="vid % 100 = 0", k=5, k_adc=100)
+
 
 @_q("v21_recall_matrix", f"""
 WITH {_ANN_SIG_CTE},
 q AS (SELECT vec_id AS q_id, v AS qv, s AS qs FROM sig
       WHERE vec_id % 100 = 0),
 c AS (SELECT vec_id AS c_id, v AS cv, s AS cs FROM sig),
+{_V21_PQ_CTES},
 exact_scored AS (
   SELECT q.q_id, c.c_id, round({_V21_COS_EX}, 4) AS score
   FROM q, c WHERE c.c_id <> q.q_id
@@ -730,12 +754,14 @@ exact_scored AS (
   UNION ALL SELECT 'lsh', q_id, c_id FROM lsh
   UNION ALL SELECT 'lsh_multiprobe', q_id, c_id FROM mp
   UNION ALL SELECT 'matryoshka16', q_id, c_id FROM mat
+  UNION ALL SELECT 'pq_grid_adc100', q_id, c_id FROM pq_picks
 ), hits AS (
   SELECT method, count(*) AS n
   FROM ann JOIN exact USING (q_id, c_id) GROUP BY method
 ), tot AS (SELECT count(*) AS n FROM exact),
 methods AS (SELECT unnest(
-  ['binary_hamming', 'lsh', 'lsh_multiprobe', 'matryoshka16']) AS method)
+  ['binary_hamming', 'lsh', 'lsh_multiprobe', 'matryoshka16',
+   'pq_grid_adc100']) AS method)
 SELECT m.method, CAST(t.n AS BIGINT) AS n_exact,
   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
   {idiv_round_sql('coalesce(h.n, 0) * 10000', 'greatest(t.n, 1)')}
@@ -749,9 +775,11 @@ def v21_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     report a 100 TB retrieval deployment reads before choosing its
     speed/recall point (v10 evaluates the single-bucket LSH rung; this is
     the whole deterministic ladder: LSH, multi-probe LSH, matryoshka
-    truncated-prefilter, binary sign+Hamming). The KMeans rungs
-    (IVF/PQ) are excluded by construction — their fits are not
-    SQL-expressible, so they carry pytest recall properties instead.
+    truncated-prefilter, binary sign+Hamming, and — since r12 — the
+    grid-Lloyd PQ-ADC rung, whose deterministic fit rides inside the
+    oracle, so ITS recall number is hash-pinned too). The KMeans rungs
+    (IVF / float-PQ) remain excluded by construction — their fits are
+    not SQL-expressible, so they carry pytest recall properties instead.
 
     Every output cell is a string or BIGINT (recall on the exact 1e-4
     integer grid via idiv_round — no float ever leaves the plan), so the
@@ -778,6 +806,8 @@ def v21_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, c, dim=64, k=5, n_planes=6),
         "matryoshka16": similarity.truncated_rerank_topk(
             q, c, k=5, prefix_dims=16, k_coarse=50),
+        "pq_grid_adc100": pq_grid.pq_grid_adc_rerank_topk(
+            q, c, dim=64, k=5, k_adc=100),
     }
     tagged = None
     for name in sorted(rungs):

@@ -457,13 +457,69 @@ _DRIVER_WINDOW_R11 = [
 #: for the r12 window head (frozen-window discipline, seventh rotation).
 _QUEUED_FOR_R12: list[str] = []
 
+# ---- ROUND-12 DRIVER WINDOW (pinned per NOTES.md + r11 verdict #1) ----
+# The external driver checks the FIRST 50 registry entries. Composition
+# (recomputed from CORRECTNESS_r01..r11 at pin time — r11 came back 50/50
+# green, so the stale frontier is exactly the r06 block + the r07 block):
+# (1) the 2 oracled Avro queries that queued behind the frozen r11
+# window (both hash-PASS under standard AND vanilla sessions in r11, and
+# re-proved on the r12 tree after the avro_io rewrite) plus the
+# env-gated st_user_profile_tws (registers only where protobuf is
+# importable; _driver_ordered skips absent names, so if the driver env
+# lacks protobuf the slot slides to the EXPLICIT spare pad pinned at the
+# tail of this list — the window is 51 names so the slide is
+# deterministic); (2) 3 contract-changed re-confirms: v17_pq_codes and
+# v18_pq_adc_topk moved from KMeans rows-only onto the deterministic
+# grid-Lloyd fit with FULL hash oracles (r11 verdict #4), and
+# v21_recall_matrix gained the pq_grid_adc100 rung (also r07-stale, so
+# the slot doubles as a refresh); (3) the ENTIRE r06-stale oracled
+# block (14 queries, named in NOTES.md); (4) 30 pads from the r07 block
+# (alphabetical; v21 already sits in (2); the remaining 9 are reserved
+# for R13) + the 1 spare pad from (1). FROZEN AT PIN TIME — any query
+# added this round goes to _QUEUED_FOR_R13, never into this list
+# (tests/test_registry_order.py enforces it).
+_DRIVER_WINDOW_R12 = [
+    # --- queued-for-R12 (first driver evidence, oracled) ---
+    "s10_avro_roundtrip",
+    "s11_avro_stream",
+    "st_user_profile_tws",  # env-gated: skipped where protobuf is absent
+    # --- contract-changed re-confirms (r12 grid-PQ conversion) ---
+    "v17_pq_codes",
+    "v18_pq_adc_topk",
+    "v21_recall_matrix",
+    # --- stale refresh: the entire r06-evidence oracled block (14) ---
+    "q_bucketed_join", "q_collation_group", "q_cross_join_dims",
+    "q_ewma_smooth", "q_explode_outer", "q_generator_funcs",
+    "q_global_row_ids", "q_merge_scd1", "q_pivot_multi_agg",
+    "q_try_arithmetic", "q_url_xpath_functions", "q_variant_shred",
+    "q_window_distinct", "v26_label_separation",
+    # --- stale refresh: first 30 of the r07 block, alphabetical (the
+    #     remaining 9 — td_shard_manifest is the spare below — wait for
+    #     R13) ---
+    "dedup_bloom_membership", "dedup_cluster_size_histogram",
+    "dedup_clusters", "dedup_cross_source_matrix", "dedup_exact_stats",
+    "dedup_keep_best", "dedup_lsh_bucket_report", "q_asof_forward",
+    "q_asof_join", "q_asof_nearest", "q_asof_tolerance", "st_ann_stream",
+    "st_bloom_gate", "st_diversity_gate", "ta_bigram_diversity",
+    "ta_ngram_novelty", "ta_source_divergence", "ta_vocab_stats",
+    "td_curriculum_phases", "td_dataset_card", "td_decontaminate",
+    "td_dedup_policy_ablation", "td_dedup_provenance", "td_domain_mix",
+    "td_epoch_plan", "td_length_mix_report", "td_mix_post_dedup",
+    "td_pack_utilization", "td_quality_classifier",
+    "td_semantic_decontaminate",
+    # --- spare pad: slot 51 — inside the driver's 50 only when the
+    #     env-gated tws slot above slides (bare driver env, no protobuf);
+    #     otherwise the first name past the window, harmless ---
+    "td_shard_manifest",
+]
+
 #: oracled queries added AFTER the r12 window was pinned — they queue
 #: for the r13 window head (frozen-window discipline, eighth rotation).
 _QUEUED_FOR_R13: list[str] = []
 
 
 def _driver_ordered(q: dict) -> dict:
-    head = [n for n in _DRIVER_WINDOW_R11 if n in q]
+    head = [n for n in _DRIVER_WINDOW_R12 if n in q]
     return {n: q[n] for n in head + [n for n in q if n not in set(head)]}
 
 
@@ -486,10 +542,6 @@ NO_ORACLE_REASONS: dict[str, str] = {
                    "recall vs exact top-k asserted in tests/test_similarity",
     "v19_ivfpq_topk": "KMeans coarse + PQ codebook fits (iterative, "
                       "non-SQL); recall property in tests/test_similarity",
-    "v18_pq_adc_topk": "PQ codebook KMeans fit (iterative, non-SQL); ADC "
-                       "vs exact-distance property in tests/test_similarity",
-    "v17_pq_codes": "PQ codebook KMeans fit (iterative, non-SQL); "
-                    "determinism + round-trip pytest",
     "v13_topk_matmul": "BLAS GEMM sums floats in a different order than "
                        "any SQL restatement; set-equality vs v2 in pytest",
     "v14_ann_lsh_matmul": "per-bucket GEMM (same summation-order class); "

@@ -1,0 +1,152 @@
+"""operators/pq_grid — the deterministic integer-grid PQ rung (r12
+verdict #4): the fit is anchored-init + grid-Lloyd, every step
+SQL-restatable, so v17/v18 carry FULL hash oracles where the KMeans
+variants could only ever be rows-only. These tests pin determinism,
+the Lloyd improvement direction, ranking quality parity with the float
+rung, degenerate corpora, and the Spark↔DuckDB hash parity the driver
+checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: N812
+
+from multiagent_document_etl_system_spark.operators import pq_grid, similarity
+
+from tests.conftest import SF_DIR  # the duck fixture registers THESE views
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _qc(spark):
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+    return q, c
+
+
+def test_fit_is_deterministic(spark):
+    """Two independent fits over the same corpus produce IDENTICAL
+    integer codebooks — the property that makes the oracle possible
+    (KMeans gives this only per-seed-per-partitioning)."""
+    e = _emb(spark)
+    b1 = pq_grid.pq_grid_fit(e, dim=64)
+    b2 = pq_grid.pq_grid_fit(e, dim=64)
+    assert b1 == b2
+    assert len(b1) == 4 and all(len(b) == 16 for b in b1)
+    assert all(len(ctr) == 16 for b in b1 for ctr in b1[0] for ctr in b)
+
+
+def test_lloyd_iterations_reduce_reconstruction_error(spark):
+    """The grid-Lloyd steps must not be decorative: total integer
+    reconstruction error after 3 iterations is strictly below the
+    anchored init's."""
+    e = _emb(spark)
+    b0 = pq_grid.pq_grid_fit(e, dim=64, n_iters=0)
+    b3 = pq_grid.pq_grid_fit(e, dim=64, n_iters=3)
+    err0 = pq_grid.pq_grid_codes(e, 64, b0).agg(
+        F.sum("err_sq_grid")).first()[0]
+    err3 = pq_grid.pq_grid_codes(e, 64, b3).agg(
+        F.sum("err_sq_grid")).first()[0]
+    assert err3 < err0
+
+
+def test_codes_shape_and_bounds(spark):
+    e = _emb(spark)
+    books = pq_grid.pq_grid_fit(e, dim=64)
+    out = pq_grid.pq_grid_codes(e, 64, books)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    for r in rows:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 16 for c in r["codes"])
+        assert r["err_sq_grid"] >= 0
+
+
+def test_adc_rerank_recall_matches_the_float_rung(spark):
+    """Ranking behavior unchanged (r12 verdict #4's gate): the
+    deterministic grid fit's ADC-prefilter + exact-rerank recall@5 must
+    sit in the same band the float-KMeans rung documents at fixture
+    scale (0.80 with k_adc=100; isotropic vectors are PQ's worst
+    case)."""
+    q, c = _qc(spark)
+    exact = {(r["q_id"], r["c_id"])
+             for r in similarity.topk_join(q, c, k=5).collect()}
+    got = {(r["q_id"], r["c_id"])
+           for r in pq_grid.pq_grid_adc_rerank_topk(
+               q, c, dim=64, k=5, k_adc=100).collect()}
+    recall = len(exact & got) / max(1, len(exact))
+    assert recall >= 0.7, recall
+
+
+def test_degenerate_tiny_corpus(spark):
+    """Fewer candidates than n_subspaces*n_codes anchors: the anchor
+    rank wraps modulo the sample size (the SQL twin states the same
+    modulo); codes still assign and the ADC path still ranks."""
+    e = _emb(spark).limit(3)
+    books = pq_grid.pq_grid_fit(e, dim=64)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    out = pq_grid.pq_grid_codes(e, 64, books).collect()
+    assert len(out) == 3
+    q = e.select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+    ranked = pq_grid.pq_grid_adc_rerank_topk(q, c, dim=64, k=2,
+                                             k_adc=3).collect()
+    assert all(r["rank"] <= 2 for r in ranked)
+    assert all(r["q_id"] != r["c_id"] for r in ranked)
+
+
+def test_zero_vector_grids_to_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [1.0] + [0.0] * 63)],
+        "vec_id bigint, embedding array<double>")
+    gv = df.select(pq_grid.grid_vec("embedding").alias("xq")).collect()
+    assert gv[0]["xq"] == [0] * 64
+    assert gv[1]["xq"][0] == 10_000 and gv[1]["xq"][1:] == [0] * 63
+
+
+def _driver_compare(spark, duck, name):
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    fn, oracle = QUERIES[name]
+    assert oracle is not None, f"{name} must be hash-oracled since r12"
+    got = fn(spark, SF_DIR)
+    cols = sorted(got.columns)
+    spark_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    res = duck.sql(oracle)
+    idx = [res.columns.index(c) for c in sorted(res.columns)]
+    duck_rows = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
+    assert sorted(res.columns) == cols
+    assert spark_rows == duck_rows
+
+
+def test_v17_registry_oracle_parity(spark, duck):
+    """v17_pq_codes hash-matches its DuckDB oracle the way the driver
+    compares — the fit itself (anchors + 3 Lloyd steps) rides inside
+    the SQL."""
+    _driver_compare(spark, duck, "v17_pq_codes")
+
+
+def test_v18_registry_oracle_parity(spark, duck):
+    """v18_pq_adc_topk (integer ADC prefilter + float rerank)
+    hash-matches its DuckDB oracle."""
+    _driver_compare(spark, duck, "v18_pq_adc_topk")
+
+
+def test_v21_includes_the_grid_pq_rung(spark, duck):
+    """The recall matrix gained the pq_grid_adc100 row (r12) and stays
+    hash-oracled — the grid rung's recall NUMBER is pinned
+    cross-engine."""
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    fn, oracle = QUERIES["v21_recall_matrix"]
+    got = {r["method"]: r["recall_q1e4"]
+           for r in fn(spark, SF_DIR).collect()}
+    assert "pq_grid_adc100" in got
+    assert got["pq_grid_adc100"] >= 7000  # 0.70 on the 1e-4 grid
+    _driver_compare(spark, duck, "v21_recall_matrix")

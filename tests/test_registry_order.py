@@ -1,18 +1,17 @@
-"""Driver-window ordering invariants (round-11).
+"""Driver-window ordering invariants (round-12).
 
 The external driver checks the FIRST 50 registry entries each round; these
-tests pin that the round-11 window contains exactly what the r10 verdict
-and NOTES.md ordered: the 2 oracled queries that queued behind the frozen
-r10 window at the head (first driver evidence), the 2 sanctioned rows-only
-first-evidence slots for the Spark 4 Python-DataSource landing reads, 2
-re-confirm slots (ta_dup_ngram_coverage, pinned for the planned
-verdict-#8 auto-route — the corrected measurement then said don't wire
-it, so the slot serves as an r07-stale refresh for the query whose
-docstring contract was corrected; and k1_jdbc_roundtrip, whose
-mtime-keyed stale-Derby purge became pidfile-keyed), the entire r05-stale
-oracled block (31 refresh pads), and 13 pads from the r06 block (the
-remaining 14 are reserved for R12). The window is FROZEN: queries added
-after the pin go to _QUEUED_FOR_R12, never into the window.
+tests pin that the round-12 window contains exactly what the r11 verdict
+and NOTES.md ordered: the 2 oracled Avro queries that queued behind the
+frozen r11 window plus the env-gated st_user_profile_tws at the head
+(first driver evidence), 3 contract-changed re-confirms (v17/v18 moved
+from KMeans rows-only onto the deterministic grid-Lloyd fit with full
+hash oracles; v21 gained the pq_grid_adc100 rung), the entire r06-stale
+oracled block (14), 30 alphabetical pads from the r07 block, and ONE
+explicit spare pad (td_shard_manifest) that enters the driver's 50 only
+when the env-gated slot slides in a protobuf-less driver env. The window
+is FROZEN: queries added after the pin go to _QUEUED_FOR_R13, never into
+the window.
 """
 
 from __future__ import annotations
@@ -24,8 +23,9 @@ from multiagent_document_etl_system_spark.plans.registry import (
     _DRIVER_WINDOW_R9,
     _DRIVER_WINDOW_R10,
     _DRIVER_WINDOW_R11,
-    _QUEUED_FOR_R11,
+    _DRIVER_WINDOW_R12,
     _QUEUED_FOR_R12,
+    _QUEUED_FOR_R13,
     QUERIES,
 )
 
@@ -91,120 +91,106 @@ _EVER_DRIVER_CHECKED = {
     "st_span_gate", "td_quality_classifier", "td_temperature_mix",
     "v21_recall_matrix", "dedup_cross_source_matrix",
 }
-# added by the r6, r7 and r8 windows (CORRECTNESS_r06/r07/r08 == exactly
-# those windows, all 50/50 green — verified against the committed JSONs
-# before this pin)
-_EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R6)
-_EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R7)
-_EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R8)
-# the r9 window ran 50/50 green (CORRECTNESS_r09: 45 hash-pass + the 5
-# sanctioned no_oracle rows-only slots, each spark_rows > 0)
-_EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R9)
-# the r10 window ran 50/50 green (CORRECTNESS_r10: 40 hash-pass + the 10
-# second-rotation no_oracle rows-only slots, each spark_rows > 0)
-_EVER_DRIVER_CHECKED |= set(_DRIVER_WINDOW_R10)
+# added by the r6-r11 windows (CORRECTNESS_r06..r11 == exactly those
+# windows, all green at their latest check — verified against the
+# committed JSONs before this pin)
+for _w in (_DRIVER_WINDOW_R6, _DRIVER_WINDOW_R7, _DRIVER_WINDOW_R8,
+           _DRIVER_WINDOW_R9, _DRIVER_WINDOW_R10, _DRIVER_WINDOW_R11):
+    _EVER_DRIVER_CHECKED |= set(_w)
 
-#: the 2 oracled queries that queued behind the frozen r10 window — they
-#: MUST head the r11 window (NOTES.md recipe; both hash-PASS in the r10
-#: judge's own vanilla run).
-_QUEUED_2 = ["ta_dup_ngram_coverage_strip", "dedup_cross_source_links"]
+#: the queued-for-R12 head: the 2 Avro queries that queued behind the
+#: frozen r11 window + the env-gated tws query (registers only where
+#: protobuf is importable — pinned per the NOTES.md recipe; all three
+#: hash-PASS locally in r11, the Avro two re-proved after the r12
+#: avro_io rewrite).
+_QUEUED_3 = ["s10_avro_roundtrip", "s11_avro_stream",
+             "st_user_profile_tws"]
 
-#: the 2 sanctioned rows-only first-evidence slots (NOTES.md R11 plan —
-#: the r9 pattern for first `no_oracle` evidence): the Spark 4 Python
-#: DataSource landing reads, both added post-r10-pin, both rows-only BY
-#: CONSTRUCTION (reasons in NO_ORACLE_REASONS).
-_SANCTIONED_ROWS_ONLY = ["s8_landing_datasource", "s9_landing_stream"]
-
-#: re-confirm slots: ta_dup_ngram_coverage was pinned for the planned
-#: verdict-#8 auto-route, which the corrected strip measurement then
-#: rejected (SCALE.md r11) — its plan is unchanged and the slot doubles
-#: as an r07-stale refresh; k1_jdbc_roundtrip's mtime-keyed stale-Derby
-#: purge became pidfile-keyed (ADVICE r10). Both r10/r07-green; each
-#: slot buys a fresh driver row.
-_RECONFIRMS = ["ta_dup_ngram_coverage", "k1_jdbc_roundtrip"]
+#: contract-changed re-confirm slots: v17/v18 swapped their KMeans
+#: rows-only implementation for the deterministic grid-Lloyd fit with
+#: FULL hash oracles (r11 verdict #4); v21 gained the pq_grid_adc100
+#: rung (and was r07-stale anyway). Each slot buys a fresh driver row
+#: under the NEW contract.
+_RECONFIRMS = ["v17_pq_codes", "v18_pq_adc_topk", "v21_recall_matrix"]
 
 
 def test_window_is_exactly_the_head():
-    assert list(QUERIES)[: len(_DRIVER_WINDOW_R11)] == _DRIVER_WINDOW_R11
+    head = [n for n in _DRIVER_WINDOW_R12 if n in QUERIES]
+    assert list(QUERIES)[: len(head)] == head
 
 
-def test_window_is_50_slots():
-    assert len(_DRIVER_WINDOW_R11) == 50
-    assert len(set(_DRIVER_WINDOW_R11)) == 50
+def test_window_is_50_slots_plus_one_spare():
+    """50 driver slots + the explicit spare pad that covers the
+    env-gated slide (51 pinned names, all unique)."""
+    assert len(_DRIVER_WINDOW_R12) == 51
+    assert len(set(_DRIVER_WINDOW_R12)) == 51
+    assert _DRIVER_WINDOW_R12[-1] == "td_shard_manifest"
 
 
-def test_queued_2_lead_the_window():
-    assert _DRIVER_WINDOW_R11[:2] == _QUEUED_2
-    assert set(_QUEUED_2) == set(_QUEUED_FOR_R11)
+def test_queued_3_lead_the_window():
+    assert _DRIVER_WINDOW_R12[:3] == _QUEUED_3
+    assert set(_QUEUED_FOR_R12) == set(_QUEUED_3)
 
 
-def test_sanctioned_rows_only_follow_the_queued_head():
-    assert _DRIVER_WINDOW_R11[2:4] == _SANCTIONED_ROWS_ONLY
-
-
-def test_reconfirms_follow_the_rows_only_slots():
-    assert _DRIVER_WINDOW_R11[4:6] == _RECONFIRMS
+def test_reconfirms_follow_the_queued_head():
+    assert _DRIVER_WINDOW_R12[3:6] == _RECONFIRMS
 
 
 def test_window_slots_all_produce_evidence():
-    """Every slot is first evidence (queued / sanctioned rows-only) or a
-    deliberate refresh of a previously-recorded query — no accidental
-    slots."""
-    for n in _DRIVER_WINDOW_R11:
-        if n in _QUEUED_2 or n in _SANCTIONED_ROWS_ONLY:
+    """Every slot is first evidence (queued) or a deliberate refresh of
+    a previously-recorded query — no accidental slots."""
+    for n in _DRIVER_WINDOW_R12:
+        if n in _QUEUED_3:
             assert n not in _EVER_DRIVER_CHECKED, n
         else:
             assert n in _EVER_DRIVER_CHECKED, n
 
 
 def test_stale_pads_have_at_least_44_slots():
-    """Verdict r10 #1: the whole r05-stale oracled block (31) + 13 r06
-    pads — everything after the 6-slot head refreshes old evidence."""
-    pads = _DRIVER_WINDOW_R11[6:]
-    assert len(pads) >= 44
+    """Verdict r11 #1: the whole r06-stale oracled block (14) + 30 r07
+    pads + the spare — everything after the 6-slot head refreshes old
+    evidence."""
+    assert len(_DRIVER_WINDOW_R12[6:]) >= 44
 
 
 def test_window_covers_every_never_checked_oracled_query():
-    """After r11's window runs, zero oracled queries lack a driver row —
-    except those added after the pin, which queue for r12."""
-    from multiagent_document_etl_system_spark.plans.registry.windows import (
-        _QUEUED_FOR_R13,
-    )
-
+    """After r12's window runs, zero oracled queries lack a driver row —
+    except those added after the pin, which queue for r13."""
     never = [n for n, (_, oracle) in QUERIES.items()
              if oracle and n not in _EVER_DRIVER_CHECKED]
     missing = [n for n in never
-               if n not in _DRIVER_WINDOW_R11 and n not in _QUEUED_FOR_R12
-               and n not in _QUEUED_FOR_R13]
+               if n not in _DRIVER_WINDOW_R12 and n not in _QUEUED_FOR_R13]
     assert not missing, missing
 
 
 def test_window_is_frozen_against_new_additions():
-    """Queries added after the r11 pin must NOT displace window slots:
-    they are oracled, exist, and sit in _QUEUED_FOR_R12 outside the
+    """Queries added after the r12 pin must NOT displace window slots:
+    they are oracled, exist, and sit in _QUEUED_FOR_R13 outside the
     window."""
-    for n in _QUEUED_FOR_R12:
+    assert _QUEUED_FOR_R13, "r12 added post-pin queries (s12/s13)"
+    for n in _QUEUED_FOR_R13:
         assert n in QUERIES and QUERIES[n][1], n
-        assert n not in _DRIVER_WINDOW_R11, n
+        assert n not in _DRIVER_WINDOW_R12, n
         assert n not in _EVER_DRIVER_CHECKED, n
 
 
-def test_rows_only_slots_are_exactly_the_sanctioned_two():
-    """Rows-only slots are normally waste; r11 sanctions exactly the 2
-    first-evidence DataSource slots (NOTES.md R11 plan), no others."""
-    rows_only = [n for n in _DRIVER_WINDOW_R11 if not QUERIES[n][1]]
-    assert sorted(rows_only) == sorted(_SANCTIONED_ROWS_ONLY), rows_only
-
-
-def test_every_window_name_exists():
-    missing = [n for n in _DRIVER_WINDOW_R11 if n not in QUERIES]
-    assert not missing, missing
+def test_every_window_slot_is_oracled():
+    """No rows-only slots this round: the r11 rotation covered the
+    rows-only tail (all 17 have r9-r11 evidence; the third rotation is
+    NOTES-planned for R13), so every r12 slot buys a full hash row.
+    The env-gated tws may be absent in a bare env — skip it there (its
+    oracle is proven under check_oracle --shim)."""
+    for n in _DRIVER_WINDOW_R12:
+        if n not in QUERIES:
+            assert n == "st_user_profile_tws", n
+            continue
+        assert QUERIES[n][1], n
 
 
 def test_stale_refresh_pads_are_actually_stale():
     """The pad slots exist to refresh the OLDEST driver evidence; none
-    may come from the r9/r10 windows (freshest evidence)."""
-    pads = _DRIVER_WINDOW_R11[6:]
-    overlap = [n for n in pads
-               if n in set(_DRIVER_WINDOW_R9) | set(_DRIVER_WINDOW_R10)]
+    may come from the r9/r10/r11 windows (freshest evidence)."""
+    fresh = (set(_DRIVER_WINDOW_R9) | set(_DRIVER_WINDOW_R10)
+             | set(_DRIVER_WINDOW_R11))
+    overlap = [n for n in _DRIVER_WINDOW_R12[6:] if n in fresh]
     assert not overlap, overlap
