@@ -166,6 +166,12 @@ HEADLINE = [
     # (like k1's Derby write), so each rep measures the avro_py
     # DataSource READ + aggregate, i.e. container decode throughput
     "s10_avro_roundtrip",
+    # r12 additions: typed-Avro decode throughput (timestamp/date/int/
+    # float through the widened type subset; staging session-cached
+    # like s10 — reps measure the decode), and the deterministic
+    # grid-PQ ADC retrieval (fit collects at build ⇒ rebuild-per-rep)
+    "s12_avro_typed_roundtrip",
+    "v18_pq_adc_topk",
 ]
 
 
@@ -204,7 +210,14 @@ REBUILD_PER_REP = {"td_prepare_corpus_v2", "td_prepare_corpus_v3",
                    # plan-build time — rebuilding per rep keeps the
                    # strip's only added cost inside the measurement
                    # (ADVICE r10)
-                   "ta_dup_ngram_coverage_strip"}
+                   "ta_dup_ngram_coverage_strip",
+                   # r12: the deterministic grid-Lloyd PQ fit (anchors +
+                   # 3 Lloyd aggregates) collects at plan-build time —
+                   # rebuild keeps the fit inside the measurement for
+                   # every query whose plan build runs it: the codes
+                   # map, the ADC rung, and the recall matrix
+                   "v17_pq_codes", "v18_pq_adc_topk",
+                   "v21_recall_matrix"}
 
 
 # Host-contention calibration: a fixed reference query (q_global_topk — a

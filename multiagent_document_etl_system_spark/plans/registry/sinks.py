@@ -318,7 +318,7 @@ WITH typed AS (
 )
 SELECT event_type,
   CAST(count(*) AS BIGINT) AS n_events,
-  CAST(sum(epoch_us(ts)) AS BIGINT) AS sum_ts_us,
+  CAST(sum(epoch_us(ts) - 1704067200000000) AS BIGINT) AS sum_ts_us,
   CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
   CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
   CAST(sum(d - DATE '1970-01-01') AS BIGINT) AS sum_days,
@@ -364,9 +364,15 @@ def s12_avro_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = (spark.read.format("avro_py")
             .option("filesPerPartition", "2").load(stage))
     epoch = F.lit("1970-01-01").cast("date")
+    # the ts sum is REBASED to the corpus epoch (2024-01-01 UTC as a
+    # literal integer — no session-timezone involvement): absolute
+    # epoch-micros sum to ~3.5e19 per group at sf0.1, past int64, and
+    # Spark's ANSI mode correctly refuses; rebased deltas stay ~2.6e16
+    # with ~350x headroom. min/max ride as absolute micros (no sum).
     return back.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_events"),
-        F.sum(F.unix_micros("ts")).cast("bigint").alias("sum_ts_us"),
+        F.sum(F.unix_micros("ts") - F.lit(1_704_067_200_000_000))
+        .cast("bigint").alias("sum_ts_us"),
         F.min(F.unix_micros("ts")).cast("bigint").alias("min_ts_us"),
         F.max(F.unix_micros("ts")).cast("bigint").alias("max_ts_us"),
         F.sum(F.datediff("d", epoch)).cast("bigint").alias("sum_days"),

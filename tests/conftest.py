@@ -50,3 +50,23 @@ def duck():
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
     return con
+
+
+def driver_compare(spark, duck, name, sf_dir=SF_DIR):
+    """Compare a registry query against its DuckDB oracle exactly the
+    way the external driver does: columns sorted by name, rows sorted as
+    tuples, full value equality. ONE shared implementation (the r12
+    review caught three test files carrying near-copies)."""
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+
+    fn, oracle = QUERIES[name]
+    assert oracle is not None, f"{name} has no oracle"
+    got = fn(spark, sf_dir)
+    cols = sorted(got.columns)
+    spark_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    res = duck.sql(oracle)
+    assert sorted(res.columns) == cols
+    idx = [res.columns.index(c) for c in sorted(res.columns)]
+    duck_rows = sorted(tuple(row[i] for i in idx)
+                       for row in res.fetchall())
+    assert spark_rows == duck_rows

@@ -171,19 +171,9 @@ def test_registry_avro_roundtrip_oracle(spark, duck, name):
     round-trip, r12 schema-evolution read) hash-match their DuckDB
     oracles exactly the way the driver compares (all string/int
     outputs)."""
-    from multiagent_document_etl_system_spark.plans.registry import QUERIES
-    from tests.conftest import SF_DIR
+    from tests.conftest import driver_compare
 
-    fn, oracle = QUERIES[name]
-    assert oracle is not None
-    got = fn(spark, SF_DIR)
-    cols = sorted(got.columns)
-    spark_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
-    res = duck.sql(oracle)
-    idx = [res.columns.index(c) for c in sorted(res.columns)]
-    duck_rows = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
-    assert sorted(res.columns) == cols
-    assert spark_rows == duck_rows
+    driver_compare(spark, duck, name)
 
 
 def test_null_first_union_roundtrip(tmp_path):

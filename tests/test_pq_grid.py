@@ -37,7 +37,8 @@ def test_fit_is_deterministic(spark):
     b2 = pq_grid.pq_grid_fit(e, dim=64)
     assert b1 == b2
     assert len(b1) == 4 and all(len(b) == 16 for b in b1)
-    assert all(len(ctr) == 16 for b in b1 for ctr in b1[0] for ctr in b)
+    # every centroid has width = 64/4 = 16 elements
+    assert all(len(ctr) == 16 for b in b1 for ctr in b)
 
 
 def test_lloyd_iterations_reduce_reconstruction_error(spark):
@@ -110,32 +111,21 @@ def test_zero_vector_grids_to_zero(spark):
     assert gv[1]["xq"][0] == 10_000 and gv[1]["xq"][1:] == [0] * 63
 
 
-def _driver_compare(spark, duck, name):
-    from multiagent_document_etl_system_spark.plans.registry import QUERIES
-
-    fn, oracle = QUERIES[name]
-    assert oracle is not None, f"{name} must be hash-oracled since r12"
-    got = fn(spark, SF_DIR)
-    cols = sorted(got.columns)
-    spark_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
-    res = duck.sql(oracle)
-    idx = [res.columns.index(c) for c in sorted(res.columns)]
-    duck_rows = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
-    assert sorted(res.columns) == cols
-    assert spark_rows == duck_rows
-
-
 def test_v17_registry_oracle_parity(spark, duck):
     """v17_pq_codes hash-matches its DuckDB oracle the way the driver
     compares — the fit itself (anchors + 3 Lloyd steps) rides inside
     the SQL."""
-    _driver_compare(spark, duck, "v17_pq_codes")
+    from tests.conftest import driver_compare
+
+    driver_compare(spark, duck, "v17_pq_codes")
 
 
 def test_v18_registry_oracle_parity(spark, duck):
     """v18_pq_adc_topk (integer ADC prefilter + float rerank)
     hash-matches its DuckDB oracle."""
-    _driver_compare(spark, duck, "v18_pq_adc_topk")
+    from tests.conftest import driver_compare
+
+    driver_compare(spark, duck, "v18_pq_adc_topk")
 
 
 def test_v21_includes_the_grid_pq_rung(spark, duck):
@@ -143,10 +133,11 @@ def test_v21_includes_the_grid_pq_rung(spark, duck):
     hash-oracled — the grid rung's recall NUMBER is pinned
     cross-engine."""
     from multiagent_document_etl_system_spark.plans.registry import QUERIES
+    from tests.conftest import driver_compare
 
     fn, oracle = QUERIES["v21_recall_matrix"]
     got = {r["method"]: r["recall_q1e4"]
            for r in fn(spark, SF_DIR).collect()}
     assert "pq_grid_adc100" in got
     assert got["pq_grid_adc100"] >= 7000  # 0.70 on the 1e-4 grid
-    _driver_compare(spark, duck, "v21_recall_matrix")
+    driver_compare(spark, duck, "v21_recall_matrix")

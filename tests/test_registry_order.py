@@ -129,7 +129,11 @@ def test_window_is_50_slots_plus_one_spare():
 
 def test_queued_3_lead_the_window():
     assert _DRIVER_WINDOW_R12[:3] == _QUEUED_3
-    assert set(_QUEUED_FOR_R12) == set(_QUEUED_3)
+    # tolerate the env-gated query's absence (the r11 sharp edge): tws
+    # queues only where protobuf is importable
+    expected = [n for n in _QUEUED_3
+                if n != "st_user_profile_tws" or n in QUERIES]
+    assert set(_QUEUED_FOR_R12) == set(expected)
 
 
 def test_reconfirms_follow_the_queued_head():

@@ -370,20 +370,9 @@ def test_st_user_profile_tws_registry_oracle(spark, duck):
         QUERIES,
     )
 
+    from tests.conftest import driver_compare
+
     assert "st_user_profile_tws" in QUERIES
     assert "st_user_profile_tws" not in ENV_GATED_REASONS
     assert "st_user_profile_tws" in _QUEUED_FOR_R12
-    fn, oracle = QUERIES["st_user_profile_tws"]
-    assert oracle is not None
-
-    got = fn(spark, SF_DIR)
-    cols = sorted(got.columns)
-    spark_rows = sorted(
-        tuple(r[c] for c in cols) for r in got.collect())
-    duck_out = duck.sql(oracle)
-    dcols = sorted(duck_out.columns)
-    assert dcols == cols
-    idx = [duck_out.columns.index(c) for c in dcols]
-    duck_rows = sorted(
-        tuple(row[i] for i in idx) for row in duck_out.fetchall())
-    assert spark_rows == duck_rows
+    driver_compare(spark, duck, "st_user_profile_tws")
