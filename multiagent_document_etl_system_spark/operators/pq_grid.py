@@ -258,63 +258,68 @@ def _asg_sql(src: str, book: str, out_id: str, width: int) -> str:
 def pq_grid_fit_ctes(table: str = "embeddings", id_col: str = "vec_id",
                      vec_col: str = "embedding", dim: int = 64,
                      n_subspaces: int = 4, n_codes: int = 16,
-                     n_iters: int = 3, grid: int = GRID) -> tuple[str, str]:
+                     n_iters: int = 3, grid: int = GRID,
+                     prefix: str = "pq") -> tuple[str, str]:
     """CTE chain restating the ENTIRE deterministic fit + corpus
     assignment: (ctes_text, final_book_name). Downstream clauses read
-    ``pq_gv`` (gridded vectors) and ``pq_codes`` (vid, s, c, d)."""
+    ``{prefix}_gv`` (gridded vectors) and ``{prefix}_codes``
+    (vid, s, c, d). ``prefix`` namespaces the CTEs so two independent
+    fits (e.g. v19's coarse quantizer + PQ codebooks) compose in one
+    WITH; the default keeps the v17/v18 SQL byte-identical."""
     width = dim // n_subspaces
     cap = ivf_fit_cap(n_codes)
-    parts = [f"""pq_raw AS (
+    p = prefix
+    parts = [f"""{p}_raw AS (
   SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v FROM {table}
-), pq_gv AS (
-  SELECT vid, {_gv_sql(grid)} AS xq FROM pq_raw
-), pq_samp AS (
+), {p}_gv AS (
+  SELECT vid, {_gv_sql(grid)} AS xq FROM {p}_raw
+), {p}_samp AS (
   SELECT vid, xq, row_number() OVER (ORDER BY vid) - 1 AS r
-  FROM (SELECT * FROM pq_gv ORDER BY vid LIMIT {cap})
-), pq_nsamp AS (SELECT count(*) AS n FROM pq_samp),
-pq_sc AS (
+  FROM (SELECT * FROM {p}_gv ORDER BY vid LIMIT {cap})
+), {p}_nsamp AS (SELECT count(*) AS n FROM {p}_samp),
+{p}_sc AS (
   SELECT s.s, c.c FROM (SELECT unnest(range(0, {n_subspaces})) AS s) s,
                        (SELECT unnest(range(0, {n_codes})) AS c) c
-), pq_book0 AS (
-  SELECT pq_sc.s, pq_sc.c,
+), {p}_book0 AS (
+  SELECT {p}_sc.s, {p}_sc.c,
     list_transform(range(1, {width + 1}),
-                   i -> pq_samp.xq[pq_sc.s*{width} + i]) AS ctr
-  FROM pq_sc JOIN pq_samp
-    ON pq_samp.r = (pq_sc.s*{n_codes} + pq_sc.c)
-               % (SELECT n FROM pq_nsamp)
+                   i -> {p}_samp.xq[{p}_sc.s*{width} + i]) AS ctr
+  FROM {p}_sc JOIN {p}_samp
+    ON {p}_samp.r = ({p}_sc.s*{n_codes} + {p}_sc.c)
+               % (SELECT n FROM {p}_nsamp)
 )"""]
     for t in range(1, n_iters + 1):
-        parts.append(f"""pq_asg{t} AS {_asg_sql('pq_samp',
-                                                f'pq_book{t - 1}',
+        parts.append(f"""{p}_asg{t} AS {_asg_sql(f'{p}_samp',
+                                                f'{p}_book{t - 1}',
                                                 'vid', width)},
-pq_best{t} AS (
+{p}_best{t} AS (
   SELECT vid, s, c FROM (
     SELECT vid, s, c,
       row_number() OVER (PARTITION BY vid, s ORDER BY d ASC, c ASC) AS rn
-    FROM pq_asg{t}) WHERE rn = 1
-), pq_upd{t} AS (
+    FROM {p}_asg{t}) WHERE rn = 1
+), {p}_upd{t} AS (
   SELECT u.s, u.c,
     list(CAST(floor(CAST(u.sm AS DOUBLE) / u.n + 0.5) AS BIGINT)
          ORDER BY u.i) AS ctr
   FROM (
     SELECT bb.s, bb.c, ii.i,
       sum(smp.xq[bb.s*{width} + ii.i]) AS sm, count(*) AS n
-    FROM pq_best{t} bb JOIN pq_samp smp USING (vid),
+    FROM {p}_best{t} bb JOIN {p}_samp smp USING (vid),
          (SELECT unnest(range(1, {width + 1})) AS i) ii
     GROUP BY bb.s, bb.c, ii.i) u
   GROUP BY u.s, u.c
-), pq_book{t} AS (
+), {p}_book{t} AS (
   SELECT b.s, b.c, COALESCE(u.ctr, b.ctr) AS ctr
-  FROM pq_book{t - 1} b
-  LEFT JOIN pq_upd{t} u ON u.s = b.s AND u.c = b.c
+  FROM {p}_book{t - 1} b
+  LEFT JOIN {p}_upd{t} u ON u.s = b.s AND u.c = b.c
 )""")
-    book = f"pq_book{n_iters}"
-    parts.append(f"""pq_all AS {_asg_sql('pq_gv', book, 'vid', width)},
-pq_codes AS (
+    book = f"{p}_book{n_iters}"
+    parts.append(f"""{p}_all AS {_asg_sql(f'{p}_gv', book, 'vid', width)},
+{p}_codes AS (
   SELECT vid, s, c, d FROM (
     SELECT vid, s, c, d,
       row_number() OVER (PARTITION BY vid, s ORDER BY d ASC, c ASC) AS rn
-    FROM pq_all) WHERE rn = 1
+    FROM {p}_all) WHERE rn = 1
 )""")
     return ",\n".join(parts), book
 
@@ -374,4 +379,225 @@ def pq_grid_adc_sql(**kw) -> str:
     return f"""
 WITH {pq_grid_adc_ctes(**kw)}
 SELECT q_id, c_id, score, rank FROM pq_picks
+"""
+
+
+# ----------------------------------------------------- grid IVF / IVF-PQ
+
+def _probe_cells(q_gv: DataFrame, coarse_book: list[list[int]],
+                 n_probe: int, q_id: str) -> DataFrame:
+    """Each query's ``n_probe`` nearest coarse centroids by exact BIGINT
+    grid distance with the (d, cell) tie-break — array_sort over
+    (distance, cell) structs = the SQL twin's
+    ``row_number() OVER (ORDER BY d ASC, c ASC) <= n_probe``. Input must
+    carry ``_xq`` (gridded vector); output keeps it plus ``_cell``."""
+    book_lit = F.array(*[
+        F.array(*[F.lit(x) for x in ctr]) for ctr in coarse_book])
+    dists = F.transform(book_lit, lambda ctr, i: F.struct(
+        F.aggregate(F.zip_with(F.col("_xq"), ctr,
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("d"),
+        i.alias("cell")))
+    return q_gv.select(
+        F.col(q_id), F.col("_xq"),
+        F.explode(F.transform(F.slice(F.array_sort(dists), 1, n_probe),
+                              lambda st: st["cell"])).alias("_cell"))
+
+
+def ivf_grid_topk(queries: DataFrame, candidates: DataFrame, dim: int,
+                  k: int = 5, n_cells: int = 16, n_probe: int = 2,
+                  n_iters: int = 3, grid: int = GRID,
+                  q_id: str = "q_id", c_id: str = "c_id",
+                  q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """IVF ANN over the DETERMINISTIC grid-Lloyd coarse quantizer — the
+    hash-oracled twin of :func:`similarity.ivf_topk` (which keeps the
+    float KMeans fit as the perf kernel). The coarse quantizer IS
+    :func:`pq_grid_fit` with ``n_subspaces=1``: 16 full-width centroids,
+    anchored init + 3 Lloyd steps on the 1e-4 grid, so the whole fit
+    (and hence the inverted file) restates in SQL clause by clause
+    (:func:`ivf_grid_topk_sql`).
+
+    Query path: probe the ``n_probe`` nearest cells (integer distance,
+    (d, cell) tie-break), exact cosine rerank ONLY within probed cells.
+    Approximate w.r.t. true top-k (recall < 1 when the neighbor lives in
+    an unprobed cell) yet fully deterministic w.r.t. the oracle — the
+    v6 LSH precedent. Scale shape matches the float rung: bounded fit
+    sample, one narrow assignment map, the probe list broadcast into the
+    cell equi-join; only Q·n_probe/n_cells of the corpus is scored."""
+    coarse = pq_grid_fit(candidates, dim, n_subspaces=1, n_codes=n_cells,
+                         n_iters=n_iters, id_col=c_id, vec_col=c_vec,
+                         grid=grid)
+    cells = pq_grid_codes(candidates, dim, coarse, id_col=c_id,
+                          vec_col=c_vec, grid=grid) \
+        .select(c_id, F.col("codes")[0].alias("_cell"))
+    q_gv = queries.select(F.col(q_id), grid_vec(q_vec, grid).alias("_xq"))
+    probed = _probe_cells(q_gv, coarse[0], n_probe, q_id) \
+        .select(q_id, "_cell")
+    pre = cells.join(F.broadcast(probed), "_cell") \
+        .filter(F.col(q_id) != F.col(c_id)).select(q_id, c_id)
+    return exact_rerank(pre, queries, candidates, k=k, q_id=q_id,
+                        c_id=c_id, q_vec=q_vec, c_vec=c_vec)
+
+
+def ivfpq_grid_topk(queries: DataFrame, candidates: DataFrame, dim: int,
+                    k: int = 5, n_cells: int = 16, n_probe: int = 4,
+                    n_subspaces: int = 4, n_codes: int = 16,
+                    n_iters: int = 3, k_adc: int = 100, grid: int = GRID,
+                    q_id: str = "q_id", c_id: str = "c_id",
+                    q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """Full IVF-PQ retrieval over deterministic grid fits — the
+    hash-oracled twin of :func:`similarity.ivfpq_topk`: the grid coarse
+    quantizer (``n_subspaces=1``) routes queries to ``n_probe``/
+    ``n_cells`` of the corpus, global grid-PQ codes shrink in-cell
+    storage, integer ADC lookups score the probed cells' codes, the
+    ``k_adc`` survivors exact-rerank to top-k.
+
+    Two documented divergences from the float kernel, both forced by SQL
+    restatability: the fits are grid-Lloyd (not KMeans), and the PQ
+    codes encode the RAW gridded vector, not the within-cell residual —
+    integer residual encoding is expressible but doubles the oracle's
+    CTE chain for a recall delta the k_adc=100 rerank already absorbs at
+    fixture scale (the residual form stays on the float kernel, where
+    tests assert its recall direction). Deterministic end-to-end ⇒ full
+    hash oracle (:func:`ivfpq_grid_topk_sql`)."""
+    coarse = pq_grid_fit(candidates, dim, n_subspaces=1, n_codes=n_cells,
+                         n_iters=n_iters, id_col=c_id, vec_col=c_vec,
+                         grid=grid)
+    cells = pq_grid_codes(candidates, dim, coarse, id_col=c_id,
+                          vec_col=c_vec, grid=grid) \
+        .select(c_id, F.col("codes")[0].alias("_cell"))
+    books = pq_grid_fit(candidates, dim, n_subspaces=n_subspaces,
+                        n_codes=n_codes, n_iters=n_iters, id_col=c_id,
+                        vec_col=c_vec, grid=grid)
+    cand = pq_grid_codes(candidates, dim, books, id_col=c_id,
+                         vec_col=c_vec, grid=grid) \
+        .select(c_id, "codes").join(cells, c_id)
+
+    width = dim // n_subspaces
+    q_gv = queries.select(F.col(q_id), grid_vec(q_vec, grid).alias("_xq"))
+    tables = []
+    for book in books:
+        book_lit = F.array(*[
+            F.array(*[F.lit(x) for x in ctr]) for ctr in book])
+        s = len(tables)
+        sub = F.slice("_xq", s * width + 1, width)
+        tables.append(F.transform(
+            book_lit,
+            lambda ctr: F.aggregate(
+                F.zip_with(sub, ctr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"), lambda acc, x: acc + x)))
+    probes = _probe_cells(q_gv, coarse[0], n_probe, q_id) \
+        .select(q_id, "_cell", F.array(*tables).alias("_dt"))
+
+    pairs = cand.join(F.broadcast(probes), "_cell") \
+        .filter(F.col(q_id) != F.col(c_id))
+    dist = None
+    for s in range(n_subspaces):
+        term = F.element_at(F.element_at("_dt", s + 1),
+                            F.col("codes")[s] + 1)
+        dist = term if dist is None else dist + term
+    pre = pairs.select(q_id, c_id, dist.cast("bigint").alias("adc_d"))
+    w = Window.partitionBy(q_id).orderBy(F.asc("adc_d"), F.asc(c_id))
+    pre = pre.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k_adc).select(q_id, c_id)
+    return exact_rerank(pre, queries, candidates, k=k, q_id=q_id,
+                        c_id=c_id, q_vec=q_vec, c_vec=c_vec)
+
+
+def _probe_sql(book: str, dim: int, n_probe: int,
+               query_src: str = "iv_q") -> str:
+    """The query-probing CTE pair: full-width distance to every coarse
+    centroid, then ``rn <= n_probe`` with the (d, c) tie-break."""
+    return f"""iv_qd AS {_asg_sql(query_src, book, 'q_id', dim)},
+iv_probe AS (
+  SELECT q_id, c AS cell FROM (
+    SELECT q_id, c,
+      row_number() OVER (PARTITION BY q_id ORDER BY d ASC, c ASC) AS rn
+    FROM iv_qd) WHERE rn <= {n_probe}
+)"""
+
+
+def _picks_sql(k: int, rerank_src: str) -> str:
+    """Exact-rerank tail shared by both IVF twins: cosine over the raw
+    doubles (rounded 4 dp — the v16/v20 oracle bridge), (score DESC,
+    c_id ASC) row_number, top-k."""
+    cos = cosine_sql("q.v", "c.v")
+    return f"""iv_rerank AS (
+  SELECT p.q_id, p.c_id, round({cos}, 4) AS score
+  FROM {rerank_src} p JOIN cq_raw q ON q.vid = p.q_id
+                      JOIN cq_raw c ON c.vid = p.c_id
+), iv_picks AS (
+  SELECT q_id, c_id, score,
+    CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, c_id ASC) AS BIGINT)
+      AS rank
+  FROM iv_rerank)
+SELECT q_id, c_id, score, rank FROM iv_picks WHERE rank <= {k}"""
+
+
+def ivf_grid_topk_sql(query_filter: str = "vid % 100 = 0", k: int = 5,
+                      n_cells: int = 16, n_probe: int = 2,
+                      table: str = "embeddings", id_col: str = "vec_id",
+                      vec_col: str = "embedding", dim: int = 64,
+                      n_iters: int = 3, grid: int = GRID) -> str:
+    """DuckDB twin of :func:`ivf_grid_topk` (the v8 registry output)."""
+    ctes, book = pq_grid_fit_ctes(table=table, id_col=id_col,
+                                  vec_col=vec_col, dim=dim,
+                                  n_subspaces=1, n_codes=n_cells,
+                                  n_iters=n_iters, grid=grid, prefix="cq")
+    return f"""
+WITH {ctes},
+iv_q AS (SELECT vid, xq FROM cq_gv WHERE {query_filter}),
+{_probe_sql(book, dim, n_probe)},
+iv_pre AS (
+  SELECT p.q_id, cc.vid AS c_id
+  FROM iv_probe p JOIN cq_codes cc ON cc.c = p.cell
+  WHERE cc.vid <> p.q_id
+), {_picks_sql(k, 'iv_pre')}
+"""
+
+
+def ivfpq_grid_topk_sql(query_filter: str = "vid % 100 = 0", k: int = 5,
+                        n_cells: int = 16, n_probe: int = 4,
+                        n_subspaces: int = 4, n_codes: int = 16,
+                        k_adc: int = 100, table: str = "embeddings",
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        n_iters: int = 3, grid: int = GRID) -> str:
+    """DuckDB twin of :func:`ivfpq_grid_topk` (the v19 registry output):
+    the coarse chain (prefix ``cq``) and the PQ chain (prefix ``pq``)
+    compose in one WITH, then probe → in-cell ADC → rerank."""
+    cq_ctes, cq_book = pq_grid_fit_ctes(table=table, id_col=id_col,
+                                        vec_col=vec_col, dim=dim,
+                                        n_subspaces=1, n_codes=n_cells,
+                                        n_iters=n_iters, grid=grid,
+                                        prefix="cq")
+    pq_ctes, pq_book = pq_grid_fit_ctes(table=table, id_col=id_col,
+                                        vec_col=vec_col, dim=dim,
+                                        n_subspaces=n_subspaces,
+                                        n_codes=n_codes, n_iters=n_iters,
+                                        grid=grid, prefix="pq")
+    width = dim // n_subspaces
+    return f"""
+WITH {cq_ctes},
+{pq_ctes},
+iv_q AS (SELECT vid, xq FROM cq_gv WHERE {query_filter}),
+{_probe_sql(cq_book, dim, n_probe)},
+pq_qdt AS {_asg_sql('iv_q', pq_book, 'q_id', width)},
+iv_adc AS (
+  SELECT t.q_id, k.vid AS c_id, CAST(sum(t.d) AS BIGINT) AS adc_d
+  FROM pq_codes k
+  JOIN cq_codes cc ON cc.vid = k.vid
+  JOIN iv_probe p ON p.cell = cc.c
+  JOIN pq_qdt t ON t.q_id = p.q_id AND t.s = k.s AND t.c = k.c
+  WHERE k.vid <> t.q_id
+  GROUP BY t.q_id, k.vid
+), iv_pre AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+      row_number() OVER (PARTITION BY q_id
+                         ORDER BY adc_d ASC, c_id ASC) AS rn
+    FROM iv_adc) WHERE rn <= {k_adc}
+), {_picks_sql(k, 'iv_pre')}
 """

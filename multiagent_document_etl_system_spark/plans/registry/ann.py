@@ -233,16 +233,25 @@ def v9_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("v8_ivf_topk", None)
+@_q("v8_ivf_topk", pq_grid.ivf_grid_topk_sql(
+    query_filter="vid % 100 = 0", k=5, n_cells=16, n_probe=2))
 def v8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans(16 cells) coarse quantizer, 2-probe, exact cosine
-    re-rank within probed cells. Approximate ⇒ rows-only; the exact twin
-    v2 is the hash-checked baseline."""
+    """IVF ANN, HASH-ORACLED (late-r12 — the v17/v18 grid conversion
+    applied to the inverted file): the coarse quantizer is the
+    deterministic grid-Lloyd fit with n_subspaces=1 (16 full-width
+    integer centroids — operators/pq_grid.ivf_grid_topk), each query
+    probes its 2 nearest cells by exact BIGINT distance and exact cosine
+    re-ranks only within them. Approximate w.r.t. true top-k, exactly
+    specified w.r.t. the oracle (the v6 LSH precedent); the DuckDB twin
+    restates the fit, the inverted file, the probe, and the re-rank.
+    The float-KMeans variant (similarity.ivf_topk) stays as the perf
+    kernel with its recall property in tests/test_similarity."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return similarity.ivf_topk(q, c, k=5, n_cells=16, n_probe=2)
+    out = pq_grid.ivf_grid_topk(q, c, dim=64, k=5, n_cells=16, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
 # The ANN queries use the same deterministic hyperplanes as
@@ -508,19 +517,26 @@ def v17_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codes", F.concat_ws("-", F.col("codes").cast("array<string>")))
 
 
-@_q("v19_ivfpq_topk", None)
+@_q("v19_ivfpq_topk", pq_grid.ivfpq_grid_topk_sql(
+    query_filter="vid % 100 = 0", k=5, n_cells=16, n_probe=4, k_adc=100))
 def v19_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full IVF-PQ retrieval (similarity.ivfpq_topk): coarse cells route
-    queries to n_probe/n_cells of the corpus, PQ codes shrink in-cell
-    storage 64x, ADC lookups score, exact rerank restores precision —
-    the composed 100 TB ANN architecture. KMeans ⇒ rows-only."""
+    """Full IVF-PQ retrieval, HASH-ORACLED (late-r12): the grid coarse
+    quantizer routes queries to 4/16 cells, global grid-PQ codes (v17's
+    codebooks) shrink in-cell storage 64x, integer ADC lookups score the
+    probed cells' codes, exact rerank restores precision — the composed
+    100 TB ANN architecture with EVERY stage restated in the DuckDB twin
+    (operators/pq_grid.ivfpq_grid_topk; the coarse + PQ fit chains
+    compose under cq_/pq_ CTE prefixes). Two documented divergences from
+    the float kernel (similarity.ivfpq_topk, still the perf kernel with
+    its residual-recall property in pytest): grid-Lloyd fits, and raw
+    (non-residual) PQ encoding — see the operator docstring."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = e.select(F.col("vec_id").alias("c_id"),
                  F.col("embedding").alias("c_vec"))
-    out = similarity.ivfpq_topk(q, c, dim=64, k=5, n_cells=16, n_probe=4,
-                                k_adc=100)
+    out = pq_grid.ivfpq_grid_topk(q, c, dim=64, k=5, n_cells=16,
+                                  n_probe=4, k_adc=100)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

@@ -515,6 +515,13 @@ _DRIVER_WINDOW_R12 = [
 
 #: oracled queries added AFTER the r12 window was pinned — they queue
 #: for the r13 window head (frozen-window discipline, eighth rotation).
+#: v8_ivf_topk / v19_ivfpq_topk are NOT listed here (they are not new
+#: names) but are contract-changed late-r12: both moved from KMeans
+#: rows-only onto the deterministic grid-Lloyd fit with FULL hash
+#: oracles (the v17/v18 conversion pattern) AFTER the r12 window was
+#: pinned — they sit outside the frozen window, so the r13 window head
+#: must carry them as contract-changed re-confirms (first driver
+#: evidence of their oracles).
 _QUEUED_FOR_R13: list[str] = []
 
 
@@ -538,10 +545,6 @@ NO_ORACLE_REASONS: dict[str, str] = {
                       "invariants (same content across containers pairs, "
                       "different content does not) are pinned in "
                       "tests/test_sources.py",
-    "v8_ivf_topk": "KMeans coarse-quantizer fit (iterative, non-SQL); "
-                   "recall vs exact top-k asserted in tests/test_similarity",
-    "v19_ivfpq_topk": "KMeans coarse + PQ codebook fits (iterative, "
-                      "non-SQL); recall property in tests/test_similarity",
     "v13_topk_matmul": "BLAS GEMM sums floats in a different order than "
                        "any SQL restatement; set-equality vs v2 in pytest",
     "v14_ann_lsh_matmul": "per-bucket GEMM (same summation-order class); "

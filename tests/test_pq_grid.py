@@ -128,6 +128,54 @@ def test_v18_registry_oracle_parity(spark, duck):
     driver_compare(spark, duck, "v18_pq_adc_topk")
 
 
+def test_v8_registry_oracle_parity(spark, duck):
+    """v8_ivf_topk (grid-Lloyd coarse quantizer, 2-probe, exact in-cell
+    rerank — the late-r12 conversion) hash-matches its DuckDB oracle the
+    way the driver compares; the twin restates the fit, inverted file,
+    probe, and rerank."""
+    from tests.conftest import driver_compare
+
+    driver_compare(spark, duck, "v8_ivf_topk")
+
+
+def test_v19_registry_oracle_parity(spark, duck):
+    """v19_ivfpq_topk (grid coarse routing + global grid-PQ codes +
+    integer ADC + exact rerank) hash-matches its DuckDB oracle — the
+    cq_/pq_ CTE chains compose in one WITH."""
+    from tests.conftest import driver_compare
+
+    driver_compare(spark, duck, "v19_ivfpq_topk")
+
+
+def test_ivf_grid_recall_band(spark):
+    """Ranking quality parity with the float rung (the v17/v18 gate
+    applied to IVF): on a 50-query sample the grid coarse quantizer's
+    recall@5 must sit in the float-KMeans band. Measured on this
+    fixture: grid p2 0.400 vs float 0.488; grid IVF-PQ p4 0.584 vs
+    float 0.700; at sf0.01 the grid rungs MATCH or BEAT the float ones
+    (p2 0.520 = 0.520, p4 0.760 vs 0.680) — no systematic determinism
+    cost, just cell-assignment luck on isotropic vectors. Floors sit
+    just under the fixture numbers; everything upstream of the floor is
+    integer-deterministic."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+    exact = {(r["q_id"], r["c_id"])
+             for r in similarity.topk_join(q, c, k=5).collect()}
+    got_ivf = {(r["q_id"], r["c_id"])
+               for r in pq_grid.ivf_grid_topk(
+                   q, c, dim=64, k=5, n_cells=16, n_probe=2).collect()}
+    got_ivfpq = {(r["q_id"], r["c_id"])
+                 for r in pq_grid.ivfpq_grid_topk(
+                     q, c, dim=64, k=5, n_cells=16, n_probe=4,
+                     k_adc=100).collect()}
+    n = max(1, len(exact))
+    assert len(exact & got_ivf) / n >= 0.38, len(exact & got_ivf) / n
+    assert len(exact & got_ivfpq) / n >= 0.55, len(exact & got_ivfpq) / n
+
+
 def test_v21_includes_the_grid_pq_rung(spark, duck):
     """The recall matrix gained the pq_grid_adc100 row (r12) and stays
     hash-oracled — the grid rung's recall NUMBER is pinned
