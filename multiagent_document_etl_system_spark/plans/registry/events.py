@@ -177,6 +177,83 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_kmv_distinct", """
+WITH h AS (
+  SELECT DISTINCT l_returnflag AS rf,
+    CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM lineitem
+), ranked AS (
+  SELECT rf, h, row_number() OVER (PARTITION BY rf ORDER BY h ASC) AS rn
+  FROM h
+), sk AS (
+  SELECT rf, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth
+  FROM ranked WHERE rn <= 256 GROUP BY rf
+), ex AS (
+  SELECT l_returnflag AS rf,
+    CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+  FROM lineitem GROUP BY rf
+), est AS (
+  SELECT s.rf, e.exact_parts, s.n_kept,
+    CAST(CASE WHEN s.n_kept < 256 THEN s.n_kept
+         ELSE floor(1152921504606846976.0 * 255 / s.kth + 0.5) END
+         AS BIGINT) AS kmv_est
+  FROM sk s JOIN ex e USING (rf)
+)
+SELECT rf AS l_returnflag, exact_parts, n_kept AS kmv_kept, kmv_est,
+  CAST((abs(kmv_est - exact_parts) * 10000) // exact_parts AS BIGINT)
+    AS err_bp
+FROM est
+""")
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch, HASH-ORACLED — the
+    exactly-restatable twin of q_approx_distinct's HLL (which is
+    engine-internal ⇒ rows-only): per group, keep the k=256 smallest
+    DISTINCT 60-bit md5-derived hashes (operators/dedup.hash64 — the
+    repo's cross-engine hash primitive) and estimate
+    distinct ≈ (k-1)·2^60 / kth_min (Bar-Yossef et al. 2002); groups
+    with fewer than k distinct values fall back to the exact kept
+    count (the sketch IS the set there). Emits the exact distinct and
+    an integer basis-point error alongside, so the estimator's quality
+    is part of the hash-pinned result, not an unchecked claim. The only
+    float op is one (lit·255)/kth double division stated identically in
+    both engines; everything else is BIGINT.
+
+    Scale: the sketch's whole point at 100 TB — the distinct shuffle
+    carries only (group, 8-byte hash) pairs, the per-group top-k is a
+    WindowGroupLimit (partial top-k per partition BEFORE the exchange —
+    plan-asserted in tests/test_kmv.py), and min-k sketches merge by
+    union + re-top-k (min-k of a union = min-k of per-part min-k), so
+    partial sketches combine across shards/days without rescanning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from multiagent_document_etl_system_spark.operators.dedup import hash64
+    k = 256
+    h = li.select(
+        F.col("l_returnflag").alias("rf"),
+        hash64(F.col("l_partkey").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("rf").orderBy(F.asc("h"))
+    sk = (h.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= k)
+          .groupBy("rf")
+          .agg(F.count("*").cast("bigint").alias("n_kept"),
+               F.max("h").alias("kth")))
+    ex = (li.groupBy(F.col("l_returnflag").alias("rf"))
+          .agg(F.countDistinct("l_partkey").cast("bigint")
+               .alias("exact_parts")))
+    est = sk.join(ex, "rf").withColumn(
+        "kmv_est",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(F.floor(F.lit(1152921504606846976.0) * (k - 1)
+                           / F.col("kth") + F.lit(0.5)))
+        .cast("bigint"))
+    return est.select(
+        F.col("rf").alias("l_returnflag"), "exact_parts",
+        F.col("n_kept").alias("kmv_kept"), "kmv_est",
+        F.expr("CAST((abs(kmv_est - exact_parts) * 10000) div exact_parts"
+               " AS BIGINT)").alias("err_bp"))
+
+
 @_q("q_event_dedup", """
 SELECT event_id, user_id, event_type FROM (
   SELECT event_id, user_id, event_type,

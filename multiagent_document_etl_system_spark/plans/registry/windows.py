@@ -522,7 +522,12 @@ _DRIVER_WINDOW_R12 = [
 #: pinned — they sit outside the frozen window, so the r13 window head
 #: must carry them as contract-changed re-confirms (first driver
 #: evidence of their oracles).
-_QUEUED_FOR_R13: list[str] = []
+#: q_kmv_distinct (late r12, hash-oracled KMV distinct sketch) lives in
+#: the events slice — listed here, not appended there, because events
+#: loads before this module; the order snapshot was regenerated
+#: (shim-less, the s12/s13 add-time mechanism) so its mid-dict slice
+#: position is frozen like every other name's.
+_QUEUED_FOR_R13: list[str] = ["q_kmv_distinct"]
 
 
 def _driver_ordered(q: dict) -> dict:

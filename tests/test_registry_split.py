@@ -1,11 +1,14 @@
 """r11 (verdict #5): the 6,700-line plans/registry.py became a package of
 registration-order slices. These tests pin what the split must preserve:
 the FULL insertion order (frozen snapshot — the driver window reads the
-head, QUERIES.md the tail; regenerated shim-less at each window pin,
-255 names since r12: the R12 reorder + the r11 Avro adds + the r12
-s12/s13 tail), the per-module size bound the verdict set (~1,500
+head, QUERIES.md the tail; regenerated shim-less at each window pin
+and at each post-pin query add,
+255 names at the r12 pin: the R12 reorder + the r11 Avro adds + the
+r12 s12/s13 tail), the per-module size bound the verdict set (~1,500
 lines), and the dynamic re-export of the one module global that rebinds
-at run time."""
+at run time. 256 names since the late-r12 q_kmv_distinct add (events
+slice, mid-dict — snapshot regenerated at add time, the s12/s13
+mechanism)."""
 
 from __future__ import annotations
 
