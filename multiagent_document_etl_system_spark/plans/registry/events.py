@@ -254,6 +254,126 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                " AS BIGINT)").alias("err_bp"))
 
 
+@_q("q_kmv_setops", """
+WITH a AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM lineitem WHERE l_linestatus = 'F'
+), b AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM lineitem WHERE l_linestatus = 'O'
+), ka AS (SELECT h FROM a ORDER BY h LIMIT 256),
+kb AS (SELECT h FROM b ORDER BY h LIMIT 256),
+ku AS (
+  SELECT h FROM (
+    SELECT DISTINCT h FROM (
+      SELECT h FROM ka UNION ALL SELECT h FROM kb))
+  ORDER BY h LIMIT 256
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ku, max(h) AS big_m FROM ku
+), c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common
+  FROM ka JOIN kb USING (h), m WHERE ka.h <= m.big_m
+), ex AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_union
+  FROM lineitem WHERE l_linestatus IN ('F', 'O')
+), exi AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM
+    (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_linestatus = 'F') ia
+    JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+          WHERE l_linestatus = 'O') ib USING (l_orderkey)
+), est AS (
+  SELECT m.n_ku, c.n_common,
+    CAST(CASE WHEN m.n_ku < 256 THEN m.n_ku
+         ELSE floor(1152921504606846976.0 * 255 / m.big_m + 0.5) END
+         AS BIGINT) AS est_union
+  FROM m, c
+), est2 AS (
+  SELECT est.n_ku AS kept, est.est_union, ex.exact_union,
+    CAST(CASE WHEN est.n_ku < 256 THEN est.n_common
+         ELSE (est.n_common * est.est_union + 128) // 256 END
+         AS BIGINT) AS est_inter,
+    exi.exact_inter
+  FROM est, ex, exi
+)
+SELECT kept, est_union, exact_union,
+  CAST((abs(est_union - exact_union) * 10000) // exact_union AS BIGINT)
+    AS union_err_bp,
+  est_inter, exact_inter,
+  CAST((abs(est_inter - exact_inter) * 10000) // exact_inter AS BIGINT)
+    AS inter_err_bp
+FROM est2
+""")
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS, HASH-ORACLED — the mergeability half
+    of q_kmv_distinct's story (Beyer et al., SIGMOD 2007): two per-set
+    sketches (k=256 smallest distinct hash64 of linestatus-F vs -O orderkeys)
+    combine WITHOUT rescanning either set — union = re-top-k of the
+    merged sketch with est (k-1)·2^60/M, intersection = (ρ/k)·est_union
+    where ρ counts sketch-common hashes ≤ M. Exact union/intersection
+    and integer basis-point errors ride alongside, so both estimators'
+    quality is part of the hash-pinned result. Only float op: the one
+    (lit·255)/M double division (the q_kmv_distinct pattern);
+    intersection scaling is pure BIGINT with round-half-up
+    ((ρ·est + k/2) div k).
+
+    Scale: per-set top-k plans as TakeOrderedAndProject (a k-row heap
+    per partition, no global sort); the merge step touches 2k rows
+    total regardless of corpus size — THIS is why a 100 TB pipeline
+    keeps per-shard/per-day KMV sketches and answers cross-shard
+    distinct/overlap queries from kilobytes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from multiagent_document_etl_system_spark.operators.dedup import hash64
+    k = 256
+
+    def sk(mode):
+        return (li.filter(F.col("l_linestatus") == mode)
+                .select(hash64(F.col("l_orderkey").cast("string"))
+                        .alias("h"))
+                .distinct().orderBy("h").limit(k))
+
+    ka, kb = sk("F"), sk("O")
+    ku = ka.unionAll(kb).distinct().orderBy("h").limit(k)
+    m = ku.agg(F.count("*").cast("bigint").alias("n_ku"),
+               F.max("h").alias("big_m"))
+    c = (ka.join(kb, "h").crossJoin(F.broadcast(m))
+         .filter(F.col("h") <= F.col("big_m"))
+         .agg(F.count("*").cast("bigint").alias("n_common")))
+    ex = (li.filter(F.col("l_linestatus").isin("F", "O"))
+          .agg(F.countDistinct("l_orderkey").cast("bigint")
+               .alias("exact_union")))
+    ia = (li.filter(F.col("l_linestatus") == "F")
+          .select("l_orderkey").distinct())
+    ib = (li.filter(F.col("l_linestatus") == "O")
+          .select("l_orderkey").distinct())
+    exi = ia.join(ib, "l_orderkey") \
+        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+
+    est = (m.crossJoin(c).withColumn(
+        "est_union",
+        F.when(F.col("n_ku") < k, F.col("n_ku"))
+        .otherwise(F.floor(F.lit(1152921504606846976.0) * (k - 1)
+                           / F.col("big_m") + F.lit(0.5)))
+        .cast("bigint")))
+    est2 = (est.crossJoin(F.broadcast(ex)).crossJoin(F.broadcast(exi))
+            .select(
+                F.col("n_ku").alias("kept"), "est_union", "exact_union",
+                F.expr(f"CAST(CASE WHEN n_ku < {k} THEN n_common"
+                       f" ELSE (n_common * est_union + {k // 2}) div {k}"
+                       " END AS BIGINT)").alias("est_inter"),
+                "exact_inter"))
+    return est2.select(
+        "kept", "est_union", "exact_union",
+        F.expr("CAST((abs(est_union - exact_union) * 10000)"
+               " div exact_union AS BIGINT)").alias("union_err_bp"),
+        "est_inter", "exact_inter",
+        F.expr("CAST((abs(est_inter - exact_inter) * 10000)"
+               " div exact_inter AS BIGINT)").alias("inter_err_bp"))
+
+
 @_q("q_event_dedup", """
 SELECT event_id, user_id, event_type FROM (
   SELECT event_id, user_id, event_type,

@@ -46,6 +46,30 @@ def test_window_group_limit_in_plan(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_setops_registry_oracle_parity(spark, duck):
+    """q_kmv_setops (sketch union + intersection estimation, Beyer et
+    al. 2007) hash-matches its DuckDB oracle; at fixture scale the F/O
+    orderkey sets are ~1.3k each so the k=256 sketch branch is
+    ENGAGED (unlike q_kmv_distinct's fixture exact branch)."""
+    from tests.conftest import driver_compare
+
+    driver_compare(spark, duck, "q_kmv_setops")
+
+
+def test_setops_estimates_are_sane(spark):
+    """The pinned hash values are trustworthy only if the estimators
+    actually estimate: union and intersection estimates within ±25% of
+    truth at fixture scale (k=256 ⇒ ~6.3% sigma on union; the
+    intersection inherits ρ's binomial noise on top)."""
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    r = QUERIES["q_kmv_setops"][0](spark, SF_DIR).collect()[0]
+    assert r["kept"] == 256
+    assert abs(r["est_union"] - r["exact_union"]) / r["exact_union"] < 0.25
+    assert abs(r["est_inter"] - r["exact_inter"]) / r["exact_inter"] < 0.25
+
+
 def test_sketch_branch_accuracy(spark):
     """On 3,000 distinct values (sketch engaged: 3000 > k=256) the
     KMV estimate must land within ±20% of the truth — k=256 gives a
