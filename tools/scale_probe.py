@@ -71,7 +71,12 @@ REBUILD_PER_REP = {"td_curation_funnel", "td_prepare_corpus_v2",
                    # the provenance/ablation/histogram audits embed
                    # duplicate_clusters' eager checkpoints too
                    "td_dedup_provenance", "td_dedup_policy_ablation",
-                   "dedup_cluster_size_histogram"}
+                   "dedup_cluster_size_histogram",
+                   # grid-Lloyd fits collect at plan-build time (bench.py
+                   # REBUILD_PER_REP has the same entries) — rebuilding
+                   # keeps the fit inside the measurement
+                   "v17_pq_codes", "v18_pq_adc_topk", "v21_recall_matrix",
+                   "v8_ivf_topk", "v19_ivfpq_topk"}
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
        "/root/testdata/sf0.1"]
