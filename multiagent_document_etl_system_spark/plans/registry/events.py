@@ -374,6 +374,105 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                " div exact_inter AS BIGINT)").alias("inter_err_bp"))
 
 
+@_q("q_sampled_percentile", """
+WITH v AS (
+  SELECT l_returnflag AS rf,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+    CAST(concat('0x', substring(md5(concat(
+      CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))),
+      1, 15)) AS BIGINT) AS h
+  FROM lineitem
+), ps AS (SELECT unnest([50, 90, 99]) AS p),
+samp AS (
+  SELECT rf, cents FROM (
+    SELECT rf, cents,
+      row_number() OVER (PARTITION BY rf ORDER BY h ASC) AS rn
+    FROM v) WHERE rn <= 1000
+), sr AS (
+  SELECT rf, cents,
+    row_number() OVER (PARTITION BY rf ORDER BY cents ASC) AS rn,
+    CAST(count(*) OVER (PARTITION BY rf) AS BIGINT) AS n
+  FROM samp
+), spick AS (
+  SELECT sr.rf, ps.p, sr.cents AS sample_cents
+  FROM sr, ps WHERE sr.rn = (sr.n * ps.p + 99) // 100
+), er AS (
+  SELECT rf, cents,
+    row_number() OVER (PARTITION BY rf ORDER BY cents ASC) AS rn,
+    CAST(count(*) OVER (PARTITION BY rf) AS BIGINT) AS n
+  FROM v
+), epick AS (
+  SELECT er.rf, ps.p, er.cents AS exact_cents
+  FROM er, ps WHERE er.rn = (er.n * ps.p + 99) // 100
+)
+SELECT e.rf AS l_returnflag, CAST(e.p AS INT) AS p,
+  e.exact_cents, s.sample_cents,
+  CAST((abs(s.sample_cents - e.exact_cents) * 10000) // e.exact_cents
+       AS BIGINT) AS err_bp
+FROM epick e JOIN spick s ON s.rf = e.rf AND s.p = e.p
+""")
+def q_sampled_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sampled percentile with HASH-PINNED error — the
+    exactly-restatable twin of q_approx_percentile (whose KLL sketch is
+    engine-internal ⇒ rows-only): per returnflag, the p50/p90/p99 of
+    l_extendedprice (exact cents) estimated from the 1,000 rows with
+    the SMALLEST row-key hash64 (the repo's hash-not-rand sampling
+    convention — deterministic under retries and partition order), with
+    the exact percentile and an integer basis-point error alongside.
+    The percentile itself is stated as an explicit ceil-rank selection
+    (value at row_number ceil(n·p/100) over cents ASC — pure-integer
+    (n·p+99)//100, no engine percentile builtin, so there is NO
+    interpolation-semantics risk between engines); a value at a fixed
+    rank in a multiset is well-defined, so ties in cents cannot break
+    determinism.
+
+    Scale: the sample selection compiles to WindowGroupLimit (1,000
+    smallest hashes per partition BEFORE the exchange; k=1000 ON
+    PURPOSE — Spark's InferWindowGroupLimit rule fires only for rank
+    limits <= spark.sql.optimizer.windowGroupLimitThreshold, default
+    1000 inclusive, so k=1024 would silently lose the pushdown and
+    sort whole groups — plan-asserted in tests/test_kmv.py), so the sampled
+    path sorts ~k·partitions rows instead of the corpus — the reason a
+    100 TB pipeline quantiles a deterministic sample and carries the
+    measured error, exactly what this query's err_bp column pins. The
+    full-corpus exact side rides along as the audit (per-group window;
+    at true scale you'd run ONLY the sampled path and spot-audit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from multiagent_document_etl_system_spark.operators.dedup import hash64
+    k = 1000
+    v = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("cents"),
+        hash64(F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
+                        F.col("l_linenumber").cast("string"))).alias("h"))
+    ps = spark.createDataFrame([(50,), (90,), (99,)], "p int")
+
+    def pick(src, out):
+        wv = Window.partitionBy("rf").orderBy(F.asc("cents"))
+        ranked = src.select(
+            "rf", "cents",
+            F.row_number().over(wv).alias("rn"),
+            F.count("*").over(Window.partitionBy("rf")).cast("bigint")
+            .alias("n"))
+        return (ranked.crossJoin(F.broadcast(ps))
+                .filter(F.col("rn") ==
+                        F.expr("(n * p + 99) div 100"))
+                .select("rf", "p", F.col("cents").alias(out)))
+
+    wh = Window.partitionBy("rf").orderBy(F.asc("h"))
+    samp = (v.withColumn("rn", F.row_number().over(wh))
+            .filter(F.col("rn") <= k).select("rf", "cents"))
+    spick = pick(samp, "sample_cents")
+    epick = pick(v.select("rf", "cents"), "exact_cents")
+    return (epick.join(spick, ["rf", "p"])
+            .select(F.col("rf").alias("l_returnflag"),
+                    F.col("p").cast("int").alias("p"),
+                    "exact_cents", "sample_cents",
+                    F.expr("CAST((abs(sample_cents - exact_cents) * 10000)"
+                           " div exact_cents AS BIGINT)").alias("err_bp")))
+
+
 @_q("q_event_dedup", """
 SELECT event_id, user_id, event_type FROM (
   SELECT event_id, user_id, event_type,

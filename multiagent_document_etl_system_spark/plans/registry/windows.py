@@ -527,7 +527,8 @@ _DRIVER_WINDOW_R12 = [
 #: loads before this module; the order snapshot was regenerated
 #: (shim-less, the s12/s13 add-time mechanism) so its mid-dict slice
 #: position is frozen like every other name's.
-_QUEUED_FOR_R13: list[str] = ["q_kmv_distinct", "q_kmv_setops"]
+_QUEUED_FOR_R13: list[str] = ["q_kmv_distinct", "q_kmv_setops",
+                              "q_sampled_percentile"]
 
 
 def _driver_ordered(q: dict) -> dict:

@@ -70,6 +70,41 @@ def test_setops_estimates_are_sane(spark):
     assert abs(r["est_inter"] - r["exact_inter"]) / r["exact_inter"] < 0.25
 
 
+def test_sampled_percentile_oracle_parity(spark, duck):
+    """q_sampled_percentile (deterministic hash-sample + explicit
+    ceil-rank selection, no engine percentile builtin) hash-matches its
+    DuckDB oracle."""
+    from tests.conftest import driver_compare
+
+    driver_compare(spark, duck, "q_sampled_percentile")
+
+
+def test_sampled_percentile_shape_and_error(spark):
+    """9 rows (3 groups × p50/90/99); the exact side IS the truth so
+    err_bp must be small at fixture scale where the 1,024-row sample
+    covers most of each ~2k-row group — and exactly 0 wherever the
+    sample is the whole group."""
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["q_sampled_percentile"][0](spark, SF_DIR).collect()
+    assert len(rows) == 9
+    assert {r["p"] for r in rows} == {50, 90, 99}
+    for r in rows:
+        assert r["err_bp"] < 1000, r  # within 10% with a dense sample
+
+
+def test_sampled_percentile_window_group_limit(spark):
+    """The sample selection must compile to WindowGroupLimit — the
+    per-partition partial top-k that makes the sampled path scale."""
+    from multiagent_document_etl_system_spark.plans.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["q_sampled_percentile"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 def test_sketch_branch_accuracy(spark):
     """On 3,000 distinct values (sketch engaged: 3000 > k=256) the
     KMV estimate must land within ±20% of the truth — k=256 gives a
