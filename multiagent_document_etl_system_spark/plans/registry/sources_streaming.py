@@ -221,7 +221,7 @@ def s9_landing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # memoized single-file stagings of the events table, keyed by
 # (session id, sf_dir) — the staging write is fixture setup, not part of
 # the measured streaming query (VERDICT r2 "what's wrong" #4)
-_STREAM_STAGE_CACHE: dict[tuple[str, str], str] = {}
+_STREAM_STAGE_CACHE: dict[tuple, str] = {}
 
 
 def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -232,6 +232,24 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
 
         stage = tempfile.mkdtemp(prefix="st_events_")
         load_table(spark, sf_dir, "events").coalesce(1).write \
+            .mode("overwrite").parquet(stage)
+        _STREAM_STAGE_CACHE[key] = stage
+    return stage
+
+
+def _staged_events_multifile_dir(spark: SparkSession, sf_dir: str,
+                                 n_files: int = 6) -> str:
+    """6-file staging of the events table: with maxFilesPerTrigger=2 the
+    availableNow run executes THREE micro-batches, so multi-batch state
+    maintenance (the KMV sketch merge) is actually exercised — the
+    single-file staging above collapses every stream to one batch."""
+    key = (spark.sparkContext.applicationId, sf_dir, "multi")
+    stage = _STREAM_STAGE_CACHE.get(key)
+    if stage is None:
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="st_events_multi_")
+        load_table(spark, sf_dir, "events").repartition(n_files).write \
             .mode("overwrite").parquet(stage)
         _STREAM_STAGE_CACHE[key] = stage
     return stage
@@ -501,6 +519,77 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.table(name).groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
                  F.expr("max_by(total_q1e6, n_events)").alias("total_q1e6")))
+
+
+@_q("st_kmv_stream", """
+WITH h AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM events
+), ku AS (SELECT h FROM h ORDER BY h LIMIT 256),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth FROM ku),
+ex AS (
+  SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS exact_ids
+  FROM events
+), est AS (
+  SELECT m.n_kept,
+    CAST(CASE WHEN m.n_kept < 256 THEN m.n_kept
+         ELSE floor(1152921504606846976.0 * 255 / m.kth + 0.5) END
+         AS BIGINT) AS kmv_est,
+    ex.exact_ids
+  FROM m, ex
+)
+SELECT n_kept, kmv_est, exact_ids,
+  CAST((abs(kmv_est - exact_ids) * 10000) // exact_ids AS BIGINT)
+    AS err_bp
+FROM est
+""")
+def st_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming KMV distinct estimation, HASH-ORACLED — the
+    streaming form of q_kmv_distinct: a 6-file staging streamed at
+    maxFilesPerTrigger=2 (THREE genuine micro-batches), each batch's
+    k=256 smallest distinct event_id hashes merged into a persistent
+    ≤k-row parquet state by union + re-top-k
+    (streaming/streamx.kmv_stream_sketch). Min-k merging is associative
+    and commutative, so the final sketch is INDEPENDENT of micro-batch
+    boundaries and arrival order — the oracle restates the whole run as
+    the batch KMV over events, and the estimate (with its hash-pinned
+    basis-point error vs the exact distinct) must land exactly where the
+    batch twin lands. At 100 TB/day this is the shape that answers
+    "how many distinct ids so far" from k rows of state instead of an
+    unbounded dropDuplicates state store."""
+    import tempfile
+    import uuid
+
+    from multiagent_document_etl_system_spark.streaming import streamx
+
+    stage = _staged_events_multifile_dir(spark, sf_dir)
+    stream = streamx.read_event_stream(spark, stage,
+                                       max_files_per_trigger=2)
+    run_id = uuid.uuid4().hex[:8]
+    state_dir = tempfile.mkdtemp(prefix=f"st_kmv_state_{run_id}_")
+    checkpoint = tempfile.mkdtemp(prefix=f"st_kmv_ckpt_{run_id}_")
+    streamx.kmv_stream_sketch(stream, state_dir, checkpoint, k=256,
+                              key_col="event_id")
+
+    k = 256
+    m = (spark.read.parquet(state_dir)
+         .agg(F.count("*").cast("bigint").alias("n_kept"),
+              F.max("h").alias("kth")))
+    ex = (spark.read.parquet(stage)
+          .agg(F.countDistinct("event_id").cast("bigint")
+               .alias("exact_ids")))
+    est = m.crossJoin(F.broadcast(ex)).withColumn(
+        "kmv_est",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(F.floor(F.lit(1152921504606846976.0) * (k - 1)
+                           / F.col("kth") + F.lit(0.5)))
+        .cast("bigint"))
+    return est.select(
+        "n_kept", "kmv_est", "exact_ids",
+        F.expr("CAST((abs(kmv_est - exact_ids) * 10000)"
+               " div exact_ids AS BIGINT)").alias("err_bp"))
 
 
 @_q("mm_decode_features", None)

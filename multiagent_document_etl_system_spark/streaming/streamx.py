@@ -343,3 +343,45 @@ def write_foreach_batch(df: DataFrame, checkpoint: str, batch_fn):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def kmv_stream_sketch(stream: DataFrame, state_dir: str, checkpoint: str,
+                      k: int = 256, key_col: str = "event_id"):
+    """Maintain a KMV distinct sketch over an unbounded stream — the
+    streaming form of q_kmv_distinct's estimator: each micro-batch
+    contributes its k smallest distinct 60-bit hashes, merged into a
+    persistent k-row parquet state by union + re-top-k. Min-k merging is
+    ASSOCIATIVE and COMMUTATIVE, so the final sketch is independent of
+    micro-batch boundaries and arrival order — which is what makes the
+    streaming run hash-oracleable against the batch twin, and what makes
+    re-processing a batch after a checkpoint gap a no-op (exactly-once
+    via idempotent merge, the foreachBatch contract; pinned by the
+    replay test in tests/test_streaming.py).
+
+    State is ≤ k rows no matter how much data streams through — the
+    whole point of sketching a 100 TB/day stream. Two BOUNDED collects
+    per batch (batch sketch ≤ k, prior state ≤ k); the merge itself is
+    driver-side set arithmetic on ≤ 2k longs.
+    """
+    import os
+
+    from multiagent_document_etl_system_spark.operators.dedup import hash64
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sk = (batch_df
+              .select(hash64(F.col(key_col).cast("string")).alias("h"))
+              .distinct().orderBy("h").limit(k))
+        batch_hashes = [r["h"] for r in sk.collect()]       # ≤ k rows
+        prior: list[int] = []
+        if os.path.isdir(state_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(state_dir)):
+            prior = [r["h"] for r in
+                     spark.read.parquet(state_dir).collect()]  # ≤ k rows
+        merged = sorted(set(prior) | set(batch_hashes))[:k]
+        spark.createDataFrame([(h,) for h in merged], "h long") \
+            .coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = write_foreach_batch(stream, checkpoint, merge)
+    q.awaitTermination()
+    return q

@@ -376,3 +376,35 @@ def test_st_user_profile_tws_registry_oracle(spark, duck):
     assert "st_user_profile_tws" not in ENV_GATED_REASONS
     assert "st_user_profile_tws" in _QUEUED_FOR_R12
     driver_compare(spark, duck, "st_user_profile_tws")
+
+
+def test_kmv_stream_sketch_replay_is_idempotent(spark, events_dir):
+    """Streaming KMV (st_kmv_stream's operator): (1) the multi-batch
+    streamed sketch equals the batch sketch EXACTLY (min-k merge is
+    order/boundary-insensitive); (2) replaying the whole stream into the
+    SAME state with a FRESH checkpoint (the lost-checkpoint recovery
+    scenario) leaves the state unchanged — exactly-once via idempotent
+    merge, not via offset bookkeeping."""
+    import tempfile
+
+    from multiagent_document_etl_system_spark.operators.dedup import hash64
+
+    k = 256
+    state = tempfile.mkdtemp(prefix="kmv_state_")
+
+    def run_once():
+        stream = streamx.read_event_stream(spark, events_dir,
+                                           max_files_per_trigger=1)
+        ckpt = tempfile.mkdtemp(prefix="kmv_ckpt_")
+        streamx.kmv_stream_sketch(stream, state, ckpt, k=k,
+                                  key_col="event_id")
+        return sorted(r["h"] for r in spark.read.parquet(state).collect())
+
+    first = run_once()
+    batch = sorted(r["h"] for r in (
+        spark.read.parquet(events_dir)
+        .select(hash64(F.col("event_id").cast("string")).alias("h"))
+        .distinct().orderBy("h").limit(k).collect()))
+    assert first == batch          # stream == batch, element for element
+    second = run_once()            # full replay, fresh checkpoint
+    assert second == first         # idempotent merge: state unchanged
