@@ -172,6 +172,17 @@ HEADLINE = [
     # grid-PQ ADC retrieval (fit collects at build ⇒ rebuild-per-rep)
     "s12_avro_typed_roundtrip",
     "v18_pq_adc_topk",
+    # late-r12 sketch family: KMV distinct (WindowGroupLimit partial
+    # top-k), sketch set-ops (TakeOrdered per-set top-k + 2k-row merge),
+    # hash-sampled percentiles. st_kmv_stream is deliberately NOT here:
+    # its wall time is ~16-24 s of fixed availableNow micro-batch
+    # machinery, flat in data size (SCALE.md late-r12 probe, exp ~0) —
+    # benching it would add a noisy constant that measures the streaming
+    # harness, not the engine; st_incremental_ingest already represents
+    # the foreachBatch family
+    "q_kmv_distinct",
+    "q_kmv_setops",
+    "q_sampled_percentile",
 ]
 
 
@@ -217,7 +228,13 @@ REBUILD_PER_REP = {"td_prepare_corpus_v2", "td_prepare_corpus_v3",
                    # every query whose plan build runs it: the codes
                    # map, the ADC rung, and the recall matrix
                    "v17_pq_codes", "v18_pq_adc_topk",
-                   "v21_recall_matrix"}
+                   "v21_recall_matrix",
+                   # the grid-IVF rungs run the same build-time fits
+                   # (late r12; not in HEADLINE, listed for ab/probe
+                   # tools that import this set)
+                   "v8_ivf_topk", "v19_ivfpq_topk",
+                   # the streaming sketch run executes at build time
+                   "st_kmv_stream"}
 
 
 # Host-contention calibration: a fixed reference query (q_global_topk — a

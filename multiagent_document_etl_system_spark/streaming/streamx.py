@@ -361,7 +361,11 @@ def kmv_stream_sketch(stream: DataFrame, state_dir: str, checkpoint: str,
     State is ≤ k rows no matter how much data streams through — the
     whole point of sketching a 100 TB/day stream. Two BOUNDED collects
     per batch (batch sketch ≤ k, prior state ≤ k); the merge itself is
-    driver-side set arithmetic on ≤ 2k longs.
+    driver-side set arithmetic on ≤ 2k longs. The per-batch distinct
+    shuffle is pinned to 8 partitions for the run (the run_to_memory
+    precedent: each micro-batch is a slice of the input, so a wide
+    shuffle buys nothing and the per-partition bookkeeping dominates
+    small batches; conf saved/restored around the run).
     """
     import os
 
@@ -382,6 +386,13 @@ def kmv_stream_sketch(stream: DataFrame, state_dir: str, checkpoint: str,
         spark.createDataFrame([(h,) for h in merged], "h long") \
             .coalesce(1).write.mode("overwrite").parquet(state_dir)
 
-    q = write_foreach_batch(stream, checkpoint, merge)
-    q.awaitTermination()
+    spark = stream.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        q = write_foreach_batch(stream, checkpoint, merge)
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, old)
     return q
