@@ -265,7 +265,7 @@ def test_recall_matrix_shape_and_bounds(spark):
             QUERIES["v21_recall_matrix"][0](
                 spark, "/root/testdata/sf0.001").collect()}
     assert set(rows) == {"binary_hamming", "lsh", "lsh_multiprobe",
-                         "matryoshka16"}
+                         "matryoshka16", "pq_grid_adc100"}
     for r in rows.values():
         assert 0 <= r.n_hits <= r.n_exact
         assert 0 <= r.recall_q1e4 <= 10_000

@@ -77,6 +77,11 @@ BNLJ_OK = {
     # (threshold, global avg, time bounds, codebook, corpus totals)
     "q11_important_share", "q22_dormant_balances", "q_resample_gapfill",
     "td_domain_mix", "v18_pq_adc_topk",
+    # late-r12 sketch family: the broadcast sides are a one-row sketch/
+    # exact aggregate (q_kmv_setops: m / ex / exi) and the 3-row literal
+    # percentile relation + per-group count (q_sampled_percentile) —
+    # constant-size at any SF
+    "q_kmv_setops", "q_sampled_percentile",
 }
 
 #: Global-sort-of-an-unreduced-relation sanctions. Every entry must name
