@@ -95,7 +95,8 @@ def _best_struct(xq_col, book: list[list[int]], s: int, width: int):
 def pq_grid_fit(df: DataFrame, dim: int, n_subspaces: int = 4,
                 n_codes: int = 16, n_iters: int = 3,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                grid: int = GRID) -> list[list[list[int]]]:
+                grid: int = GRID,
+                pre_gridded: bool = False) -> list[list[list[int]]]:
     """The deterministic grid-Lloyd codebook fit (module docstring).
     Returns integer codebooks as plain lists so assignment/scoring plans
     take them as literals. Two bounded collect sites:
@@ -103,12 +104,18 @@ def pq_grid_fit(df: DataFrame, dim: int, n_subspaces: int = 4,
     - the anchor rows: ≤ n_subspaces*n_codes rows (64 here);
     - per (iteration, subspace): the per-code sum/count aggregate,
       ≤ n_codes rows (16 here) — 3×4 = 12 tiny aggregates total.
+
+    ``pre_gridded=True`` takes ``vec_col`` as ALREADY-integer grid
+    vectors (e.g. coarse residuals: gridded vector minus integer
+    centroid) and skips normalization+snapping — integer in, integer
+    out, so residual-space fits stay exactly restatable.
     """
     width = dim // n_subspaces
     assert width * n_subspaces == dim, "dim must split evenly"
     cap = ivf_fit_cap(n_codes)
-    samp = (df.select(F.col(id_col).alias("_id"),
-                      grid_vec(vec_col, grid).alias("_xq"))
+    xq = (F.transform(F.col(vec_col), lambda x: x.cast("bigint"))
+          if pre_gridded else grid_vec(vec_col, grid))
+    samp = (df.select(F.col(id_col).alias("_id"), xq.alias("_xq"))
             .orderBy("_id").limit(cap).persist())
     try:
         # anchored init — BOUNDED collect: ≤ n_subspaces*n_codes rows
@@ -157,15 +164,17 @@ def pq_grid_fit(df: DataFrame, dim: int, n_subspaces: int = 4,
 def pq_grid_codes(df: DataFrame, dim: int,
                   codebooks: list[list[list[int]]],
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  grid: int = GRID) -> DataFrame:
+                  grid: int = GRID, pre_gridded: bool = False) -> DataFrame:
     """Corpus-wide assignment against literal integer codebooks — one
     narrow map, no shuffle, no Python. Output: (id, codes array<int>,
     err_sq_grid BIGINT = Σ per-subspace min squared grid distance — the
     exact-integer reconstruction audit, the grid twin of pq_codes'
-    err_q)."""
+    err_q). ``pre_gridded`` as in :func:`pq_grid_fit`."""
     n_subspaces = len(codebooks)
     width = dim // n_subspaces
-    base = df.select(F.col(id_col), grid_vec(vec_col, grid).alias("_xq"))
+    xq = (F.transform(F.col(vec_col), lambda x: x.cast("bigint"))
+          if pre_gridded else grid_vec(vec_col, grid))
+    base = df.select(F.col(id_col), xq.alias("_xq"))
     staged = base.select(
         id_col,
         *[_best_struct(F.col("_xq"), book, s, width).alias(f"_best{s}")
@@ -259,21 +268,30 @@ def pq_grid_fit_ctes(table: str = "embeddings", id_col: str = "vec_id",
                      vec_col: str = "embedding", dim: int = 64,
                      n_subspaces: int = 4, n_codes: int = 16,
                      n_iters: int = 3, grid: int = GRID,
-                     prefix: str = "pq") -> tuple[str, str]:
+                     prefix: str = "pq",
+                     gv_src: str | None = None) -> tuple[str, str]:
     """CTE chain restating the ENTIRE deterministic fit + corpus
     assignment: (ctes_text, final_book_name). Downstream clauses read
     ``{prefix}_gv`` (gridded vectors) and ``{prefix}_codes``
     (vid, s, c, d). ``prefix`` namespaces the CTEs so two independent
     fits (e.g. v19's coarse quantizer + PQ codebooks) compose in one
-    WITH; the default keeps the v17/v18 SQL byte-identical."""
+    WITH; the default keeps the v17/v18 SQL byte-identical. ``gv_src``
+    names an EXISTING (vid, xq) CTE to fit over instead of gridding
+    ``table`` — the SQL form of pq_grid_fit's ``pre_gridded`` (residual
+    fits)."""
     width = dim // n_subspaces
     cap = ivf_fit_cap(n_codes)
     p = prefix
-    parts = [f"""{p}_raw AS (
+    head = (f"""{p}_gv AS (
+  SELECT vid, xq FROM {gv_src}
+), {p}_samp AS ("""
+            if gv_src is not None else
+            f"""{p}_raw AS (
   SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v FROM {table}
 ), {p}_gv AS (
   SELECT vid, {_gv_sql(grid)} AS xq FROM {p}_raw
-), {p}_samp AS (
+), {p}_samp AS (""")
+    parts = [head + f"""
   SELECT vid, xq, row_number() OVER (ORDER BY vid) - 1 AS r
   FROM (SELECT * FROM {p}_gv ORDER BY vid LIMIT {cap})
 ), {p}_nsamp AS (SELECT count(*) AS n FROM {p}_samp),
@@ -505,6 +523,97 @@ def ivfpq_grid_topk(queries: DataFrame, candidates: DataFrame, dim: int,
                         c_id=c_id, q_vec=q_vec, c_vec=c_vec)
 
 
+def ivfpq_grid_residual_topk(queries: DataFrame, candidates: DataFrame,
+                             dim: int, k: int = 5, n_cells: int = 16,
+                             n_probe: int = 4, n_subspaces: int = 4,
+                             n_codes: int = 16, n_iters: int = 3,
+                             k_adc: int = 100, grid: int = GRID,
+                             q_id: str = "q_id", c_id: str = "c_id",
+                             q_vec: str = "q_vec",
+                             c_vec: str = "c_vec") -> DataFrame:
+    """RESIDUAL-encoding grid IVF-PQ — the textbook FAISS IVFPQ form
+    (Jégou et al. 2011) with every stage still inside the oracle: PQ
+    codes encode ``x − centroid(cell(x))`` instead of ``x``. Within a
+    cell the residual distribution is tighter than the raw one, so the
+    same code budget reconstructs finer. On the INTEGER grid the
+    residual is exact (gridded vector minus integer centroid — BIGINT
+    in, BIGINT out, via ``pre_gridded``), so unlike the float kernel
+    (similarity.ivfpq_topk residual=True) the residual form here keeps
+    the FULL hash oracle (:func:`ivfpq_grid_residual_topk_sql`).
+
+    Query side: the ADC distance table is per (query, probed cell) —
+    the query's residual AGAINST THAT CELL's centroid — which is the
+    structural cost of residual encoding (n_probe tables per query
+    instead of one); the table count is still query-side-bounded, never
+    corpus-scale. Candidate codes join on the cell AND score against
+    the matching (query, cell) table."""
+    coarse = pq_grid_fit(candidates, dim, n_subspaces=1, n_codes=n_cells,
+                         n_iters=n_iters, id_col=c_id, vec_col=c_vec,
+                         grid=grid)
+    centers_lit = F.array(*[
+        F.array(*[F.lit(x) for x in ctr]) for ctr in coarse[0]])
+    c_gv = candidates.select(F.col(c_id),
+                             grid_vec(c_vec, grid).alias("_xq"))
+    cells = pq_grid_codes(candidates, dim, coarse, id_col=c_id,
+                          vec_col=c_vec, grid=grid) \
+        .select(c_id, F.col("codes")[0].alias("_cell"))
+    resid = (c_gv.join(cells, c_id).select(
+        c_id, "_cell",
+        F.zip_with("_xq", F.element_at(centers_lit, F.col("_cell") + 1),
+                   lambda a, b: a - b).alias("_rv")))
+    # LINEAGE CUT (the pipeline-staging lesson, SCALE.md): _rv embeds
+    # the 1k-literal centroid array + the coarse argmin tree; the PQ
+    # fit/codes below reference it n_subspaces·n_codes times and
+    # Catalyst INLINES each reference — without materializing here the
+    # expression tree goes combinatorial and analysis/codegen hangs.
+    # One narrow (id, cell, residual) materialization, linear cost.
+    resid = resid.localCheckpoint(eager=True)
+    books = pq_grid_fit(resid, dim, n_subspaces=n_subspaces,
+                        n_codes=n_codes, n_iters=n_iters, id_col=c_id,
+                        vec_col="_rv", grid=grid, pre_gridded=True)
+    cand = pq_grid_codes(resid, dim, books, id_col=c_id, vec_col="_rv",
+                         grid=grid, pre_gridded=True) \
+        .select(c_id, "codes").join(resid.select(c_id, "_cell"), c_id)
+
+    width = dim // n_subspaces
+    q_gv = queries.select(F.col(q_id), grid_vec(q_vec, grid).alias("_xq"))
+    probed = _probe_cells(q_gv, coarse[0], n_probe, q_id)
+    q_rv = probed.select(
+        q_id, "_cell",
+        F.zip_with("_xq", F.element_at(centers_lit, F.col("_cell") + 1),
+                   lambda a, b: a - b).alias("_rv"))
+    # same lineage cut for the query residuals (Q·n_probe rows — tiny
+    # data, but the 64 distance-table references would inline the same
+    # combinatorial tree)
+    q_rv = q_rv.localCheckpoint(eager=True)
+    tables = []
+    for book in books:
+        book_lit = F.array(*[
+            F.array(*[F.lit(x) for x in ctr]) for ctr in book])
+        s = len(tables)
+        sub = F.slice("_rv", s * width + 1, width)
+        tables.append(F.transform(
+            book_lit,
+            lambda ctr: F.aggregate(
+                F.zip_with(sub, ctr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"), lambda acc, x: acc + x)))
+    probes = q_rv.select(q_id, "_cell", F.array(*tables).alias("_dt"))
+
+    pairs = cand.join(F.broadcast(probes), "_cell") \
+        .filter(F.col(q_id) != F.col(c_id))
+    dist = None
+    for s in range(n_subspaces):
+        term = F.element_at(F.element_at("_dt", s + 1),
+                            F.col("codes")[s] + 1)
+        dist = term if dist is None else dist + term
+    pre = pairs.select(q_id, c_id, dist.cast("bigint").alias("adc_d"))
+    w = Window.partitionBy(q_id).orderBy(F.asc("adc_d"), F.asc(c_id))
+    pre = pre.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k_adc).select(q_id, c_id)
+    return exact_rerank(pre, queries, candidates, k=k, q_id=q_id,
+                        c_id=c_id, q_vec=q_vec, c_vec=c_vec)
+
+
 def _probe_sql(book: str, dim: int, n_probe: int,
                query_src: str = "iv_q") -> str:
     """The query-probing CTE pair: full-width distance to every coarse
@@ -554,6 +663,72 @@ iv_pre AS (
   SELECT p.q_id, cc.vid AS c_id
   FROM iv_probe p JOIN cq_codes cc ON cc.c = p.cell
   WHERE cc.vid <> p.q_id
+), {_picks_sql(k, 'iv_pre')}
+"""
+
+
+def ivfpq_grid_residual_topk_sql(query_filter: str = "vid % 100 = 0",
+                                 k: int = 5, n_cells: int = 16,
+                                 n_probe: int = 4, n_subspaces: int = 4,
+                                 n_codes: int = 16, k_adc: int = 100,
+                                 table: str = "embeddings",
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 dim: int = 64, n_iters: int = 3,
+                                 grid: int = GRID) -> str:
+    """DuckDB twin of :func:`ivfpq_grid_residual_topk`: the coarse
+    chain, an integer residual CTE, the PQ chain refit over residuals
+    (``gv_src``), per-(query, probed-cell) residual distance tables
+    keyed by the synthetic ``q_id·n_cells + cell`` id, cell-matched ADC,
+    exact rerank."""
+    cq_ctes, cq_book = pq_grid_fit_ctes(table=table, id_col=id_col,
+                                        vec_col=vec_col, dim=dim,
+                                        n_subspaces=1, n_codes=n_cells,
+                                        n_iters=n_iters, grid=grid,
+                                        prefix="cq")
+    pq_ctes, pq_book = pq_grid_fit_ctes(dim=dim,
+                                        n_subspaces=n_subspaces,
+                                        n_codes=n_codes, n_iters=n_iters,
+                                        grid=grid, prefix="pq",
+                                        gv_src="rs_src")
+    width = dim // n_subspaces
+    return f"""
+WITH {cq_ctes},
+rs_src AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: the PQ chain references this CTE
+  -- once per fit stage, and DuckDB would otherwise INLINE (recompute)
+  -- the whole coarse chain inside every reference — the SQL twin of
+  -- the Spark side's localCheckpoint lineage cut
+  SELECT g.vid,
+    list_transform(range(1, {dim + 1}), i -> g.xq[i] - b.ctr[i]) AS xq
+  FROM cq_gv g JOIN cq_codes cc ON cc.vid = g.vid
+       JOIN {cq_book} b ON b.s = 0 AND b.c = cc.c
+),
+{pq_ctes},
+iv_q AS (SELECT vid, xq FROM cq_gv WHERE {query_filter}),
+{_probe_sql(cq_book, dim, n_probe)},
+iv_qrs AS (
+  SELECT p.q_id * {n_cells} + p.cell AS vid,
+    list_transform(range(1, {dim + 1}), i -> g.xq[i] - b.ctr[i]) AS xq
+  FROM iv_probe p JOIN iv_q g ON g.vid = p.q_id
+       JOIN {cq_book} b ON b.s = 0 AND b.c = p.cell
+),
+pq_qdt AS {_asg_sql('iv_qrs', pq_book, 'qc_id', width)},
+iv_adc AS (
+  SELECT t.qc_id // {n_cells} AS q_id, k.vid AS c_id,
+    CAST(sum(t.d) AS BIGINT) AS adc_d
+  FROM pq_codes k
+  JOIN cq_codes cc ON cc.vid = k.vid
+  JOIN pq_qdt t ON (t.qc_id % {n_cells}) = cc.c
+                AND t.s = k.s AND t.c = k.c
+  WHERE k.vid <> t.qc_id // {n_cells}
+  GROUP BY 1, 2
+), iv_pre AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+      row_number() OVER (PARTITION BY q_id
+                         ORDER BY adc_d ASC, c_id ASC) AS rn
+    FROM iv_adc) WHERE rn <= {k_adc}
 ), {_picks_sql(k, 'iv_pre')}
 """
 

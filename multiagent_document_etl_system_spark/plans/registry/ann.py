@@ -912,5 +912,35 @@ def v6_namespace_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("v27_ivfpq_residual", pq_grid.ivfpq_grid_residual_topk_sql(
+    query_filter="vid % 100 = 0", k=5, n_cells=16, n_probe=4, k_adc=100))
+def v27_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoding IVF-PQ, HASH-ORACLED (late r12) — the textbook
+    FAISS IVFPQ form (Jégou et al. 2011) completing the grid family: PQ
+    codes encode x − centroid(cell(x)), refit over INTEGER residuals
+    (gridded vector minus integer centroid — exact, so the residual form
+    keeps the full oracle the float kernel's residual path cannot have).
+    The query side builds one distance table per (query, probed cell)
+    from the query's residual in that cell — residual encoding's
+    structural cost, still query-side-bounded. v19 keeps the raw
+    (non-residual) form, so raw-vs-residual is a hash-pinned
+    side-by-side: measured recall@5 at sf0.01 residual 0.80 vs raw 0.76
+    (5 queries), at fixture scale 0.576 vs 0.584 over 50 queries — a
+    WASH on this ISOTROPIC corpus, exactly as theory predicts (residual
+    gains need clustered data; isotropic is PQ's documented worst
+    case). Two lineage cuts ride inside (localCheckpoint on the
+    residual columns; MATERIALIZED on the oracle's rs_src CTE) — both
+    sides otherwise recompute the coarse chain combinatorially
+    (operator docstring)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_vec"))
+    out = pq_grid.ivfpq_grid_residual_topk(q, c, dim=64, k=5, n_cells=16,
+                                           n_probe=4, k_adc=100)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # ================================================================== dedup
 

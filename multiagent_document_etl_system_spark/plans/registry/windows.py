@@ -528,7 +528,8 @@ _DRIVER_WINDOW_R12 = [
 #: (shim-less, the s12/s13 add-time mechanism) so its mid-dict slice
 #: position is frozen like every other name's.
 _QUEUED_FOR_R13: list[str] = ["q_kmv_distinct", "q_kmv_setops",
-                              "q_sampled_percentile", "st_kmv_stream"]
+                              "q_sampled_percentile", "st_kmv_stream",
+                              "v27_ivfpq_residual"]
 
 
 def _driver_ordered(q: dict) -> dict:

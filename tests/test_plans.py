@@ -360,10 +360,10 @@ _WORKLOAD_BOUNDED_HINTS = {
     "v2_cosine_topk", "v3_filtered_topk", "v4_top1_argmax",
     "v5_fallback_cascade", "v10_ann_recall", "v12_topk_auto",
     "v16_matryoshka_topk", "v18_pq_adc_topk", "v19_ivfpq_topk",
-    # v8's broadcast side is the probed QUERY set (the v2-family
+    # v8/v27's broadcast side is the probed QUERY set (the v2-family
     # workload-bounded argument: queries × n_probe rows, never the
-    # corpus) — late-r12 grid conversion added the explicit hint
-    "v8_ivf_topk",
+    # corpus) — late-r12 grid conversion/addition added the hints
+    "v8_ivf_topk", "v27_ivfpq_residual",
     "v20_binary_hamming_topk", "v21_recall_matrix",
     "td_decontaminate", "td_curation_funnel",
     "td_semantic_decontaminate",

@@ -6,7 +6,7 @@ and at each post-pin query add,
 255 names at the r12 pin: the R12 reorder + the r11 Avro adds + the
 r12 s12/s13 tail), the per-module size bound the verdict set (~1,500
 lines), and the dynamic re-export of the one module global that rebinds
-at run time. 259 names since the late-r12 sketch-family adds (events/streaming
+at run time. 260 names since the late-r12 sketch-family + v27 adds (events/streaming/ann
 slice, mid-dict — snapshot regenerated at add time, the s12/s13
 mechanism)."""
 
