@@ -232,7 +232,7 @@ REBUILD_PER_REP = {"td_prepare_corpus_v2", "td_prepare_corpus_v3",
                    # the grid-IVF rungs run the same build-time fits
                    # (late r12; not in HEADLINE, listed for ab/probe
                    # tools that import this set)
-                   "v8_ivf_topk", "v19_ivfpq_topk",
+                   "v8_ivf_topk", "v19_ivfpq_topk", "v27_ivfpq_residual",
                    # the streaming sketch run executes at build time
                    "st_kmv_stream"}
 

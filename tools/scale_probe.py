@@ -76,7 +76,7 @@ REBUILD_PER_REP = {"td_curation_funnel", "td_prepare_corpus_v2",
                    # REBUILD_PER_REP has the same entries) — rebuilding
                    # keeps the fit inside the measurement
                    "v17_pq_codes", "v18_pq_adc_topk", "v21_recall_matrix",
-                   "v8_ivf_topk", "v19_ivfpq_topk",
+                   "v8_ivf_topk", "v19_ivfpq_topk", "v27_ivfpq_residual",
                    # the streaming sketch run executes at build time
                    "st_kmv_stream"}
 
