@@ -95,11 +95,15 @@ def main() -> int:
         # exactly what the external driver checks: the pinned head
         names += list(QUERIES)[:50]
     if queued:
-        # queries added after the window pin (next round's rotation)
+        # queries added after the window pin (next round's rotation) —
+        # resolve the HIGHEST-numbered _QUEUED_FOR_R* list so the flag
+        # tracks the current round without a per-round edit here
         from multiagent_document_etl_system_spark.plans.registry import (
-            _QUEUED_FOR_R12,
+            windows as _w,
         )
-        names += [n for n in _QUEUED_FOR_R12 if n in QUERIES]
+        latest = max((n for n in dir(_w) if n.startswith("_QUEUED_FOR_R")),
+                     key=lambda n: int(n.rsplit("R", 1)[1]))
+        names += [n for n in getattr(_w, latest) if n in QUERIES]
     names = names or list(QUERIES)
 
     if vanilla:
