@@ -120,6 +120,9 @@ FLOAT_ALLOWLIST: dict[str, list[str]] = {
     # shares the grid but is exempt below like every streaming query)
     "v22_ann_index_topk": ["score"],
     "v8_ivf_topk": ["score"],
+    # late-r12 residual IVFPQ: same round(cosine, 4) rerank grid as the
+    # other ANN rungs (hash-oracled, so the grid is cross-engine-proven)
+    "v27_ivfpq_residual": ["score"],
 }
 
 
