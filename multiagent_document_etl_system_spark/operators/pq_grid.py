@@ -58,7 +58,6 @@ from multiagent_document_etl_system_spark.operators.similarity import (
     cosine_sql,
     exact_rerank,
     ivf_fit_cap,
-    norm,
 )
 
 GRID = 10_000
@@ -67,12 +66,24 @@ GRID = 10_000
 def grid_vec(vec_col: str, grid: int = GRID) -> Column:
     """L2-normalize, then snap each element to the 1/grid integer grid
     (BIGINT). Zero vectors snap to all-zero. Exactly restated in SQL by
-    :func:`_gv_sql`."""
+    :func:`_gv_sql`.
+
+    The norm is bound via ``aggregate``'s *finish* lambda so the
+    squared-sum fold runs ONCE per row: referencing ``norm(v)`` inside
+    the per-element transform would re-evaluate the O(dim) fold for
+    every element — O(dim²) per row, measured 24× slower at 200k×64
+    (r12 optimization round). ``sqrt`` of the bound sum is the only
+    per-element extra, and the IEEE op sequence (x / sqrt(s) * grid
+    + 0.5, floor) is unchanged, so outputs are bit-identical."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    nrm = norm(v)
-    return F.when(nrm == 0,
-                  F.transform(v, lambda x: F.lit(0).cast("bigint"))) \
-        .otherwise(F.transform(v, lambda x: F.floor(x / nrm * grid + 0.5)))
+    return F.aggregate(
+        v, F.lit(0.0),
+        lambda s, x: s + x.cast("double") * x.cast("double"),
+        lambda s: F.when(
+            F.sqrt(s) == 0,
+            F.transform(v, lambda x: F.lit(0).cast("bigint")))
+        .otherwise(F.transform(
+            v, lambda x: F.floor(x / F.sqrt(s) * grid + 0.5))))
 
 
 def _best_struct(xq_col, book: list[list[int]], s: int, width: int):
@@ -99,66 +110,75 @@ def pq_grid_fit(df: DataFrame, dim: int, n_subspaces: int = 4,
                 pre_gridded: bool = False) -> list[list[list[int]]]:
     """The deterministic grid-Lloyd codebook fit (module docstring).
     Returns integer codebooks as plain lists so assignment/scoring plans
-    take them as literals. Two bounded collect sites:
+    take them as literals.
 
-    - the anchor rows: ≤ n_subspaces*n_codes rows (64 here);
-    - per (iteration, subspace): the per-code sum/count aggregate,
-      ≤ n_codes rows (16 here) — 3×4 = 12 tiny aggregates total.
+    ONE bounded collect site: the fit sample itself — ≤ ``cap`` rows of
+    ``dim`` BIGINTs (4096×64 ≈ 2 MB here; the same rows the previous
+    implementation held in executor cache). The anchored init and the
+    ``n_iters`` Lloyd steps then run on the DRIVER in exact int64 NumPy
+    (r12 optimization round): the old shape paid one Spark job per Lloyd
+    step (persist + anchor collect + n_iters staged aggregates ≈ 5 job
+    round-trips per fit) to aggregate a ≤4096-row sample — pure
+    job-scheduling overhead at any scale, since the sample is
+    cap-bounded by construction. Every arithmetic step is unchanged:
+    integer squared distances (|values| ≤ 2·grid ⇒ d ≤ 4·grid²·width
+    < 2^63, exact), argmin with the (d, c) tie-break (np.argmin returns
+    the FIRST minimum = smallest c), and the centroid update
+    ``floor(sum/count + 0.5)`` with one IEEE double division (int sums
+    ≤ cap·2·grid < 2^53 ⇒ the division operands are exact) — proven
+    book-identical to the Spark-side fit on sf0.001/sf0.01/sf0.1 for
+    raw, coarse, and pre-gridded inputs (tests/test_pq_grid.py).
 
     ``pre_gridded=True`` takes ``vec_col`` as ALREADY-integer grid
     vectors (e.g. coarse residuals: gridded vector minus integer
     centroid) and skips normalization+snapping — integer in, integer
     out, so residual-space fits stay exactly restatable.
     """
+    import numpy as np
+
     width = dim // n_subspaces
     assert width * n_subspaces == dim, "dim must split evenly"
     cap = ivf_fit_cap(n_codes)
     xq = (F.transform(F.col(vec_col), lambda x: x.cast("bigint"))
           if pre_gridded else grid_vec(vec_col, grid))
-    samp = (df.select(F.col(id_col).alias("_id"), xq.alias("_xq"))
-            .orderBy("_id").limit(cap).persist())
-    try:
-        # anchored init — BOUNDED collect: ≤ n_subspaces*n_codes rows
-        head = sorted(samp.orderBy("_id")
-                      .limit(n_subspaces * n_codes).collect(),
-                      key=lambda r: r["_id"])
-        if not head:
-            raise ValueError("pq_grid_fit: empty candidate set")
-        books = []
+    # BOUNDED collect: ≤ cap rows × dim ints (the fit sample; ~2 MB max)
+    rows = (df.select(F.col(id_col).alias("_id"), xq.alias("_xq"))
+            .orderBy("_id").limit(cap).collect())
+    rows.sort(key=lambda r: r["_id"])
+    if not rows:
+        raise ValueError("pq_grid_fit: empty candidate set")
+    mat = np.array([r["_xq"] for r in rows], dtype=np.int64)
+    n_samp = len(rows)
+    # anchored init: centroid (s, c) = subvector of the sample row with
+    # rank (s*n_codes + c) % n_samp by id — exactly the SQL twin's
+    # `samp.r = (s*n_codes + c) % nsamp` clause
+    books = [np.stack([mat[(s * n_codes + c) % n_samp,
+                           s * width:(s + 1) * width]
+                       for c in range(n_codes)])
+             for s in range(n_subspaces)]
+    for _ in range(n_iters):
+        nxt = []
         for s in range(n_subspaces):
-            books.append([
-                [int(x) for x in
-                 head[(s * n_codes + c) % len(head)]
-                 ["_xq"][s * width:(s + 1) * width]]
-                for c in range(n_codes)])
-
-        for _ in range(n_iters):
-            # all subspaces in ONE job: explode (s, subvector, code)
-            # structs, aggregate per (s, code). BOUNDED collect:
-            # ≤ n_subspaces*n_codes rows (one per live code)
-            staged = samp.select(F.explode(F.array(*[
-                F.struct(
-                    F.lit(s).alias("s"),
-                    F.slice("_xq", s * width + 1, width).alias("sub"),
-                    _best_struct(F.col("_xq"), books[s], s, width)
-                    .getField("c").alias("code"))
-                for s in range(n_subspaces)])).alias("x"))
-            agg = (staged.groupBy("x.s", "x.code")
-                   .agg(F.count("*").alias("n"),
-                        *[F.sum(F.col("x.sub")[i]).alias(f"s{i}")
-                          for i in range(width)])
-                   .collect())
-            # floor(sum/count + 0.5): exact integer sum, ONE IEEE
-            # division — the SQL twin states the identical expression
-            upd = {(int(r["s"]), int(r["code"])):
-                   [math.floor(r[f"s{i}"] / r["n"] + 0.5)
-                    for i in range(width)] for r in agg}
-            books = [[upd.get((s, c), books[s][c])
-                      for c in range(n_codes)]
-                     for s in range(n_subspaces)]
-    finally:
-        samp.unpersist()
-    return books
+            sub = mat[:, s * width:(s + 1) * width]
+            book = books[s]
+            diff = sub[:, None, :] - book[None, :, :]
+            d = np.einsum("ncw,ncw->nc", diff, diff)  # exact int64
+            code = d.argmin(axis=1)  # first min ⇒ (d ASC, c ASC)
+            nb = book.copy()  # empty codes keep their previous centroid
+            for c in range(n_codes):
+                mask = code == c
+                cnt = int(mask.sum())
+                if cnt:
+                    sums = sub[mask].sum(axis=0)
+                    # floor(sum/count + 0.5): exact integer sum, ONE
+                    # IEEE division — the SQL twin states the identical
+                    # expression
+                    nb[c] = np.array(
+                        [math.floor(int(sv) / cnt + 0.5) for sv in sums],
+                        dtype=np.int64)
+            nxt.append(nb)
+        books = nxt
+    return [[[int(x) for x in ctr] for ctr in book] for book in books]
 
 
 def pq_grid_codes(df: DataFrame, dim: int,

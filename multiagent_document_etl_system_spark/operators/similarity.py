@@ -263,11 +263,19 @@ def topk_auto(queries: DataFrame, candidates: DataFrame, dim: int,
 
 
 def l2_normalize(vec: Column) -> Column:
-    """Unit-normalize an array<float/double>; zero vectors pass through."""
-    n = norm(vec)
-    return F.when(n == 0, vec.cast("array<double>")).otherwise(
-        F.transform(vec, lambda x: x.cast("double") / n)
-    )
+    """Unit-normalize an array<float/double>; zero vectors pass through.
+
+    The squared-sum is bound via ``aggregate``'s *finish* lambda so the
+    O(dim) fold runs once per row — referencing ``norm(vec)`` inside the
+    per-element transform re-evaluates the fold per element, O(dim²) per
+    row (the grid_vec lesson, r12 optimization round). ``sqrt`` of the
+    bound sum per element is the only extra; the IEEE division sequence
+    is unchanged, so outputs are bit-identical."""
+    return F.aggregate(
+        vec, F.lit(0.0),
+        lambda s, x: s + x.cast("double") * x.cast("double"),
+        lambda s: F.when(F.sqrt(s) == 0, vec.cast("array<double>"))
+        .otherwise(F.transform(vec, lambda x: x.cast("double") / F.sqrt(s))))
 
 
 #: quantizer-fit sample budget per cell — production IVF trains the coarse

@@ -219,3 +219,67 @@ def test_v21_includes_the_grid_pq_rung(spark, duck):
     assert "pq_grid_adc100" in got
     assert got["pq_grid_adc100"] >= 7000  # 0.70 on the 1e-4 grid
     driver_compare(spark, duck, "v21_recall_matrix")
+
+def test_grid_vec_matches_naive_per_element_norm_form(spark):
+    """r12 optimization: grid_vec binds the squared-sum via aggregate's
+    finish lambda (O(dim) per row) instead of re-evaluating the norm
+    fold inside the per-element transform (O(dim²), measured 24× slower
+    at 200k×64). This pins bit-identical output against the naive form
+    it replaced — including the zero-vector branch."""
+    from multiagent_document_etl_system_spark.operators.similarity import (
+        norm,
+    )
+
+    def naive(vec_col, grid=pq_grid.GRID):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        nrm = norm(v)
+        return F.when(
+            nrm == 0, F.transform(v, lambda x: F.lit(0).cast("bigint"))) \
+            .otherwise(F.transform(v,
+                                   lambda x: F.floor(x / nrm * grid + 0.5)))
+
+    e = _emb(spark).select("vec_id", "embedding").unionAll(
+        spark.createDataFrame([(10**9, [0.0] * 64)],
+                              "vec_id bigint, embedding array<double>"))
+    n_bad = (e.select(pq_grid.grid_vec("embedding").alias("a"),
+                      naive("embedding").alias("b"))
+             .filter(F.col("a") != F.col("b")).count())
+    assert n_bad == 0
+
+
+def test_numpy_fit_matches_spark_side_lloyd_aggregates(spark):
+    """r12 optimization: the grid-Lloyd fit runs on the driver in exact
+    int64 NumPy after ONE bounded sample collect (was ~5 Spark job
+    round-trips per fit). This restates ONE Lloyd step the old way —
+    Spark-side integer argmin assignment + per-code sum/count aggregate,
+    floor(sum/count + 0.5) update — and pins book equality, so any
+    future drift between the driver arithmetic and the SQL-restatable
+    spec fails loudly."""
+    import math as _math
+
+    e = _emb(spark)
+    n_codes, width, dim = 16, 16, 64
+    b0 = pq_grid.pq_grid_fit(e, dim=dim, n_iters=0)
+    b1 = pq_grid.pq_grid_fit(e, dim=dim, n_iters=1)
+    cap = similarity.ivf_fit_cap(n_codes)
+    samp = (e.select(F.col("vec_id").alias("_id"),
+                     pq_grid.grid_vec("embedding").alias("_xq"))
+            .orderBy("_id").limit(cap))
+    staged = samp.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(s).alias("s"),
+            F.slice("_xq", s * width + 1, width).alias("sub"),
+            pq_grid._best_struct(F.col("_xq"), b0[s], s, width)
+            .getField("c").alias("code"))
+        for s in range(4)])).alias("x"))
+    agg = (staged.groupBy("x.s", "x.code")
+           .agg(F.count("*").alias("n"),
+                *[F.sum(F.col("x.sub")[i]).alias(f"s{i}")
+                  for i in range(width)])
+           .collect())
+    upd = {(int(r["s"]), int(r["code"])):
+           [_math.floor(r[f"s{i}"] / r["n"] + 0.5) for i in range(width)]
+           for r in agg}
+    expect = [[upd.get((s, c), b0[s][c]) for c in range(n_codes)]
+              for s in range(4)]
+    assert b1 == expect
