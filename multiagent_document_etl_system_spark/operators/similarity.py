@@ -1132,34 +1132,47 @@ def knn_graph_stats(vectors: DataFrame, dim: int, k: int = 3,
     Plan at 100 TB: the only shuffle of the vector set is the signature
     equi-join (uniform 2^n_planes-ary key — the embedding_near_pairs
     blocking argument); pair volume is O(Σ bucket²), never all-pairs.
-    Ranking is one row_number window per bucket-join output partition;
-    the mutual check joins the (ids-only, ≤ k·N rows) edge list with its
-    own transpose on the (id, id) key.
+    Ranking is one row_number window per bucket-join output partition.
+    The mutual check is a count window over the UNORDERED pair key
+    (least, greatest) — an edge is mutual iff its unordered pair holds
+    both directions (count == 2; directed pairs are unique by
+    construction). The r12 optimization round replaced the previous
+    edge-list × transpose self-join here: both of that join's inputs
+    re-derived the full LSH chain (signature join + per-pair cosine), so
+    the expensive chain executed TWICE per run; the window shape
+    shuffles the same ≤ k·N ids-only rows once and runs the chain once.
+    Norms are precomputed per ROW in the signature relation (the
+    topk_join convention) — computing them inside the pair expression
+    folds over each vector once per pair instead of once per row.
     """
     planes = hyperplanes(dim, n_planes, seed)
     sig = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-        lsh_signature(F.col(vec_col), planes).alias("_sig"))
+        lsh_signature(F.col(vec_col), planes).alias("_sig"),
+        norm(F.col(vec_col)).alias("_n"))
     a = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
-                   "_sig")
+                   F.col("_n").alias("_na"), "_sig")
     b = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
-                   "_sig")
+                   F.col("_n").alias("_nb"), "_sig")
+    # same IEEE op sequence as cosine(): sqrt per side, multiply, divide
+    denom = F.col("_na") * F.col("_nb")
+    score = F.when(denom == 0, F.lit(0.0)) \
+        .otherwise(dot(F.col("_va"), F.col("_vb")) / denom)
     pairs = (a.join(b, "_sig").filter(F.col("id_a") != F.col("id_b"))
              .select("id_a", "id_b",
-                     F.floor(cosine(F.col("_va"), F.col("_vb"))
-                             * F.lit(10000.0) + F.lit(0.5))
+                     F.floor(score * F.lit(10000.0) + F.lit(0.5))
                      .cast("long").alias("score_q")))
     w = Window.partitionBy("id_a").orderBy(F.desc("score_q"), F.asc("id_b"))
     edges = (pairs.withColumn("rank", F.row_number().over(w))
              .filter(F.col("rank") <= k))
-    rev = edges.select(F.col("id_a").alias("id_b"),
-                       F.col("id_b").alias("id_a"),
-                       F.lit(1).alias("_m"))
-    return (edges.join(rev, ["id_a", "id_b"], "left")
-            .groupBy("id_a")
+    wp = Window.partitionBy(F.least("id_a", "id_b"),
+                            F.greatest("id_a", "id_b"))
+    flagged = edges.withColumn(
+        "_m", F.when(F.count("*").over(wp) == 2, F.lit(1))
+        .otherwise(F.lit(0)))
+    return (flagged.groupBy("id_a")
             .agg(F.count("*").cast("bigint").alias("out_deg"),
-                 F.sum(F.coalesce(F.col("_m"), F.lit(0))).cast("bigint")
-                 .alias("mutual_deg"),
+                 F.sum("_m").cast("bigint").alias("mutual_deg"),
                  F.min(F.when(F.col("rank") == 1, F.col("id_b")))
                  .cast("bigint").alias("top1_id"))
             .select(F.col("id_a").alias(id_col), "out_deg", "mutual_deg",
@@ -1225,41 +1238,57 @@ def graph_pagerank(vectors: DataFrame, dim: int, k: int = 3,
     unrolled CTEs bit-for-bit.
 
     Plan at 100 TB: edge construction is the LSH-signature equi-join
-    (never all-pairs) + one self-join of the ids-only edge list; the edge
-    list (≤ k·N rows, 3 longs wide) is localCheckpointed ONCE and each of
-    the ``iters`` rounds is join(edges, ranks) → groupBy(dst) — shuffles
-    of ids-only rows on the same key, exactly the connected-components
-    shape (operators/dedup.py:462). Returns (id, deg, pr_q)."""
+    (never all-pairs); the mutual subgraph and the source degree are
+    derived in the SAME single pass — a count window over the unordered
+    pair key (least, greatest) keeps an edge iff both directions are
+    present (count == 2; directed pairs are unique by construction), and
+    a count window over src attaches deg. The (src, dst, deg) edge list
+    (≤ k·N rows, 3 longs wide) is localCheckpointed ONCE and every
+    downstream relation — deg, the rank init, and each of the ``iters``
+    rounds' join(edges, ranks) → groupBy(dst) — reads the checkpoint, so
+    the LSH chain executes exactly once per run. (Before the r12
+    optimization round the mutual check was an edge × transpose
+    self-join and deg/rank-init re-derived the un-checkpointed chain:
+    the signature join + per-pair cosine executed 3× per run.) Norms
+    are precomputed per ROW in the signature relation (the topk_join
+    convention). Returns (id, deg, pr_q)."""
     planes = hyperplanes(dim, n_planes, seed)
     sig = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-        lsh_signature(F.col(vec_col), planes).alias("_sig"))
+        lsh_signature(F.col(vec_col), planes).alias("_sig"),
+        norm(F.col(vec_col)).alias("_n"))
     a = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
-                   "_sig")
+                   F.col("_n").alias("_na"), "_sig")
     b = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
-                   "_sig")
+                   F.col("_n").alias("_nb"), "_sig")
+    # same IEEE op sequence as cosine(): sqrt per side, multiply, divide
+    denom = F.col("_na") * F.col("_nb")
+    score = F.when(denom == 0, F.lit(0.0)) \
+        .otherwise(dot(F.col("_va"), F.col("_vb")) / denom)
     pairs = (a.join(b, "_sig").filter(F.col("id_a") != F.col("id_b"))
              .select("id_a", "id_b",
-                     F.floor(cosine(F.col("_va"), F.col("_vb"))
-                             * F.lit(10000.0) + F.lit(0.5))
+                     F.floor(score * F.lit(10000.0) + F.lit(0.5))
                      .cast("long").alias("score_q")))
     w = Window.partitionBy("id_a").orderBy(F.desc("score_q"), F.asc("id_b"))
     edges = (pairs.withColumn("rank", F.row_number().over(w))
              .filter(F.col("rank") <= k).select("id_a", "id_b"))
-    rev = edges.select(F.col("id_a").alias("id_b"),
-                       F.col("id_b").alias("id_a"))
-    mutual = edges.join(rev, ["id_a", "id_b"], "semi") \
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    deg = mutual.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    wp = Window.partitionBy(F.least("id_a", "id_b"),
+                            F.greatest("id_a", "id_b"))
+    mutual = (edges.withColumn("_c", F.count("*").over(wp))
+              .filter(F.col("_c") == 2)
+              .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     # one edge relation carrying the source degree, reused every round —
-    # truncate lineage so the LSH join runs once, not `iters` times.
-    # repartition on src BEFORE the checkpoint: the checkpointed plan
-    # keeps its outputPartitioning, so each iteration's join(e, pr)
-    # re-shuffles only the (id, pr) rank rows and never the edge list
-    e = (mutual.join(deg, "src")
-         .select("src", "dst", "deg")
+    # truncate lineage so the LSH join runs once, not once per derived
+    # relation. repartition on src BEFORE the checkpoint: the
+    # checkpointed plan keeps its outputPartitioning, so each
+    # iteration's join(e, pr) re-shuffles only the (id, pr) rank rows
+    # and never the edge list
+    e = (mutual.withColumn(
+            "deg", F.count("*").over(Window.partitionBy("src"))
+            .cast("long"))
          .repartition("src")
          .localCheckpoint(eager=True))
+    deg = e.groupBy("src").agg(F.min("deg").alias("deg"))
     pr = deg.select(F.col("src").alias("id"),
                     F.lit(PR_SCALE).cast("long").alias("pr"))
     for _ in range(iters):

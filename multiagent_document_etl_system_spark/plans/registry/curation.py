@@ -286,12 +286,21 @@ def td_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     before max/threshold (the dedup_embedding_cosine convention), so the
     output is integers + booleans only."""
     emb = _emb(spark, sf_dir)
+    # norms precomputed per ROW on both sides (the topk_join convention;
+    # r12 optimization round): the cosine inside the pair expression
+    # folded over each vector once per (corpus, eval) pair — 3 O(dim)
+    # folds per pair — where one fold per row + one dot per pair
+    # suffices. Same IEEE op sequence (sqrt per side, multiply, divide),
+    # so the 1e-4-grid scores are bit-identical.
     ev = emb.filter(F.col("vec_id") % 90 == 8) \
-        .select(F.col("embedding").alias("_ev"))
-    corpus = emb.filter(F.col("vec_id") % 90 != 8)
-    sq = F.floor(
-        similarity.cosine(F.col("embedding"), F.col("_ev")) * 10000.0
-        + F.lit(0.5)).cast("bigint")
+        .select(F.col("embedding").alias("_ev"),
+                similarity.norm(F.col("embedding")).alias("_en"))
+    corpus = emb.filter(F.col("vec_id") % 90 != 8) \
+        .withColumn("_n", similarity.norm(F.col("embedding")))
+    denom = F.col("_n") * F.col("_en")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        similarity.dot(F.col("embedding"), F.col("_ev")) / denom)
+    sq = F.floor(cos * 10000.0 + F.lit(0.5)).cast("bigint")
     return (
         corpus.crossJoin(F.broadcast(ev))
         .groupBy("vec_id")

@@ -292,3 +292,35 @@ def test_countmin_matches_python_model(spark, token_lists):
     assert got == _cms_model(docs, d=2, w=8, probe_k=10)
     for f, est in got.values():
         assert est >= f  # one-sided CMS guarantee
+
+
+def test_mutual_edge_window_form_matches_transpose_join_form(spark):
+    """r12 optimization: knn_graph_stats / graph_pagerank detect mutual
+    edges with a count window over the unordered pair key (count == 2)
+    instead of joining the edge list with its own transpose — the join's
+    two inputs each re-derived the full LSH chain, so the expensive
+    signature-join + cosine scoring executed twice (v23) / three times
+    (v24) per run. This pins the rewrite rule itself: on any directed
+    edge set with unique (src, dst) pairs and src != dst, the two
+    formulations select the same mutual subset."""
+    import random
+    from pyspark.sql import Window
+
+    rng = random.Random(13)
+    rows = list({(rng.randrange(20), rng.randrange(20))
+                 for _ in range(120)})
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in rows if a != b], "id_a long, id_b long")
+
+    wp = Window.partitionBy(F.least("id_a", "id_b"),
+                            F.greatest("id_a", "id_b"))
+    new_form = {(r.id_a, r.id_b) for r in
+                edges.withColumn("_c", F.count("*").over(wp))
+                .filter(F.col("_c") == 2).select("id_a", "id_b").collect()}
+
+    rev = edges.select(F.col("id_a").alias("id_b"),
+                       F.col("id_b").alias("id_a"))
+    old_form = {(r.id_a, r.id_b) for r in
+                edges.join(rev, ["id_a", "id_b"], "semi").collect()}
+
+    assert new_form == old_form and len(new_form) > 0
