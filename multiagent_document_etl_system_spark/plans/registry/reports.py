@@ -774,6 +774,16 @@ def st_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.write.parquet(f"{corpus_dir}/epoch=-1")
     md5_idx.write.parquet(f"{idx_md5_dir}/epoch=-1")
     band_idx.write.parquet(f"{idx_band_dir}/epoch=-1")
+    # Read the day-start index BACK from the epoch=-1 files just written
+    # (r12 optimization round): the static index is referenced by every
+    # micro-batch's stream-static join, and a DataFrame reference
+    # re-executes its lineage per use — so each of the N micro-batches
+    # re-derived the CORPUS-WIDE md5 set and shingle/MinHash band chain
+    # from scratch (N+1 corpus scans per run). The parquet read-back is
+    # identical rows by construction (it IS the persisted index the
+    # docstring describes) and costs one file scan per batch.
+    md5_idx = spark.read.parquet(f"{idx_md5_dir}/epoch=-1")
+    band_idx = spark.read.parquet(f"{idx_band_dir}/epoch=-1")
 
     stream = (spark.readStream.schema(
         "doc_id bigint, text string, lang string, source string, "
