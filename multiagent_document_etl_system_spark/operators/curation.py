@@ -39,6 +39,7 @@ from multiagent_document_etl_system_spark.functions.numeric import (
     idiv_round_sql,
 )
 from multiagent_document_etl_system_spark.functions.text import tokens
+from multiagent_document_etl_system_spark.io import ensure_parallelism
 from multiagent_document_etl_system_spark.operators.dedup import (
     hash64,
     shingles,
@@ -65,7 +66,11 @@ def decontaminate(corpus: DataFrame, eval_docs: DataFrame,
         .select(hash64(F.col("_sh")).alias("_sh_h"))
         .distinct()
     )
-    corp_sh = corpus.select(
+    # corpus side fanned to session parallelism before the shingle
+    # explode + per-shingle md5 (the shingle_sets convention; a
+    # single-row-group scan would serialize the whole map stage — r12
+    # optimization round). The eval side is workload-bounded tiny.
+    corp_sh = ensure_parallelism(corpus.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), n)).alias("_sh"),
     ).select(F.col(id_col), hash64(F.col("_sh")).alias("_sh_h"))
@@ -116,16 +121,21 @@ def split_cross_leakage(docs: DataFrame, split_col: Column,
     ids + 8-byte hashes are the ONLY thing on the wire, AQE splits
     boilerplate-shingle skew, and every stage scales with the cluster.
     """
+    # both sides fanned to session parallelism before the shingle
+    # explode + per-shingle md5 (the shingle_sets convention — r12
+    # optimization round); the held-side id/split projection for the
+    # final join stays on the raw scan (ids only, no heavy map)
     sides = docs.select(F.col(id_col), F.col(text_col),
                         split_col.alias("split"))
     train_sh = (
-        sides.filter(F.col("split") == train_value)
+        ensure_parallelism(sides.filter(F.col("split") == train_value)
+                           .select(text_col))
         .select(F.explode(shingles(F.col(text_col), n)).alias("_sh"))
         .select(hash64(F.col("_sh")).alias("_sh_h"))
         .distinct()
     )
     held = sides.filter(F.col("split") != train_value)
-    held_sh = held.select(
+    held_sh = ensure_parallelism(held.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), n)).alias("_sh"),
     ).select(F.col(id_col), hash64(F.col("_sh")).alias("_sh_h"))
@@ -261,7 +271,10 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
     auditable (every serious corpus pipeline reports per-rule kill rates).
     """
     n_words, mean_wl_q, dup2_q, stop_hits = _gopher_stat_exprs(F.col("_toks"))
-    out = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")) \
+    # narrow but CPU-heavy (tokenize + n-gram stats per row): fan the
+    # scan to session parallelism first (r12 optimization round)
+    out = ensure_parallelism(df.select(id_col, text_col)) \
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")) \
         .select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
@@ -509,7 +522,10 @@ def quality_classifier(df: DataFrame, id_col: str = "doc_id",
     """
     toks = F.filter(tokens(F.lower(F.col(text_col))),
                     lambda x: F.length(x) > 0)
-    d = df.select(F.col(id_col), toks.alias("_tk"))
+    # narrow but CPU-heavy (one md5 per unigram+bigram feature): fan the
+    # scan to session parallelism first (r12 optimization round)
+    d = ensure_parallelism(df.select(id_col, text_col)) \
+        .select(F.col(id_col), toks.alias("_tk"))
     n1 = F.greatest(F.size("_tk") - F.lit(1), F.lit(0))
     pairs = F.zip_with(F.slice("_tk", 1, n1), F.slice(F.col("_tk"), 2, n1),
                        lambda a, b: F.concat(a, F.lit(" "), b))

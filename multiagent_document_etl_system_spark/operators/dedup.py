@@ -22,7 +22,7 @@ AQE skew-join handles hot buckets (e.g. empty-doc clusters).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from multiagent_document_etl_system_spark.functions.text import tokens
@@ -693,19 +693,30 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10,
                         F.coalesce(F.col("_rr"), F.col("rep"))).alias("rep"),
             )
         )
-        new = _truncate(new)
         # convergence early-exit: min-label propagation is monotone, so an
         # unchanged round is the fixpoint and every further round is a
-        # no-op. The check is one count over the (tiny, checkpointed)
-        # label frames — it lets max_iters be a SAFETY bound (diameters
-        # up to ~2^max_iters) instead of a cost, since typical LSH dup
-        # clusters (cliques and short chains) converge in 1-2 rounds.
-        changed = (
+        # no-op. It lets max_iters be a SAFETY bound (diameters up to
+        # ~2^max_iters) instead of a cost, since typical LSH dup clusters
+        # (cliques and short chains) converge in 1-2 rounds. The check
+        # rides the SAME job as the round's materialization (r12
+        # optimization round): join the previous labels in, observe the
+        # changed-row count, project the helper away, checkpoint — one
+        # driver round-trip per round where a separate count() action
+        # paid a second one (the per-round fixed cost dominates these
+        # node-table-sized frames). The inner join is 1:1 (both sides
+        # carry exactly adj's src set every round), so the rows are
+        # unchanged.
+        obs = Observation()
+        new = (
             new.join(labels.withColumnRenamed("rep", "_old"), "src")
-            .filter(F.col("rep") != F.col("_old")).limit(1).count()
+            .observe(obs, F.coalesce(
+                F.sum((F.col("rep") != F.col("_old")).cast("long")),
+                F.lit(0)).alias("n_changed"))
+            .select("src", "rep")
         )
+        new = _truncate(new)
         labels = new
-        if changed == 0:
+        if int(obs.get["n_changed"]) == 0:
             break
     return labels.select(F.col("src").alias("id"), "rep")
 
@@ -861,9 +872,14 @@ def span_dedup(df: DataFrame, n: int = 3, min_df: int = 2,
     path (`cli span-dedup`); the fingerprint form is the registry/oracle
     contract (scalar-only outputs).
     """
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
     ts = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                   lambda t: F.length(t) > 0)
-    d = (df.filter(F.col(text_col).isNotNull())
+    # fan the scan to session parallelism before the tokenize + shingle
+    # explode + per-shingle md5 (heavy narrow map; r12 optimization round)
+    d = (ensure_parallelism(df.filter(F.col(text_col).isNotNull())
+                            .select(id_col, text_col))
          .select(F.col(id_col).alias("id"), ts.alias("ts"))
          .filter(F.size("ts") > 0))
     nt = F.size("ts")

@@ -27,6 +27,23 @@ from multiagent_document_etl_system_spark.functions.text import (
     tokens,
     tokens_sql,
 )
+from multiagent_document_etl_system_spark.io import ensure_parallelism
+
+# The sf0.1 documents table scans as ONE partition (single row group),
+# so a narrow map stage runs single-threaded on a 32-core box unless the
+# operator fans the scan out. ensure_parallelism() round-robins ONLY
+# when the scan yields fewer partitions than the session parallelism — a
+# no-op at real scale, the shingle_sets convention. The r12 optimization
+# round MEASURED where the wrap pays (interleaved A/B, per-tree minima,
+# sf0.1): it wins exactly where the per-row work is md5/quality-grade
+# heavy (countmin_freq 0.39x, quality kernels 0.21x, shingle+md5 chains
+# 0.22-0.38x, cdc_chunks 0.86x) and LOSES where the map is a plain
+# tokenize+explode feeding a count (term_frequencies 1.21x, vocab_stats
+# 1.61x, source_divergence 1.58x, collocations 1.66x, bigram_logprob
+# 1.37x — the round-robin shuffle of the text column costs more than the
+# cheap explode saves), so only the heavy-map operators carry it.
+# Results are partitioning-independent: every operator
+# aggregates/windows on deterministic keys.
 
 # n-gram-heuristic language ID: score = occurrences of language-marker
 # function words (padded with spaces so they match as words, not substrings).
@@ -576,7 +593,8 @@ def heavy_hitters(df: DataFrame, text_col: str = "text",
     cap = 2 * inv_epsilon
 
     terms = (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        ensure_parallelism(df.select(F.col(text_col)))
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
         .filter(F.length("token") > 0)
     )
 
@@ -708,8 +726,13 @@ def dup_ngram_coverage_stripped(df: DataFrame, text_col: str = "text",
     """
     from multiagent_document_etl_system_spark.operators import dedup
 
-    h = (df.select(id_col,
-                   F.explode(dedup.shingles(F.col(text_col), 3)).alias("s"))
+    # the probe's doc-sample below stays on the RAW df: Bernoulli
+    # sampling is partition-order-sensitive, and the hot SET must stay
+    # byte-stable across this change (results don't depend on it, but
+    # plan-shape tests pin the salting)
+    h = (ensure_parallelism(df.select(id_col, text_col))
+         .select(id_col,
+                 F.explode(dedup.shingles(F.col(text_col), 3)).alias("s"))
          .select(id_col, dedup.hash64(F.col("s")).alias("sh_h")))
 
     # --- probe: doc-sampled hot-shingle detection (bounded collects:
@@ -1011,7 +1034,9 @@ def cdc_chunks(df: DataFrame, boundary_mod: int = CDC_BOUNDARY_MOD,
 
     from multiagent_document_etl_system_spark.operators.dedup import hash64
 
-    d = (df.filter(F.col(text_col).isNotNull())
+    d = (ensure_parallelism(
+            df.filter(F.col(text_col).isNotNull())
+            .select(id_col, text_col))
          .select(F.col(id_col).alias("id"),
                  F.filter(tokens(F.col(text_col)),
                           lambda t: F.length(t) > 0).alias("ts"))
@@ -1130,7 +1155,7 @@ def countmin_freq(df: DataFrame, d: int = CMS_D, w: int = CMS_W,
     """
     from multiagent_document_etl_system_spark.operators.dedup import hash64
 
-    toks = df.select(F.explode(
+    toks = ensure_parallelism(df.select(F.col(text_col))).select(F.explode(
         F.filter(tokens(F.lower(F.col(text_col))),
                  lambda t: F.length(t) > 0)).alias("token"))
 

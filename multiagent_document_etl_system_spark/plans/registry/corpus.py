@@ -201,7 +201,11 @@ def ta_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta_dup_ngram_coverage (corpus-frequency per doc) — same one-exchange
     shape: shingles shuffle once as 8-byte hashes for a min-window, then
     regroup per doc; integer outputs on the 1e-4 grid."""
-    d = _docs(spark, sf_dir)
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
+    # shingle explode + per-shingle md5 is a heavy narrow map — fan the
+    # scan to session parallelism first (r12 optimization round)
+    d = ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text"))
     sh = d.select(
         F.col("doc_id"),
         F.explode(dedup.shingles(F.col("text"))).alias("s"))
@@ -271,7 +275,11 @@ def ta_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict-#8 auto-route was deliberately NOT wired for that reason.
     Exact integer outputs (coverage as a scaled-int ratio) => full hash
     oracle."""
-    d = _docs(spark, sf_dir)
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
+    # shingle explode + per-shingle md5 is a heavy narrow map — fan the
+    # scan to session parallelism first (r12 optimization round)
+    d = ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text"))
     sh = d.select(
         "doc_id",
         F.explode(dedup.shingles(F.col("text"), 3)).alias("s"))

@@ -75,8 +75,11 @@ def curation_flags(spark: SparkSession, sf_dir: str,
     evals = d.filter(F.col("doc_id") % 90 == 8)
     w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     # stage the token array ONCE — the gopher stats reference it ~6 times
-    # and codegen does not unify repeated split() across HOF lambdas (5x)
-    base = corpus.select(
+    # and codegen does not unify repeated split() across HOF lambdas (5x);
+    # fan the scan to session parallelism before the heavy narrow map
+    # (single-row-group scans serialize it — r12 optimization round)
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+    base = ensure_parallelism(corpus.select("doc_id", "lang", "text")).select(
         "doc_id", "lang", "text", textfns.tokens(F.col("text")).alias("_toks"),
     ).select(
         "doc_id", "lang", "text",

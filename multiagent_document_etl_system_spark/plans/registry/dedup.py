@@ -485,8 +485,12 @@ def td_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical value to the old stable_avg_q chain). No double exists
     anywhere in this plan, on either engine. The 6 diag_prep_* queries
     check each stage's survivor checksum independently."""
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
     docs = _docs(spark, sf_dir)
-    scored = docs.withColumn(
+    # quality map is heavy-narrow; fan the scan to session parallelism
+    # first (r12 optimization round)
+    scored = ensure_parallelism(docs).withColumn(
         "quality_q1e4", textstats.quality_q1e4_expr(F.col("text")))
     passed = scored.filter(F.col("quality_q1e4") >= 5000)
     kept = dedup.exact_dedup(passed)
@@ -546,10 +550,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality kernel; the extra cost over dedup_clusters is one
     hash-partitioned window on rep. Oracle: the recursive-CTE closure
     plus the same rank logic."""
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
     pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
     clusters = dedup.duplicate_clusters(pairs)
     scored = clusters.join(
-        _docs(spark, sf_dir).select(
+        ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text"))
+        .select(
             F.col("doc_id").alias("id"),
             textstats.quality_q1e4_expr(F.col("text")).alias("q")),
         "id")
@@ -603,8 +610,13 @@ def td_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 6: survival path and outputs are 100% integer (quality gate on
     the q1e4 BIGINT, integer pair-threshold test, int_avg_round) — see
     td_prepare_corpus; the diag_prep_* stage checksums bisect this plan."""
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
     docs = _docs(spark, sf_dir)
-    scored = docs.withColumn(
+    # quality_q1e4_expr is a heavy narrow map (tokenize + n-gram stats per
+    # row); fan the scan to session parallelism first (r12 optimization
+    # round — a single-row-group scan serializes the whole stage)
+    scored = ensure_parallelism(docs).withColumn(
         "quality_q1e4", textstats.quality_q1e4_expr(F.col("text")))
     passed = scored.filter(F.col("quality_q1e4") >= 5000)
     kept = dedup.exact_dedup(passed)
@@ -658,7 +670,11 @@ _ID_CHECKSUM_SQL = ("CAST(count(*) AS BIGINT) AS n_docs, "
 
 
 def _prep_passed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (_docs(spark, sf_dir)
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
+    # quality map is heavy-narrow; fan the scan to session parallelism
+    # first (r12 optimization round)
+    return (ensure_parallelism(_docs(spark, sf_dir))
             .withColumn("quality_q1e4",
                         textstats.quality_q1e4_expr(F.col("text")))
             .filter(F.col("quality_q1e4") >= 5000))

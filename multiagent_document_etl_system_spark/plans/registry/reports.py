@@ -7,6 +7,7 @@ QUERIES.md read QUERIES in insertion order.
 
 from __future__ import annotations
 
+from multiagent_document_etl_system_spark.io import ensure_parallelism
 from multiagent_document_etl_system_spark.plans.registry._base import (  # noqa: F401
     DataFrame,
     F,
@@ -278,7 +279,10 @@ def td_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite (gate filter, md5 keep-lowest window, cluster left join);
     no new shuffle shapes."""
     d = _docs(spark, sf_dir)
-    scored = d.select(
+    # the quality map is heavy-narrow and this relation is re-derived by
+    # three consumers — fan the scan to session parallelism first (r12
+    # optimization round)
+    scored = ensure_parallelism(d.select("doc_id", "text")).select(
         "doc_id", "text",
         textstats.quality_q1e4_expr(F.col("text")).alias("q"))
     gate_fail = (scored.filter(F.col("q") < 5000)
@@ -413,9 +417,10 @@ def td_dedup_policy_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup.duplicate_clusters(
         dedup.minhash_lsh_pairs(docs, threshold=0.5))
     scored = clusters.join(
-        docs.select(F.col("doc_id").alias("id"),
-                    textstats.quality_q1e4_expr(F.col("text")).alias("q"),
-                    textstats.token_count(F.col("text")).alias("n_tok")),
+        ensure_parallelism(docs.select("doc_id", "text"))
+        .select(F.col("doc_id").alias("id"),
+                textstats.quality_q1e4_expr(F.col("text")).alias("q"),
+                textstats.token_count(F.col("text")).alias("n_tok")),
         "id")
     lowest = (scored.filter(F.col("id") == F.col("rep"))
               .select(F.lit("keep_lowest_id").alias("policy"), "q", "n_tok"))
