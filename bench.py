@@ -234,7 +234,11 @@ REBUILD_PER_REP = {"td_prepare_corpus_v2", "td_prepare_corpus_v3",
                    # tools that import this set)
                    "v8_ivf_topk", "v19_ivfpq_topk", "v27_ivfpq_residual",
                    # the streaming sketch run executes at build time
-                   "st_kmv_stream"}
+                   "st_kmv_stream",
+                   # r12 optimization: the shared (orderkey, in_f, in_o)
+                   # flag relation eager-checkpoints at build — rebuild
+                   # keeps the scan+shuffle inside the measurement
+                   "q_kmv_setops"}
 
 
 # Host-contention calibration: a fixed reference query (q_global_topk — a

@@ -801,8 +801,10 @@ def v21_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer grid via idiv_round — no float ever leaves the plan), so the
     hash oracle covers the recall NUMBERS themselves. The union of the
     four rungs' (method, q_id, c_id) picks makes this one semi-join
-    against the exact set and one tiny groupBy — the exact side is
-    computed twice (hits + denominator), same shape as v10.
+    against the exact set and one tiny groupBy — the exact side runs
+    ONCE and its (k·Q ids-only) result is checkpointed for the two
+    consumers (hits + denominator; it re-ran per consumer before the
+    r12 optimization round).
 
     Scale: each rung is its own bounded plan (signature equi-joins /
     50-candidate coarse heaps); the exact side is the only Q x N scan and
@@ -813,7 +815,14 @@ def v21_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = e.select(F.col("vec_id").alias("c_id"),
                  F.col("embedding").alias("c_vec"))
-    exact = similarity.topk_join(q, c, k=5).select("q_id", "c_id")
+    # the exact ground truth is referenced TWICE (hits semi-join + the
+    # denominator count) and each reference re-ran the full Q x N
+    # brute-force scan — truncate its lineage once (k·Q ids-only rows,
+    # bounded at any scale; the query is in bench.REBUILD_PER_REP so the
+    # eager materialization stays inside the timed rep — r12
+    # optimization round)
+    exact = similarity.topk_join(q, c, k=5).select("q_id", "c_id") \
+        .localCheckpoint(eager=True)
     rungs = {
         "binary_hamming": similarity.binary_hamming_topk(
             q, c, dim=64, k=5, k_coarse=50),

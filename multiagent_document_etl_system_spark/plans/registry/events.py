@@ -329,28 +329,42 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multiagent_document_etl_system_spark.operators.dedup import hash64
     k = 256
 
-    def sk(mode):
-        return (li.filter(F.col("l_linestatus") == mode)
-                .select(hash64(F.col("l_orderkey").cast("string"))
-                        .alias("h"))
-                .distinct().orderBy("h").limit(k))
+    # ONE lineitem scan + ONE shuffle (r12 optimization round; was 5
+    # scans + 2 full-table md5 passes + 2 extra distinct shuffles + a
+    # join): distinct orderkeys with per-set membership flags, hash64
+    # computed once per DISTINCT key — identical sets to hashing every
+    # row first ({h(x) | x ∈ rows} == {h(x) | x ∈ distinct keys}).
+    # Checkpointed because THREE consumers (two sketches + the exact
+    # audit) re-reference it; the relation is the same volume the
+    # groupBy exchange already moves. In REBUILD_PER_REP so the eager
+    # materialization stays inside the timed rep.
+    keys = (li.filter(F.col("l_linestatus").isin("F", "O"))
+            .groupBy("l_orderkey")
+            .agg(F.max((F.col("l_linestatus") == "F").cast("int"))
+                 .alias("in_f"),
+                 F.max((F.col("l_linestatus") == "O").cast("int"))
+                 .alias("in_o"))
+            .select(hash64(F.col("l_orderkey").cast("string")).alias("h"),
+                    "in_f", "in_o")
+            .localCheckpoint(eager=True))
 
-    ka, kb = sk("F"), sk("O")
+    def sk(flag):
+        return (keys.filter(F.col(flag) == 1)
+                .select("h").orderBy("h").limit(k))
+
+    ka, kb = sk("in_f"), sk("in_o")
     ku = ka.unionAll(kb).distinct().orderBy("h").limit(k)
     m = ku.agg(F.count("*").cast("bigint").alias("n_ku"),
                F.max("h").alias("big_m"))
     c = (ka.join(kb, "h").crossJoin(F.broadcast(m))
          .filter(F.col("h") <= F.col("big_m"))
          .agg(F.count("*").cast("bigint").alias("n_common")))
-    ex = (li.filter(F.col("l_linestatus").isin("F", "O"))
-          .agg(F.countDistinct("l_orderkey").cast("bigint")
-               .alias("exact_union")))
-    ia = (li.filter(F.col("l_linestatus") == "F")
-          .select("l_orderkey").distinct())
-    ib = (li.filter(F.col("l_linestatus") == "O")
-          .select("l_orderkey").distinct())
-    exi = ia.join(ib, "l_orderkey") \
-        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+    audit = keys.agg(
+        F.count("*").cast("bigint").alias("exact_union"),
+        F.sum(F.when((F.col("in_f") == 1) & (F.col("in_o") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("exact_inter"))
+    ex = audit.select("exact_union")
+    exi = audit.select("exact_inter")
 
     est = (m.crossJoin(c).withColumn(
         "est_union",
