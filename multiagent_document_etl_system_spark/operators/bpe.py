@@ -156,7 +156,13 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
     ``return_types=True`` additionally returns the word-type table AFTER
     all merges were applied — the trained tokenizer's segmentation of
     the corpus vocabulary — as ``(merges, types_df)``."""
-    types = word_types(docs, text_col).localCheckpoint()
+    # LAZY checkpoints (r12 optimization round): each round's type table
+    # is referenced twice (the argmax count + the next merge apply), so
+    # lineage must truncate — but an EAGER checkpoint paid its own job
+    # per round on top of the argmax job. eager=False lets the argmax
+    # action materialize the checkpoint as part of ITS job: one driver
+    # round-trip per merge round instead of two, identical tables.
+    types = word_types(docs, text_col).localCheckpoint(eager=False)
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):
         best = (pair_counts(types)
@@ -171,7 +177,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
             types = types.select(
                 "w",
                 merge_apply(F.col("sym"), F.lit(a), F.lit(b)).alias("sym"),
-                "c").localCheckpoint()
+                "c").localCheckpoint(eager=False)
     if return_types:
         return merges, types
     return merges

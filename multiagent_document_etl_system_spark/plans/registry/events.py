@@ -228,6 +228,10 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     from multiagent_document_etl_system_spark.operators.dedup import hash64
     k = 256
+    # NOTE (r12 optimization round): an ensure_parallelism fan-out of the
+    # scan was tried here and REVERTED on measurement (1.18x — one md5
+    # per row is too cheap to repay the round-robin exchange; contrast
+    # q_sampled_percentile's concat+md5 row key, which kept it at 0.88x)
     h = li.select(
         F.col("l_returnflag").alias("rf"),
         hash64(F.col("l_partkey").cast("string")).alias("h"),
@@ -454,7 +458,16 @@ def q_sampled_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     from multiagent_document_etl_system_spark.operators.dedup import hash64
     k = 1000
-    v = li.select(
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
+    # per-row md5 row-key hashing is the heavy narrow map here — fan the
+    # single-row-group scan to session parallelism first (r12
+    # optimization round). Selection stays deterministic: h is unique per
+    # row in this keyspace, so the top-1000-by-hash cut is
+    # partitioning-independent.
+    v = ensure_parallelism(li.select(
+        "l_returnflag", "l_extendedprice", "l_orderkey",
+        "l_linenumber")).select(
         F.col("l_returnflag").alias("rf"),
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("bigint").alias("cents"),

@@ -176,7 +176,11 @@ def ta_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result checkpoint is skipped (bucket checkpoint stays).
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3,
                                     materialize_result=False)
-    sigs = dedup.minhash_signatures(docs)
+    # the signature relation is referenced TWICE (pair sides a and b) and
+    # each reference re-ran the shingle+md5+MinHash chain — truncate its
+    # lineage once (N rows of 16 longs: exactly the signature index a
+    # production run materializes anyway; r12 optimization round)
+    sigs = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
     a = sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sg_a"))
     b = sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sg_b"))
     j = pairs.join(a, "id_a").join(b, "id_b")
