@@ -494,13 +494,22 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
 
 def test_quality_classifier_is_narrow_map(spark):
     """td_quality_classifier: the hashed-classifier dot product folds over
-    the row-local feature array — no Exchange, no Generate. At 100 TB an
-    explode→groupBy formulation would shuffle one row PER FEATURE (~1000x
-    the corpus); the F.aggregate fold keeps the whole gate a single
-    full-codegen corpus scan."""
+    the row-local feature array — no Generate, no hash/range exchange. At
+    100 TB an explode→groupBy formulation would shuffle one row PER
+    FEATURE (~1000x the corpus); the F.aggregate fold keeps the gate a
+    full-codegen corpus map. The ONE permitted exchange is the
+    scale-adaptive ensure_parallelism round-robin of corpus ROWS (r12
+    optimization round: the per-feature md5 fold ran single-threaded on a
+    single-row-group scan, measured 0.21x with the fan-out; a no-op when
+    the scan already splits)."""
+    import re
+
     p = physical_plan(QUERIES["td_quality_classifier"][0](spark, SF_DIR))
-    assert "Exchange" not in p
     assert "Generate" not in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert len(re.findall(r"Exchange roundrobinpartitioning",
+                          p, re.IGNORECASE)) <= 1
 
 
 def test_temperature_mix_scans_corpus_once(spark):
