@@ -307,3 +307,35 @@ def stable_ratio_sql(num: str, den: str, scale: int = 4,
         f" / CAST(sum({dec_sql(den)}) AS DOUBLE)",
         scale,
     )
+
+
+# ------------------------------------------------- matrix literal builders
+
+def lit_int_matrix(rows: list[list[int]]) -> Column:
+    """array<array<int>> literal built as ONE parsed expression.
+
+    The element-wise form — ``F.array(*[F.array(*[F.lit(x) ...]) ...])`` —
+    pays one py4j round-trip per element: a 16x16 codebook is ~300 driver
+    RPCs ≈ 150 ms of pure plan-BUILD time per call site (measured r13;
+    the ADC rung built 4 such codebooks per plan). One ``F.expr`` parse
+    of the same literal is ~2 ms and yields the identical Catalyst
+    literal tree (SQL integer literals follow the same int/bigint
+    inference as ``F.lit``; array element types unify identically).
+    Values are exact either way — integers print losslessly."""
+    body = ", ".join(
+        "array(" + ", ".join(str(int(x)) for x in r) + ")" for r in rows)
+    return F.expr(f"array({body})")
+
+
+def lit_double_matrix(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal as ONE parsed expression (see
+    :func:`lit_int_matrix` for why). Each value goes through
+    ``repr(float(v))`` — Python's shortest round-trip decimal form — and
+    ``CAST('…' AS DOUBLE)``, whose nearest-double parse restores the
+    exact bits (the CAST dodges Spark SQL's bare-decimal → DECIMAL
+    literal inference). Bit-identical to the ``F.lit`` form; verified on
+    the hyperplane and codebook constants (r13 probe: 0 mismatches)."""
+    body = ", ".join(
+        "array(" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in r)
+        + ")" for r in rows)
+    return F.expr(f"array({body})")

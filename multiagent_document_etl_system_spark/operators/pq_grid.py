@@ -54,6 +54,9 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
+from multiagent_document_etl_system_spark.functions.numeric import (
+    lit_int_matrix,
+)
 from multiagent_document_etl_system_spark.operators.similarity import (
     cosine_sql,
     exact_rerank,
@@ -90,7 +93,7 @@ def _best_struct(xq_col, book: list[list[int]], s: int, width: int):
     """(distance, code) argmin struct for subspace ``s`` — array_min over
     (BIGINT distance, code index) structs = the (d ASC, c ASC) tie-break
     the SQL twin states via row_number."""
-    book_lit = F.array(*[F.array(*[F.lit(x) for x in ctr]) for ctr in book])
+    book_lit = lit_int_matrix(book)
     sub = F.slice(xq_col, s * width + 1, width)
     return F.array_min(F.transform(
         book_lit,
@@ -147,7 +150,26 @@ def pq_grid_fit(df: DataFrame, dim: int, n_subspaces: int = 4,
     rows.sort(key=lambda r: r["_id"])
     if not rows:
         raise ValueError("pq_grid_fit: empty candidate set")
+    # Loud refusal on degenerate sample rows (ADVICE r12): a null vector
+    # (grid_vec of NULL) or a ragged dim would otherwise surface as an
+    # opaque NumPy TypeError/ValueError at np.array time. Refusing (not
+    # silently filtering) keeps the anchored init's (s*n_codes+c) %
+    # n_samp indexing — and therefore the fit — a pure function of the
+    # stated sample.
+    bad = [r["_id"] for r in rows
+           if r["_xq"] is None or len(r["_xq"]) != dim]
+    if bad:
+        raise ValueError(
+            f"pq_grid_fit: {len(bad)} sample row(s) with NULL or"
+            f" wrong-length ({dim}-dim expected) vectors, first ids"
+            f" {bad[:5]} — clean or re-project the candidate set first")
     mat = np.array([r["_xq"] for r in rows], dtype=np.int64)
+    if pre_gridded and int(np.abs(mat).max(initial=0)) > 2 * grid:
+        # the exactness proof (d ≤ 4·grid²·width < 2^63) assumes the
+        # documented |x| ≤ 2·grid bound — overflow would be silent
+        raise ValueError(
+            "pq_grid_fit: pre_gridded sample exceeds the |x| <= "
+            f"{2 * grid} bound (max abs {int(np.abs(mat).max())})")
     n_samp = len(rows)
     # anchored init: centroid (s, c) = subvector of the sample row with
     # rank (s*n_codes + c) % n_samp by id — exactly the SQL twin's
@@ -234,8 +256,7 @@ def pq_grid_adc_rerank_topk(queries: DataFrame, candidates: DataFrame,
     q_n = queries.select(F.col(q_id), grid_vec(q_vec, grid).alias("_xq"))
     tables = []
     for s, book in enumerate(books):
-        book_lit = F.array(*[
-            F.array(*[F.lit(x) for x in ctr]) for ctr in book])
+        book_lit = lit_int_matrix(book)
         sub = F.slice("_xq", s * width + 1, width)
         tables.append(F.transform(
             book_lit,
@@ -429,8 +450,7 @@ def _probe_cells(q_gv: DataFrame, coarse_book: list[list[int]],
     (distance, cell) structs = the SQL twin's
     ``row_number() OVER (ORDER BY d ASC, c ASC) <= n_probe``. Input must
     carry ``_xq`` (gridded vector); output keeps it plus ``_cell``."""
-    book_lit = F.array(*[
-        F.array(*[F.lit(x) for x in ctr]) for ctr in coarse_book])
+    book_lit = lit_int_matrix(coarse_book)
     dists = F.transform(book_lit, lambda ctr, i: F.struct(
         F.aggregate(F.zip_with(F.col("_xq"), ctr,
                                lambda a, b: (a - b) * (a - b)),
@@ -516,8 +536,7 @@ def ivfpq_grid_topk(queries: DataFrame, candidates: DataFrame, dim: int,
     q_gv = queries.select(F.col(q_id), grid_vec(q_vec, grid).alias("_xq"))
     tables = []
     for book in books:
-        book_lit = F.array(*[
-            F.array(*[F.lit(x) for x in ctr]) for ctr in book])
+        book_lit = lit_int_matrix(book)
         s = len(tables)
         sub = F.slice("_xq", s * width + 1, width)
         tables.append(F.transform(
@@ -570,8 +589,7 @@ def ivfpq_grid_residual_topk(queries: DataFrame, candidates: DataFrame,
     coarse = pq_grid_fit(candidates, dim, n_subspaces=1, n_codes=n_cells,
                          n_iters=n_iters, id_col=c_id, vec_col=c_vec,
                          grid=grid)
-    centers_lit = F.array(*[
-        F.array(*[F.lit(x) for x in ctr]) for ctr in coarse[0]])
+    centers_lit = lit_int_matrix(coarse[0])
     c_gv = candidates.select(F.col(c_id),
                              grid_vec(c_vec, grid).alias("_xq"))
     cells = pq_grid_codes(candidates, dim, coarse, id_col=c_id,
@@ -608,8 +626,7 @@ def ivfpq_grid_residual_topk(queries: DataFrame, candidates: DataFrame,
     q_rv = q_rv.localCheckpoint(eager=True)
     tables = []
     for book in books:
-        book_lit = F.array(*[
-            F.array(*[F.lit(x) for x in ctr]) for ctr in book])
+        book_lit = lit_int_matrix(book)
         s = len(tables)
         sub = F.slice("_rv", s * width + 1, width)
         tables.append(F.transform(

@@ -36,6 +36,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from multiagent_document_etl_system_spark.functions.numeric import (
+    lit_double_matrix,
+)
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as a codegen'd higher-order-function fold (double math)."""
@@ -365,9 +369,7 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame,
     )
 
     centers = [[float(x) for x in ctr] for ctr in fitted.clusterCenters()]
-    centers_lit = F.array(*[
-        F.array(*[F.lit(v) for v in ctr]) for ctr in centers
-    ])
+    centers_lit = lit_double_matrix(centers)
 
     # nearest n_probe cells per query: distance to every centroid (tiny),
     # array_sort on (distance, cell) structs, take the head
@@ -490,9 +492,7 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     plane_i), assembled into one long (2^i weights — n_planes ≤ 16 keeps
     this well inside exact double range). A pure Catalyst expression: the
     planes ride along as an array literal."""
-    planes_lit = F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in planes
-    ])
+    planes_lit = lit_double_matrix(planes)
     return F.aggregate(
         F.transform(
             planes_lit,
@@ -872,8 +872,7 @@ def pq_codes(df: DataFrame, dim: int, n_subspaces: int = 4,
     # (code extraction + error accumulation)
     best_cols = []
     for s, book in enumerate(codebooks):
-        book_lit = F.array(*[
-            F.array(*[F.lit(x) for x in ctr]) for ctr in book])
+        book_lit = lit_double_matrix(book)
         sub = F.slice("_v", s * width + 1, width)
         scored = F.transform(
             book_lit,
@@ -930,8 +929,7 @@ def pq_adc_topk(queries: DataFrame, candidates: DataFrame, dim: int,
                          l2_normalize(F.col(q_vec)).alias("_nv"))
     tables = []
     for s, book in enumerate(books):
-        book_lit = F.array(*[
-            F.array(*[F.lit(x) for x in ctr]) for ctr in book])
+        book_lit = lit_double_matrix(book)
         sub = F.slice("_nv", s * width + 1, width)
         tables.append(F.transform(
             book_lit,
@@ -1017,10 +1015,8 @@ def ivfpq_topk(queries: DataFrame, candidates: DataFrame, dim: int,
     n_probe = min(n_probe, n_cells)
     fitted = KMeans(k=n_cells, seed=seed, featuresCol="_v",
                     predictionCol="_cell").fit(train)
-    centers_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in ctr])
-        for ctr in fitted.clusterCenters()
-    ])
+    centers_lit = lit_double_matrix(
+        [[float(x) for x in ctr] for ctr in fitted.clusterCenters()])
     assigned = (
         fitted.transform(cand_n.withColumn(
             "_v", array_to_vector(F.col("_nv"))))
@@ -1071,8 +1067,7 @@ def ivfpq_topk(queries: DataFrame, candidates: DataFrame, dim: int,
         probed = probed.withColumn("_ev", F.col("_nv"))
     tables = []
     for s, book in enumerate(books):
-        book_lit = F.array(*[
-            F.array(*[F.lit(x) for x in ctr]) for ctr in book])
+        book_lit = lit_double_matrix(book)
         sub = F.slice("_ev", s * width + 1, width)
         tables.append(F.transform(
             book_lit,

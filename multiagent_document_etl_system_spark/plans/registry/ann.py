@@ -820,20 +820,29 @@ def v21_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brute-force scan — truncate its lineage once (k·Q ids-only rows,
     # bounded at any scale; the query is in bench.REBUILD_PER_REP so the
     # eager materialization stays inside the timed rep — r12
-    # optimization round)
-    exact = similarity.topk_join(q, c, k=5).select("q_id", "c_id") \
-        .localCheckpoint(eager=True)
-    rungs = {
-        "binary_hamming": similarity.binary_hamming_topk(
-            q, c, dim=64, k=5, k_coarse=50),
-        "lsh": similarity.ann_lsh_topk(q, c, dim=64, k=5, n_planes=6),
-        "lsh_multiprobe": similarity.ann_lsh_topk_multiprobe(
-            q, c, dim=64, k=5, n_planes=6),
-        "matryoshka16": similarity.truncated_rerank_topk(
-            q, c, k=5, prefix_dims=16, k_coarse=50),
-        "pq_grid_adc100": pq_grid.pq_grid_adc_rerank_topk(
-            q, c, dim=64, k=5, k_adc=100),
-    }
+    # optimization round). The eager checkpoint runs in a BACKGROUND
+    # thread (guide §2.6) so its cluster job overlaps the driver-side
+    # construction of the five rung plans below (which includes the
+    # PQ rung's own fit job — Spark schedules concurrent jobs FIFO);
+    # .result() joins before the checkpointed frame is consumed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        exact_f = pool.submit(
+            lambda: similarity.topk_join(q, c, k=5)
+            .select("q_id", "c_id").localCheckpoint(eager=True))
+        rungs = {
+            "binary_hamming": similarity.binary_hamming_topk(
+                q, c, dim=64, k=5, k_coarse=50),
+            "lsh": similarity.ann_lsh_topk(q, c, dim=64, k=5, n_planes=6),
+            "lsh_multiprobe": similarity.ann_lsh_topk_multiprobe(
+                q, c, dim=64, k=5, n_planes=6),
+            "matryoshka16": similarity.truncated_rerank_topk(
+                q, c, k=5, prefix_dims=16, k_coarse=50),
+            "pq_grid_adc100": pq_grid.pq_grid_adc_rerank_topk(
+                q, c, dim=64, k=5, k_adc=100),
+        }
+        exact = exact_f.result()
     tagged = None
     for name in sorted(rungs):
         t = rungs[name].select(F.lit(name).alias("method"), "q_id", "c_id")

@@ -95,8 +95,10 @@ def curation_flags(spark: SparkSession, sf_dir: str,
         .withColumn("_dirty", F.lit(True))
     )
     dupes = (
-        dedup.duplicate_clusters(dedup.minhash_lsh_pairs(d, threshold=0.5),
-                                 checkpoint_dir=checkpoint_dir)
+        dedup.duplicate_clusters(
+            dedup.minhash_lsh_pairs(d, threshold=0.5,
+                                    materialize_result=False),
+            checkpoint_dir=checkpoint_dir)
         .filter(F.col("rep") != F.col("id"))
         .select(F.col("id").alias("doc_id"))
         .withColumn("_dupe", F.lit(True))

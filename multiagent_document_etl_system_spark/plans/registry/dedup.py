@@ -494,7 +494,10 @@ def td_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_q1e4", textstats.quality_q1e4_expr(F.col("text")))
     passed = scored.filter(F.col("quality_q1e4") >= 5000)
     kept = dedup.exact_dedup(passed)
-    dups = dedup.minhash_lsh_pairs(docs, threshold=0.5) \
+    # consume-once (r13): one distinct projection reads the pair stream,
+    # so the result checkpoint is skipped (bucket checkpoint stays)
+    dups = dedup.minhash_lsh_pairs(docs, threshold=0.5,
+                                   materialize_result=False) \
         .select(F.col("id_b").alias("_dup")).distinct()
     clean = kept.join(dups, kept.doc_id == F.col("_dup"), "left_anti")
     return clean.groupBy("lang").agg(
@@ -517,7 +520,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE transitive closure — exact fixpoint, so this differential check
     also proves the iteration bound covers the corpus's real cluster
     diameters."""
-    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+    # cluster-only consumer: duplicate_clusters references the pair
+    # relation ONCE (single-explode adjacency, r13), so the result
+    # checkpoint would materialize a relation nobody re-reads
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3,
+                                    materialize_result=False)
     return dedup.duplicate_clusters(pairs)
 
 
@@ -552,7 +559,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the same rank logic."""
     from multiagent_document_etl_system_spark.io import ensure_parallelism
 
-    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+    # cluster-only pair consumer (r13): see dedup_clusters
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3,
+                                    materialize_result=False)
     clusters = dedup.duplicate_clusters(pairs)
     scored = clusters.join(
         ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text"))
@@ -621,7 +630,8 @@ def td_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed = scored.filter(F.col("quality_q1e4") >= 5000)
     kept = dedup.exact_dedup(passed)
     clusters = dedup.duplicate_clusters(
-        dedup.minhash_lsh_pairs(docs, threshold=0.5))
+        dedup.minhash_lsh_pairs(docs, threshold=0.5,
+                                materialize_result=False))
     clean = (
         kept.join(clusters, kept.doc_id == clusters.id, "left")
         .filter(F.col("id").isNull() | (F.col("rep") == F.col("doc_id")))
@@ -746,7 +756,8 @@ def diag_prep_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the 0.5-threshold pairs — v2's removal relation, exactly as the
     composite consumes it. Oracle = recursive-CTE exact closure."""
     return dedup.duplicate_clusters(
-        dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5))
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5,
+                                materialize_result=False))
 
 
 @_q("diag_prep_survivors", f"""
@@ -804,7 +815,8 @@ def diag_prep_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_quality_q1e4 (the only remaining cell)."""
     kept = dedup.exact_dedup(_prep_passed(spark, sf_dir))
     clusters = dedup.duplicate_clusters(
-        dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5))
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5,
+                                materialize_result=False))
     clean = (
         kept.join(clusters, kept.doc_id == clusters.id, "left")
         .filter(F.col("id").isNull() | (F.col("rep") == F.col("doc_id")))
@@ -867,7 +879,8 @@ def td_prepare_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     kept = dedup.exact_dedup(_prep_passed(spark, sf_dir))
     clusters = dedup.duplicate_clusters(
-        dedup.minhash_lsh_pairs(docs, threshold=0.5))
+        dedup.minhash_lsh_pairs(docs, threshold=0.5,
+                                materialize_result=False))
     scored = kept.join(clusters, kept.doc_id == clusters.id, "left")
     w = Window.partitionBy(F.coalesce("rep", "doc_id")) \
         .orderBy(F.desc("quality_q1e4"), F.asc("doc_id"))

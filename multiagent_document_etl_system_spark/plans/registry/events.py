@@ -353,8 +353,15 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True))
 
     def sk(flag):
+        # .distinct() on h (ADVICE r12): keys are distinct ORDERKEYS, so
+        # a 64-bit hash collision between two keys would otherwise leave
+        # duplicate h rows in the sketch, shifting the bottom-k cut and
+        # double-counting the ka∩kb intersection. The oracle's per-set
+        # CTEs are SELECT DISTINCT <hash> — dedup on the HASH value
+        # restores exact KMV hash-set semantics at the cost of one
+        # k-row-output exchange per side.
         return (keys.filter(F.col(flag) == 1)
-                .select("h").orderBy("h").limit(k))
+                .select("h").distinct().orderBy("h").limit(k))
 
     ka, kb = sk("in_f"), sk("in_o")
     ku = ka.unionAll(kb).distinct().orderBy("h").limit(k)

@@ -299,7 +299,8 @@ def td_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("doc_id", F.lit("exact_dup").alias("reason"),
                          F.col("keep_id").alias("ref_id")))
     clusters = dedup.duplicate_clusters(
-        dedup.minhash_lsh_pairs(d, threshold=0.5))
+        dedup.minhash_lsh_pairs(d, threshold=0.5,
+                                materialize_result=False))
     near_dup = (exact.filter(F.col("doc_id") == F.col("keep_id"))
                 .join(clusters, F.col("doc_id") == clusters.id)
                 .filter(F.col("rep") != F.col("doc_id"))
@@ -376,7 +377,8 @@ def dedup_cluster_size_histogram(spark: SparkSession,
     the cluster map rolled up twice (rep → size → histogram); both
     aggregates move id-sized rows only."""
     clusters = dedup.duplicate_clusters(
-        dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3))
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3,
+                                materialize_result=False))
     sizes = clusters.groupBy("rep").agg(F.count("*").alias("sz"))
     return (sizes.groupBy(F.col("sz").alias("cluster_size"))
             .agg(F.count("*").alias("n_clusters"),
@@ -419,7 +421,8 @@ def td_dedup_policy_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one window + two tiny rollups."""
     docs = _docs(spark, sf_dir)
     clusters = dedup.duplicate_clusters(
-        dedup.minhash_lsh_pairs(docs, threshold=0.5))
+        dedup.minhash_lsh_pairs(docs, threshold=0.5,
+                                materialize_result=False))
     scored = clusters.join(
         ensure_parallelism(docs.select("doc_id", "text"))
         .select(F.col("doc_id").alias("id"),
@@ -780,9 +783,23 @@ def st_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_md5_dir = f"{work}/_index_md5"
     idx_band_dir = f"{work}/_index_band"
     corpus_dir = f"{work}/corpus"
-    corpus.write.parquet(f"{corpus_dir}/epoch=-1")
-    md5_idx.write.parquet(f"{idx_md5_dir}/epoch=-1")
-    band_idx.write.parquet(f"{idx_band_dir}/epoch=-1")
+    # The three day-start writes are INDEPENDENT jobs (corpus snapshot,
+    # md5 set, band rows — no write reads another's output): submit them
+    # from a small thread pool so each job's task tail back-fills the
+    # executors the others free (guide §2.6). Exceptions propagate
+    # through pool.map.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(pair):
+        df, path = pair
+        df.write.parquet(path)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_write, [
+            (corpus, f"{corpus_dir}/epoch=-1"),
+            (md5_idx, f"{idx_md5_dir}/epoch=-1"),
+            (band_idx, f"{idx_band_dir}/epoch=-1"),
+        ]))
     # Read the day-start index BACK from the epoch=-1 files just written
     # (r12 optimization round): the static index is referenced by every
     # micro-batch's stream-static join, and a DataFrame reference
@@ -804,17 +821,38 @@ def st_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv = (batch_df.join(flags, "doc_id")
                 .filter(~F.col("exact_dup") & (F.col("n_band_matches") == 0))
                 .select("doc_id", "text", "n_chars"))
-        surv = surv.localCheckpoint()  # one pass; three overwrite targets
+        # The corpus write IS the survivor materialization (r13
+        # optimization round): the two index appends re-read the
+        # just-written epoch partition — identical rows by construction
+        # (it is the same idempotent-overwrite pattern the static index
+        # uses at epoch=-1) — so the dedup join runs once and the batch
+        # pays 3 actions, not the previous localCheckpoint + 3 writes.
         # idempotent epoch-scoped overwrites, never blind appends: a
         # micro-batch retry rewrites its own epoch=N partition
         surv.write.mode("overwrite").parquet(f"{corpus_dir}/epoch={epoch}")
-        surv.select(F.md5("text").alias("h")) \
-            .write.mode("overwrite").parquet(f"{idx_md5_dir}/epoch={epoch}")
-        (dedup.band_signatures(
-            surv.select(F.col("doc_id").alias("_id"),
-                        dedup.shingles(F.col("text"), 3).alias("_sh")))
-         .select("band", "bh").distinct()
-         .write.mode("overwrite").parquet(f"{idx_band_dir}/epoch={epoch}"))
+        surv = batch_df.sparkSession.read.parquet(
+            f"{corpus_dir}/epoch={epoch}")
+        # the two index appends both read the committed survivor
+        # partition and are independent of each other — overlap them
+        # (guide §2.6); each is idempotent per the epoch contract above
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_md5():
+            surv.select(F.md5("text").alias("h")) \
+                .write.mode("overwrite") \
+                .parquet(f"{idx_md5_dir}/epoch={epoch}")
+
+        def _w_band():
+            (dedup.band_signatures(
+                surv.select(F.col("doc_id").alias("_id"),
+                            dedup.shingles(F.col("text"), 3).alias("_sh")))
+             .select("band", "bh").distinct()
+             .write.mode("overwrite")
+             .parquet(f"{idx_band_dir}/epoch={epoch}"))
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(_w_md5), pool.submit(_w_band)]:
+                f.result()
 
     q = streamx.write_foreach_batch(
         stream, f"{work}/_chk_{uuid.uuid4().hex[:8]}", ingest_batch)
