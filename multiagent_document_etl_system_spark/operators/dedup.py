@@ -698,17 +698,30 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10,
     # iterative graph algorithms (GraphX/ML do the same); the edge list is
     # pair-graph-sized — tiny next to the corpus — at any scale.
     adj = _truncate(adj)
-    labels = _truncate(adj.groupBy("src").agg(F.min("dst").alias("rep")))
+    # Label INIT (min neighbor incl. self) is NOT materialized on its
+    # own (r13 optimization round): round 1 references the init three
+    # times (neighbor-min, jump lookup, convergence compare), and each
+    # reference re-derives one groupBy over the CHECKPOINTED adjacency —
+    # three node-table shuffles riding inside round 1's single job,
+    # which is cheaper than the dedicated eager-checkpoint job the init
+    # used to pay (every eager truncation is a full driver round-trip,
+    # and these frames are node-table-sized). Rows and fixpoint are
+    # unchanged: round 1 still computes exactly
+    # jump(neighbor-min(init)) vs init. From round 2 on, ``labels`` is
+    # the per-round checkpoint as before.
+    init = adj.groupBy("src").agg(F.min("dst").alias("rep"))
+    labels = None
     for _ in range(max_iters - 1):
+        cur = init if labels is None else labels
         # next label = min over neighbors' current labels (incl. own)
         nbr = (
-            adj.join(labels.withColumnRenamed("src", "dst"), "dst")
+            adj.join(cur.withColumnRenamed("src", "dst"), "dst")
             .groupBy("src").agg(F.min("rep").alias("rep"))
         )
         # pointer jump: follow the label one hop (label of the label) —
         # doubles the distance covered per round
-        lookup = labels.select(F.col("src").alias("_r"),
-                               F.col("rep").alias("_rr"))
+        lookup = cur.select(F.col("src").alias("_r"),
+                            F.col("rep").alias("_rr"))
         # labels is referenced TWICE per round (neighbor-min + the jump
         # lookup); without truncating its lineage each round the plan tree
         # doubles per iteration — 2^max_iters copies of the label subplan,
@@ -739,7 +752,7 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10,
         # unchanged.
         obs = Observation()
         new = (
-            new.join(labels.withColumnRenamed("rep", "_old"), "src")
+            new.join(cur.withColumnRenamed("rep", "_old"), "src")
             .observe(obs, F.coalesce(
                 F.sum((F.col("rep") != F.col("_old")).cast("long")),
                 F.lit(0)).alias("n_changed"))
@@ -755,6 +768,8 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10,
         # is safe — never read n_changed as an actual changed-row count.
         if int(obs.get["n_changed"]) == 0:
             break
+    if labels is None:  # max_iters == 1: the un-propagated init IS the result
+        labels = _truncate(init)
     return labels.select(F.col("src").alias("id"), "rep")
 
 
@@ -806,6 +821,16 @@ def neighbor_edit_distance(df: DataFrame, text_col: str = "text",
     b = s.select((F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b"),
                  F.col("h").alias("h_b"))
     j = a.join(b, "id_a")
+    # Fan the PAIR relation to session parallelism before the O(head²)
+    # distance map (r13 optimization round). AQE coalesces post-join
+    # partitions by BYTES, and a Levenshtein row is ~400 bytes of input
+    # for head² = 40k char-cell updates of compute — so on any input
+    # whose pair bytes undershoot the advisory size the whole distance
+    # stage collapses onto one task (measured at sf0.1: 1.94 s
+    # single-task vs 0.19 s fanned, identical rows). The explicit
+    # exchange moves one narrow row per pair — always cheap relative to
+    # the per-row compute it parallelizes, at any scale.
+    j = j.repartition(df.sparkSession.sparkContext.defaultParallelism)
     dist = F.levenshtein("h_a", "h_b")
     longest = F.greatest(F.length("h_a"), F.length("h_b"), F.lit(1))
     return j.select(

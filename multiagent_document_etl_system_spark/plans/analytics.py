@@ -3058,7 +3058,20 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plane-literal restatements elsewhere. The quotient sum stays on
     the integer grid (floor of small-int division: exact on both
     engines)."""
-    ev = _t(spark, sf_dir, "events")
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
+    # The try_* NULL branches are thrown-and-caught JVM exceptions —
+    # ~60% of rows here take one, which makes this narrow map
+    # exception-heavy, not byte-heavy. The single-row-group events scan
+    # serialized the whole sweep on one task; fan it to session
+    # parallelism first (the r12 heavy-narrow-map treatment — a no-op
+    # at real scale) and project to the two referenced columns so the
+    # fan-out exchange moves 16 bytes/row, not the payload
+    # (r13 optimization round; measured 1.55 s → 0.72 s steady-state at
+    # sf0.1, identical rows — the try_* surface is exercised unchanged;
+    # the residue is the genuine cost of ~130k thrown exceptions).
+    ev = ensure_parallelism(
+        _t(spark, sf_dir, "events").select("event_type", "event_id"))
     quot = F.floor(F.try_divide(100 * (F.col("event_id") % 7),
                                 F.col("event_id") % 5))
     add_of = F.try_add(F.lit(_BIGINT_MAX), F.col("event_id") % 2)
@@ -3148,8 +3161,15 @@ def q_url_xpath_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema-on-read extractors a crawl pipeline leans on (canonical host
     for per-site dedup/rate stats, query-param stripping, metadata
     pull-out of XML sidecars); both are JVM expressions — narrow map, no
-    shuffle, no Python."""
-    d = _t(spark, sf_dir, "documents")
+    shuffle, no Python. The per-row xpath_* calls build and evaluate a
+    DOM each — an expensive narrow map, so the single-row-group scan is
+    fanned to session parallelism first (r12 heavy-narrow-map treatment,
+    no-op at real scale; r13: 0.80 s → 0.22 s at sf0.1, identical
+    rows), projected to the four referenced columns."""
+    from multiagent_document_etl_system_spark.io import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents")
+                           .select("doc_id", "source", "lang", "n_chars"))
     url = F.concat(F.lit("https://"), "source",
                    F.lit(".example.com/docs/"),
                    F.col("doc_id").cast("string"),

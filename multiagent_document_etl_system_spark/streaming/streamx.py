@@ -302,7 +302,7 @@ def user_profile_tws(events: DataFrame) -> DataFrame:
 
 
 def run_to_memory(agg: DataFrame, name: str, output_mode: str = "append",
-                  shuffle_partitions: int = 32):
+                  shuffle_partitions: int | None = None):
     """Drive a streaming aggregation to completion over the (finite) file
     source and land results in an in-memory table — the smoke-test harness.
     Returns the StreamingQuery (stopped).
@@ -316,8 +316,17 @@ def run_to_memory(agg: DataFrame, name: str, output_mode: str = "append",
     invocation here starts a FRESH checkpoint, so pinning the conf for
     the duration of the run is safe; it is saved and restored around the
     query. On a real cluster this knob is sized to executor count ×
-    cores, exactly like batch shuffle partitions."""
+    cores, exactly like batch shuffle partitions — which is exactly what
+    the ``None`` default resolves to (``defaultParallelism``, r13): a
+    fixed 32 was right for the local[32] harness but over-provisioned
+    state stores 4× when the same replay ran on fewer cores (the
+    driver's low-cpu scaling bench), and under-provisions on a real
+    cluster. Results are partitioning-invariant by design (every
+    streaming query here aggregates with exact order-insensitive
+    sums)."""
     spark = agg.sparkSession
+    if shuffle_partitions is None:
+        shuffle_partitions = spark.sparkContext.defaultParallelism
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     try:

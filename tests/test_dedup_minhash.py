@@ -59,3 +59,31 @@ def test_fold_edge_shapes(spark):
     assert by_id[3]["new"] == [None] * 16
     # single element: every slot is that element's permutation
     assert all(v is not None for v in by_id[4]["new"])
+
+
+def test_ensure_parallelism_memo(spark):
+    """r13: the fan-out decision memoizes on the logical plan's
+    semanticHash — same plan must reuse the cached decision (no repeated
+    rdd probe), and the fan-out itself must still fire for a
+    single-partition scan."""
+    from multiagent_document_etl_system_spark import io as eio
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    target = spark.sparkContext.defaultParallelism
+    eio._PARALLELISM_MEMO.clear()
+    out1 = eio.ensure_parallelism(docs)
+    assert len(eio._PARALLELISM_MEMO) == 1
+    (key, need), = eio._PARALLELISM_MEMO.items()
+    assert need is True  # single-row-group parquet < session parallelism
+    assert out1.rdd.getNumPartitions() == target
+    # a second call with an equal plan hits the memo (same single entry)
+    docs2 = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    eio.ensure_parallelism(docs2)
+    assert len(eio._PARALLELISM_MEMO) == 1
+    # a different plan gets its own entry
+    eio.ensure_parallelism(docs.select("doc_id"))
+    assert len(eio._PARALLELISM_MEMO) == 2
+    # rows unchanged by the wrap
+    assert out1.count() == docs.count()
