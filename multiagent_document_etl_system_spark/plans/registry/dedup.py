@@ -320,13 +320,20 @@ def dedup_cross_source_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify is exact shingle Jaccard, and the per-doc argmax is a
     row_number window over a doc's own handful of matches (no skew
     surface: partition size = a doc's cross-source match count).
-    COMPOSITE consumer: the symmetrize union references the pair
-    relation twice, so the result checkpoint stays ON (the r9
-    subtree-non-sharing lesson — consume-once here would re-run the
-    whole verify chain per union branch). Integer 1e-4-grid scores ⇒
-    full hash oracle."""
+    Consume-once since r13: symmetrization is a two-struct explode
+    (one reference) instead of a two-branch union (two references that
+    re-ran the whole verify chain per branch — the r9
+    subtree-non-sharing lesson), so the pair-result checkpoint is
+    skipped. Integer 1e-4-grid scores ⇒ full hash oracle."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    # Consume-once since r13: the symmetrize step references the scored
+    # pair relation ONCE (a two-struct explode instead of the former
+    # two-branch union), so the verify chain runs once per execution
+    # without the pair-result checkpoint — the same single-reference
+    # rewrite duplicate_clusters' adjacency got. Row set identical: one
+    # row per (pair, orientation), same columns.
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3,
+                                    materialize_result=False)
     src = docs.select("doc_id", "source")
     jq = F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("bigint")
     p = (pairs
@@ -337,16 +344,19 @@ def dedup_cross_source_links(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.col("src_a") != F.col("src_b"))
          .select("id_a", "src_a", "id_b", "src_b", jq.alias("jaccard_q1e4")))
     oriented = (
-        p.select(F.col("id_a").alias("doc_id"),
-                 F.col("src_a").alias("doc_source"),
-                 F.col("id_b").alias("match_id"),
-                 F.col("src_b").alias("match_source"), "jaccard_q1e4")
-        .unionByName(
-            p.select(F.col("id_b").alias("doc_id"),
+        p.select(F.explode(F.array(
+            F.struct(F.col("id_a").alias("doc_id"),
+                     F.col("src_a").alias("doc_source"),
+                     F.col("id_b").alias("match_id"),
+                     F.col("src_b").alias("match_source"),
+                     F.col("jaccard_q1e4")),
+            F.struct(F.col("id_b").alias("doc_id"),
                      F.col("src_b").alias("doc_source"),
                      F.col("id_a").alias("match_id"),
                      F.col("src_a").alias("match_source"),
-                     "jaccard_q1e4")))
+                     F.col("jaccard_q1e4")),
+        )).alias("_o"))
+        .select("_o.*"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("jaccard_q1e4"), F.asc("match_id"))
     return (oriented.withColumn("rn", F.row_number().over(w))
